@@ -1,0 +1,59 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+The same settings we would ship in spark-defaults.conf for a 1000-executor
+cluster, expressed here for local[N] testing: AQE on (skew-join splitting,
+partition coalescing), Arrow on (every dataplane kernel is an Arrow-batched
+pandas UDF), bounded Arrow batches so one long token array never forces a
+giant batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pyhctsa_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
+    env var is unset). On a real cluster, pass ``master=None`` and let
+    spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = max(8, n)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting; at 100 TB this is
+        # what turns a bad static plan into a survivable one.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # All kernels are Arrow pandas UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Token arrays can be ~8k ints; cap rows/batch so a batch stays
+        # well under executor memory even for the longest docs.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # 128 MiB parquet split — the default, stated explicitly because
+        # partition sizing is part of the contract (BASELINE.md §3).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
