@@ -1,0 +1,529 @@
+"""SQL-native operator catalog with DuckDB oracles.
+
+Each entry maps a SURVEY.md §2 operator to a declarative Spark SQL query
+over the driver's test tables, plus an equivalent DuckDB oracle. Where
+the two dialects agree (the vast majority), ONE SQL string serves both —
+the strongest possible parity guarantee. Only array/lambda constructs
+get dialect variants.
+
+The time-series operators run over the ``events`` table viewed as one
+series per ``user_id`` (offset = rank of event_id, value = ``value``),
+windowed into non-overlapping length-16 windows with trailing-partial
+drop — the engine's make_buffer semantics (utils.py:292-319).
+
+All float outputs are rounded in-query (both sides identically) so the
+driver's order-insensitive value-hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+W = 16  # oracle window length
+_SQ17 = "sqrt(17.0)"  # sqrt(W+1)
+_SQ15 = "sqrt(15.0)"  # sqrt(W-1)
+
+# Shared CTE preamble: per-user series + windows + leads.
+_PRE = f"""
+WITH series AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+win AS (
+  SELECT user_id, rn, v,
+         CAST(floor(rn / {W}) AS BIGINT) AS w,
+         CAST(rn % {W} AS BIGINT) AS i,
+         lead(v) OVER (PARTITION BY user_id ORDER BY rn) AS v1,
+         lead(v, 2) OVER (PARTITION BY user_id ORDER BY rn) AS v2
+  FROM series
+),
+fullwin AS (
+  SELECT user_id, w FROM win GROUP BY user_id, w HAVING count(*) = {W}
+),
+cent AS (
+  SELECT user_id, rn, v - avg(v) OVER (PARTITION BY user_id) AS vc
+  FROM series
+)
+"""
+
+
+def _q(sql: str) -> dict:
+    return {"spark": _PRE + sql, "duck": _PRE + sql}
+
+
+def _q2(spark_sql: str, duck_sql: str, pre: bool = False) -> dict:
+    return {
+        "spark": (_PRE + spark_sql) if pre else spark_sql,
+        "duck": (_PRE + duck_sql) if pre else duck_sql,
+    }
+
+
+QUERIES: dict[str, dict] = {}
+
+# --- tier-0 window features (DN_Mean / DN_Spread / DN_Burstiness) ---------
+QUERIES["win_mean_var_std"] = _q(f"""
+SELECT user_id, w,
+       round(avg(v), 6)          AS mean_v,
+       round(var_samp(v), 6)     AS var_v,
+       round(stddev_samp(v), 6)  AS std_v
+FROM win GROUP BY user_id, w HAVING count(*) = {W}
+""")
+
+QUERIES["win_burstiness"] = _q(f"""
+SELECT user_id, w,
+       round((r - 1) / (r + 1), 6) AS burst_b,
+       round(({_SQ17} * r - {_SQ15}) / (({_SQ17} - 2) * r + {_SQ15}), 6) AS burst_b_kim
+FROM (
+  SELECT user_id, w, stddev_samp(v) / avg(v) AS r
+  FROM win GROUP BY user_id, w HAVING count(*) = {W}
+) t
+""")
+
+# --- CO_AutoCorr 'TimeDomain' at lag 1, per window ------------------------
+QUERIES["win_ac1_td"] = _q(f"""
+SELECT user_id, w,
+       round((sxy / m - (s1a / m) * (s1b / m))
+             / (sqrt(s2a / m - (s1a / m) * (s1a / m))
+                * sqrt(s2b / m - (s1b / m) * (s1b / m))), 6) AS ac1_td
+FROM (
+  SELECT user_id, w,
+         CAST({W - 1} AS DOUBLE)                    AS m,
+         sum(v * v1)  FILTER (WHERE i < {W - 1})    AS sxy,
+         sum(v)       FILTER (WHERE i < {W - 1})    AS s1a,
+         sum(v * v)   FILTER (WHERE i < {W - 1})    AS s2a,
+         sum(v1)      FILTER (WHERE i < {W - 1})    AS s1b,
+         sum(v1 * v1) FILTER (WHERE i < {W - 1})    AS s2b
+  FROM win GROUP BY user_id, w HAVING count(*) = {W}
+) t
+""")
+
+# --- CO_trev (lag-1) per window -------------------------------------------
+QUERIES["win_trev1"] = _q(f"""
+SELECT d.user_id, d.w,
+       round(avg(d * d * d) / power(avg(d * d), 1.5), 6) AS trev1
+FROM (SELECT user_id, w, (v1 - v) AS d FROM win WHERE i < {W - 1}) d
+JOIN fullwin USING (user_id, w)
+GROUP BY d.user_id, d.w
+""")
+
+# --- CO_tc3 (lag-1) per window --------------------------------------------
+QUERIES["win_tc3_1"] = _q(f"""
+SELECT a.user_id, a.w, round(a.num / b.den, 6) AS tc3_1
+FROM (SELECT user_id, w, avg(v * v1 * v2) AS num
+      FROM win WHERE i < {W - 2} GROUP BY user_id, w) a
+JOIN (SELECT user_id, w, power(abs(avg(v * v1)), 1.5) AS den
+      FROM win WHERE i < {W - 1} GROUP BY user_id, w) b USING (user_id, w)
+JOIN fullwin USING (user_id, w)
+""")
+
+# --- SY_StdNthDer n=1 per window ------------------------------------------
+QUERIES["win_stdnthder1"] = _q(f"""
+SELECT w2.user_id, w2.w, round(stddev_samp(w2.v1 - w2.v), 6) AS stdnthder1
+FROM win w2 JOIN fullwin USING (user_id, w)
+WHERE w2.i < {W - 1}
+GROUP BY w2.user_id, w2.w
+""")
+
+# --- CO_Embed2_Basic updiag predicate per window --------------------------
+QUERIES["win_embed2_updiag"] = _q(f"""
+SELECT w2.user_id, w2.w,
+       round(avg(CASE WHEN abs(w2.v1 - w2.v) < 10.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS updiag10
+FROM win w2 JOIN fullwin USING (user_id, w)
+WHERE w2.i < {W - 1}
+GROUP BY w2.user_id, w2.w
+""")
+
+# --- DK_theilerQ per user (whole series) ----------------------------------
+QUERIES["user_theiler_q"] = _q("""
+SELECT a.user_id, round(a.num / b.den, 6) AS theiler_q
+FROM (SELECT user_id, avg((v + v1) * (v + v1) * (v + v1)) AS num
+      FROM win WHERE v1 IS NOT NULL GROUP BY user_id) a
+JOIN (SELECT user_id, power(avg(v * v), 1.5) AS den
+      FROM series GROUP BY user_id) b USING (user_id)
+""")
+
+# --- DK_crinkle per user ---------------------------------------------------
+QUERIES["user_crinkle"] = _q("""
+SELECT a.user_id, round(a.m4 / power(b.m2, 2), 6) AS crinkle
+FROM (
+  SELECT user_id, avg(d * d * d * d) AS m4
+  FROM (
+    SELECT user_id,
+           2 * vc - lag(vc) OVER (PARTITION BY user_id ORDER BY rn)
+                  - lead(vc) OVER (PARTITION BY user_id ORDER BY rn) AS d
+    FROM cent
+  ) t WHERE d IS NOT NULL GROUP BY user_id
+) a
+JOIN (SELECT user_id, avg(vc * vc) AS m2 FROM cent GROUP BY user_id) b
+  USING (user_id)
+""")
+
+# --- SY_StatAv 'len' 16 per user (two-level rollup) -----------------------
+QUERIES["user_statav_len16"] = _q(f"""
+SELECT a.user_id, round(stddev_samp(a.wm) / max(b.sd), 6) AS statav16
+FROM (SELECT user_id, w, avg(v) AS wm
+      FROM win GROUP BY user_id, w HAVING count(*) = {W}) a
+JOIN (SELECT user_id, stddev_samp(v) AS sd FROM series GROUP BY user_id) b
+  USING (user_id)
+GROUP BY a.user_id HAVING count(*) >= 2
+""")
+
+# --- SY_Trend linear fit per user -----------------------------------------
+QUERIES["user_trend"] = _q("""
+SELECT user_id,
+       round(covar_pop(CAST(rn AS DOUBLE), v) / var_pop(CAST(rn AS DOUBLE)), 6) AS slope,
+       round(avg(v) - covar_pop(CAST(rn AS DOUBLE), v) / var_pop(CAST(rn AS DOUBLE)) * avg(CAST(rn AS DOUBLE)), 6) AS intercept
+FROM series GROUP BY user_id
+""")
+
+# --- SY_MomentCorr (mean vs std across windows) per user ------------------
+QUERIES["user_moment_corr"] = _q(f"""
+SELECT user_id, round(corr(m, s), 6) AS moment_corr
+FROM (SELECT user_id, w, avg(v) AS m, stddev_samp(v) AS s
+      FROM win GROUP BY user_id, w HAVING count(*) = {W}) t
+GROUP BY user_id HAVING count(*) >= 3
+""")
+
+# --- MD_pNN (threshold 20) per user ---------------------------------------
+QUERIES["user_pnn20"] = _q("""
+SELECT user_id,
+       round(avg(CASE WHEN abs(v1 - v) > 20.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS pnn20
+FROM win WHERE v1 IS NOT NULL GROUP BY user_id
+""")
+
+# --- EN_CID CE1 per user ---------------------------------------------------
+QUERIES["user_cid_ce1"] = _q("""
+SELECT user_id, round(sqrt(avg((v1 - v) * (v1 - v))), 6) AS ce1
+FROM win WHERE v1 IS NOT NULL GROUP BY user_id
+""")
+
+# --- SY_SimpleStats zcross per user ---------------------------------------
+QUERIES["user_zcross"] = _q("""
+SELECT user_id,
+       round(sum(CASE WHEN vcn IS NOT NULL AND vc * vcn < 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS zcross
+FROM (SELECT user_id, vc,
+             lead(vc) OVER (PARTITION BY user_id ORDER BY rn) AS vcn
+      FROM cent) t
+GROUP BY user_id
+""")
+
+# --- DN_MinMax per user ----------------------------------------------------
+QUERIES["user_minmax"] = _q("""
+SELECT user_id, round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+       round(max(v) - min(v), 6) AS range_v
+FROM series GROUP BY user_id
+""")
+
+# --- DN_HighLowMu per user -------------------------------------------------
+QUERIES["user_highlowmu"] = _q("""
+SELECT s.user_id,
+       round((avg(CASE WHEN s.v > t.mu THEN s.v END) - max(t.mu))
+             / (max(t.mu) - avg(CASE WHEN s.v < t.mu THEN s.v END)), 6) AS highlowmu
+FROM series s
+JOIN (SELECT user_id, avg(v) AS mu FROM series GROUP BY user_id) t
+  USING (user_id)
+GROUP BY s.user_id
+""")
+
+# --- DN_Withinp p=1 (mean/std) per user -----------------------------------
+QUERIES["user_withinp1"] = _q("""
+SELECT s.user_id,
+       round(avg(CASE WHEN s.v >= t.mu - t.sd AND s.v <= t.mu + t.sd
+                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS withinp1
+FROM series s
+JOIN (SELECT user_id, avg(v) AS mu, stddev_samp(v) AS sd
+      FROM series GROUP BY user_id) t USING (user_id)
+GROUP BY s.user_id
+""")
+
+# --- DN_Unique per user ----------------------------------------------------
+QUERIES["user_unique_frac"] = _q("""
+SELECT user_id,
+       round(count(DISTINCT v) / CAST(count(*) AS DOUBLE), 6) AS unique_frac
+FROM series GROUP BY user_id
+""")
+
+# --- DN_ProportionValues (above mean) per user ----------------------------
+QUERIES["user_prop_above_mean"] = _q("""
+SELECT s.user_id,
+       round(avg(CASE WHEN s.v > t.mu THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS prop_above
+FROM series s
+JOIN (SELECT user_id, avg(v) AS mu FROM series GROUP BY user_id) t
+  USING (user_id)
+GROUP BY s.user_id
+""")
+
+# --- DN_HistogramMode numBins=10 per user ---------------------------------
+QUERIES["user_histmode10"] = _q("""
+SELECT r.user_id,
+       round(st.mn + (r.bin + 0.5) * ((st.mx - st.mn) / 10.0), 6) AS mode_center
+FROM (
+  SELECT user_id, bin, row_number() OVER (
+           PARTITION BY user_id ORDER BY cnt DESC, bin ASC) AS rk
+  FROM (
+    SELECT b.user_id, b.bin, count(*) AS cnt
+    FROM (
+      SELECT s.user_id,
+             least(CAST(floor((s.v - st2.mn) / ((st2.mx - st2.mn) / 10.0)) AS BIGINT), 9) AS bin
+      FROM series s
+      JOIN (SELECT user_id, min(v) AS mn, max(v) AS mx
+            FROM series GROUP BY user_id) st2 USING (user_id)
+    ) b GROUP BY b.user_id, b.bin
+  ) c
+) r
+JOIN (SELECT user_id, min(v) AS mn, max(v) AS mx FROM series GROUP BY user_id) st
+  USING (user_id)
+WHERE r.rk = 1
+""")
+
+# --- CO_glscf alpha=1 beta=1 tau=2 per user -------------------------------
+QUERIES["user_glscf_1_1_2"] = _q("""
+SELECT user_id,
+       round((avg(a * b) - avg(a) * avg(b))
+             / (sqrt(avg(a * a) - avg(a) * avg(a))
+                * sqrt(avg(b * b) - avg(b) * avg(b))), 6) AS glscf_1_1_2
+FROM (SELECT user_id, abs(v) AS a, abs(v2) AS b FROM win WHERE v2 IS NOT NULL) t
+GROUP BY user_id
+""")
+
+# --- FC_LocalSimple 'mean' trainLength=4 per user -------------------------
+QUERIES["user_local_simple_mean4"] = _q("""
+SELECT user_id,
+       round(avg(v - f), 6)          AS meanerr,
+       round(stddev_samp(v - f), 6)  AS stderr
+FROM (
+  SELECT user_id, rn, v,
+         avg(v) OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS f
+  FROM series
+) t WHERE rn >= 4
+GROUP BY user_id
+""")
+
+# --- SB_MotifTwo 'diff' word probabilities per user -----------------------
+QUERIES["user_motif2_diff"] = _q("""
+SELECT user_id,
+       round(avg(CAST(b AS DOUBLE)), 6) AS pu,
+       round(avg(CASE WHEN b = 1 AND b2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             FILTER (WHERE b2 IS NOT NULL), 6) AS puu,
+       round(avg(CASE WHEN b = 1 AND b2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             FILTER (WHERE b2 IS NOT NULL), 6) AS pud,
+       round(avg(CASE WHEN b = 0 AND b2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             FILTER (WHERE b2 IS NOT NULL), 6) AS pdu,
+       round(avg(CASE WHEN b = 0 AND b2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             FILTER (WHERE b2 IS NOT NULL), 6) AS pdd
+FROM (
+  SELECT user_id, b, lead(b) OVER (PARTITION BY user_id ORDER BY rn) AS b2
+  FROM (SELECT user_id, rn,
+               CASE WHEN v1 - v > 0 THEN 1 ELSE 0 END AS b
+        FROM win WHERE v1 IS NOT NULL) s
+) t
+GROUP BY user_id
+""")
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators over documents / embeddings
+# --------------------------------------------------------------------------
+
+QUERIES["doc_token_count"] = _q2(
+    """
+SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+""",
+    """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+""",
+)
+
+QUERIES["doc_quality"] = _q2(
+    """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(length(word)), 6) AS avg_word_len,
+       round(avg(CASE WHEN word IN ('the','a','of','and','to','in','is','on','for')
+                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS stopword_ratio
+FROM (SELECT doc_id, word
+      FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word) w
+GROUP BY doc_id
+""",
+    """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(length(word)), 6) AS avg_word_len,
+       round(avg(CASE WHEN word IN ('the','a','of','and','to','in','is','on','for')
+                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS stopword_ratio
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) w
+GROUP BY doc_id
+""",
+)
+
+QUERIES["doc_lang_source_stats"] = _q2(
+    """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+""",
+    """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+""",
+)
+
+QUERIES["doc_dedup_exact"] = _q2(
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+FROM documents
+""",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+FROM documents
+""",
+)
+
+QUERIES["doc_fingerprint"] = _q2(
+    """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+""",
+    """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+""",
+)
+
+# n-gram (3-word shingle) Jaccard near-dup pairs
+QUERIES["doc_ngram_jaccard"] = _q2(
+    """
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM words
+  LATERAL VIEW explode(
+    transform(sequence(0, size(ws) - 3),
+              idx -> concat_ws(' ', ws[idx], ws[idx + 1], ws[idx + 2]))
+  ) t AS sh
+  WHERE size(ws) >= 3
+),
+card AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2,
+       round(i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN card ca ON ca.doc_id = i.d1
+JOIN card cb ON cb.doc_id = i.d2
+WHERE i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE) >= 0.3
+""",
+    """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 2),
+                  idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2])) AS sh
+    FROM words WHERE len(ws) >= 3
+  ) t
+),
+card AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2,
+       round(i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN card ca ON ca.doc_id = i.d1
+JOIN card cb ON cb.doc_id = i.d2
+WHERE i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE) >= 0.3
+""",
+)
+
+# brute-force cosine top-3 neighbors for the first 5 vectors
+QUERIES["knn_cosine_top3"] = _q2(
+    """
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         aggregate(zip_with(q.e, c.e, (x, y) -> x * y),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+         / (sqrt(aggregate(zip_with(q.e, q.e, (x, y) -> x * y),
+                           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+            * sqrt(aggregate(zip_with(c.e, c.e, (x, y) -> x * y),
+                             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))) AS cos
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT qid, nid, round(cos, 4) AS cos_sim
+FROM (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+      FROM pairs) t
+WHERE rk <= 3
+""",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_dot_product(q.e, c.e)
+         / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT qid, nid, round(cos, 4) AS cos_sim
+FROM (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+      FROM pairs) t
+WHERE rk <= 3
+""",
+)
+
+QUERIES["embedding_norms"] = _q2(
+    """
+SELECT vec_id, label,
+       round(sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), 4) AS l2_norm
+FROM embeddings
+""",
+    """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+""",
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def spark_sql_for(name: str) -> str:
+    return QUERIES[name]["spark"]
+
+
+def duck_sql_for(name: str) -> str:
+    return QUERIES[name]["duck"]
