@@ -67,7 +67,7 @@ def _rollup_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = _sequences_from_events(spark, sf_dir)
     return rollup_tiers(seq, window=8, group=4, n_tiers=3, lags=[1, 2]).drop(
-        "sxy", "head", "tail"
+        "state_bin"
     )
 
 

@@ -1,0 +1,131 @@
+"""Per-round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Headline: the flagship 3-tier rollup (read parquet sequences -> single
+mapInPandas pass -> write parquet store), on a deterministic synthetic
+sequences table sized by the sf dir (cached under .bench_cache/). Also
+times representative oracle queries on the driver's sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyhctsa_spark.plans import oracle_queries as OQ  # noqa: E402
+from pyhctsa_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DOCS_PER_SF = 80_000  # sf0.1 -> 8k docs (~23M points), sf0.01 -> 800
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_sequences(spark, n_docs: int) -> str:
+    """Generate-once parquet cache of the synthetic sequences table."""
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"seqb_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        from pyhctsa_spark.sources.synthetic import sequences_df
+
+        (
+            sequences_df(spark, n_docs, binary=True)
+            .write.mode("overwrite")
+            .parquet(cache)
+        )
+    return cache
+
+
+def bench_rollup(spark, seq_path: str) -> dict:
+    from pyhctsa_spark.operators.rollup import make_counters, rollup_tiers
+
+    # Partition balance comes from input split sizing (set in main()),
+    # not a shuffle: the rollup is row-independent, so a repartition
+    # would only add an exchange. salted_repartition() is reserved for
+    # the skewed groupBy paths (cascade_from_store, source-partitioned
+    # writes).
+    df = spark.read.parquet(seq_path)
+    total_points = df.selectExpr("sum(n_tok)").first()[0]
+    out_dir = tempfile.mkdtemp(prefix="rollup_store_")
+    counters = make_counters(spark)
+    t0 = time.perf_counter()
+    rollup_tiers(df, counters=counters).write.mode("overwrite").parquet(out_dir)
+    wall = time.perf_counter() - t0
+    n_windows = counters["windows_emitted"].value
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "rollup_sec": round(wall, 3),
+        "points": int(total_points),
+        "windows": int(n_windows),
+        "points_per_sec": round(total_points / wall, 1),
+        "rolled_windows_per_sec": round(n_windows / wall, 1),
+    }
+
+
+def bench_queries(spark) -> dict:
+    OQ.register_views(spark, SF_DIR)
+    picks = [
+        "win_mean_var_std",
+        "win_ac1_td",
+        "win_burstiness",
+        "user_statav_len16",
+        "user_moment_corr",
+        "doc_ngram_jaccard",
+        "knn_cosine_top3",
+        "doc_quality",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        spark.sql(OQ.spark_sql_for(name)).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    n_docs = max(40, int(sf * DOCS_PER_SF))
+    # Local parquet caches are small; size splits so every core gets
+    # work (a real cluster gets this for free from 128MB row groups).
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
+    seq_path = ensure_sequences(spark, n_docs)
+    # warm the JVM/python workers with a tiny pass, then measure
+    spark.read.parquet(seq_path).limit(10).count()
+    roll = bench_rollup(spark, seq_path)
+    queries = bench_queries(spark)
+    result = {
+        "metric": "3-tier rollup wall-clock (synthetic token sequences)",
+        "value": roll["rollup_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        **roll,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,21 @@ def finalize(state: State, lags: list[int]) -> dict[str, np.ndarray]:
         "burst_b": b,
         "burst_b_kim": bk,
     }
+    # Fourier-estimator ACF at lag 1 (CO_AutoCorr 'Fourier',
+    # Correlation.py:1241-1259). The padded Wiener-Khinchin transform
+    # computes exactly acf[t] = sum_i yc_i yc_{i+t} / sum_i yc_i^2 with
+    # yc = y - mean; at lag 1 every term is in the merge state, so the
+    # "HOL" feature collapses to algebra (no FFT, no raw pass — this
+    # halved kernel memory traffic at scale). Differs from the FFT
+    # result only in float summation order (~1e-12 relative).
+    if 1 in lags:
+        j1 = lags.index(1)
+        y0 = state["head"][:, 0]
+        ylast = state["tail"][:, -1]
+        num = state["sxy"][:, j1] - mean * (2.0 * s1 - y0 - ylast) + (n - 1.0) * mean**2
+        den = s2 - n * mean**2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["ac1_fourier"] = np.where(den > 0.0, num / den, np.nan)
     for j, t in enumerate(lags):
         m = n - t
         tail_t = state["tail"][:, tau_max - t :]

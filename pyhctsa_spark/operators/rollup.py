@@ -2,14 +2,20 @@
 
 Two physical strategies for the same logical computation:
 
-1. ``rollup_tiers``: ONE shuffle-free ``mapInPandas`` pass computes tier 0
-   AND the 16x / 256x tiers. Every window of a doc lives inside its input
-   row, so the tier cascade needs no shuffle at all: tier k+1 is produced
-   by MERGING tier-k ALG states (functions/stats_state.py) in-kernel.
-   HOL features (hazen IQR, Fourier ACF) are recomputed per tier from the
-   raw values, which are still in hand. At 100 TB this plan is
-   embarrassingly parallel: scan -> python worker -> write, with
-   partition balance set by input splits + optional salted repartition.
+1. ``rollup_tiers``: ONE shuffle-free Arrow-native ``mapInArrow`` pass
+   computes tier 0 AND the 16x / 256x tiers. Every window of a doc lives
+   inside its input row, so the tier cascade needs no shuffle at all:
+   tier k+1 is produced by MERGING tier-k ALG states
+   (functions/stats_state.py) in-kernel. HOL features (hazen IQR,
+   Fourier ACF) are recomputed per tier from the raw values, which are
+   still in hand. At 100 TB this plan is embarrassingly parallel:
+   scan -> python worker -> write, with partition balance set by input
+   splits + optional salted repartition.
+
+   The worker boundary is deliberately pandas-free: token payloads are
+   sliced zero-copy out of Arrow list/binary buffers, and output
+   RecordBatches are built directly from the kernel's numpy arrays
+   (profiled: pandas block assembly cost ~4x the actual feature math).
 
 2. ``cascade_from_store``: the retention path — raw is gone, only a
    materialized tier table remains. Tier k+1 = groupBy(doc_id,
@@ -33,6 +39,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from pyhctsa_spark.functions import kernels as K
@@ -49,59 +56,159 @@ ROLLUP_SCHEMA = (
     "mean double, variance double, spread_std double, spread_iqr double, "
     "ac1_td double, ac2_td double, ac1_fourier double, "
     "burst_b double, burst_b_kim double, "
-    "s1 double, s2 double, sxy array<double>, "
-    "head array<double>, tail array<double>"
+    "s1 double, s2 double, state_bin binary"
 )
 
 _OUT_COLS = [
     "doc_id", "source", "tier", "window_idx", "n",
     "mean", "variance", "spread_std", "spread_iqr",
     "ac1_td", "ac2_td", "ac1_fourier", "burst_b", "burst_b_kim",
-    "s1", "s2", "sxy", "head", "tail",
+    "s1", "s2", "state_bin",
 ]
 
 
-def _tier_frame(
+def _tier_cols(
     doc_id: str,
     source: str,
     tier: int,
     state: S.State,
     lags: list[int],
     Y_raw: np.ndarray | None,
-) -> pd.DataFrame:
-    """Assemble one tier's output rows for one doc (vectorized across
-    windows). ``Y_raw`` present -> HOL features computed; else NULL."""
+) -> dict:
+    """One tier's output columns for one doc as numpy arrays (no pandas
+    objects in the hot loop). ``Y_raw`` present -> HOL features computed;
+    else NULL (store-cascade path)."""
     fin = S.finalize(state, lags)
     k = len(state["n"])
-    if Y_raw is not None:
-        iqr = K.iqr_hazen_2d(Y_raw)
-        ac1_f = K.ac_fourier_2d(Y_raw, [1])[:, 0]
-    else:
-        iqr = np.full(k, np.nan)
-        ac1_f = np.full(k, np.nan)
-    return pd.DataFrame(
-        {
-            "doc_id": doc_id,
-            "source": source,
-            "tier": np.int32(tier),
-            "window_idx": np.arange(k, dtype=np.int64),
-            "n": state["n"],
-            "mean": fin["mean"],
-            "variance": fin["variance"],
-            "spread_std": fin["spread_std"],
-            "spread_iqr": iqr,
-            "ac1_td": fin.get("ac1_td", np.full(k, np.nan)),
-            "ac2_td": fin.get("ac2_td", np.full(k, np.nan)),
-            "ac1_fourier": ac1_f,
-            "burst_b": fin["burst_b"],
-            "burst_b_kim": fin["burst_b_kim"],
-            "s1": state["s1"],
-            "s2": state["s2"],
-            "sxy": list(state["sxy"]),
-            "head": list(state["head"]),
-            "tail": list(state["tail"]),
-        }
+    iqr = K.iqr_hazen_2d(Y_raw) if Y_raw is not None else np.full(k, np.nan)
+    # ac1_fourier comes from the merge state (see stats_state.finalize) —
+    # exact algebra, no FFT pass over raw values
+    ac1_f = fin.get("ac1_fourier", np.full(k, np.nan))
+    return {
+        "doc_id": [doc_id] * k,
+        "source": [source] * k,
+        "tier": np.full(k, tier, dtype=np.int32),
+        "window_idx": np.arange(k, dtype=np.int64),
+        "n": state["n"],
+        "mean": fin["mean"],
+        "variance": fin["variance"],
+        "spread_std": fin["spread_std"],
+        "spread_iqr": iqr,
+        "ac1_td": fin.get("ac1_td", np.full(k, np.nan)),
+        "ac2_td": fin.get("ac2_td", np.full(k, np.nan)),
+        "ac1_fourier": ac1_f,
+        "burst_b": fin["burst_b"],
+        "burst_b_kim": fin["burst_b_kim"],
+        "s1": state["s1"],
+        "s2": state["s2"],
+        # packed merge state: [sxy(len(lags)) | head(tau_max) | tail(tau_max)]
+        # float64s per row -> ONE binary column (parquet/Arrow handle it
+        # as a memcpy; list<double> columns measured ~8x slower to write)
+        "state_bin": np.hstack([state["sxy"], state["head"], state["tail"]]),
+    }
+
+
+def unpack_states(blobs, lags: list[int]) -> S.State | None:
+    """Inverse of the state_bin packing (cascade/restore path)."""
+    tau_max = max(lags)
+    width = len(lags) + 2 * tau_max
+    mat = np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(-1, width)
+    ln = len(lags)
+    return {
+        "sxy": mat[:, :ln].copy(),
+        "head": mat[:, ln : ln + tau_max].copy(),
+        "tail": mat[:, ln + tau_max :].copy(),
+    }
+
+
+_LIST_COLS = ("doc_id", "source")
+_STATE_COL = "state_bin"
+
+_PA_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("source", pa.string()), ("tier", pa.int32()),
+     ("window_idx", pa.int64()), ("n", pa.int64()), ("mean", pa.float64()),
+     ("variance", pa.float64()), ("spread_std", pa.float64()),
+     ("spread_iqr", pa.float64()), ("ac1_td", pa.float64()),
+     ("ac2_td", pa.float64()), ("ac1_fourier", pa.float64()),
+     ("burst_b", pa.float64()), ("burst_b_kim", pa.float64()),
+     ("s1", pa.float64()), ("s2", pa.float64()),
+     ("state_bin", pa.binary())]
+)
+
+
+def _binary_array(mat: np.ndarray) -> pa.Array:
+    """(k, w) float64 matrix -> Arrow binary column of w*8-byte rows,
+    built from raw buffers (no per-row bytes objects)."""
+    k, w = mat.shape
+    row_bytes = w * 8
+    offs = np.arange(0, (k + 1) * row_bytes, row_bytes, dtype=np.int32)
+    data = np.ascontiguousarray(mat)
+    return pa.Array.from_buffers(
+        pa.binary(), k, [None, pa.py_buffer(offs), pa.py_buffer(data)]
     )
+
+
+def _assemble_arrow(blocks: list[dict]) -> pa.RecordBatch:
+    """Concatenate per-doc-tier column blocks into ONE RecordBatch built
+    straight from numpy — no pandas block manager in the hot path."""
+    cols = []
+    for c in _OUT_COLS:
+        parts = [b[c] for b in blocks]
+        if c in _LIST_COLS:
+            vals: list = []
+            for p in parts:
+                vals.extend(p)
+            cols.append(pa.array(vals, type=pa.string()))
+        elif c == _STATE_COL:
+            cols.append(_binary_array(np.concatenate(parts, axis=0)))
+        else:
+            cols.append(pa.array(np.concatenate(parts)))
+    return pa.RecordBatch.from_arrays(cols, schema=_PA_SCHEMA)
+
+
+def _assemble_pandas(blocks: list[dict]) -> pd.DataFrame:
+    """pandas variant for the (small-group) applyInPandas cascade path."""
+    out = {}
+    for c in _OUT_COLS:
+        parts = [b[c] for b in blocks]
+        if c in _LIST_COLS:
+            vals: list = []
+            for p in parts:
+                vals.extend(p)
+            out[c] = vals
+        elif c == _STATE_COL:
+            out[c] = [
+                row.tobytes() for row in np.concatenate(parts, axis=0)
+            ]
+        else:
+            out[c] = np.concatenate(parts)
+    return pd.DataFrame(out)
+
+
+def _var_width_view(col: pa.Array) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Zero-copy (flat_values, offsets, is_binary) view of a list<int> or
+    binary Arrow column. Row i's payload is flat[offs[i]:offs[i+1]]
+    (bytes for binary — view as '<i4'; ints for list)."""
+    if pa.types.is_binary(col.type):
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return data, offs, True
+    if pa.types.is_large_binary(col.type):
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return data, offs, True
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        dt = np.int64 if pa.types.is_large_list(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=dt)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat, offs, False
+    raise TypeError(f"unsupported token column type {col.type}")
 
 
 def _make_rollup_fn(
@@ -112,33 +219,54 @@ def _make_rollup_fn(
     gapped: bool,
     counters: dict | None,
 ):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[pd.DataFrame] = []
-            n_rows = len(pdf)
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            names = rb.schema.names
+            doc_ids = rb.column(names.index("doc_id")).to_pylist()
+            sources = rb.column(names.index("source")).to_pylist()
+            n_rows = rb.num_rows
+            if gapped:
+                off_flat, off_offs, _ = _var_width_view(
+                    rb.column(names.index("offsets"))
+                )
+                val_flat, val_offs, _ = _var_width_view(
+                    rb.column(names.index("values"))
+                )
+                n_toks = rb.column(names.index("n_tok")).to_numpy()
+            else:
+                tok_name = "tokens_bin" if "tokens_bin" in names else "tokens"
+                flat, offs, is_bin = _var_width_view(rb.column(names.index(tok_name)))
+                if "tok_checksum" in names:
+                    cks = rb.column(names.index("tok_checksum"))
+                    cksums = None if cks.null_count == n_rows else cks.to_pylist()
+                else:
+                    cksums = None
+
+            blocks: list[dict] = []
             n_windows = 0
             n_bad = 0
-            for row in pdf.itertuples(index=False):
+            for r in range(n_rows):
                 if gapped:
+                    o = off_flat[off_offs[r] : off_offs[r + 1]]
+                    v = val_flat[val_offs[r] : val_offs[r + 1]]
                     vals = gap_fill(
-                        np.asarray(row.offsets, dtype=np.int64),
-                        np.asarray(row.values, dtype=np.float64),
-                        int(row.n_tok),
+                        np.asarray(o, dtype=np.int64),
+                        np.asarray(v, dtype=np.float64),
+                        int(n_toks[r]),
                     )
                 else:
-                    vals = np.asarray(row.tokens, dtype=np.float64)
-                    # per-row token-array integrity invariant (null
-                    # checksum -> skip; pandas renders SQL NULL as NaN,
-                    # so notna() not `is None`)
-                    cksum = getattr(row, "tok_checksum", None)
-                    if pd.notna(cksum):
-                        if token_checksum(np.asarray(row.tokens)) != int(cksum):
+                    raw = flat[offs[r] : offs[r + 1]]
+                    toks = raw.view("<i4") if is_bin else raw
+                    # per-row token-array integrity invariant
+                    if cksums is not None and cksums[r] is not None:
+                        if token_checksum(toks) != int(cksums[r]):
                             n_bad += 1
+                    vals = toks.astype(np.float64)
                 if len(vals) < window:
                     continue
                 Y0 = K.make_buffer(vals, window)
                 state = S.states_from_windows(Y0, lags)
-                out.append(_tier_frame(row.doc_id, row.source, 0, state, lags, Y0))
+                blocks.append(_tier_cols(doc_ids[r], sources[r], 0, state, lags, Y0))
                 n_windows += len(state["n"])
                 for tier in range(1, n_tiers):
                     state = S.merge_groups(state, group, lags)
@@ -146,16 +274,16 @@ def _make_rollup_fn(
                         break
                     wlen = window * group**tier
                     Yt = K.make_buffer(vals, wlen)
-                    out.append(
-                        _tier_frame(row.doc_id, row.source, tier, state, lags, Yt)
+                    blocks.append(
+                        _tier_cols(doc_ids[r], sources[r], tier, state, lags, Yt)
                     )
                     n_windows += len(state["n"])
             if counters is not None:
                 counters["rows_read"].add(n_rows)
                 counters["windows_emitted"].add(n_windows)
                 counters["checksum_mismatches"].add(n_bad)
-            if out:
-                yield pd.concat(out, ignore_index=True)[_OUT_COLS]
+            if blocks:
+                yield _assemble_arrow(blocks)
 
     return fn
 
@@ -182,12 +310,20 @@ def rollup_tiers(
 ) -> DataFrame:
     """Single-pass 3-tier rollup (see module docstring).
 
-    Input: sequences table (dense: doc_id/tokens/n_tok/source
+    Input: sequences table (dense: doc_id/tokens|tokens_bin/n_tok/source
     [/tok_checksum]; gapped=True: doc_id/offsets/values/n_tok/source).
+    Only the needed columns cross the Arrow boundary (explicit pruning —
+    mapInArrow ships every column of its input otherwise).
     """
     lags = lags or DEFAULT_LAGS
+    needed = [
+        c
+        for c in ("doc_id", "source", "n_tok", "tokens_bin", "tokens",
+                  "offsets", "values", "tok_checksum")
+        if c in df.columns
+    ]
     fn = _make_rollup_fn(window, group, n_tiers, lags, gapped, counters)
-    return df.mapInPandas(fn, schema=ROLLUP_SCHEMA)
+    return df.select(*needed).mapInArrow(fn, schema=ROLLUP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -195,8 +331,6 @@ def rollup_tiers(
 # ---------------------------------------------------------------------------
 
 def _make_cascade_fn(group: int, lags: list[int]):
-    tau_max = max(lags)
-
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_idx")
         k = len(pdf)
@@ -204,23 +338,23 @@ def _make_cascade_fn(group: int, lags: list[int]):
             "n": pdf["n"].to_numpy(np.int64),
             "s1": pdf["s1"].to_numpy(np.float64),
             "s2": pdf["s2"].to_numpy(np.float64),
-            "sxy": np.stack(pdf["sxy"].to_numpy()),
-            "head": np.stack(pdf["head"].to_numpy()),
-            "tail": np.stack(pdf["tail"].to_numpy()),
+            **unpack_states(pdf["state_bin"].tolist(), lags),
         }
         # child windows must be contiguous and complete
         widx = pdf["window_idx"].to_numpy(np.int64)
         if k != group or np.any(np.diff(widx) != 1):
             return pd.DataFrame(columns=_OUT_COLS)
         merged = S.merge_groups(state, group, lags)
-        out = _tier_frame(
-            pdf["doc_id"].iloc[0],
-            pdf["source"].iloc[0],
-            int(pdf["tier"].iloc[0]) + 1,
-            merged,
-            lags,
-            None,
-        )
+        out = _assemble_pandas([
+            _tier_cols(
+                pdf["doc_id"].iloc[0],
+                pdf["source"].iloc[0],
+                int(pdf["tier"].iloc[0]) + 1,
+                merged,
+                lags,
+                None,
+            )
+        ])
         out["window_idx"] = widx[0] // group
         return out[_OUT_COLS]
 
@@ -239,7 +373,7 @@ def cascade_from_store(
     """
     lags = lags or DEFAULT_LAGS
     keyed = tier_df.withColumn(
-        "parent_idx", (F.col("window_idx") / F.lit(group)).cast("long")
+        "parent_idx", F.floor(F.col("window_idx") / F.lit(group)).cast("long")
     )
     return (
         keyed.groupBy("doc_id", "parent_idx")

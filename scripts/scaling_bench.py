@@ -1,0 +1,113 @@
+"""Two-cluster-size scaling evidence (BASELINE.md §3 protocol).
+
+Runs the identical 3-tier rollup job (read parquet -> mapInArrow kernel
+-> write parquet) at N and 4N local cores in fresh subprocesses (cold
+JVM each, first run discarded as warm-up), and reports
+  efficiency = throughput(4N) / (4 * throughput(N)) = T_N / (4 * T_4N)
+against the >=0.8 gate. Results are appended to BENCH.md.
+
+N defaults to 4 (4N=16): this box advertises 32 single-thread cores but
+sustains only ~3.1x total throughput from 8->32 processes on a pure
+CPU-burn microbenchmark (frequency scaling under load), so 8->32 cannot
+evidence engine scaling; 4->16 burns at 4.04x (efficiency 1.01), making
+it the honest parallelism probe. Override with SCALING_N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "40000"))
+N_LOW = int(os.environ.get("SCALING_N", "4"))
+N_HIGH = 4 * N_LOW
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+
+RUN_SNIPPET = r"""
+import json, sys, time, tempfile, shutil
+sys.path.insert(0, {repo!r})
+from pyhctsa_spark.session import get_spark
+from pyhctsa_spark.operators.rollup import make_counters, rollup_tiers
+from pyhctsa_spark.sources.synthetic import sequences_df
+
+spark = get_spark("scaling", master="local[{cpus}]", extra_conf={{
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)}})
+cache = {repo!r} + "/.bench_cache/seqb_{n_docs}"
+import os
+if not os.path.exists(cache + "/_SUCCESS"):
+    sequences_df(spark, {n_docs}, binary=True).write.mode("overwrite").parquet(cache)
+df = spark.read.parquet(cache)
+points = df.selectExpr("sum(n_tok)").first()[0]
+results = []
+for rep in range({reps} + 1):
+    out = tempfile.mkdtemp(prefix="scal_")
+    counters = make_counters(spark)
+    t0 = time.perf_counter()
+    rollup_tiers(df, counters=counters).write.mode("overwrite").parquet(out)
+    wall = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    results.append({{"wall": wall, "windows": counters["windows_emitted"].value}})
+print("RESULT " + json.dumps({{"cpus": {cpus}, "points": int(points),
+                              "runs": results[1:]}}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_docs=N_DOCS, reps=REPS)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cpus={cpus}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    rlo = run_at(N_LOW)
+    rhi = run_at(N_HIGH)
+    # min-of-reps: this sandbox shares a host with noisy neighbors
+    # (load avg ~10 with zero local processes); minimum approximates
+    # uncontended capacity at each parallelism level
+    tlo = min(r["wall"] for r in rlo["runs"])
+    thi = min(r["wall"] for r in rhi["runs"])
+    pts = rlo["points"]
+    eff = tlo / (4 * thi)
+    summary = {
+        "n_docs": N_DOCS,
+        "points": pts,
+        "n_low": N_LOW,
+        "n_high": N_HIGH,
+        "t_low_sec": round(tlo, 2),
+        "t_high_sec": round(thi, 2),
+        "throughput_low_pts_per_sec": round(pts / tlo, 1),
+        "throughput_high_pts_per_sec": round(pts / thi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "gate_ge_0.8": eff >= 0.8,
+        "windows_equal": rlo["runs"][0]["windows"] == rhi["runs"][0]["windows"],
+    }
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run (n_docs={N_DOCS}, {pts:,} points, min of {REPS})\n\n"
+            f"| cores | wall (s) | points/sec |\n|---|---|---|\n"
+            f"| {N_LOW} (N) | {tlo:.2f} | {pts / tlo:,.0f} |\n"
+            f"| {N_HIGH} (4N) | {thi:.2f} | {pts / thi:,.0f} |\n\n"
+            f"**efficiency = T_N / (4 * T_4N) = {eff:.3f}** "
+            f"({'PASS' if eff >= 0.8 else 'FAIL'} vs >= 0.8 gate); "
+            f"identical window counts at both levels: "
+            f"{summary['windows_equal']}\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Compressed-store round-trip + resumable checkpointed job semantics."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyhctsa_spark.operators.checkpoint import RollupJob
+from pyhctsa_spark.operators.rollup import rollup_tiers
+from pyhctsa_spark.operators.store import (
+    FEATURES,
+    compression_report,
+    read_compressed_store,
+    write_compressed_store,
+)
+from pyhctsa_spark.sources.synthetic import sequences_df
+
+
+@pytest.fixture(scope="module")
+def tier_df(spark):
+    df = sequences_df(spark, 40, partitions=4)
+    return rollup_tiers(df).cache()
+
+
+def test_store_roundtrip_identity(spark, tier_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "tiers")
+    write_compressed_store(tier_df, path)
+    back = read_compressed_store(spark, path).toPandas()
+    orig = tier_df.toPandas()
+    key = ["doc_id", "tier", "window_idx"]
+    a = orig.set_index(key).sort_index()
+    b = back.set_index(key).sort_index()
+    assert len(a) == len(b)
+    for f in FEATURES + ["n"]:
+        av = a[f].to_numpy(np.float64)
+        bv = b[f].to_numpy(np.float64)
+        # bit-exact: gorilla stores raw float64 bits
+        np.testing.assert_array_equal(
+            av.view(np.uint64)[~np.isnan(av)], bv.view(np.uint64)[~np.isnan(bv)],
+            err_msg=f,
+        )
+        assert np.isnan(av).sum() == np.isnan(bv).sum()
+
+
+def test_store_compression_wins(spark, tier_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store2") / "tiers")
+    write_compressed_store(tier_df, path)
+    rep = compression_report(spark, path)
+    assert rep["windows"] == tier_df.count()
+    assert rep["ratio"] > 1.3  # gorilla+dod beats raw doubles
+    assert rep["raw_bytes"] > rep["comp_bytes"]
+
+
+def test_checkpoint_resume_after_injected_crash(spark, tmp_path_factory):
+    store_crash = str(tmp_path_factory.mktemp("job") / "store")
+    store_clean = str(tmp_path_factory.mktemp("job2") / "store")
+    seq = sequences_df(spark, 30, partitions=4)
+
+    clean = RollupJob(store_clean, n_buckets=4)
+    snap_clean = clean.run(spark, seq)
+    assert snap_clean["complete"]
+
+    job = RollupJob(store_crash, n_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(spark, seq, fail_after_bucket=1)
+    done = job.completed_buckets()
+    assert len(done) == 2  # buckets 0 and 1 committed before the crash
+
+    # restart: only pending buckets run; result equals the clean job
+    snap = RollupJob(store_crash, n_buckets=4).run(spark, seq)
+    assert snap["complete"]
+    assert snap["windows_emitted"] == snap_clean["windows_emitted"]
+
+    a = (
+        RollupJob(store_crash, n_buckets=4).result(spark).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+        .drop(columns=["state_bin"])
+    )
+    b = (
+        clean.result(spark).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+        .drop(columns=["state_bin"])
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # lineage present per bucket
+    entry = job.completed_buckets()[0]
+    for k in ("rows_read", "windows_emitted", "checksum_mismatches",
+              "wall_sec", "output_bytes"):
+        assert k in entry
+    assert os.path.exists(os.path.join(store_crash, "_SNAPSHOT.json"))
