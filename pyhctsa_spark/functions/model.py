@@ -1,0 +1,366 @@
+"""Model-fitting and hypothesis-test kernels (reference modules
+Operations/ModelFit.py and Operations/HypothesisTests.py) — statsmodels /
+arch / scipy dependencies replaced by direct numpy implementations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyhctsa_spark.functions.helpers import chi2_sf, norm_cdf
+from pyhctsa_spark.functions.kernels import acf_fourier_full, autocorr_fourier
+
+__all__ = [
+    "ar_ols_fit",
+    "ar_cov",
+    "ar_fit_select",
+    "exp_smoothing",
+    "residual_analysis",
+    "kpss_test",
+    "variance_ratio_test",
+    "hypothesis_test",
+    "partial_autocorr",
+]
+
+
+def _lag_matrix(y: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    X = np.column_stack([y[p - j - 1 : len(y) - j - 1] for j in range(p)])
+    return X, y[p:]
+
+
+def ar_ols_fit(y: np.ndarray, p: int) -> tuple[np.ndarray, float]:
+    """Conditional least-squares AR(p), no trend (the AutoReg(trend='n')
+    estimate the reference uses): phi from OLS on the lag matrix,
+    sigma2 = SSR / nobs."""
+    X, t = _lag_matrix(np.asarray(y, dtype=np.float64), p)
+    phi, *_ = np.linalg.lstsq(X, t, rcond=None)
+    resid = t - X @ phi
+    sigma2 = float(resid @ resid / len(t))
+    return phi, sigma2
+
+
+def ar_cov(y: np.ndarray, p: int = 2) -> dict:
+    """AR(p) fit + residual stats. Parity: MF_arcov (ModelFit.py:350-390):
+    a = [1, -phi...], one-step predictions via the AR filter, residual
+    mean/std/AC1/AC2 (Fourier ACF)."""
+    y = np.asarray(y, dtype=np.float64)
+    phi, sigma2 = ar_ols_fit(y, p)
+    a = np.concatenate(([1.0], -phi))
+    out = {"e": sigma2}
+    for i, ai in enumerate(a):
+        out[f"a{i+1}"] = float(ai)
+    # y_est[t] = sum_j phi_j y[t-j]  (zero-initialized past)
+    y_est = np.zeros(len(y))
+    for j, ph in enumerate(phi, start=1):
+        y_est[j:] += ph * y[:-j]
+    err = y - y_est
+    out["res_mu"] = float(err.mean())
+    out["res_std"] = float(err.std(ddof=1))
+    out["res_AC1"] = autocorr_fourier(err, 1)
+    out["res_AC2"] = autocorr_fourier(err, 2)
+    return out
+
+
+def ar_fit_select(y: np.ndarray, pmin: int = 1, pmax: int = 10) -> dict:
+    """AR order selection by normalized AIC/BIC over p = pmin..pmax, plus
+    stats of the chosen model and Ljung-Box on its residuals. Parity:
+    MF_ARfit semantics (ModelFit.py:443-551) with the OLS estimator."""
+    y = np.asarray(y, dtype=np.float64)
+    N = len(y)
+    aics, bics = {}, {}
+    fits = {}
+    for p in range(pmin, pmax + 1):
+        phi, sigma2 = ar_ols_fit(y, p)
+        nobs = N - p
+        ll = -0.5 * nobs * (math.log(2 * math.pi * sigma2) + 1.0)
+        aics[p] = (-2 * ll + 2 * (p + 1)) / N
+        bics[p] = (-2 * ll + math.log(nobs) * (p + 1)) / N
+        fits[p] = (phi, sigma2)
+    p_aic = min(aics, key=aics.get)
+    p_bic = min(bics, key=bics.get)
+    phi, sigma2 = fits[p_bic]
+    X, t = _lag_matrix(y, p_bic)
+    resid = t - X @ phi
+    lb = hypothesis_test(resid, "lbq")
+    out = {
+        "popt_aic": float(p_aic),
+        "popt_bic": float(p_bic),
+        "min_aic": float(aics[p_aic]),
+        "min_bic": float(bics[p_bic]),
+        "sigma2_opt": float(sigma2),
+        "res_ac1_opt": autocorr_fourier(resid, 1),
+        "lbq_p_opt": lb,
+        "meanA": float(np.mean(phi)),
+    }
+    for j, ph in enumerate(phi[: min(6, len(phi))], start=1):
+        out[f"A{j}"] = float(ph)
+    return out
+
+
+def _exp_smooth_forecast(x: np.ndarray, a: float) -> np.ndarray:
+    """One-step exponential-smoothing forecasts, reference recurrence
+    (_fit_exp_smooth, ModelFit.py:257-276): s0 = mean of the first i
+    points, smooth through i, forecast point i+1."""
+    n = len(x)
+    xf = np.zeros(n)
+    # cumulative means give s0 for each i in O(n); the smoothing pass per
+    # i is O(n^2) in the reference — equivalent O(n) recurrence:
+    # s_i depends on s0(i) which changes with i, so keep the reference's
+    # exact per-i recurrence but vectorize the inner smoothing via
+    # precomputed powers is unstable; do the literal loop (n <= ~1000
+    # because ntrain caps at 1000).
+    for i in range(1, n - 1):
+        s = x[:i].mean()
+        for j in range(1, i + 1):
+            s = a * x[j] + (1 - a) * s
+        xf[i + 1] = s
+    return xf
+
+
+def exp_smoothing(x: np.ndarray, ntrain=None, alpha="best") -> dict:
+    """Exponential smoothing with two-stage quadratic search for alpha on
+    a training prefix, then residual analysis on the full fit. Parity:
+    MF_ExpSmoothing (ModelFit.py:124-256)."""
+    x = np.asarray(x, dtype=np.float64)
+    N = len(x)
+    out: dict = {}
+    if ntrain is None:
+        ntrain = min(100, N)
+    if 0 < ntrain < 1:
+        ntrain = int(math.floor(N * ntrain))
+    ntrain = max(100, min(1000, ntrain))
+    if N < ntrain:
+        return {"alphamin": float("nan")}
+
+    def rmse_for(a: float, xt: np.ndarray) -> float:
+        xf = _exp_smooth_forecast(xt, a)
+        fore, orig = xf[2:], xt[2:]
+        return float(np.sqrt(np.mean((fore - orig) ** 2))) if len(fore) else float("nan")
+
+    if alpha == "best":
+        xtrain = x[:ntrain]
+        alphar = np.linspace(0.1, 0.9, 5)
+        rmses = np.array([rmse_for(a, xtrain) for a in alphar])
+        order = np.argsort(rmses)[:3]
+        p = np.polyfit(alphar[order], rmses[order], 2)
+        out["alphamin_1"] = float(-p[1] / (2 * p[0]))
+        out["cup_1"] = float(np.sign(p[0]))
+        if p[0] < 0:
+            yb = np.polyval(p, [0.01, 1.0])
+            alphamin = [0.01, 1.0][int(np.argmin(yb))]
+        else:
+            alphamin = -p[1] / (2 * p[0])
+            lo, hi = alphamin - 0.1, alphamin + 0.1
+            if lo <= 0:
+                lo, hi = 0.01, max(alphamin, 0) + 0.1
+            elif hi >= 1:
+                lo, hi = min(alphamin, 1) - 0.1, 1.0
+            ar2 = np.linspace(lo, hi, 5)
+            r2 = np.array([rmse_for(a, xtrain) for a in ar2])
+            p2 = np.polyfit(ar2, r2, 2)
+            alphamin = ar2[int(np.argmin(r2))] if p2[0] < 0 else -p2[1] / (2 * p2[0])
+        alpha = float(np.clip(alphamin, 0.01, 1.0))
+        out["alphamin"] = alpha
+    xf = _exp_smooth_forecast(x, float(alpha))
+    resid = xf[2:] - x[2:]
+    out.update(residual_analysis(resid))
+    return out
+
+
+def residual_analysis(e: np.ndarray) -> dict:
+    """Residual diagnostics. Parity: MF_ResidualAnalysis
+    (ModelFit.py:279-349): mean/std, ACF at low lags, Durbin-Watson,
+    Ljung-Box portmanteau p, KS distance vs fitted normal."""
+    e = np.asarray(e, dtype=np.float64)
+    out = {
+        "mean": float(e.mean()),
+        "std": float(e.std(ddof=1)),
+        "AC1": autocorr_fourier(e, 1),
+        "AC2": autocorr_fourier(e, 2),
+        "AC3": autocorr_fourier(e, 3),
+    }
+    d = np.diff(e)
+    out["dwts"] = float((d @ d) / (e @ e)) if (e @ e) > 0 else float("nan")
+    out["lbq_p"] = hypothesis_test(e, "lbq")
+    # KS statistic vs N(mean, std)
+    es = np.sort((e - e.mean()) / e.std(ddof=1))
+    n = len(es)
+    cdf = norm_cdf(es)
+    emp_hi = np.arange(1, n + 1) / n
+    emp_lo = np.arange(0, n) / n
+    out["normksstat"] = float(max(np.max(emp_hi - cdf), np.max(cdf - emp_lo)))
+    return out
+
+
+_KPSS_CT_TABLE = [(0.119, 0.10), (0.146, 0.05), (0.176, 0.025), (0.216, 0.01)]
+
+
+def kpss_test(y: np.ndarray, lags: int | None = None) -> dict:
+    """KPSS stationarity test, trend case (regression='ct' as the
+    reference configures, Stationarity.py:432-490): detrend by OLS line,
+    partial sums, Newey-West long-run variance with Bartlett weights,
+    p-value interpolated from the standard critical-value table."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if lags is None:
+        lags = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+    t = np.arange(n, dtype=np.float64)
+    A = np.column_stack([np.ones(n), t])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    e = y - A @ beta
+    S = np.cumsum(e)
+    s2 = float(e @ e) / n
+    for ell in range(1, lags + 1):
+        w = 1.0 - ell / (lags + 1.0)
+        s2 += 2.0 * w * float(e[ell:] @ e[:-ell]) / n
+    stat = float(S @ S) / (n * n * s2)
+    # interpolate p (clamped to table range, like statsmodels)
+    crits = np.array([c for c, _ in _KPSS_CT_TABLE])
+    ps = np.array([p for _, p in _KPSS_CT_TABLE])
+    p = float(np.interp(stat, crits, ps))
+    if stat < crits[0]:
+        p = 0.10
+    elif stat > crits[-1]:
+        p = 0.01
+    return {"stat": stat, "pValue": p, "lags": float(lags)}
+
+
+def variance_ratio_test(y: np.ndarray, period: int = 2, iid: bool = True) -> dict:
+    """Lo-MacKinlay variance ratio test. Parity: SY_VarRatioTest
+    (HypothesisTests.py:10-81): VR(q) from overlapping q-sums with
+    bias-corrected variances; z-stat under iid or heteroskedastic
+    assumptions; two-sided normal p."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    q = period
+    d = np.diff(y)
+    nq = len(d)
+    mu = float(np.mean(d))
+    va = float(np.sum((d - mu) ** 2)) / (nq - 1)
+    # overlapping q-period sums with the Lo-MacKinlay unbiased scaling
+    s = y[q:] - y[:-q]
+    m = q * (nq - q + 1) * (1.0 - q / nq)
+    vb = float(np.sum((s - q * mu) ** 2)) / m
+    vr = vb / va if va > 0 else float("nan")
+    if iid:
+        se = math.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * nq))
+    else:
+        # heteroskedasticity-robust
+        dc = (d - mu) ** 2
+        theta = 0.0
+        den = float(np.sum(dc)) ** 2
+        for j in range(1, q):
+            dj = float(np.sum(dc[j:] * dc[:-j]))
+            theta += (2.0 * (q - j) / q) ** 2 * nq * dj / den
+        se = math.sqrt(theta)
+    z = (vr - 1.0) / se if se > 0 else float("nan")
+    p = 2.0 * (1.0 - norm_cdf(abs(z)))
+    return {"ratio": vr, "stat": z, "pValue": float(p)}
+
+
+def _binom_two_sided_p(k: int, n: int) -> float:
+    """Exact two-sided sign-test p (doubled smaller tail)."""
+    if n == 0:
+        return float("nan")
+    if n > 1000:
+        z = (k - n / 2.0) / math.sqrt(n / 4.0)
+        return min(1.0, 2.0 * (1.0 - norm_cdf(abs(z))))
+    kk = min(k, n - k)
+    tail = sum(math.comb(n, i) for i in range(kk + 1)) / 2.0**n
+    return min(1.0, 2.0 * tail)
+
+
+def hypothesis_test(x: np.ndarray, the_test: str = "signtest") -> float:
+    """p-values of classical tests. Parity: HT_HypothesisTest
+    (HypothesisTests.py:82-134): signtest, runstest, ztest, signrank,
+    jbtest, lbq — all native numpy."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if the_test == "signtest":
+        pos = int(np.sum(x > 0))
+        nn = int(np.sum(x != 0))
+        return _binom_two_sided_p(pos, nn)
+    if the_test == "runstest":
+        # runs above/below the mean (MATLAB runstest default)
+        s = np.sign(x - x.mean())
+        s = s[s != 0]
+        n1 = int(np.sum(s > 0))
+        n2 = int(np.sum(s < 0))
+        if n1 == 0 or n2 == 0:
+            return float("nan")
+        runs = 1 + int(np.sum(s[1:] != s[:-1]))
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        var = (mu - 1.0) * (mu - 2.0) / (n1 + n2 - 1.0)
+        # continuity correction as in MATLAB runstest
+        diff = runs - mu
+        c = 0.5 if abs(diff) > 0.5 else abs(diff)
+        z = (diff - math.copysign(c, diff)) / math.sqrt(var)
+        return float(min(1.0, 2.0 * (1.0 - norm_cdf(abs(z)))))
+    if the_test == "ztest":
+        z = x.mean() / (x.std(ddof=1) / math.sqrt(n))
+        return float(min(1.0, 2.0 * (1.0 - norm_cdf(abs(z)))))
+    if the_test == "signrank":
+        # Wilcoxon signed rank, normal approximation with tie handling
+        nz = x[x != 0]
+        if len(nz) == 0:
+            return float("nan")
+        ranks = np.argsort(np.argsort(np.abs(nz))) + 1.0
+        # average ranks for ties
+        order = np.argsort(np.abs(nz))
+        sorted_abs = np.abs(nz)[order]
+        avg = np.empty_like(ranks)
+        i = 0
+        r = np.empty(len(nz))
+        while i < len(nz):
+            j = i
+            while j + 1 < len(nz) and sorted_abs[j + 1] == sorted_abs[i]:
+                j += 1
+            r[i : j + 1] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        rank_of = np.empty(len(nz))
+        rank_of[order] = r
+        W = float(np.sum(rank_of[nz > 0]))
+        m = len(nz)
+        mu = m * (m + 1) / 4.0
+        sig = math.sqrt(m * (m + 1) * (2 * m + 1) / 24.0)
+        z = (W - mu) / sig if sig > 0 else float("nan")
+        return float(min(1.0, 2.0 * (1.0 - norm_cdf(abs(z)))))
+    if the_test == "jbtest":
+        xc = x - x.mean()
+        s2 = float(np.mean(xc**2))
+        S = float(np.mean(xc**3)) / s2**1.5
+        K = float(np.mean(xc**4)) / s2**2
+        jb = n / 6.0 * (S * S + (K - 3.0) ** 2 / 4.0)
+        return chi2_sf(jb, 2)
+    if the_test == "lbq":
+        # Ljung-Box with min(20, n-1) lags (MATLAB default)
+        L = min(20, n - 1)
+        acf = acf_fourier_full(x)[1 : L + 1]
+        q = n * (n + 2.0) * float(np.sum(acf**2 / (n - np.arange(1, L + 1))))
+        return chi2_sf(q, L)
+    raise ValueError(the_test)
+
+
+def partial_autocorr(y: np.ndarray, max_tau: int = 10) -> dict:
+    """PACF via Durbin-Levinson on the Fourier ACF. Parity:
+    CO_PartialAutoCorr (Correlation.py:805-850, statsmodels pacf
+    Yule-Walker method)."""
+    y = np.asarray(y, dtype=np.float64)
+    rho = acf_fourier_full(y)[: max_tau + 1]
+    pacf = np.zeros(max_tau + 1)
+    pacf[0] = 1.0
+    phi_prev = np.zeros(0)
+    for k in range(1, max_tau + 1):
+        if k == 1:
+            phi_kk = rho[1]
+            phi = np.array([phi_kk])
+        else:
+            num = rho[k] - float(phi_prev @ rho[k - 1 : 0 : -1])
+            den = 1.0 - float(phi_prev @ rho[1:k])
+            phi_kk = num / den if den != 0 else float("nan")
+            phi = np.concatenate([phi_prev - phi_kk * phi_prev[::-1], [phi_kk]])
+        pacf[k] = phi_kk
+        phi_prev = phi
+    return {f"pac_{k}": float(pacf[k]) for k in range(1, max_tau + 1)}

@@ -1,0 +1,169 @@
+"""Feature registry: operation configs -> labeled kernel list -> schema.
+
+This is the engine's equivalent of the reference's FeatureCalculator
+planning stage (calculator.py:48-95): each operation has a base name, a
+parameter grid (list-valued params are cartesian-expanded, matching the
+``itertools.product`` semantics of calculator.py:68-70), optional
+z-score/abs preprocessing flags (preprocess_decorator, utils.py:39-53),
+and a label formatter replicating the reference's value mangling
+(calculator.py:16-39): ``-`` -> ``m``, ``.`` -> ``p``, list -> values
+joined by ``_``; a ``_raw`` suffix when zscore varies within an op and
+is off (calculator.py:76-78).
+
+The compiled output is a FeatureSet: an ordered list of (label, fn)
+pairs where fn(y: 1-D float64) -> float, plus the flat Spark schema.
+Dict-returning kernels are flattened to ``label_key`` columns. Unlike
+the reference — where each of ~3,400 labels re-runs its own pipeline —
+the FeatureSet compiles into ONE kernel invocation per window batch
+(kernel fusion by design, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pyhctsa_spark.functions.kernels import zscore
+
+
+def format_value(v) -> str:
+    """Reference label-mangling (calculator.py:16-39)."""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "_".join(format_value(x) for x in v)
+    if isinstance(v, float):
+        s = f"{v}".replace("-", "m").replace(".", "p")
+        return s
+    if isinstance(v, int):
+        return str(v).replace("-", "m")
+    return str(v)
+
+
+@dataclass
+class Operation:
+    """One configured operation (a row of the reference YAML)."""
+
+    func: Callable
+    base_name: str
+    ordered_args: list[str] = field(default_factory=list)
+    configs: list[dict] = field(default_factory=lambda: [{}])
+    # each config dict may carry 'zscore': bool and 'absval': bool plus
+    # grid params (list values are expanded)
+
+
+@dataclass
+class Feature:
+    label: str
+    fn: Callable  # fn(y) -> float | dict
+    zscore: bool
+    absval: bool
+
+    def __call__(self, y: np.ndarray):
+        x = y
+        if self.zscore:
+            x = zscore(x)
+        if self.absval:
+            x = np.abs(x)
+        return self.fn(x)
+
+
+def expand(ops: list[Operation]) -> list[Feature]:
+    """Cartesian-expand param grids into labeled features."""
+    feats: list[Feature] = []
+    for op in ops:
+        zscore_values = set()
+        for cfg in op.configs:
+            zscore_values.add(bool(cfg.get("zscore", False)))
+        for cfg in op.configs:
+            cfg = dict(cfg)
+            zs = bool(cfg.pop("zscore", False))
+            ab = bool(cfg.pop("absval", False))
+            grid_keys = [k for k, v in cfg.items() if isinstance(v, list)]
+            scalar = {k: v for k, v in cfg.items() if k not in grid_keys}
+            grids = [cfg[k] for k in grid_keys]
+            for combo in itertools.product(*grids) if grids else [()]:
+                params = {**scalar, **dict(zip(grid_keys, combo))}
+                parts = [op.base_name]
+                for a in op.ordered_args:
+                    if a in params:
+                        parts.append(format_value(params[a]))
+                label = "_".join(parts)
+                if len(zscore_values) > 1 and not zs:
+                    label += "_raw"
+
+                def make(fn=op.func, p=dict(params)):
+                    return lambda y: fn(y, **p)
+
+                feats.append(Feature(label, make(), zs, ab))
+    return feats
+
+
+class FeatureSet:
+    """Compiled plan: flat labeled scalar outputs + Spark schema.
+
+    Kernels returning dicts contribute one column per key
+    (``label_key``); scalars contribute ``label``. Column order is
+    discovered once on a probe series and then fixed (Spark needs a
+    static schema; the reference's label set is likewise fixed at plan
+    time, calculator.py:48-95).
+    """
+
+    def __init__(self, features: list[Feature], probe_len: int = 256) -> None:
+        self.features = features
+        rng = np.random.default_rng(0)
+        probe = rng.standard_normal(probe_len) * 2.0 + 5.0
+        self.columns: list[str] = []
+        self._shape: list[tuple[str, list[str] | None]] = []
+        for f in features:
+            try:
+                out = f(probe)
+            except Exception:
+                out = float("nan")
+            if isinstance(out, dict):
+                keys = list(out.keys())
+                self._shape.append((f.label, keys))
+                self.columns.extend(f"{f.label}_{k}" for k in keys)
+            else:
+                self._shape.append((f.label, None))
+                self.columns.append(f.label)
+
+    @property
+    def spark_schema(self) -> str:
+        return ", ".join(f"`{c}` double" for c in self.columns)
+
+    def compute(self, y: np.ndarray) -> tuple[list[float], int]:
+        """Evaluate every feature on one series; errors -> NaN + count
+        (the reference stores 'Error: ...' strings per feature instead
+        of failing the extraction, calculator.py:101-104)."""
+        vals: list[float] = []
+        n_err = 0
+        for f, (_, keys) in zip(self.features, self._shape):
+            try:
+                out = f(y)
+            except Exception:
+                out = None
+                n_err += 1
+            if keys is None:
+                vals.append(float(out) if out is not None else float("nan"))
+            else:
+                if isinstance(out, dict):
+                    vals.extend(float(out.get(k, float("nan"))) for k in keys)
+                else:
+                    vals.extend(float("nan") for _ in keys)
+        return vals, n_err
+
+    def compute_matrix(self, Y: np.ndarray) -> tuple[np.ndarray, int]:
+        """Evaluate on a (num_windows, W) matrix -> (num_windows,
+        num_columns) float64 + error count."""
+        k = Y.shape[0]
+        out = np.empty((k, len(self.columns)), dtype=np.float64)
+        errs = 0
+        for i in range(k):
+            vals, ne = self.compute(Y[i])
+            out[i] = vals
+            errs += ne
+        return out, errs
