@@ -10,11 +10,18 @@ fused kernel per window batch.
 
 from __future__ import annotations
 
+from pyhctsa_spark.functions import distribution_extra as DX
+from pyhctsa_spark.functions import embedding as EM
 from pyhctsa_spark.functions import entropy as E
 from pyhctsa_spark.functions import info as I
 from pyhctsa_spark.functions import kernels as K
+from pyhctsa_spark.functions import medical as MD
 from pyhctsa_spark.functions import model as M
+from pyhctsa_spark.functions import physics as PH
+from pyhctsa_spark.functions import spectral as SP
+from pyhctsa_spark.functions import stationarity_extra as SX
 from pyhctsa_spark.functions import symbolic as SY
+from pyhctsa_spark.functions import wavelet as WL
 from pyhctsa_spark.plans.registry import FeatureSet, Operation, expand
 
 
@@ -162,10 +169,78 @@ def default_operations() -> list[Operation]:
         Operation(M.hypothesis_test, "HT_HypothesisTest", ["the_test"],
                   [{"the_test": ["signtest", "runstest", "ztest", "signrank",
                                  "jbtest", "lbq"], "zscore": True}]),
-        # --- Criticality / medical-adjacent basics -----------------------
+        # --- Criticality / medical --------------------------------------
         Operation(K.rad, "CR_RAD", ["tau"], [{"tau": [1, 2], "zscore": True}]),
         Operation(K.pnn, "MD_pNN", ["threshold"],
                   [{"threshold": [0.05, 0.2, 0.5], "zscore": True}]),
+        Operation(MD.hrv_classic, "MD_hrv_classic", configs=[{"zscore": True}]),
+        Operation(MD.raw_hrv_meas, "MD_rawHRVmeas", configs=[{}]),
+        Operation(MD.pnn_set, "MD_pNN_set", configs=[{"zscore": True}]),
+        Operation(MD.polvar, "MD_polvar", ["d", "D"],
+                  [{"d": [0.5, 1.0], "D": [3, 6], "zscore": True}]),
+        # --- Embedding geometry ------------------------------------------
+        Operation(EM.embed2, "CO_Embed2", ["tau"],
+                  [{"tau": ["tau"], "zscore": True}]),
+        Operation(EM.embed2_angle_tau, "CO_Embed2_AngleTau", ["max_tau"],
+                  [{"max_tau": [10], "zscore": True}]),
+        Operation(EM.embed2_dist, "CO_Embed2_Dist", configs=[{"zscore": True}]),
+        Operation(EM.embed2_shapes, "CO_Embed2_Shapes", ["r"],
+                  [{"r": [1.0], "zscore": True}]),
+        Operation(EM.stick_angles, "CO_StickAngles", configs=[{"zscore": True}]),
+        Operation(EM.translate_shape, "CO_TranslateShape", ["shape", "d"],
+                  [{"shape": ["circle", "rectangle"], "d": [1.5, 2.5],
+                    "zscore": True}]),
+        Operation(EM.autocorr_shape, "CO_AutoCorrShape", configs=[{"zscore": True}]),
+        Operation(EM.periodicity_wang, "PD_PeriodicityWang",
+                  configs=[{"zscore": True}]),
+        # --- Spectral / wavelet -------------------------------------------
+        Operation(SP.spectral_summaries, "SP_Summaries", ["psd_meth"],
+                  [{"psd_meth": ["fft", "welch"], "zscore": True}]),
+        Operation(WL.cwt_features, "WL_cwt", ["wname", "max_scale"],
+                  [{"wname": ["db3", "sym2"], "max_scale": 32, "zscore": True}]),
+        Operation(WL.detail_coeffs, "WL_DetailCoeffs", ["wname"],
+                  [{"wname": ["db3"], "zscore": True}]),
+        Operation(WL.wl_coeffs, "WL_coeffs", ["wname", "level"],
+                  [{"wname": "db3", "level": [2, 3], "zscore": True}]),
+        # --- Physics / scaling / graph ------------------------------------
+        Operation(PH.walker, "PH_Walker", ["walker_rule"],
+                  [{"walker_rule": ["prop", "momentum"], "zscore": True}]),
+        Operation(PH.force_potential, "PH_ForcePotential", ["what_potential"],
+                  [{"what_potential": ["dblwell", "sine"], "zscore": True}]),
+        Operation(PH.moving_threshold, "EX_MovingThreshold", ["a", "b"],
+                  [{"a": [0.1, 1.0], "b": [0.1, 0.02], "zscore": True}]),
+        Operation(PH.fast_dfa, "SC_fastdfa", configs=[{"zscore": True}]),
+        Operation(PH.visibility_graph, "NW_VisibilityGraph",
+                  configs=[{"zscore": True}]),
+        # --- Distribution extras ------------------------------------------
+        Operation(DX.mean_types, "DN_Mean_types", ["mean_type"],
+                  [{"mean_type": ["median", "rms", "iqm", "midhinge"]}]),
+        Operation(DX.fit_mle, "DN_Fit_mle", ["fit_what"],
+                  [{"fit_what": ["gaussian", "uniform"]}]),
+        Operation(DX.pleft, "DN_pleft", ["th"],
+                  [{"th": [0.05, 0.1, 0.2], "zscore": True}]),
+        Operation(DX.outlier_include, "DN_OutlierInclude", ["threshold_how"],
+                  [{"threshold_how": ["abs", "pos", "neg"], "zscore": True}]),
+        Operation(DX.outlier_test, "DN_OutlierTest", ["p"],
+                  [{"p": [2, 5, 10], "zscore": True}]),
+        Operation(DX.remove_points, "DN_RemovePoints",
+                  ["remove_how", "p"],
+                  [{"remove_how": ["absclose", "absfar", "min", "max"],
+                    "p": [0.1, 0.5], "zscore": True}]),
+        Operation(DX.histogram_asymmetry, "DN_HistogramAsymmetry",
+                  configs=[{"zscore": True}]),
+        # --- Stationarity extras -------------------------------------------
+        Operation(SX.dyn_win, "SY_DynWin_full", configs=[{"zscore": True}]),
+        Operation(SX.local_distributions, "SY_LocalDistributions",
+                  ["num_segs", "each_or_par"],
+                  [{"num_segs": [4, 5], "each_or_par": ["par", "each"],
+                    "zscore": True}]),
+        Operation(SX.local_extrema, "SY_LocalExtrema", ["how_to_window", "n"],
+                  [{"how_to_window": "l", "n": [50, 100], "zscore": True},
+                   {"how_to_window": "n", "n": [5], "zscore": True}]),
+        Operation(SX.preproc_compare, "PP_Compare", ["detrend_meth"],
+                  [{"detrend_meth": ["diff1", "medianf", "rav", "poly1", "poly2"],
+                    "zscore": True}]),
     ]
 
 
