@@ -1,0 +1,292 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (xxhash64, higher-order
+array functions) — no Python in the scan path; Catalyst sees plain
+aggregates and joins it can push down, reorder, and (for the small
+sides) broadcast. Each operator returns a DataFrame and is paired with
+a DuckDB oracle in plans/oracle_queries.py where SQL-expressible.
+
+At 100 TB: exact dedup is one hash-aggregate (combiner-friendly);
+MinHash-LSH shuffles only (band_id, band_hash, doc_id) tuples — ~100
+bytes/doc instead of documents; candidate verification joins are
+doc-pair-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct text
+    with its canonical (min) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per content hash
+    (deterministic winner — no 'first seen' nondeterminism)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _shingles(text_col: str, k: int):
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures over k-word shingles.
+
+    sig[s] = min over shingles of xxhash64(shingle, seed=s) — computed
+    entirely with higher-order functions (transform + array_min), one
+    pass, no explode, no Python.
+    """
+    sh = _shingles(text_col, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(F.col("_shingles"), lambda x: F.xxhash64(x, s))
+        ),
+    )
+    return (
+        df.select(id_col, F.col(text_col))
+        .withColumn("_shingles", sh)
+        .where(F.size("_shingles") > 0)
+        .withColumn("minhash_sig", sig)
+        .drop("_shingles", text_col)
+    )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs,
+    with the signature-estimated Jaccard attached.
+
+    Shuffle volume is (band_id, band_hash, id) only. The self-join runs
+    on the banded table grouped by bucket; AQE splits skewed buckets.
+    """
+    banded = sig_df.select(
+        id_col,
+        "minhash_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash_sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "minhash_sig", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash_sig").alias("sig_a"),
+            F.col("b.minhash_sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.size("sig_a")
+    ).cast("double")
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs above a signature-
+    Jaccard threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return cands.where(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word hashes: bit j of the fingerprint is the
+    majority vote of bit j across xxhash64(word). Pure expressions
+    (aggregate over the word-hash array per bit)."""
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # bit masks as Python int64 literals (bit 63 = sign bit in two's
+    # complement); shift functions need literal counts, masks don't
+    masks = [(1 << b) if b < 63 else -(2**63) for b in range(64)]
+    def _vote(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = F.array(
+        *[
+            F.aggregate(hashes, F.lit(0).cast("long"), _vote(m))
+            for m in masks
+        ]
+    )
+    base = df.select(id_col, text_col).withColumn("_votes", bit_votes)
+    fp = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        fp = fp + F.when(
+            F.element_at(F.col("_votes"), b + 1) > 0, F.lit(m).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return base.withColumn("simhash", fp).drop("_votes", text_col)
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 8,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, blocked on
+    (64/n_chunks)-bit chunks. Pigeonhole: a pair within Hamming <=
+    n_chunks-1 is guaranteed to share at least one chunk, so the default
+    8x8-bit blocking has full recall for max_hamming <= 7 (coarser
+    chunks cut candidate volume but lose recall at higher radii)."""
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), c * bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk_val"),
+                )
+                for c in range(n_chunks)
+            ]
+        )
+    )
+    blocked = sim_df.select(id_col, "simhash", chunks.alias("c")).select(
+        id_col, "simhash", "c.chunk_id", "c.chunk_val"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 16,
+    min_cosine: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH bucket (sign
+    pattern of ``planes`` deterministic pseudo-random projections) then
+    exact cosine verification within buckets."""
+    dims = F.size(F.col(vec_col))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # deterministic pseudo-random plane weights from xxhash64(seed,p,d):
+    # uniform in [-1, 1)
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.transform(
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2_000_000))
+                        / 1_000_000.0
+                        - 1.0
+                    ),
+                ),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat_ws(
+        "",
+        *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(planes)],
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = (
+        df.select(id_col, F.col(vec_col))
+        .withColumn("_v", vec_d)
+        .withColumn("bucket", sig)
+        .withColumn("_norm", norm)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a._norm") * F.col("b._norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting, and the bridge from a
+documents table into the engine's tokenized-sequence input shape.
+
+All expressions are JVM-side built-ins; no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote heuristic
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ist"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess: score = |words ∩ stopwords(lang)|
+    per language; ties and zero votes -> 'und' (undetermined)."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    scores = [
+        F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))).alias(
+            f"score_{lang}"
+        )
+        for lang, sw in STOPWORDS.items()
+    ]
+    scored = df.select("*", *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.withColumn("pred_lang", pred).drop(
+        *[f"score_{lg}" for lg in langs]
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: word/char counts, mean word length,
+    stopword ratio, punctuation and digit ratios, and a composite score
+    in [0, 1] (each component clamped)."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    mean_wlen = (n_chars - n_words + 1) / n_words
+    all_stop = [w for sw in STOPWORDS.values() for w in sw]
+    stop_ratio = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(all_stop))
+    ) / n_words
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ) / n_chars
+    digit_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    ) / n_chars
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprints: exact (md5 of lowercased,
+    space-collapsed text) and a 64-bit rolling xxhash."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_xx64", F.xxhash64(norm)
+    )
+
+
+def documents_to_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vocab: int = 50257,
+) -> DataFrame:
+    """Bridge a documents table into the engine's input_hint shape:
+    tokens = pmod(xxhash64(word), vocab) per word — a deterministic
+    hash 'tokenizer' producing (doc_id, tokens, n_tok, source) ready for
+    rollup_tiers / extract_features."""
+    words = F.split(F.col(text_col), " ")
+    tokens = F.transform(
+        words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
+    )
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        F.col(source_col).alias("source"),
+        F.lit(None).cast("long").alias("tok_checksum"),
+    )
