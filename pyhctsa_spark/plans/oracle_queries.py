@@ -496,6 +496,106 @@ WHERE rk <= 3
 """,
 )
 
+# exact high-cosine near-duplicate pairs (embedding dedup baseline)
+QUERIES["embedding_cosine_pairs"] = _q2(
+    """
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 200
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(aggregate(zip_with(e, e, (x, y) -> x * y),
+                        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(aggregate(zip_with(a.e, b.e, (x, y) -> x * y),
+                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+             / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE aggregate(zip_with(a.e, b.e, (x, y) -> x * y),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+      / (a.nrm * b.nrm) >= 0.3
+""",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+""",
+)
+
+# stopword-vote language identification (text.language_id semantics)
+_LANG_LISTS = {
+    "en": "'the','of','and','to','in','is','that','it','was','for'",
+    "es": "'el','la','de','que','y','en','un','los','se','por'",
+    "fr": "'le','la','de','et','les','des','en','un','du','que'",
+    "de": "'der','die','und','das','von','zu','mit','den','im','ist'",
+}
+_SPARK_SCORES = ", ".join(
+    f"size(array_intersect(words, array({ws}))) AS score_{lg}"
+    for lg, ws in _LANG_LISTS.items()
+)
+_DUCK_SCORES = ", ".join(
+    f"len(list_intersect(words, [{ws}])) AS score_{lg}"
+    for lg, ws in _LANG_LISTS.items()
+)
+_PRED_CASE = (
+    "CASE WHEN best <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANG_LISTS
+    )
+    + " END"
+)
+QUERIES["doc_language_id"] = _q2(
+    f"""
+WITH w AS (
+  SELECT doc_id, split(lower(text), ' ') AS words FROM documents
+),
+s AS (SELECT doc_id, {_SPARK_SCORES} FROM w),
+b AS (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS best FROM s)
+SELECT doc_id, {_PRED_CASE} AS pred_lang FROM b
+""",
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+s AS (SELECT doc_id, {_DUCK_SCORES} FROM w),
+b AS (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS best FROM s)
+SELECT doc_id, CAST({_PRED_CASE} AS VARCHAR) AS pred_lang FROM b
+""",
+)
+
+QUERIES["doc_char_ratios"] = _q2(
+    r"""
+SELECT doc_id,
+       round((length(text) - length(regexp_replace(text, '[^0-9]', ''))) * 1.0
+             / length(text), 6) AS digit_ratio,
+       round((length(text) - length(regexp_replace(text, '[^a-z]', ''))) * 1.0
+             / length(text), 6) AS lower_ratio,
+       round((length(text) - length(regexp_replace(text, '[^ ]', ''))) * 1.0
+             / length(text), 6) AS space_ratio
+FROM documents
+""",
+    r"""
+SELECT doc_id,
+       round((length(text) - length(regexp_replace(text, '[^0-9]', '', 'g'))) * 1.0
+             / length(text), 6) AS digit_ratio,
+       round((length(text) - length(regexp_replace(text, '[^a-z]', '', 'g'))) * 1.0
+             / length(text), 6) AS lower_ratio,
+       round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g'))) * 1.0
+             / length(text), 6) AS space_ratio
+FROM documents
+""",
+)
+
 QUERIES["embedding_norms"] = _q2(
     """
 SELECT vec_id, label,

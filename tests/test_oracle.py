@@ -34,4 +34,7 @@ def test_queries_oracle_keys_consistent():
     o = em.oracle_sql()
     assert set(o) <= set(q)
     # every oracle-less query is intentionally rows-only
-    assert set(q) - set(o) == {"rollup_tiers_events"}
+    assert set(q) - set(o) == {
+        "rollup_tiers_events", "minhash_dedup_pairs", "simhash_near_pairs",
+        "knn_ivf", "media_features", "feature_matrix",
+    }
