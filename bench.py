@@ -79,6 +79,57 @@ def bench_rollup(spark, seq_path: str) -> dict:
     }
 
 
+def bench_feature_matrix(spark, seq_path: str, n_docs_cap: int = 600) -> dict:
+    """hctsa-style feature extraction throughput: a 24-op registry subset
+    over whole doc series (the reference's extract() analogue)."""
+    from pyhctsa_spark.functions import entropy as E
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.functions import model as M
+    from pyhctsa_spark.operators.features import extract_features
+    from pyhctsa_spark.plans.registry import FeatureSet, Operation, expand
+
+    fs = FeatureSet(
+        expand(
+            [
+                Operation(K.mean_, "DN_Mean"),
+                Operation(K.spread_std, "DN_Spread_std"),
+                Operation(K.spread_iqr, "DN_Spread_iqr"),
+                Operation(K.burstiness, "DN_Burstiness"),
+                Operation(K.autocorr_fourier, "AC", ["tau"],
+                          [{"tau": [1, 2, 3, 5, 10], "zscore": True}]),
+                Operation(K.trev, "CO_trev", ["tau"], [{"tau": [1], "zscore": True}]),
+                Operation(K.tc3, "CO_tc3", ["tau"], [{"tau": [1], "zscore": True}]),
+                Operation(K.first_crossing_ac, "CO_FirstCrossing",
+                          configs=[{"zscore": True}]),
+                Operation(K.stat_av, "SY_StatAv", ["what_type", "n"],
+                          [{"what_type": "seg", "n": [5], "zscore": True}]),
+                Operation(K.trend, "SY_Trend", configs=[{"zscore": True}]),
+                Operation(K.cid_ce, "EN_CID", configs=[{"zscore": True}]),
+                Operation(E.perm_entropy_ref, "EN_PermEn", ["m"],
+                          [{"m": [3], "zscore": True}]),
+                Operation(E.distribution_entropy, "EN_DistributionEntropy",
+                          ["hist_or_ks", "num_bins"],
+                          [{"hist_or_ks": "hist", "num_bins": [10], "zscore": True}]),
+                Operation(K.motif_two, "SB_MotifTwo", ["binarize_how"],
+                          [{"binarize_how": ["diff"], "zscore": True}]),
+                Operation(M.hypothesis_test, "HT_HypothesisTest", ["the_test"],
+                          [{"the_test": ["jbtest", "lbq"], "zscore": True}]),
+            ]
+        )
+    )
+    df = spark.read.parquet(seq_path).limit(n_docs_cap)
+    n_docs = df.count()
+    t0 = time.perf_counter()
+    extract_features(df, fs).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    return {
+        "featmat_sec": round(wall, 3),
+        "featmat_docs": int(n_docs),
+        "featmat_cols": len(fs.columns),
+        "featmat_featvals_per_sec": round(n_docs * len(fs.columns) / wall, 1),
+    }
+
+
 def bench_queries(spark) -> dict:
     OQ.register_views(spark, SF_DIR)
     picks = [
@@ -112,6 +163,7 @@ def main() -> None:
     # warm the JVM/python workers with a tiny pass, then measure
     spark.read.parquet(seq_path).limit(10).count()
     roll = bench_rollup(spark, seq_path)
+    featmat = bench_feature_matrix(spark, seq_path)
     queries = bench_queries(spark)
     result = {
         "metric": "3-tier rollup wall-clock (synthetic token sequences)",
@@ -121,6 +173,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         **roll,
+        **featmat,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()

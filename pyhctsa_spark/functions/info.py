@@ -274,15 +274,21 @@ def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
     mt = min(max_tau or n - 2, n - 2)
     if what == "ac":
         curve = acf_fourier_full(y)[: mt + 2]
-    elif what == "mi":
-        curve = np.concatenate(
-            ([np.inf], [auto_mutual_info(y, d, est_method) for d in range(1, mt + 2)])
-        )
-    else:
+        for t in range(1, mt + 1):
+            if curve[t] < curve[t - 1] and curve[t] < curve[t + 1]:
+                return float(t)
+        return float(mt + 1)
+    if what != "mi":
         raise ValueError(what)
+    # lazy AMI with early exit: evaluate lags incrementally, stop at the
+    # first local minimum (the common case is tau < 20 even for long docs)
+    prev2 = np.inf
+    prev1 = auto_mutual_info(y, 1, est_method)
     for t in range(1, mt + 1):
-        if curve[t] < curve[t - 1] and curve[t] < curve[t + 1]:
+        cur = auto_mutual_info(y, t + 1, est_method)
+        if prev1 < prev2 and prev1 < cur:
             return float(t)
+        prev2, prev1 = prev1, cur
     return float(mt + 1)
 
 

@@ -102,20 +102,27 @@ def ar_fit_select(y: np.ndarray, pmin: int = 1, pmax: int = 10) -> dict:
 def _exp_smooth_forecast(x: np.ndarray, a: float) -> np.ndarray:
     """One-step exponential-smoothing forecasts, reference recurrence
     (_fit_exp_smooth, ModelFit.py:257-276): s0 = mean of the first i
-    points, smooth through i, forecast point i+1."""
+    points, smoothed through i, forecast point i+1.
+
+    The reference's per-i inner loop is O(N^2); the same quantity has a
+    closed form  s(i) = (1-a)^i * mean(x[:i]) + T_i  with
+    T_i = (1-a) T_{i-1} + a x_i, giving an exact O(N) scan. (1-a)^i
+    underflows to 0 for large i, which is the correct limit.
+    """
     n = len(x)
     xf = np.zeros(n)
-    # cumulative means give s0 for each i in O(n); the smoothing pass per
-    # i is O(n^2) in the reference — equivalent O(n) recurrence:
-    # s_i depends on s0(i) which changes with i, so keep the reference's
-    # exact per-i recurrence but vectorize the inner smoothing via
-    # precomputed powers is unstable; do the literal loop (n <= ~1000
-    # because ntrain caps at 1000).
+    if n < 3:
+        return xf
+    b = 1.0 - a
+    cummean = np.cumsum(x[:-1]) / np.arange(1, n)  # mean(x[:i]) at index i-1
+    T = 0.0
+    decay = 1.0
     for i in range(1, n - 1):
-        s = x[:i].mean()
-        for j in range(1, i + 1):
-            s = a * x[j] + (1 - a) * s
-        xf[i + 1] = s
+        T = b * T + a * x[i]
+        decay *= b
+        if decay < 1e-320:
+            decay = 0.0
+        xf[i + 1] = decay * cummean[i - 1] + T
     return xf
 
 

@@ -193,6 +193,8 @@ def cwt_features(y: np.ndarray, wname: str = "db3", max_scale: int = 32) -> dict
     """CWT coefficient statistics, 2-D entropy, scale-summed stats, and
     segment stationarity. Parity: WL_cwt (Wavelet.py:8-98)."""
     y = np.asarray(y, dtype=np.float64)
+    if len(y) > 4096:
+        y = y[:4096]  # direct convolution CWT is O(N * scale * support)
     N = len(y)
     w = Wavelet(wname)
     scales = np.arange(1, max_scale + 1)

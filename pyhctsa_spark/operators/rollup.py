@@ -74,17 +74,21 @@ def _tier_cols(
     state: S.State,
     lags: list[int],
     Y_raw: np.ndarray | None,
+    feature_set=None,
 ) -> dict:
     """One tier's output columns for one doc as numpy arrays (no pandas
     objects in the hot loop). ``Y_raw`` present -> HOL features computed;
-    else NULL (store-cascade path)."""
+    else NULL (store-cascade path). A compiled FeatureSet (plans/registry)
+    contributes one extra double column per label, computed per raw
+    window — the registry generates the tier struct schema (SURVEY §1.2).
+    """
     fin = S.finalize(state, lags)
     k = len(state["n"])
     iqr = K.iqr_hazen_2d(Y_raw) if Y_raw is not None else np.full(k, np.nan)
     # ac1_fourier comes from the merge state (see stats_state.finalize) —
     # exact algebra, no FFT pass over raw values
     ac1_f = fin.get("ac1_fourier", np.full(k, np.nan))
-    return {
+    out = {
         "doc_id": [doc_id] * k,
         "source": [source] * k,
         "tier": np.full(k, tier, dtype=np.int32),
@@ -106,6 +110,13 @@ def _tier_cols(
         # as a memcpy; list<double> columns measured ~8x slower to write)
         "state_bin": np.hstack([state["sxy"], state["head"], state["tail"]]),
     }
+    if feature_set is not None:
+        if Y_raw is not None:
+            M, _ = feature_set.compute_matrix(Y_raw)
+        else:
+            M = np.full((k, len(feature_set.columns)), np.nan)
+        out["_featmat"] = M
+    return out
 
 
 def unpack_states(blobs, lags: list[int]) -> S.State | None:
@@ -124,16 +135,28 @@ def unpack_states(blobs, lags: list[int]) -> S.State | None:
 _LIST_COLS = ("doc_id", "source")
 _STATE_COL = "state_bin"
 
-_PA_SCHEMA = pa.schema(
-    [("doc_id", pa.string()), ("source", pa.string()), ("tier", pa.int32()),
-     ("window_idx", pa.int64()), ("n", pa.int64()), ("mean", pa.float64()),
-     ("variance", pa.float64()), ("spread_std", pa.float64()),
-     ("spread_iqr", pa.float64()), ("ac1_td", pa.float64()),
-     ("ac2_td", pa.float64()), ("ac1_fourier", pa.float64()),
-     ("burst_b", pa.float64()), ("burst_b_kim", pa.float64()),
-     ("s1", pa.float64()), ("s2", pa.float64()),
-     ("state_bin", pa.binary())]
-)
+_PA_BASE_FIELDS = [
+    ("doc_id", pa.string()), ("source", pa.string()), ("tier", pa.int32()),
+    ("window_idx", pa.int64()), ("n", pa.int64()), ("mean", pa.float64()),
+    ("variance", pa.float64()), ("spread_std", pa.float64()),
+    ("spread_iqr", pa.float64()), ("ac1_td", pa.float64()),
+    ("ac2_td", pa.float64()), ("ac1_fourier", pa.float64()),
+    ("burst_b", pa.float64()), ("burst_b_kim", pa.float64()),
+    ("s1", pa.float64()), ("s2", pa.float64()),
+    ("state_bin", pa.binary()),
+]
+_PA_SCHEMA = pa.schema(_PA_BASE_FIELDS)
+
+
+def _schemas_for(feature_set):
+    """(ddl, arrow schema, feature column list) for an optional
+    registry FeatureSet extending the tier struct."""
+    if feature_set is None:
+        return ROLLUP_SCHEMA, _PA_SCHEMA, []
+    cols = list(feature_set.columns)
+    ddl = ROLLUP_SCHEMA + ", " + ", ".join(f"`{c}` double" for c in cols)
+    schema = pa.schema(_PA_BASE_FIELDS + [(c, pa.float64()) for c in cols])
+    return ddl, schema, cols
 
 
 def _binary_array(mat: np.ndarray) -> pa.Array:
@@ -148,7 +171,8 @@ def _binary_array(mat: np.ndarray) -> pa.Array:
     )
 
 
-def _assemble_arrow(blocks: list[dict]) -> pa.RecordBatch:
+def _assemble_arrow(blocks: list[dict], schema: pa.Schema = _PA_SCHEMA,
+                    n_feat: int = 0) -> pa.RecordBatch:
     """Concatenate per-doc-tier column blocks into ONE RecordBatch built
     straight from numpy — no pandas block manager in the hot path."""
     cols = []
@@ -163,7 +187,11 @@ def _assemble_arrow(blocks: list[dict]) -> pa.RecordBatch:
             cols.append(_binary_array(np.concatenate(parts, axis=0)))
         else:
             cols.append(pa.array(np.concatenate(parts)))
-    return pa.RecordBatch.from_arrays(cols, schema=_PA_SCHEMA)
+    if n_feat:
+        M = np.concatenate([b["_featmat"] for b in blocks], axis=0)
+        for j in range(n_feat):
+            cols.append(pa.array(np.ascontiguousarray(M[:, j])))
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
 
 
 def _assemble_pandas(blocks: list[dict]) -> pd.DataFrame:
@@ -218,7 +246,9 @@ def _make_rollup_fn(
     lags: list[int],
     gapped: bool,
     counters: dict | None,
+    feature_set=None,
 ):
+    _, pa_schema, feat_cols = _schemas_for(feature_set)
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             names = rb.schema.names
@@ -266,7 +296,10 @@ def _make_rollup_fn(
                     continue
                 Y0 = K.make_buffer(vals, window)
                 state = S.states_from_windows(Y0, lags)
-                blocks.append(_tier_cols(doc_ids[r], sources[r], 0, state, lags, Y0))
+                blocks.append(
+                    _tier_cols(doc_ids[r], sources[r], 0, state, lags, Y0,
+                               feature_set)
+                )
                 n_windows += len(state["n"])
                 for tier in range(1, n_tiers):
                     state = S.merge_groups(state, group, lags)
@@ -275,7 +308,8 @@ def _make_rollup_fn(
                     wlen = window * group**tier
                     Yt = K.make_buffer(vals, wlen)
                     blocks.append(
-                        _tier_cols(doc_ids[r], sources[r], tier, state, lags, Yt)
+                        _tier_cols(doc_ids[r], sources[r], tier, state, lags,
+                                   Yt, feature_set)
                     )
                     n_windows += len(state["n"])
             if counters is not None:
@@ -283,7 +317,7 @@ def _make_rollup_fn(
                 counters["windows_emitted"].add(n_windows)
                 counters["checksum_mismatches"].add(n_bad)
             if blocks:
-                yield _assemble_arrow(blocks)
+                yield _assemble_arrow(blocks, pa_schema, len(feat_cols))
 
     return fn
 
@@ -307,6 +341,7 @@ def rollup_tiers(
     lags: list[int] | None = None,
     gapped: bool = False,
     counters: dict | None = None,
+    feature_set=None,
 ) -> DataFrame:
     """Single-pass 3-tier rollup (see module docstring).
 
@@ -322,8 +357,10 @@ def rollup_tiers(
                   "offsets", "values", "tok_checksum")
         if c in df.columns
     ]
-    fn = _make_rollup_fn(window, group, n_tiers, lags, gapped, counters)
-    return df.select(*needed).mapInArrow(fn, schema=ROLLUP_SCHEMA)
+    ddl, _, _ = _schemas_for(feature_set)
+    fn = _make_rollup_fn(window, group, n_tiers, lags, gapped, counters,
+                         feature_set)
+    return df.select(*needed).mapInArrow(fn, schema=ddl)
 
 
 # ---------------------------------------------------------------------------
