@@ -531,7 +531,17 @@ def sliding_window(
     elif window_stat == "std":
         qs = W.std(axis=1, ddof=1)
     elif window_stat == "ent":
-        raise NotImplementedError("entropy window stat ported later")
+        from pyhctsa_spark.functions.entropy import distribution_entropy
+
+        qs = np.array([distribution_entropy(w, "ks", 0) for w in W])
+    elif window_stat == "apen":
+        from pyhctsa_spark.functions.entropy import approximate_entropy
+
+        qs = np.array([approximate_entropy(w, 1, 0.2) for w in W])
+    elif window_stat == "sampen":
+        from pyhctsa_spark.functions.entropy import sample_entropy
+
+        qs = np.array([sample_entropy(w, 1, 0.1)["sampen1"] for w in W])
     elif window_stat.startswith("mom"):
         k = int(window_stat[3:])
         qs = np.array([moments(w, k) for w in W])
@@ -546,9 +556,16 @@ def sliding_window(
     if across_stat == "std":
         return float(qs.std(ddof=1) / sdy)
     if across_stat == "apen":
-        raise NotImplementedError("ApEn across-stat ported later")
+        from pyhctsa_spark.functions.entropy import approximate_entropy
+
+        return approximate_entropy(qs, 1, 0.2)
+    if across_stat == "sampen":
+        from pyhctsa_spark.functions.entropy import sample_entropy
+
+        return sample_entropy(qs, 2, 0.15)["quadSampEn1"]
     if across_stat == "ent":
-        raise NotImplementedError
+        # the reference logs 'not yet implemented' and returns NaN
+        return float("nan")
     raise ValueError(across_stat)
 
 
@@ -647,6 +664,16 @@ def local_simple(y: np.ndarray, forecast_meth: str = "mean", train_length: int =
         fc = W.mean(axis=1)
     elif forecast_meth == "median":
         fc = np.median(W, axis=1)
+    elif forecast_meth == "lfit":
+        # linear extrapolation from the previous lp points
+        t = np.arange(lp, dtype=np.float64)
+        tm = t.mean()
+        denom = np.sum((t - tm) ** 2)
+        if denom == 0:
+            fc = W.mean(axis=1)
+        else:
+            slope = (W - W.mean(axis=1, keepdims=True)) @ (t - tm) / denom
+            fc = W.mean(axis=1) + slope * (lp - tm)
     else:
         raise ValueError(forecast_meth)
     res = y[lp:] - fc

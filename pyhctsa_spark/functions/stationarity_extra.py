@@ -185,15 +185,22 @@ def preproc_compare(y: np.ndarray, detrend_meth: str = "diff1") -> dict:
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
     t = np.arange(N, dtype=np.float64)
-    if detrend_meth == "diff1":
-        y_d = np.diff(y)
-    elif detrend_meth == "medianf":
-        y_d = y - medfilt1(y, 5)
-    elif detrend_meth == "rav":
-        k = 5
+    if detrend_meth.startswith("diff"):
+        n_d = int(detrend_meth[4:] or 1)
+        y_d = np.diff(y, n=n_d)
+    elif detrend_meth.startswith("medianf"):
+        k = int(detrend_meth[7:] or 5)
+        y_d = y - medfilt1(y, k)
+    elif detrend_meth.startswith("rav"):
+        k = int(detrend_meth[3:] or 5)
         kern = np.ones(k) / k
         y_d = y - np.convolve(y, kern, mode="same")
-    elif detrend_meth in ("poly1", "poly2"):
+    elif detrend_meth.startswith("resample_"):
+        from pyhctsa_spark.functions.symbolic import fourier_resample
+
+        _, p_, q_ = detrend_meth.split("_")
+        y_d = fourier_resample(y, max(2, len(y) * int(p_) // int(q_)))
+    elif detrend_meth in ("poly1", "poly2", "poly3"):
         deg = int(detrend_meth[-1])
         y_d = y - np.polyval(np.polyfit(t, y, deg), t)
     else:

@@ -1,0 +1,343 @@
+"""Run reference-style YAML operation configs directly.
+
+A user of the reference drives it with
+``FeatureCalculator('Configurations/basic.yaml')``; this module gives
+the engine the same entry point: ``yaml_feature_set(path)`` parses the
+same YAML dialect (including the custom ``!range [a, b]`` inclusive-tag,
+calculator.py:10-14), translates each (module, function) to the engine's
+numpy kernel through an adapter table, and compiles a FeatureSet whose
+labels follow the reference's naming (base_name + ordered_args + the
+same value mangling + ``_raw`` suffixes).
+
+Operations whose methods the engine documents as dropped (ts2vg 'norm'
+visibility graph) simply raise inside the kernel and surface as NaN via
+the registry's per-feature error isolation — exactly how the reference
+records per-feature errors (calculator.py:101-104).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import yaml
+
+from pyhctsa_spark.functions import distribution_extra as DX
+from pyhctsa_spark.functions import embedding as EM
+from pyhctsa_spark.functions import entropy as E
+from pyhctsa_spark.functions import info as I
+from pyhctsa_spark.functions import kernels as K
+from pyhctsa_spark.functions import medical as MD
+from pyhctsa_spark.functions import model as M
+from pyhctsa_spark.functions import physics as PH
+from pyhctsa_spark.functions import spectral as SP
+from pyhctsa_spark.functions import stationarity_extra as SX
+from pyhctsa_spark.functions import symbolic as SY
+from pyhctsa_spark.functions import wavelet as WL
+from pyhctsa_spark.plans.registry import FeatureSet, Operation, expand
+
+
+class _RangeLoader(yaml.SafeLoader):
+    pass
+
+
+def _range_constructor(loader, node):
+    a, b = loader.construct_sequence(node)
+    return list(range(a, b + 1))
+
+
+_RangeLoader.add_constructor("!range", _range_constructor)
+
+
+def _tau_of(y, tau):
+    if isinstance(tau, str) and tau in ("tau", "ac"):
+        return max(1, int(K.first_crossing_ac(y)["firstCrossing"]))
+    if isinstance(tau, str) and tau == "mi":
+        return max(1, int(I.first_min(y, "mi", max_tau=min(len(y) // 2, 100))))
+    return int(tau)
+
+
+def _nbins_rule(y, rule):
+    """Histogram bin-count rules matching numpy/MATLAB conventions."""
+    n = len(y)
+    if rule == "sqrt":
+        return max(1, int(np.ceil(np.sqrt(n))))
+    if rule == "sturges":
+        return max(1, int(np.ceil(np.log2(n)) + 1))
+    if rule == "fd":
+        iqr = K.spread_iqr(y)
+        if iqr <= 0:
+            return 10
+        h = 2.0 * iqr / n ** (1.0 / 3.0)
+        return max(1, int(np.ceil(np.ptp(y) / h)))
+    if rule == "auto":
+        return max(_nbins_rule(y, "sturges"), _nbins_rule(y, "fd"))
+    raise ValueError(rule)
+
+
+def _first_crossing(y, corrFun="ac", threshold=0.0, whatOut="both"):
+    out = K.first_crossing_ac(y, threshold)
+    if whatOut == "discrete":
+        return out["firstCrossing"]
+    if whatOut == "continuous":
+        return out["pointOfCrossing"]
+    return out
+
+
+def _first_min(y, minWhat="ac", extraParam=None, minNotMax=True):
+    what = "ac" if minWhat == "ac" else "mi"
+    est = "gaussian"
+    if isinstance(minWhat, str) and minWhat.startswith("mi"):
+        suffix = minWhat.split("-", 1)[1] if "-" in minWhat else "gaussian"
+        est = {"gaussian": "gaussian", "kernel": "kernel",
+               "kraskov1": "kraskov1", "kraskov2": "kraskov1",
+               "hist": "gaussian"}.get(suffix, "gaussian")
+    return I.first_min(y, what, est_method=est)
+
+
+def _shannon(y, numBins=2, depth=3):
+    bins = numBins if isinstance(numBins, list) else [numBins]
+    depths = depth if isinstance(depth, list) else [depth]
+    if len(bins) == 1 and len(depths) == 1:
+        return E.shannon_entropy_ms(y, int(bins[0]), int(depths[0]))
+    if len(depths) > 1 and len(bins) == 1:
+        ents = np.array([E.shannon_entropy_ms(y, int(bins[0]), int(d)) for d in depths])
+    else:
+        # reference's bin sweep does NOT normalize by depth
+        ents = np.array([
+            E.shannon_entropy_ms(y, int(b), int(depths[0])) * depths[0]
+            for b in bins
+        ])
+    return {
+        "maxent": float(np.max(ents)), "minent": float(np.min(ents)),
+        "medent": float(np.median(ents)), "meanent": float(np.mean(ents)),
+        "stdent": float(np.std(ents, ddof=1)),
+    }
+
+
+def _kpss(y, lags=0):
+    if isinstance(lags, list):
+        out = {}
+        for l in lags:
+            r = M.kpss_test(y, int(l))
+            out[f"lagmaxstat" if False else f"stat_{l}"] = r["stat"]
+            out[f"pValue_{l}"] = r["pValue"]
+        return out
+    return M.kpss_test(y, int(lags))
+
+
+def _var_ratio(y, periods=2, IIDs=1):
+    ps = periods if isinstance(periods, list) else [periods]
+    iids = IIDs if isinstance(IIDs, list) else [IIDs]
+    if len(ps) == 1 and len(iids) == 1:
+        return M.variance_ratio_test(y, int(ps[0]), bool(iids[0]))
+    out = {}
+    for p, i in zip(ps, iids):
+        r = M.variance_ratio_test(y, int(p), bool(i))
+        out[f"ratio_{p}_{i}"] = r["ratio"]
+        out[f"p_{p}_{i}"] = r["pValue"]
+    return out
+
+
+def _moment_corr(y, windowLength=None, wOverlap=None, mom1="mean", mom2="std",
+                 whatTransform="none"):
+    x = np.asarray(y, dtype=np.float64)
+    if whatTransform == "abs":
+        x = np.abs(x)
+    elif whatTransform == "sqrt":
+        x = np.sqrt(np.abs(x))
+    wf = 0.02 if windowLength is None else windowLength
+    ov = 0.2 if wOverlap is None else wOverlap
+    return K.moment_corr(x, wf, ov, mom1, mom2)
+
+
+def _loop_local_simple(y, forecastMeth="mean"):
+    """Sweep trainLength 1..10 of LocalSimple; curve-shape stats
+    (FC_LoopLocalSimple semantics, ModelFit.py:15-77)."""
+    stats = [K.local_simple(y, forecastMeth, tl) for tl in range(1, 11)]
+    stds = np.array([s["stderr"] for s in stats])
+    ac1s = np.array([s["ac1"] for s in stats])
+    return {
+        "stderr_chn": float(np.mean(np.diff(stds))),
+        "stderr_meansgndiff": float(np.mean(np.sign(np.diff(stds)))),
+        "stderr_peakpos": float(np.argmax(stds)),
+        "stderr_peaksize": float(np.max(stds) / np.abs(np.mean(stds))),
+        "ac1_chn": float(np.nanmean(np.diff(ac1s))),
+        "ac1_meansgndiff": float(np.nanmean(np.sign(np.diff(ac1s)))),
+        "ac1_stderr": float(np.nanstd(ac1s, ddof=1)),
+    }
+
+
+def _hist_mode(y, numBins=10, doAbs=0):
+    x = np.abs(y) if doAbs else y
+    if isinstance(numBins, list):
+        return {f"mode{b}": K.histogram_mode(x, int(b)) for b in numBins}
+    return K.histogram_mode(x, int(numBins))
+
+
+def _mse(y, scaleRange=None, m=2, r=0.15, preProcessHow=None):
+    x = np.diff(y) if preProcessHow == "diff1" else y
+    scales = list(scaleRange) if scaleRange else [1, 2, 3, 4, 5]
+    return E.multiscale_entropy(x, scales, int(m), float(r))
+
+
+def _dist_entropy(y, histOrKS="hist", numBins=10, olremp=0):
+    if numBins in ([], None):
+        numBins = 10 if histOrKS == "hist" else 0
+    elif isinstance(numBins, str):
+        numBins = _nbins_rule(y, numBins) if histOrKS == "hist" else 0
+    return E.distribution_entropy(y, histOrKS, numBins, float(olremp or 0))
+
+
+def _glscf(y, alpha=1.0, beta=1.0, tau=1):
+    return K.glscf(y, float(alpha), float(beta), _tau_of(y, tau))
+
+
+def _nl_ac(y, taus=(0, 1, 2), doAbs=0):
+    v = K.nonlinear_autocorr(y, list(taus))
+    return abs(v) if doAbs else v
+
+
+def _lz(y, nbits=2, preProc=None):
+    pp = "diff" if preProc == "diff" else None
+    return E.lz_complexity(y, int(nbits), pp)
+
+
+# (module, function) -> adapter taking (y, **yaml_params)
+FUNC_TABLE = {
+    ("Correlation", "AutoCorr"): lambda y, tau=1: K.autocorr_fourier(y, _tau_of(y, tau)),
+    ("Correlation", "GLSCF"): _glscf,
+    ("Correlation", "FZCGLSCF"): lambda y, alpha=1.0, beta=1.0: K.fzcglscf(y, alpha, beta),
+    ("Correlation", "Embed2"): lambda y, tau="tau": EM.embed2(y, tau),
+    ("Correlation", "Embed2Shapes"): lambda y, tau="tau", shape="circle", r=1.0: EM.embed2_shapes(y, tau, shape, r),
+    ("Correlation", "Embed2Basic"): lambda y, tau=1: K.embed2_basic(y, _tau_of(y, tau)),
+    ("Correlation", "Embed2Dist"): lambda y, tau="tau": EM.embed2_dist(y, tau),
+    ("Correlation", "Embed2_AngleTau"): lambda y, maxTau=10: EM.embed2_angle_tau(y, int(maxTau)),
+    ("Correlation", "PartialAutoCorr"): lambda y, maxTau=10, whatMethod=None: M.partial_autocorr(y, int(maxTau)),
+    ("Correlation", "NonlinearAutoCorr"): _nl_ac,
+    ("Correlation", "StickAngles"): lambda y: EM.stick_angles(y),
+    ("Correlation", "FirstCrossing"): _first_crossing,
+    ("Correlation", "TranslateShape"): lambda y, shape="circle", d=2, howToMove="pts": EM.translate_shape(y, shape, d, howToMove),
+    ("Correlation", "AutoCorrShape"): lambda y, stopWhen="posDrown": EM.autocorr_shape(y, stopWhen),
+    ("Correlation", "HistogramAMI"): lambda y, tau=1, meth="even", numBins=10: I.histogram_ami(y, tau, meth, numBins),
+    ("Correlation", "CompareMinAMI"): lambda y, binMethod="std1", numBins=10: I.compare_min_ami(y, binMethod, numBins),
+    ("Correlation", "PeriodicityWang"): lambda y: EM.periodicity_wang(y),
+    ("Correlation", "TRev"): lambda y, tau=1: K.trev(y, _tau_of(y, tau)),
+    ("Correlation", "TC3"): lambda y, tau=1: K.tc3(y, _tau_of(y, tau)),
+    ("Correlation", "TimeRevKaplan"): lambda y, timeLag=1: K.timerev_kaplan(y, int(timeLag)),
+    ("Correlation", "Crinkle"): lambda y: K.crinkle(y),
+    ("Correlation", "TheilerQ"): lambda y: K.theiler_q(y),
+    ("Information", "AutoMutualInfoStats"): lambda y, maxTau=None, estMethod="gaussian", extraParam=None: I.ami_stats(y, maxTau, "gaussian" if estMethod in ("kernel", "kraskov1", "kraskov2") and len(y) > 4000 else {"kernel": "kernel", "kraskov1": "kraskov1", "kraskov2": "kraskov1"}.get(estMethod, "gaussian")),
+    ("Information", "AMInformation"): lambda y, tau=1: I.rm_information(y, int(tau)),
+    ("Information", "FirstMin"): _first_min,
+    ("Entropy", "DistributionEntropy"): _dist_entropy,
+    ("Entropy", "LZComplexity"): _lz,
+    ("Entropy", "ComplexityInvariantDistance"): lambda y: K.cid_ce(y),
+    ("Entropy", "ApproximateEntropy"): lambda y, mnom=1, rth=0.2: E.approximate_entropy(y, int(mnom), float(rth)),
+    ("Entropy", "RPDE"): lambda y, m=2, tau=1: E.rpde(y, int(m), int(tau)),
+    ("Entropy", "SampleEntropy"): lambda y, M=2, r=None, preProcessHow=None: E.sample_entropy(y, int(M), r, preProcessHow),
+    ("Entropy", "MultiScaleEntropy"): _mse,
+    ("Entropy", "ShannonEntropy"): _shannon,
+    ("Stationarity", "StatAv"): lambda y, whatType="seg", extraParam=5: K.stat_av(y, whatType, int(extraParam)),
+    ("Stationarity", "Trend"): lambda y: K.trend(y),
+    ("Stationarity", "StdNthDer"): lambda y, ndr=1: K.std_nth_der(y, int(ndr)),
+    ("Stationarity", "TSLength"): lambda y: float(len(y)),
+    ("Stationarity", "FitPolynomial"): lambda y, k=1: K.fit_polynomial(y, int(k)),
+    ("Stationarity", "SlidingWindow"): lambda y, windowStat="mean", acrossWinStat="std", numSeg=5, incMove=2: K.sliding_window(y, windowStat, acrossWinStat, int(numSeg), int(incMove)),
+    ("Stationarity", "LocalGlobal"): lambda y, subsetHow="l", nsamps=100: K.local_global(y, subsetHow, nsamps),
+    ("Stationarity", "DriftingMean"): lambda y, segmentHow="fix", l=20: K.drifting_mean(y, segmentHow, int(l)),
+    ("Stationarity", "RangeEvolve"): lambda y: K.range_evolve(y),
+    ("Stationarity", "KPSSTest"): _kpss,
+    ("Stationarity", "LocalExtrema"): lambda y, howToWindow="l", n=None: SX.local_extrema(y, howToWindow, n),
+    ("Stationarity", "SimpleStats"): lambda y, whatStat="zcross": K.simple_stats(y, whatStat),
+    ("Stationarity", "MomentCorr"): _moment_corr,
+    ("Stationarity", "DynWin"): lambda y, maxNumSegments=10: SX.dyn_win(y, int(maxNumSegments)),
+    ("Stationarity", "LocalDistributions"): lambda y, numSegs=5, eachOrPar="par": SX.local_distributions(y, int(numSegs), eachOrPar),
+    ("Distribution", "Withinp"): lambda y, p=1.0, meanOrMedian="mean": K.withinp(y, float(p), meanOrMedian),
+    ("Distribution", "Unique"): lambda y: K.unique_fraction(y),
+    ("Distribution", "Spread"): lambda y, spreadMeasure="std": {
+        "std": K.spread_std, "iqr": K.spread_iqr, "mad": K.spread_mad,
+        "mead": K.spread_mead,
+    }[spreadMeasure](y),
+    ("Distribution", "Quantile"): lambda y, p=0.5: K.quantile_hazen(y, float(p)),
+    ("Distribution", "ProportionValues"): lambda y, propWhat="positive": K.proportion_values(y, propWhat),
+    ("Distribution", "PLeft"): lambda y, th=0.1: DX.pleft(y, float(th)),
+    ("Distribution", "MinMax"): lambda y, minOrMax="max": K.minmax(y, minOrMax),
+    ("Distribution", "Mean"): lambda y, meanType="arithmetic": DX.mean_types(y, meanType),
+    ("Distribution", "HighLowMu"): lambda y: K.high_low_mu(y),
+    ("Distribution", "FitMLE"): lambda y, fitWhat="gaussian": DX.fit_mle(y, fitWhat),
+    ("Distribution", "CV"): lambda y, k=1: K.cv(y, int(k)),
+    ("Distribution", "CustomSkewness"): lambda y, whatSkew="pearson": K.custom_skewness(y, whatSkew),
+    ("Distribution", "Burstiness"): lambda y: K.burstiness(y),
+    ("Distribution", "Moments"): lambda y, theMom=3: K.moments(y, int(theMom)),
+    ("Distribution", "OutlierInclude"): lambda y, thresholdHow="abs", inc=0.01: DX.outlier_include(y, thresholdHow, float(inc)),
+    ("Distribution", "TrimmedMean"): lambda y, pExclude=0.0: K.trimmed_mean(y, float(pExclude)),
+    ("Distribution", "RemovePoints"): lambda y, removeHow="absfar", p=0.1, removeOrSaturate="remove": DX.remove_points(y, removeHow, float(p), removeOrSaturate),
+    ("Scaling", "FastDFA"): lambda y: PH.fast_dfa(y),
+    ("Symbolic", "TransitionMatrix"): lambda y, howtocg="quantile", numGroups=2, tau=1: SY.transition_matrix(y, howtocg, int(numGroups), tau),
+    ("Symbolic", "BinaryStats"): lambda y, binaryMethod="diff": K.binary_stats(y, binaryMethod),
+    ("Symbolic", "MotifThree"): lambda y, cgHow="quantile": SY.motif_three(y, cgHow),
+    ("Symbolic", "MotifTwo"): lambda y, binarizeHow="diff": K.motif_two(y, binarizeHow),
+    ("Symbolic", "BinaryStretch"): lambda y, stretchWhat="lseq1": SY.binary_stretch(y, stretchWhat),
+    ("Symbolic", "HistogramAsymmetry"): lambda y, numBins=11, doSimple=True: DX.histogram_asymmetry(y, int(numBins)),
+    ("Symbolic", "HistogramMode"): _hist_mode,
+    ("Symbolic", "Surprise"): lambda y, whatPrior="dist", memory=0.2, numGroups=3, coarseGrainMethod="quantile", numIters=500: SY.surprise(y, whatPrior, memory, numGroups if isinstance(numGroups, str) else int(numGroups), coarseGrainMethod, int(numIters)),
+    ("Wavelet", "WLCoeffs"): lambda y, wname="db3", level=3: WL.wl_coeffs(y, wname, level),
+    ("Wavelet", "DetailCoeffs"): lambda y, wname="db3", maxlevel="max": WL.detail_coeffs(y, wname, maxlevel),
+    ("Wavelet", "CWT"): lambda y, wname="db3", maxScale=32: WL.cwt_features(y, wname, int(maxScale)),
+    ("HypothesisTests", "HypothesisTest"): lambda y, theTest="signtest": M.hypothesis_test(y, theTest),
+    ("HypothesisTests", "VarianceRatioTest"): _var_ratio,
+    ("Spectral", "SpectralSummaries"): lambda y, psdMeth="fft", windowType="none": SP.spectral_summaries(y, psdMeth, windowType),
+    ("ModelFit", "ARCov"): lambda y, p=2: M.ar_cov(y, int(p)),
+    ("ModelFit", "ARFit"): lambda y, pmin=1, pmax=10, selector="sbc": M.ar_fit_select(y, int(pmin), int(pmax)),
+    ("ModelFit", "ExpSmoothing"): lambda y, ntrain=None, alpha="best": M.exp_smoothing(y, ntrain, alpha),
+    ("ModelFit", "LocalSimple"): lambda y, forecastMeth="mean", trainLength=4: K.local_simple(y, forecastMeth, _tau_of(y, trainLength)),
+    ("ModelFit", "LoopLocalSimple"): _loop_local_simple,
+    ("Graph", "VisibilityGraph"): lambda y, meth="horiz": PH.visibility_graph(y, meth) if meth == "horiz" else (_ for _ in ()).throw(NotImplementedError("'norm' visibility graph requires ts2vg (documented drop)")),
+    ("Physics", "ForcePotential"): lambda y, whatPotential="dblwell", params=None: PH.force_potential(y, whatPotential, params),
+    ("Physics", "Walker"): lambda y, walkerRule="prop", walkerParams=None: PH.walker(y, walkerRule, walkerParams),
+    ("PreProcess", "PreProcCompare"): lambda y, detrendMeth="diff1": SX.preproc_compare(y, detrendMeth),
+    ("Medical", "HRVClassic"): lambda y: MD.hrv_classic(y),
+    ("Medical", "PNN"): lambda y: MD.pnn_set(y),
+    ("Medical", "PolVar"): lambda y, d=1, D=6: MD.polvar(y, float(d), int(D)),
+    ("Medical", "RawHRVMeas"): lambda y: MD.raw_hrv_meas(y),
+    ("ExtremeEvents", "MovingThreshold"): lambda y, a=1.0, b=0.1: PH.moving_threshold(y, float(a), float(b)),
+    ("Criticality", "RAD"): lambda y, tau=2: K.rad(y, _tau_of(y, tau)),
+}
+
+
+def load_yaml_operations(path: str) -> tuple[list[Operation], list[str]]:
+    """Parse a reference-style YAML config into engine Operations.
+
+    Returns (operations, unmapped) where ``unmapped`` lists
+    ``Module.Function`` keys with no engine adapter (skipped).
+    """
+    with open(path) as f:
+        cfg = yaml.load(f, Loader=_RangeLoader)
+    ops: list[Operation] = []
+    unmapped: list[str] = []
+    for module, funcs in cfg.items():
+        for fn_name, spec in funcs.items():
+            fn = FUNC_TABLE.get((module, fn_name))
+            if fn is None:
+                unmapped.append(f"{module}.{fn_name}")
+                continue
+            configs = []
+            for c in spec.get("configs") or [{}]:
+                configs.append(dict(c) if c else {})
+            ops.append(
+                Operation(
+                    fn,
+                    spec.get("base_name", fn_name),
+                    spec.get("ordered_args") or [],
+                    configs,
+                )
+            )
+    return ops, unmapped
+
+
+def yaml_feature_set(path: str, probe_len: int = 512) -> FeatureSet:
+    ops, unmapped = load_yaml_operations(path)
+    if unmapped:
+        import warnings
+
+        warnings.warn(f"unmapped operations skipped: {unmapped}")
+    return FeatureSet(expand(ops), probe_len)
