@@ -302,6 +302,17 @@ FUNC_TABLE = {
     ("ExtremeEvents", "MovingThreshold"): lambda y, a=1.0, b=0.1: PH.moving_threshold(y, float(a), float(b)),
     ("Criticality", "RAD"): lambda y, tau=2: K.rad(y, _tau_of(y, tau)),
 }
+# module aliases: some configs register these ops under Distribution
+# (basic.yaml places HistogramMode/Asymmetry under Symbolic)
+FUNC_TABLE[("Distribution", "OutlierTest")] = (
+    lambda y, p=2, justMe=None: DX.outlier_test(y, float(p), justMe)
+)
+FUNC_TABLE[("Distribution", "HistogramAsymmetry")] = FUNC_TABLE[
+    ("Symbolic", "HistogramAsymmetry")
+]
+FUNC_TABLE[("Distribution", "HistogramMode")] = FUNC_TABLE[
+    ("Symbolic", "HistogramMode")
+]
 
 
 def load_yaml_operations(path: str) -> tuple[list[Operation], list[str]]:
@@ -315,7 +326,9 @@ def load_yaml_operations(path: str) -> tuple[list[Operation], list[str]]:
     ops: list[Operation] = []
     unmapped: list[str] = []
     for module, funcs in cfg.items():
-        for fn_name, spec in funcs.items():
+        for fn_name, spec in (funcs or {}).items():
+            if not spec:  # stub entries (e.g. catch22.yaml) carry no config
+                continue
             fn = FUNC_TABLE.get((module, fn_name))
             if fn is None:
                 unmapped.append(f"{module}.{fn_name}")

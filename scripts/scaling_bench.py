@@ -43,7 +43,7 @@ if not os.path.exists(cache + "/_SUCCESS"):
 df = spark.read.parquet(cache)
 points = df.selectExpr("sum(n_tok)").first()[0]
 results = []
-for rep in range({reps} + 1):
+for rep in range({reps} + 2):
     out = tempfile.mkdtemp(prefix="scal_")
     counters = make_counters(spark)
     t0 = time.perf_counter()
@@ -52,7 +52,7 @@ for rep in range({reps} + 1):
     shutil.rmtree(out, ignore_errors=True)
     results.append({{"wall": wall, "windows": counters["windows_emitted"].value}})
 print("RESULT " + json.dumps({{"cpus": {cpus}, "points": int(points),
-                              "runs": results[1:]}}))
+                              "runs": results[2:]}}))
 spark.stop()
 """
 

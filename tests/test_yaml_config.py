@@ -18,6 +18,19 @@ def test_basic_yaml_fully_mapped():
     assert len(ops) == 95  # every operation in basic.yaml
 
 
+def test_all_reference_configs_map():
+    import glob
+
+    from pyhctsa_spark.plans.yaml_config import load_yaml_operations
+
+    total = 0
+    for path in sorted(glob.glob("/root/reference/pyhctsa/Configurations/*.yaml")):
+        ops, unmapped = load_yaml_operations(path)
+        assert unmapped == [], f"{path}: {unmapped}"
+        total += len(ops)
+    assert total >= 190  # every configured operation across all 17 files
+
+
 def test_basic_yaml_feature_set_runs():
     from pyhctsa_spark.plans.yaml_config import yaml_feature_set
 
