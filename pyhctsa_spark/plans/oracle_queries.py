@@ -133,6 +133,56 @@ WHERE w2.i < {W - 1}
 GROUP BY w2.user_id, w2.w
 """)
 
+# --- tier-1-scale windows (16x the base window = 256 points) --------------
+# Per-event-type series are ~2,000 points at sf0.01, long enough to hold
+# full 256-point windows — this checks the same math the engine's 16x
+# merge produces, at tier-1 window length, in pure SQL on both engines.
+QUERIES["win256_tier1_stats"] = _q("""
+SELECT event_type, w256,
+       round(avg(v), 6)         AS mean_v,
+       round(var_samp(v), 6)    AS var_v,
+       round(stddev_samp(v), 6) AS std_v,
+       round((stddev_samp(v) / avg(v) - 1) / (stddev_samp(v) / avg(v) + 1), 6)
+         AS burst_b
+FROM (
+  SELECT event_type,
+         CAST(floor((row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1)
+              / 256) AS BIGINT) AS w256,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+) t
+GROUP BY event_type, w256 HAVING count(*) = 256
+""")
+
+QUERIES["win256_ac1_td"] = _q("""
+SELECT event_type, w256,
+       round((sxy / m - (s1a / m) * (s1b / m))
+             / (sqrt(s2a / m - (s1a / m) * (s1a / m))
+                * sqrt(s2b / m - (s1b / m) * (s1b / m))), 6) AS ac1_td
+FROM (
+  SELECT event_type, w256,
+         CAST(255 AS DOUBLE)                     AS m,
+         sum(v * v1)  FILTER (WHERE i < 255)     AS sxy,
+         sum(v)       FILTER (WHERE i < 255)     AS s1a,
+         sum(v * v)   FILTER (WHERE i < 255)     AS s2a,
+         sum(v1)      FILTER (WHERE i < 255)     AS s1b,
+         sum(v1 * v1) FILTER (WHERE i < 255)     AS s2b
+  FROM (
+    SELECT event_type,
+           CAST(floor(rn / 256) AS BIGINT) AS w256,
+           CAST(rn % 256 AS BIGINT) AS i, v,
+           lead(v) OVER (PARTITION BY event_type ORDER BY rn) AS v1
+    FROM (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) - 1 AS rn,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ) s
+  ) t2
+  GROUP BY event_type, w256 HAVING count(*) = 256
+) t
+""")
+
 # --- DK_theilerQ per user (whole series) ----------------------------------
 QUERIES["user_theiler_q"] = _q("""
 SELECT a.user_id, round(a.num / b.den, 6) AS theiler_q

@@ -72,7 +72,33 @@ def run_at(cpus: int) -> dict:
     )
 
 
+def host_quietness() -> dict:
+    """Measure current host interference: 1-minute load average plus a
+    short multi-process CPU-burn rate. Efficiency ratios are only
+    representative when the host is quiet (see BENCH.md)."""
+    import multiprocessing as mp
+    import time
+
+    def _burn(_):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < 0.5:
+            x += 1
+        return x
+
+    with mp.Pool(8) as pool:
+        res = pool.map(_burn, range(8))
+    rate = sum(res) / 8 / 0.5 / 1e6
+    load1 = os.getloadavg()[0]
+    return {"load1": round(load1, 2), "burn_m_per_proc_sec": round(rate, 1),
+            "quiet": load1 < 2.0}
+
+
 def main() -> None:
+    q_before = host_quietness()
+    if not q_before["quiet"]:
+        print(f"WARNING: host is contended ({q_before}); ratios will read low "
+              "— see BENCH.md variance table", flush=True)
     rlo = run_at(N_LOW)
     rhi = run_at(N_HIGH)
     # min-of-reps: this sandbox shares a host with noisy neighbors
@@ -94,6 +120,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "gate_ge_0.8": eff >= 0.8,
         "windows_equal": rlo["runs"][0]["windows"] == rhi["runs"][0]["windows"],
+        "host_before": q_before,
+        "host_after": host_quietness(),
     }
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
