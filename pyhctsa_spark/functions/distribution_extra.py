@@ -8,7 +8,7 @@ import math
 
 import numpy as np
 
-from pyhctsa_spark.functions.helpers import binpicker, histc
+from pyhctsa_spark.functions.helpers import binpicker, histc, xcorr
 from pyhctsa_spark.functions.kernels import quantile_hazen
 from pyhctsa_spark.functions.kernels import acf_fourier_full
 
@@ -112,7 +112,7 @@ def outlier_include(y: np.ndarray, threshold_how: str = "abs", inc: float = 0.01
     valid = np.flatnonzero(stats[:, 2] > 2.0)
     if valid.size:
         stats = stats[: valid[-1] + 1]
-    return {
+    out = {
         "mdtm": float(np.mean(stats[:, 0])),
         "mdtmd": float(np.median(stats[:, 0])),
         "mdtstd": float(np.std(stats[:, 0], ddof=1)),
@@ -123,6 +123,15 @@ def outlier_include(y: np.ndarray, threshold_how: str = "abs", inc: float = 0.01
         "mrmd": float(np.median(stats[:, 4])),
         "mrstd": float(np.std(stats[:, 4], ddof=1)),
     }
+    # cross-correlation between mean inter-event time and its std error
+    # at lags +-1 (the reference's xcmerr outputs)
+    if len(stats) > 2 and np.isfinite(stats[:, :2]).all():
+        _, cc = xcorr(stats[:, 0], stats[:, 1], maxlags=1)
+        out["xcmerr1"] = float(cc[-1])
+        out["xcmerrn1"] = float(cc[0])
+    else:
+        out["xcmerr1"] = out["xcmerrn1"] = float("nan")
+    return out
 
 
 def outlier_test(y: np.ndarray, p: float = 2.0, just_me: str | None = None):

@@ -228,6 +228,31 @@ def stick_angles(y: np.ndarray) -> dict:
             pos, neg = a[a > 0], a[a < 0]
             if pos.size and neg.size:
                 out[f"ratmean_{suffix}"] = float(pos.mean() / neg.mean())
+
+    def _sub_statav(x: np.ndarray, n: int) -> tuple[float, float]:
+        p_ = len(x) // n
+        if p_ < 2:
+            return float("nan"), float("nan")
+        seg = x[: p_ * n].reshape(n, p_)
+        sd = x.std(ddof=1)
+        if sd == 0:
+            return float("nan"), float("nan")
+        return (
+            float(np.std(seg.mean(axis=1), ddof=1) / sd),
+            float(np.std(seg.std(axis=1, ddof=1), ddof=1) / sd),
+        )
+
+    from pyhctsa_spark.functions.kernels import zscore
+
+    for j, suffix in ((0, "p"), (1, "n")):
+        try:
+            za = zscore(angles[j])
+        except Exception:
+            za = np.array([])
+        for nseg in (2, 3, 4, 5):
+            m_, s_ = _sub_statav(za, nseg) if za.size else (float("nan"),) * 2
+            out[f"statav{nseg}_{suffix}_m"] = m_
+            out[f"statav{nseg}_{suffix}_s"] = s_
     return out
 
 

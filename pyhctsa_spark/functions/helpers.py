@@ -99,6 +99,21 @@ def find_peaks_simple(
     return idx, x[idx]
 
 
+def xcorr(x: np.ndarray, y: np.ndarray, normed: bool = True,
+          maxlags: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-correlation coefficients at lags -maxlags..maxlags
+    (matplotlib-style normalization; utils.py:426-452 semantics)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    c = np.correlate(x, y, mode="full")
+    if normed:
+        denom = math.sqrt(float(x @ x) * float(y @ y))
+        c = c / denom if denom > 0 else np.full_like(c, np.nan)
+    lags = np.arange(-maxlags, maxlags + 1)
+    return lags, c[n - 1 - maxlags : n + maxlags]
+
+
 def norm_cdf(x) -> np.ndarray | float:
     """Standard normal CDF via erf (no scipy)."""
     xarr = np.asarray(x, dtype=np.float64)

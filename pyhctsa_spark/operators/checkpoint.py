@@ -133,3 +133,16 @@ class RollupJob:
 
     def result(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.store_path, "tier_data"))
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-bucket lineage as a queryable DataFrame (rows read,
+        windows emitted, checksum mismatches, wall, bytes, commit time)."""
+        entries = list(self.completed_buckets().values())
+        if not entries:
+            return spark.createDataFrame(
+                [],
+                "bucket int, rows_read long, windows_emitted long, "
+                "checksum_mismatches long, wall_sec double, "
+                "output_bytes long, committed_at double",
+            )
+        return spark.createDataFrame(entries)
