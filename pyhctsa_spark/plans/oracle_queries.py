@@ -660,6 +660,100 @@ FROM embeddings
 """,
 )
 
+# --------------------------------------------------------------------------
+# Relational surface (TPC-H-style): the engine is a full Spark SQL engine,
+# so classic scan/join/agg/top-k queries are part of the checked surface
+# (the reference has none of this — SURVEY.md §2.0).
+# --------------------------------------------------------------------------
+
+QUERIES["tpch_q1_pricing_summary"] = _q2(
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE)                         AS sum_qty,
+       round(sum(l_extendedprice), 2)                          AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+       round(avg(l_quantity), 6)                               AS avg_qty,
+       round(avg(l_extendedprice), 6)                          AS avg_price,
+       round(avg(l_discount), 6)                               AS avg_disc,
+       CAST(count(*) AS BIGINT)                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE)                         AS sum_qty,
+       round(sum(l_extendedprice), 2)                          AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+       round(avg(l_quantity), 6)                               AS avg_qty,
+       round(avg(l_extendedprice), 6)                          AS avg_price,
+       round(avg(l_discount), 6)                               AS avg_disc,
+       CAST(count(*) AS BIGINT)                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+QUERIES["tpch_q3_style_top_orders"] = _q2(
+    """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(o.o_orderdate AS STRING) AS orderdate
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+    """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(o.o_orderdate AS VARCHAR) AS orderdate
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+)
+
+QUERIES["tpch_q5_style_nation_revenue"] = _q2(
+    """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+
+QUERIES["tpch_supplier_part_stats"] = _q2(
+    """
+SELECT s.s_nationkey,
+       CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+       round(avg(p.p_retailprice), 6) AS avg_price
+FROM supplier s JOIN part p ON p.p_partkey % 10 = s.s_suppkey % 10
+GROUP BY s.s_nationkey
+""",
+    """
+SELECT s.s_nationkey,
+       CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+       round(avg(p.p_retailprice), 6) AS avg_price
+FROM supplier s JOIN part p ON p.p_partkey % 10 = s.s_suppkey % 10
+GROUP BY s.s_nationkey
+""",
+)
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
