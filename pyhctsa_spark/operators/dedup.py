@@ -224,6 +224,63 @@ def simhash_near_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: returns
+    (doc_id, component_id) with component_id = the minimum doc id
+    reachable through the pair graph (iterative min-label propagation;
+    converges in O(component diameter) rounds, each one join + one
+    aggregate — the standard large-graph CC pattern when no graph
+    library is present).
+
+    Input: any pair table with columns id_a, id_b.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+    )
+    for i in range(max_iterations):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+        )
+        # convergence check every few rounds (an action; cheap on the
+        # label table which is tiny relative to the corpus)
+        if i % 4 == 3:
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "doc_id")
+                .where(F.col("u.component_id") != F.col("l.component_id"))
+                .limit(1)
+                .count()
+            )
+            labels = updated.localCheckpoint(eager=True)
+            if changed == 0:
+                break
+        else:
+            labels = updated
+    return labels
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -200,3 +200,34 @@ def test_streaming_rollup_matches_batch(spark, tmp_path_factory):
     total = spark.read.parquet(sink).count()
     full = rollup_tiers(spark.read.parquet(src)).count()
     assert total == full
+
+
+def test_dedup_components_chains_and_cliques(spark):
+    from pyhctsa_spark.operators.dedup import dedup_components
+
+    # chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = dedup_components(pairs).toPandas().set_index("doc_id").component_id
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4))
+    assert all(comp[i] == 10 for i in (10, 11, 12))
+    assert comp[20] == 20 and comp[21] == 20
+
+
+def test_dedup_components_end_to_end_minhash(spark, docs):
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.dedup import dedup_components, minhash_dedup_pairs
+
+    near = (
+        docs.limit(6)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    pairs = minhash_dedup_pairs(docs.unionByName(near), threshold=0.5)
+    comp = dedup_components(pairs).toPandas()
+    # every component's id is its minimum member
+    g = comp.groupby("component_id").doc_id.min()
+    assert (g.index == g.values).all()
