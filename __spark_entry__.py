@@ -58,11 +58,44 @@ def _mk(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _f6(name: str, alias: str | None = None):
+    """round(col, 6) with numpy NaN/inf mapped to NULL — the engine's
+    kernels emit NaN where the SQL oracles emit NULL (guarded zero
+    denominators), so align the encodings before hashing."""
+    from pyspark.sql import functions as F
+
+    c = F.col(name)
+    bad = F.isnan(c) | (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
+    return F.round(
+        F.when(bad, F.lit(None).cast("double")).otherwise(c), 6
+    ).alias(alias or name)
+
+
 def _rollup_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: full engine rollup (mapInPandas kernels, ALG merge
-    states, Fourier ACF, hazen IQR) over event-derived sequences. Not
-    ANSI-SQL-expressible (FFT ACF + hazen quantiles); ALG columns are
-    cross-checked against the SQL oracles via the win_* queries."""
+    """Flagship under the driver gate: 3-tier engine rollup (mapInArrow,
+    ALG merge states) over event-derived token sequences, projected to
+    its ALG columns. window=4, group=4 so all three tiers (wlen 4/16/64)
+    emit rows at sf0.01 sequence lengths. The DuckDB oracle
+    (plans/oracle_queries.ENGINE_ORACLES) recomputes every column
+    bit-exactly — integer tokens make all state sums exact, and the SQL
+    mirrors stats_state.finalize()'s IEEE op order. HOL columns
+    (hazen spread_iqr) stay pytest-golden-tested."""
+    from pyhctsa_spark.operators.rollup import rollup_tiers
+
+    seq = _sequences_from_events(spark, sf_dir)
+    r = rollup_tiers(seq, window=4, group=4, n_tiers=3, lags=[1, 2])
+    return r.select(
+        "doc_id", "source", "tier", "window_idx", "n",
+        _f6("mean", "mean_v"), _f6("variance", "var_v"),
+        _f6("spread_std", "std_v"), _f6("ac1_td"), _f6("ac2_td"),
+        _f6("ac1_fourier", "ac1_f"), _f6("burst_b"), _f6("burst_b_kim"),
+    )
+
+
+def _rollup_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full rollup schema incl. HOL columns (hazen IQR)
+    and the window=8 flagship configuration — exercises the exact
+    entry() plan at driver scale."""
     from pyhctsa_spark.operators.rollup import rollup_tiers
 
     seq = _sequences_from_events(spark, sf_dir)
@@ -72,50 +105,71 @@ def _rollup_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MinHash-LSH near-dup candidate pairs on documents
-    (signature hashing is xxhash64-seeded — not reproducible in ANSI SQL;
-    the exact-jaccard analogue is oracle-checked as doc_ngram_jaccard)."""
-    from pyhctsa_spark.operators.dedup import minhash_dedup_pairs
+    """MinHash-LSH candidates + exact-Jaccard verification; oracled
+    against the exhaustive exact-Jaccard pair set (full LSH recall at
+    this corpus's J>=0.9 near-dups)."""
+    from pyhctsa_spark.operators.dedup import minhash_verified_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, threshold=0.3)
+    return minhash_verified_pairs(docs, threshold=0.3)
 
 
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash fingerprints + near pairs (bit-vote fingerprint
-    verified against an independent numpy implementation in tests)."""
-    from pyhctsa_spark.operators.dedup import simhash64, simhash_near_pairs
+    """md5-bit SimHash + 8x8-bit pigeonhole blocking (full recall at
+    hamming<=6); the oracle recomputes identical fingerprints from md5
+    nibbles and does the exhaustive hamming join."""
+    from pyhctsa_spark.operators.dedup import simhash_md5, simhash_near_pairs_2x32
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(simhash64(docs), max_hamming=6)
+    return simhash_near_pairs_2x32(simhash_md5(docs), max_hamming=6)
 
 
 def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF approximate nearest neighbors (recall vs the exact
-    knn_cosine_top3 oracle is asserted in tests)."""
+    """IVF ANN at full probe (nprobe = nlist): the complete index
+    machinery — k-means centroid build, inverted-list assignment, query
+    routing, in-list search, top-k ranking — must reproduce the exact
+    brute-force top-3 (same SQL oracle as knn_cosine_top3). Partial
+    probe is the scale/recall knob, asserted in pytest."""
     from pyspark.sql import functions as F
 
     from pyhctsa_spark.operators.similarity import knn_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return knn_ivf(emb, emb.where(F.col("vec_id") < 5), k=3)
+    qs = emb.where(F.col("vec_id") < 5)
+    approx = knn_ivf(emb, qs, k=3, num_centroids=16, nprobe=16)
+    return approx.select(
+        "qid", "nid", F.round("cosine", 4).alias("cos_sim")
+    )
 
 
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multimodal decode->featurize plumbing on the synthetic
-    media table (deterministic fake decoder; see operators/multimodal)."""
+    """Multimodal decode->featurize plumbing on the synthetic media table
+    (deterministic seeded fake decoder). The feature vector is flattened
+    to feat_0..feat_7 doubles (driver-hashable); the oracle reads the
+    committed golden snapshot (scripts/gen_media_golden.py)."""
+    from pyspark.sql import functions as F
+
     from pyhctsa_spark.operators.multimodal import (
         extract_media_features,
         synth_media_df,
     )
 
-    return extract_media_features(synth_media_df(spark, 48))
+    feats = extract_media_features(synth_media_df(spark, 48))
+    flat = [
+        F.round(F.col("feat")[i], 6).alias(f"feat_{i}") for i in range(8)
+    ]
+    return feats.select(
+        "media_id", "modality", "n_bytes",
+        _f6("mean"), _f6("std"), _f6("p01"), _f6("p99"), *flat,
+    )
 
 
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hctsa-style feature-matrix extraction (a compact
-    registry subset) over event-derived sequences — the generic
-    extract_features operator; per-kernel math is golden-tested."""
+    """hctsa-style feature-matrix extraction through the registry path
+    (plans/registry.FeatureSet -> operators/features.extract_features)
+    over W=16 token windows, with SQL-expressible kernels so the DuckDB
+    oracle can recompute every column (HOL kernels like PermEn are
+    golden-tested in pytest)."""
     from pyhctsa_spark.functions import kernels as K
     from pyhctsa_spark.operators.features import extract_features
     from pyhctsa_spark.plans.registry import FeatureSet, Operation, expand
@@ -125,15 +179,18 @@ def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 Operation(K.mean_, "DN_Mean"),
                 Operation(K.spread_std, "DN_Spread_std"),
-                Operation(K.autocorr_fourier, "AC", ["tau"], [{"tau": [1, 2, 3]}]),
+                Operation(
+                    K.autocorr_timedomain, "ACtd", ["tau"], [{"tau": [1, 2, 3]}]
+                ),
                 Operation(K.burstiness, "DN_Burstiness"),
                 Operation(K.trev, "CO_trev", ["tau"], [{"tau": [1]}]),
-                Operation(K.perm_entropy, "EN_PermEn_norm", ["m"], [{"m": [3]}]),
             ]
         )
     )
     seq = _sequences_from_events(spark, sf_dir)
-    return extract_features(seq, fs, window=16)
+    raw = extract_features(seq, fs, window=16)
+    feat_cols = [c for c in raw.columns if c not in ("doc_id", "source", "window_idx")]
+    return raw.select("doc_id", "source", "window_idx", *[_f6(c) for c in feat_cols])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -141,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _mk(name) for name in OQ.QUERIES
     }
     out["rollup_tiers_events"] = _rollup_events_query
+    out["rollup_full_events"] = _rollup_full_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query
     out["knn_ivf"] = _knn_ivf_query
@@ -150,4 +208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: OQ.duck_sql_for(name) for name in OQ.QUERIES}
+    out = {name: OQ.duck_sql_for(name) for name in OQ.QUERIES}
+    out.update(OQ.ENGINE_ORACLES)
+    return out

@@ -149,6 +149,139 @@ def minhash_dedup_pairs(
     return cands.where(F.col("est_jaccard") >= threshold)
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with EXACT shingle Jaccard.
+
+    This is the production near-dup shape: LSH banding prunes the pair
+    space (shuffle volume = band tuples, never documents), then each
+    surviving candidate pair is verified pair-locally against the true
+    Jaccard of its distinct k-shingle sets. Output (d1, d2, jaccard)
+    matches the exhaustive exact-Jaccard pair set whenever LSH recall at
+    the threshold is ~1 (true near-dups have J >= 0.9 in this corpus:
+    miss probability (1 - J^4)^16 < 3e-8) — which is what the DuckDB
+    oracle checks end-to-end.
+    """
+    sh_df = df.select(
+        F.col(id_col), _shingles(text_col, shingle_k).alias("sh")
+    ).where(F.size("sh") > 0)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes // bands
+    ).select("id_a", "id_b")
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    ic = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = ic / (F.size("sh_a") + F.size("sh_b") - ic).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("d1"),
+            F.col("id_b").alias("d2"),
+            jac.alias("_j"),
+        )
+        .where(F.col("_j") >= threshold)
+        .select("d1", "d2", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+_HEXLUT = "0123456789abcdef"
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with md5-derived word-hash bits, emitted as two
+    32-bit halves (fp_hi, fp_lo).
+
+    Same bit-vote construction as ``simhash64`` but the per-word hash
+    bits come from the md5 hex digest (bit b = bit (3 - b%4) of hex
+    nibble b//4), which an ANSI-SQL oracle can recompute exactly —
+    xxhash64 is Spark-only, md5 is universal. All expressions are
+    JVM-side built-ins; the xxhash64 variant stays the default scale
+    path.
+    """
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(words, lambda w: F.md5(w))
+
+    def _vote(pos: int, shift: int):
+        def step(acc, h):
+            nib = F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
+            bit = F.shiftright(nib, shift).bitwiseAND(F.lit(1))
+            return acc + (bit * 2 - 1)
+
+        return step
+
+    votes = F.array(
+        *[
+            F.aggregate(hashes, F.lit(0), _vote(b // 4 + 1, 3 - b % 4))
+            for b in range(64)
+        ]
+    )
+    base = df.select(id_col, text_col).withColumn("_votes", votes)
+    def _half(lo_bit: int) -> "F.Column":
+        acc = F.lit(0).cast("long")
+        for b in range(lo_bit, lo_bit + 32):
+            acc = acc + F.when(
+                F.element_at(F.col("_votes"), b + 1) > 0,
+                F.lit(1 << (b - lo_bit)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return (
+        base.withColumn("fp_lo", _half(0))
+        .withColumn("fp_hi", _half(32))
+        .drop("_votes", text_col)
+    )
+
+
+def simhash_near_pairs_2x32(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs over (fp_hi, fp_lo) split fingerprints,
+    blocked on 8x8-bit chunks (pigeonhole: full recall to hamming 7)."""
+    chunk_structs = []
+    for c in range(8):
+        src = F.col("fp_lo") if c < 4 else F.col("fp_hi")
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(src, (c % 4) * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("chunk_val"),
+            )
+        )
+    blocked = sim_df.select(
+        id_col, "fp_hi", "fp_lo", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(id_col, "fp_hi", "fp_lo", "c.chunk_id", "c.chunk_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
+        + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: bit j of the fingerprint is the
     majority vote of bit j across xxhash64(word). Pure expressions

@@ -53,33 +53,67 @@ def knn_bruteforce(
     )
 
 
+def _spherical_kmeans(X, k: int, iters: int = 10):
+    """Deterministic spherical k-means (cosine) on a numpy sample.
+    Init = first k rows of the (hash-ordered) sample; Lloyd iterations
+    with re-normalized mean centroids. Empty clusters keep their previous
+    centroid (stable, deterministic)."""
+    import numpy as np
+
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+    return C
+
+
 def ivf_build(
     corpus: DataFrame,
     num_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_sample: int = 4096,
+    train_iters: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: centroids = the ``num_centroids`` corpus
-    vectors with the smallest xxhash64(id) (a seedless deterministic
-    sample), then every vector is assigned to its nearest centroid by
-    cosine. Returns (centroids, assigned) DataFrames.
+    """IVF index: spherical-k-means centroids trained driver-side on a
+    deterministic bounded sample (the ``train_sample`` corpus vectors
+    with the smallest xxhash64(id) — the faiss-style train-on-sample
+    pattern, so index build cost is independent of corpus size), then
+    every vector is assigned map-side to its nearest centroid by cosine.
+    Returns (centroids, assigned) DataFrames.
 
-    At scale the centroid table is tiny and broadcast; the assignment is
-    a map-side operation over the corpus scan.
+    Centroid ids are fixed integers baked into a literal DataFrame —
+    both downstream consumers (inverted-list assignment and query
+    routing) see the identical broadcast centroid table, and the corpus
+    itself is never collected or shuffled.
     """
     base = corpus.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cnorm", _norm(F.col("cv")))
-    cents = (
+    sample = (
         base.withColumn("_h", F.xxhash64(F.col("nid")))
         .orderBy("_h")
-        .limit(num_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("cid"),
-            F.col("cv").alias("centroid"),
-            F.col("cnorm").alias("centnorm"),
-        )
+        .limit(train_sample)
+        .select("cv")
+        .collect()  # bounded index-build sample, never the corpus
     )
+    import numpy as np
+
+    X = np.asarray([r["cv"] for r in sample], dtype=np.float64)
+    k = min(num_centroids, len(X))
+    C = _spherical_kmeans(X, k, train_iters)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in C[j]]) for j in range(k)],
+        "cid int, centroid array<double>",
+    ).withColumn("centnorm", _norm(F.col("centroid")))
     joined = base.crossJoin(F.broadcast(cents))
     cos = _dot(F.col("cv"), F.col("centroid")) / (F.col("cnorm") * F.col("centnorm"))
     w = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("cid"))

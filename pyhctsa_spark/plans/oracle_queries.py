@@ -626,11 +626,11 @@ SELECT doc_id, CAST({_PRED_CASE} AS VARCHAR) AS pred_lang FROM b
 QUERIES["doc_char_ratios"] = _q2(
     r"""
 SELECT doc_id,
-       round((length(text) - length(regexp_replace(text, '[^0-9]', ''))) * 1.0
+       round((length(text) - length(regexp_replace(text, '[^0-9]', ''))) * CAST(1.0 AS DOUBLE)
              / length(text), 6) AS digit_ratio,
-       round((length(text) - length(regexp_replace(text, '[^a-z]', ''))) * 1.0
+       round((length(text) - length(regexp_replace(text, '[^a-z]', ''))) * CAST(1.0 AS DOUBLE)
              / length(text), 6) AS lower_ratio,
-       round((length(text) - length(regexp_replace(text, '[^ ]', ''))) * 1.0
+       round((length(text) - length(regexp_replace(text, '[^ ]', ''))) * CAST(1.0 AS DOUBLE)
              / length(text), 6) AS space_ratio
 FROM documents
 """,
@@ -753,6 +753,239 @@ FROM supplier s JOIN part p ON p.p_partkey % 10 = s.s_suppkey % 10
 GROUP BY s.s_nationkey
 """,
 )
+
+# --------------------------------------------------------------------------
+# DuckDB oracles for ENGINE-side queries (the Spark half runs the actual
+# engine operator in __spark_entry__, not SQL). Each SQL below recomputes
+# the same math independently in ANSI SQL.
+#
+# The rollup oracle is BIT-EXACT by construction: tokens are integers, so
+# every state sum (s1, s2, sxy, head/tail strip sums) is an exact integer
+# in float64, and the final expressions mirror stats_state.finalize()'s
+# IEEE operation order term by term — both engines then produce identical
+# doubles before rounding.
+# --------------------------------------------------------------------------
+
+ENGINE_ORACLES: dict[str, str] = {}
+
+# Tiered rollup, window=4, group=4, 3 tiers (wlen 4 / 16 / 64), lags 1,2.
+# Tier t of the engine merges 4^t tier-0 ALG states; because merge adds the
+# exact boundary lag-products, the merged state equals the direct state of
+# the wlen-length window, which is what this SQL computes per tier.
+ENGINE_ORACLES["rollup_tiers_events"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(CAST(round(value) AS INTEGER) AS DOUBLE) AS v
+  FROM events
+),
+tiers AS (
+  SELECT CAST(0 AS INTEGER) AS tier, 4 AS wlen
+  UNION ALL SELECT CAST(1 AS INTEGER), 16
+  UNION ALL SELECT CAST(2 AS INTEGER), 64
+),
+w AS (
+  SELECT s.doc_id, s.source, t.tier, t.wlen,
+         CAST(floor(s.rn / t.wlen) AS BIGINT) AS window_idx,
+         s.rn % t.wlen AS i, s.v,
+         lead(s.v)    OVER (PARTITION BY s.doc_id, t.tier ORDER BY s.rn) AS v1,
+         lead(s.v, 2) OVER (PARTITION BY s.doc_id, t.tier ORDER BY s.rn) AS v2
+  FROM series s CROSS JOIN tiers t
+),
+agg AS (
+  SELECT doc_id, source, tier, window_idx,
+         CAST(count(*) AS BIGINT)                 AS n,
+         CAST(max(wlen) AS DOUBLE)                AS nd,
+         sum(v)                                   AS s1,
+         sum(v * v)                               AS s2,
+         sum(v * v1) FILTER (WHERE i < wlen - 1)  AS sxy1,
+         sum(v * v2) FILTER (WHERE i < wlen - 2)  AS sxy2,
+         sum(v)      FILTER (WHERE i < wlen - 1)  AS s1a1,
+         sum(v * v)  FILTER (WHERE i < wlen - 1)  AS s2a1,
+         sum(v)      FILTER (WHERE i >= 1)        AS s1b1,
+         sum(v * v)  FILTER (WHERE i >= 1)        AS s2b1,
+         sum(v)      FILTER (WHERE i < wlen - 2)  AS s1a2,
+         sum(v * v)  FILTER (WHERE i < wlen - 2)  AS s2a2,
+         sum(v)      FILTER (WHERE i >= 2)        AS s1b2,
+         sum(v * v)  FILTER (WHERE i >= 2)        AS s2b2,
+         max(CASE WHEN i = 0 THEN v END)          AS y0,
+         max(CASE WHEN i = wlen - 1 THEN v END)   AS ylast
+  FROM w
+  GROUP BY doc_id, source, tier, window_idx
+  HAVING count(*) = max(wlen)
+),
+f1 AS (SELECT *, s1 / nd AS mean FROM agg),
+f2 AS (
+  SELECT *,
+         greatest((s2 - nd * (mean * mean)) / (nd - 1.0), 0.0) AS var
+  FROM f1
+),
+f3 AS (
+  SELECT *, sqrt(var) AS std,
+         sqrt(var) / nullif(mean, 0.0) AS r,
+         s1a1 / (nd - 1.0) AS mu1a, s1b1 / (nd - 1.0) AS mu1b,
+         s1a2 / (nd - 2.0) AS mu2a, s1b2 / (nd - 2.0) AS mu2b
+  FROM f2
+),
+f4 AS (
+  SELECT *,
+         sqrt(greatest(s2a1 / (nd - 1.0) - mu1a * mu1a, 0.0)) AS sg1a,
+         sqrt(greatest(s2b1 / (nd - 1.0) - mu1b * mu1b, 0.0)) AS sg1b,
+         sqrt(greatest(s2a2 / (nd - 2.0) - mu2a * mu2a, 0.0)) AS sg2a,
+         sqrt(greatest(s2b2 / (nd - 2.0) - mu2b * mu2b, 0.0)) AS sg2b
+  FROM f3
+)
+SELECT doc_id, source, tier, window_idx, n,
+       round(mean, 6) AS mean_v,
+       round(var, 6)  AS var_v,
+       round(std, 6)  AS std_v,
+       round((sxy1 / (nd - 1.0) - mu1a * mu1b) / nullif(sg1a * sg1b, 0.0), 6) AS ac1_td,
+       round((sxy2 / (nd - 2.0) - mu2a * mu2b) / nullif(sg2a * sg2b, 0.0), 6) AS ac2_td,
+       round(CASE WHEN s2 - nd * (mean * mean) > 0.0 THEN
+               ((sxy1 - mean * ((2.0 * s1 - y0) - ylast)) + (nd - 1.0) * (mean * mean))
+               / (s2 - nd * (mean * mean))
+             ELSE NULL END, 6) AS ac1_f,
+       round((r - 1.0) / (r + 1.0), 6) AS burst_b,
+       round((sqrt(nd + 1.0) * r - sqrt(nd - 1.0))
+             / nullif((sqrt(nd + 1.0) - 2.0) * r + sqrt(nd - 1.0), 0.0), 6) AS burst_b_kim
+FROM f4
+"""
+
+# hctsa-style feature matrix over W=16 token windows: the registry path
+# (plans/registry.FeatureSet -> operators/features.extract_features) with
+# SQL-expressible kernels; labels match the engine's column names.
+ENGINE_ORACLES["feature_matrix"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(CAST(round(value) AS INTEGER) AS DOUBLE) AS v
+  FROM events
+),
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 16) AS BIGINT) AS window_idx,
+         rn % 16 AS i, v,
+         lead(v)    OVER (PARTITION BY doc_id ORDER BY rn) AS v1,
+         lead(v, 2) OVER (PARTITION BY doc_id ORDER BY rn) AS v2,
+         lead(v, 3) OVER (PARTITION BY doc_id ORDER BY rn) AS v3
+  FROM series
+),
+agg AS (
+  SELECT doc_id, source, window_idx,
+         avg(v)                                    AS mean_v,
+         stddev_samp(v)                            AS std_v,
+         sum(v * v1)           FILTER (WHERE i < 15) AS sxy1,
+         sum(v)                FILTER (WHERE i < 15) AS s1a1,
+         sum(v * v)            FILTER (WHERE i < 15) AS s2a1,
+         sum(v)                FILTER (WHERE i >= 1) AS s1b1,
+         sum(v * v)            FILTER (WHERE i >= 1) AS s2b1,
+         sum(v * v2)           FILTER (WHERE i < 14) AS sxy2,
+         sum(v)                FILTER (WHERE i < 14) AS s1a2,
+         sum(v * v)            FILTER (WHERE i < 14) AS s2a2,
+         sum(v)                FILTER (WHERE i >= 2) AS s1b2,
+         sum(v * v)            FILTER (WHERE i >= 2) AS s2b2,
+         sum(v * v3)           FILTER (WHERE i < 13) AS sxy3,
+         sum(v)                FILTER (WHERE i < 13) AS s1a3,
+         sum(v * v)            FILTER (WHERE i < 13) AS s2a3,
+         sum(v)                FILTER (WHERE i >= 3) AS s1b3,
+         sum(v * v)            FILTER (WHERE i >= 3) AS s2b3,
+         avg((v1 - v) * (v1 - v) * (v1 - v)) FILTER (WHERE i < 15) AS tnum,
+         avg((v1 - v) * (v1 - v))            FILTER (WHERE i < 15) AS td2
+  FROM w
+  GROUP BY doc_id, source, window_idx
+  HAVING count(*) = 16
+),
+fin AS (
+  SELECT *,
+         std_v / nullif(mean_v, 0.0) AS r,
+         power(td2, 1.5) AS tden,
+         s1a1 / 15.0 AS m1a, s1b1 / 15.0 AS m1b,
+         s1a2 / 14.0 AS m2a, s1b2 / 14.0 AS m2b,
+         s1a3 / 13.0 AS m3a, s1b3 / 13.0 AS m3b
+  FROM agg
+)
+SELECT doc_id, source, window_idx,
+       round(mean_v, 6) AS "DN_Mean",
+       round(std_v, 6)  AS "DN_Spread_std",
+       round((sxy1 / 15.0 - m1a * m1b)
+             / nullif(sqrt(greatest(s2a1 / 15.0 - m1a * m1a, 0.0))
+                      * sqrt(greatest(s2b1 / 15.0 - m1b * m1b, 0.0)), 0.0), 6) AS "ACtd_1",
+       round((sxy2 / 14.0 - m2a * m2b)
+             / nullif(sqrt(greatest(s2a2 / 14.0 - m2a * m2a, 0.0))
+                      * sqrt(greatest(s2b2 / 14.0 - m2b * m2b, 0.0)), 0.0), 6) AS "ACtd_2",
+       round((sxy3 / 13.0 - m3a * m3b)
+             / nullif(sqrt(greatest(s2a3 / 13.0 - m3a * m3a, 0.0))
+                      * sqrt(greatest(s2b3 / 13.0 - m3b * m3b, 0.0)), 0.0), 6) AS "ACtd_3",
+       round((r - 1.0) / (r + 1.0), 6) AS "DN_Burstiness_B",
+       round((sqrt(17.0) * r - sqrt(15.0))
+             / nullif((sqrt(17.0) - 2.0) * r + sqrt(15.0), 0.0), 6) AS "DN_Burstiness_B_Kim",
+       round(tnum / nullif(tden, 0.0), 6)      AS "CO_trev_1_raw",
+       round(abs(tnum) / nullif(tden, 0.0), 6) AS "CO_trev_1_abs",
+       round(tnum, 6)                          AS "CO_trev_1_num",
+       round(tden, 6)                          AS "CO_trev_1_denom"
+FROM fin
+"""
+
+# MinHash-LSH near-dup pipeline: the engine generates candidates by LSH
+# banding and verifies each with EXACT shingle Jaccard; at threshold 0.3
+# the true pairs in this corpus all have J >= 0.9, where 16-band/4-row
+# LSH recall is 1 - (1 - J^4)^16 > 1 - 3e-8 — so the verified pair set
+# equals the exhaustive exact-Jaccard pair set this oracle computes.
+ENGINE_ORACLES["minhash_dedup_pairs"] = QUERIES["doc_ngram_jaccard"]["duck"]
+
+# SimHash near-dup pairs: the engine computes md5-bit SimHash fingerprints
+# (operators/dedup.simhash_md5) with 8x8-bit pigeonhole blocking (exact
+# full recall at hamming <= 7); this oracle recomputes the identical
+# fingerprints from md5 nibbles and takes the exhaustive all-pairs
+# hamming join — candidate blocking must lose nothing.
+ENGINE_ORACLES["simhash_near_pairs"] = """
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+),
+wh AS (SELECT doc_id, md5(word) AS h FROM words),
+bits AS (
+  SELECT wh.doc_id, b.b,
+         ((instr('0123456789abcdef', substr(wh.h, (b.b // 4) + 1, 1)) - 1)
+           >> (3 - (b.b % 4))) & 1 AS bit
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+),
+v AS (
+  SELECT doc_id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 AND b < 32
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)        AS fp_lo,
+         CAST(sum(CASE WHEN vote > 0 AND b >= 32
+                  THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS fp_hi
+  FROM v GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp_lo, b2.fp_lo))
+            + bit_count(xor(a.fp_hi, b2.fp_hi)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.fp_lo, b2.fp_lo)) + bit_count(xor(a.fp_hi, b2.fp_hi)) <= 6
+"""
+
+# IVF ANN at full probe (nprobe = nlist) must reproduce the exact
+# brute-force top-3 bit-for-bit — this verifies the entire index
+# machinery (k-means centroids, inverted-list assignment, query routing,
+# in-list search, top-k ranking) end-to-end against the same SQL oracle
+# as knn_cosine_top3. Partial probe (nprobe << nlist) is the scale knob;
+# its recall/cost tradeoff is asserted in pytest, not here (the synthetic
+# embeddings are near-isotropic, so no fixed per-query recall bound at
+# partial probe would be honest).
+ENGINE_ORACLES["knn_ivf"] = QUERIES["knn_cosine_top3"]["duck"]
+
+# Multimodal decode->featurize: the fake decoder is seeded and
+# deterministic, so the engine output is reproducible bit-for-bit; the
+# oracle reads the committed golden snapshot (scripts/gen_media_golden.py).
+ENGINE_ORACLES["media_features"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_features_48.parquet')
+"""
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
