@@ -124,7 +124,10 @@ def bench_feature_matrix(spark, seq_path: str, n_docs_cap: int = 600) -> dict:
             ]
         )
     )
-    df = spark.read.parquet(seq_path).limit(n_docs_cap)
+    # pushdown filter instead of .limit(): limit collapses the plan to a
+    # single task and serializes the whole extraction (doc ids are
+    # zero-padded, so the range predicate prunes at the parquet scan)
+    df = spark.read.parquet(seq_path).where(f"doc_id < 'doc{n_docs_cap:010d}'")
     n_docs = df.count()
     t0 = time.perf_counter()
     extract_features(df, fs).write.format("noop").mode("overwrite").save()
@@ -139,13 +142,16 @@ def bench_feature_matrix(spark, seq_path: str, n_docs_cap: int = 600) -> dict:
 
 def bench_queries(spark) -> dict:
     OQ.register_views(spark, SF_DIR)
+    # doc_ngram_jaccard is deliberately excluded: it is the exhaustive
+    # exact-Jaccard ORACLE (quadratic on raw shingle keys — a skew bomb
+    # at scale); the headline near-dup number is the production path,
+    # minhash_dedup_pairs (LSH banding + pair-local exact verify).
     picks = [
         "win_mean_var_std",
         "win_ac1_td",
         "win_burstiness",
         "user_statav_len16",
         "user_moment_corr",
-        "doc_ngram_jaccard",
         "knn_cosine_top3",
         "doc_quality",
     ]
@@ -153,6 +159,14 @@ def bench_queries(spark) -> dict:
     for name in picks:
         t0 = time.perf_counter()
         spark.sql(OQ.spark_sql_for(name)).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    # engine-operator queries (not SQL): time via the driver contract
+    import __spark_entry__ as entrymod
+
+    for name in ("minhash_dedup_pairs", "simhash_near_pairs"):
+        fn = entrymod.queries()[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

@@ -57,23 +57,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over k-word shingles.
 
-    sig[s] = min over shingles of xxhash64(shingle, seed=s) — computed
-    entirely with higher-order functions (transform + array_min), one
-    pass, no explode, no Python.
+    sig[s] = min over shingles of xxhash64(shingle, seed=s), computed as
+    explode(shingles) -> 64 partial min-aggregates. Each shingle is
+    materialized and hashed exactly once (an earlier higher-order-function
+    formulation re-evaluated the shingle construction inside the 64-seed
+    lambda — 64x the string work per row); the shuffle carries only 64
+    partially-combined longs per doc, so this is the 100 TB shape too.
     """
-    sh = _shingles(text_col, shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(F.col("_shingles"), lambda x: F.xxhash64(x, s))
-        ),
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
     )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
     return (
-        df.select(id_col, F.col(text_col))
-        .withColumn("_shingles", sh)
-        .where(F.size("_shingles") > 0)
-        .withColumn("minhash_sig", sig)
-        .drop("_shingles", text_col)
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias(
+                "minhash_sig"
+            ),
+        )
     )
 
 
@@ -203,41 +209,37 @@ def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Same bit-vote construction as ``simhash64`` but the per-word hash
     bits come from the md5 hex digest (bit b = bit (3 - b%4) of hex
     nibble b//4), which an ANSI-SQL oracle can recompute exactly —
-    xxhash64 is Spark-only, md5 is universal. All expressions are
-    JVM-side built-ins; the xxhash64 variant stays the default scale
-    path.
+    xxhash64 is Spark-only, md5 is universal.
+
+    Shape: explode(distinct words) -> project md5 once per word -> 64
+    partial sum-aggregates of ±1 bit votes (the md5 lives in a Project
+    under the Aggregate, so it is computed once per word, not once per
+    vote). Shuffle volume = 64 partially-combined longs per doc.
     """
-    words = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(words, lambda w: F.md5(w))
-
-    def _vote(pos: int, shift: int):
-        def step(acc, h):
-            nib = F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
-            bit = F.shiftright(nib, shift).bitwiseAND(F.lit(1))
-            return acc + (bit * 2 - 1)
-
-        return step
-
-    votes = F.array(
-        *[
-            F.aggregate(hashes, F.lit(0), _vote(b // 4 + 1, 3 - b % 4))
-            for b in range(64)
-        ]
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
-    base = df.select(id_col, text_col).withColumn("_votes", votes)
-    def _half(lo_bit: int) -> "F.Column":
+    hashed = words.select(id_col, F.md5("w").alias("h"))
+
+    def _bit(b: int):
+        nib = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+
+    votes = hashed.groupBy(id_col).agg(
+        *[F.sum(_bit(b) * 2 - 1).alias(f"_v{b}") for b in range(64)]
+    )
+
+    def _half(lo_bit: int):
         acc = F.lit(0).cast("long")
         for b in range(lo_bit, lo_bit + 32):
             acc = acc + F.when(
-                F.element_at(F.col("_votes"), b + 1) > 0,
-                F.lit(1 << (b - lo_bit)).cast("long"),
+                F.col(f"_v{b}") > 0, F.lit(1 << (b - lo_bit)).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         return acc
 
-    return (
-        base.withColumn("fp_lo", _half(0))
-        .withColumn("fp_hi", _half(32))
-        .drop("_votes", text_col)
+    return votes.select(
+        id_col, _half(32).alias("fp_hi"), _half(0).alias("fp_lo")
     )
 
 
@@ -284,31 +286,34 @@ def simhash_near_pairs_2x32(
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: bit j of the fingerprint is the
-    majority vote of bit j across xxhash64(word). Pure expressions
-    (aggregate over the word-hash array per bit)."""
-    words = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    majority vote of bit j across xxhash64(word).
+
+    explode(distinct words) -> project xxhash64 once per word -> 64
+    partial ±1-vote sum-aggregates (same single-hash-evaluation shape as
+    simhash_md5; an aggregate-over-array formulation re-hashed every
+    word once per bit)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
     # bit masks as Python int64 literals (bit 63 = sign bit in two's
     # complement); shift functions need literal counts, masks don't
     masks = [(1 << b) if b < 63 else -(2**63) for b in range(64)]
-    def _vote(mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    bit_votes = F.array(
+    votes = hashed.groupBy(id_col).agg(
         *[
-            F.aggregate(hashes, F.lit(0).cast("long"), _vote(m))
-            for m in masks
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b, m in enumerate(masks)
         ]
     )
-    base = df.select(id_col, text_col).withColumn("_votes", bit_votes)
     fp = F.lit(0).cast("long")
     for b, m in enumerate(masks):
         fp = fp + F.when(
-            F.element_at(F.col("_votes"), b + 1) > 0, F.lit(m).cast("long")
+            F.col(f"_v{b}") > 0, F.lit(m).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return base.withColumn("simhash", fp).drop("_votes", text_col)
+    return votes.select(id_col, fp.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -61,6 +61,8 @@ class Feature:
     fn: Callable  # fn(y) -> float | dict
     zscore: bool
     absval: bool
+    base_fn: Callable | None = None  # unbound kernel, for batched dispatch
+    params: dict | None = None
 
     def __call__(self, y: np.ndarray):
         x = y
@@ -98,7 +100,9 @@ def expand(ops: list[Operation]) -> list[Feature]:
                 def make(fn=op.func, p=dict(params)):
                     return lambda y: fn(y, **p)
 
-                feats.append(Feature(label, make(), zs, ab))
+                feats.append(
+                    Feature(label, make(), zs, ab, op.func, dict(params))
+                )
     return feats
 
 
@@ -138,12 +142,32 @@ class FeatureSet:
     def compute(self, y: np.ndarray) -> tuple[list[float], int]:
         """Evaluate every feature on one series; errors -> NaN + count
         (the reference stores 'Error: ...' strings per feature instead
-        of failing the extraction, calculator.py:101-104)."""
+        of failing the extraction, calculator.py:101-104).
+
+        The (double) z-scored series is computed once and shared across
+        all zscored features — the reference re-runs the preprocess per
+        feature (preprocess_decorator), which is pure waste at ~20
+        zscored features per catalog."""
         vals: list[float] = []
         n_err = 0
+        zs: np.ndarray | None = None
+        zs_err: Exception | None = None
         for f, (_, keys) in zip(self.features, self._shape):
             try:
-                out = f(y)
+                if f.zscore:
+                    if zs is None and zs_err is None:
+                        try:
+                            zs = zscore(y)
+                        except Exception as e:  # noqa: BLE001
+                            zs_err = e
+                    if zs_err is not None:
+                        raise zs_err
+                    x = zs
+                else:
+                    x = y
+                if f.absval:
+                    x = np.abs(x)
+                out = f.fn(x)
             except Exception:
                 out = None
                 n_err += 1
@@ -156,14 +180,86 @@ class FeatureSet:
                     vals.extend(float("nan") for _ in keys)
         return vals, n_err
 
+    def _batched_2d(self, f: Feature):
+        """Return a batched (num_windows, W) -> (num_windows, width)
+        evaluator for kernels that have a ``*_2d`` vectorized variant
+        (the ALG north-star labels), else None. The batched kernels use
+        the identical numpy expressions as the scalars, so results are
+        bit-equal (asserted in tests)."""
+        from pyhctsa_spark.functions import kernels as K
+
+        bf, p = f.base_fn, f.params or {}
+        if bf is K.mean_:
+            return lambda Y: K.mean_2d(Y)[:, None]
+        if bf is K.variance:
+            return lambda Y: K.variance_2d(Y)[:, None]
+        if bf is K.spread_std:
+            return lambda Y: K.std_2d(Y)[:, None]
+        if bf is K.spread_iqr:
+            return lambda Y: K.iqr_hazen_2d(Y)[:, None]
+        if bf is K.burstiness:
+            return lambda Y: np.column_stack(K.burstiness_2d(Y))
+        if bf is K.autocorr_timedomain:
+            return lambda Y: K.ac_timedomain_2d(Y, p["tau"])[:, None]
+        if bf is K.autocorr_fourier:
+            return lambda Y: K.ac_fourier_2d(Y, [p["tau"]])
+        return None
+
     def compute_matrix(self, Y: np.ndarray) -> tuple[np.ndarray, int]:
         """Evaluate on a (num_windows, W) matrix -> (num_windows,
-        num_columns) float64 + error count."""
+        num_columns) float64 + error count.
+
+        Column blocks whose kernel has a ``*_2d`` variant are evaluated
+        vectorized across all windows at once; the rest fall back to the
+        per-window scalar loop. Zscored batched features share one
+        zscore_2d pass, with the scalar guard semantics (constant /
+        near-constant rows -> NaN + error count) replicated row-wise.
+        """
+        Y = np.asarray(Y, dtype=np.float64)
         k = Y.shape[0]
         out = np.empty((k, len(self.columns)), dtype=np.float64)
         errs = 0
-        for i in range(k):
-            vals, ne = self.compute(Y[i])
-            out[i] = vals
-            errs += ne
+        col = 0
+        Z: np.ndarray | None = None
+        z_bad: np.ndarray | None = None
+
+        def _zmat():
+            nonlocal Z, z_bad
+            if Z is None:
+                from pyhctsa_spark.functions.kernels import zscore_2d
+
+                z_bad = (np.var(Y, axis=1, ddof=1) < 1e-10) | (
+                    np.ptp(Y, axis=1) < 1e-10
+                )
+                Z = zscore_2d(Y)
+                Z[z_bad] = np.nan
+            return Z
+
+        for f, (_, keys) in zip(self.features, self._shape):
+            width = 1 if keys is None else len(keys)
+            bfn = self._batched_2d(f)
+            if bfn is not None and k > 1:
+                X = _zmat() if f.zscore else Y
+                if f.absval:
+                    X = np.abs(X)
+                out[:, col : col + width] = bfn(X)
+                if f.zscore:
+                    errs += int(z_bad.sum())
+                col += width
+                continue
+            for i in range(k):
+                try:
+                    o = f(Y[i])
+                except Exception:
+                    o = None
+                    errs += 1
+                if keys is None:
+                    out[i, col] = float(o) if o is not None else float("nan")
+                elif isinstance(o, dict):
+                    out[i, col : col + width] = [
+                        float(o.get(kk, float("nan"))) for kk in keys
+                    ]
+                else:
+                    out[i, col : col + width] = float("nan")
+            col += width
         return out, errs
