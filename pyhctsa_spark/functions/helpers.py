@@ -25,43 +25,84 @@ def histc(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
     return counts
 
 
-def binpicker(xmin: float, xmax: float, nbins: int | None) -> np.ndarray:
-    """MATLAB-style 'nice' bin edges (binpicker semantics,
-    utils.py:113-211): choose a power-of-10-scaled step from
-    {1, 2, 3, 5, 10} covering [xmin, xmax]; with ``nbins`` given, use
-    exactly that many bins with nice-ish edges."""
+def binpicker(
+    xmin: float,
+    xmax: float,
+    nbins: int | None,
+    binwidth_est: float | None = None,
+) -> np.ndarray:
+    """MATLAB-style histogram bin edges (binpicker semantics,
+    utils.py:113-211), both branches:
+
+    * ``nbins`` given: bin width starts at a power-of-10 floor of the raw
+      width, the left edge snaps to a multiple of it, then the width is
+      refined to ``p10 * ceil(ll / p10)`` so exactly ``nbins`` bins span
+      [xmin, xmax]; the last edge is pinned to cover xmax.
+    * ``nbins=None`` (automatic): a 'nice' width from
+      {1, 2, 3, 5, 10} x 10^k nearest the estimate (``binwidth_est`` or
+      the raw width), with bin count derived from the snapped left edge.
+
+    Nearly-constant data (range below sqrt(eps(xscale))) gets the
+    half-integer-snapped degenerate edges of the original.
+    """
     if xmin > xmax:
         raise ValueError("xmin > xmax")
+    xmin, xmax = float(xmin), float(xmax)
+    if nbins is None:
+        raw = binwidth_est if binwidth_est is not None else abs(xmax - xmin)
+    else:
+        raw = (
+            binwidth_est
+            if binwidth_est is not None
+            else abs(xmax - xmin) / nbins
+        )
     xscale = max(abs(xmin), abs(xmax))
     xrange = xmax - xmin
-    if xrange == 0:
-        # degenerate: unit-width bins centered on the value
-        nb = nbins or 1
-        edges = xmin + np.arange(nb + 1, dtype=np.float64) - nb / 2.0
-        return edges
-    if nbins is not None:
-        raw = xrange / nbins
+    raw = max(raw, float(np.spacing(xscale)))
+    if xrange > max(math.sqrt(np.spacing(xscale)), np.finfo(np.float64).tiny):
         pow10 = 10.0 ** math.floor(math.log10(raw))
-        rel = raw / pow10
-        if rel < 1.5:
-            step = 1.0 * pow10
-        elif rel < 2.5:
-            step = 2.0 * pow10
-        elif rel < 4.0:
-            step = 3.0 * pow10
-        elif rel < 7.5:
-            step = 5.0 * pow10
+        rel = raw / pow10  # in [1, 10)
+        if nbins is None:
+            if rel < 1.5:
+                bin_width = 1.0 * pow10
+            elif rel < 2.5:
+                bin_width = 2.0 * pow10
+            elif rel < 4.0:
+                bin_width = 3.0 * pow10
+            elif rel < 7.5:
+                bin_width = 5.0 * pow10
+            else:
+                bin_width = 10.0 * pow10
+            left_edge = min(bin_width * math.floor(xmin / bin_width), xmin)
+            nbins_actual = max(1, int(math.ceil((xmax - left_edge) / bin_width)))
+            right_edge = max(left_edge + nbins_actual * bin_width, xmax)
         else:
-            step = 10.0 * pow10
-        left = step * math.floor(xmin / step)
-        nb = nbins
-        # widen step until the span covers the data
-        while left + nb * step < xmax:
-            step *= 2.0
-            left = step * math.floor(xmin / step)
-        return left + step * np.arange(nb + 1, dtype=np.float64)
-    # automatic bin count (Scott-like): handled by callers via nbins
-    raise ValueError("nbins required")
+            bin_width = pow10 * math.floor(rel)
+            left_edge = min(bin_width * math.floor(xmin / bin_width), xmin)
+            if nbins > 1:
+                ll = (xmax - left_edge) / nbins
+                ul = (xmax - left_edge) / (nbins - 1)
+                p10 = 10.0 ** math.floor(math.log10(ul - ll))
+                bin_width = p10 * math.ceil(ll / p10)
+            nbins_actual = nbins
+            right_edge = max(left_edge + nbins_actual * bin_width, xmax)
+    else:
+        # nearly-constant data
+        nb = 1 if nbins is None else nbins
+        bin_range = max(1.0, math.ceil(nb * np.spacing(xscale)))
+        left_edge = math.floor(2.0 * (xmin - bin_range / 4.0)) / 2.0
+        right_edge = math.ceil(2.0 * (xmax + bin_range / 4.0)) / 2.0
+        bin_width = (right_edge - left_edge) / nb
+        nbins_actual = nb
+    if not np.isfinite(bin_width):
+        return np.linspace(left_edge, right_edge, nbins_actual + 1)
+    return np.concatenate(
+        [
+            [left_edge],
+            left_edge + np.arange(1, nbins_actual) * bin_width,
+            [right_edge],
+        ]
+    )
 
 
 def gaussian_kde_eval(

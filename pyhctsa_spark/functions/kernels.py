@@ -841,11 +841,16 @@ def first_min_ac(y: np.ndarray, max_tau: int | None = None) -> float:
 
 
 def motif_two(y: np.ndarray, binarize_how: str = "diff") -> dict:
-    """Binary motif probabilities/entropies to length 2.
+    """Binary motif probabilities/entropies for words of length 1-4.
 
-    Parity: SB_MotifTwo (Symbolic.py:138-295) subset: binarize by
-    'diff' (sign of successive change), 'mean', or 'median'; report
-    p(0), p(1), entropy of 1-words, joint probs of 2-words and entropy.
+    Parity: SB_MotifTwo (Symbolic.py:138-295), complete: binarize by
+    'diff' (stepBinary of successive change, utils.py:396-398), 'mean',
+    or 'median'; word names use d=0, u=1 most-significant-first
+    ('uud' = 110). Word-length-k probabilities are normalized by N-k+1
+    (the reference's shrinking logical-and masks keep full length N-k+1
+    per word start); entropies are -sum p ln p over nonzero probs
+    (_f_entropy, Symbolic.py:396-398). Series with binarized length < 5
+    raise (the reference returns NaN; the registry maps errors to NaN).
     """
     y = np.asarray(y, dtype=np.float64)
     if binarize_how == "diff":
@@ -857,20 +862,27 @@ def motif_two(y: np.ndarray, binarize_how: str = "diff") -> dict:
     else:
         raise ValueError(binarize_how)
     n = len(b)
+    if n < 5:
+        raise ValueError("time series too short for SB_MotifTwo")
+
+    def _h(ps: np.ndarray) -> float:
+        nz = ps[ps > 0]
+        return float(-np.sum(nz * np.log(nz)))
+
     out = {}
     p1 = float(np.mean(b))
     out["u"] = p1
     out["d"] = 1.0 - p1
-    ps = np.array([1.0 - p1, p1])
-    ps = ps[ps > 0]
-    out["h"] = float(-np.sum(ps * np.log(ps)))
-    # length-2 words
-    w = b[:-1] * 2 + b[1:]
-    probs2 = np.bincount(w, minlength=4) / (n - 1)
-    for name, i in (("dd", 0), ("du", 1), ("ud", 2), ("uu", 3)):
-        out[name] = float(probs2[i])
-    nz = probs2[probs2 > 0]
-    out["hh"] = float(-np.sum(nz * np.log(nz)))
+    out["h"] = _h(np.array([1.0 - p1, p1]))
+    # length-2..4 words: base-2 codes, names d=0 / u=1, MSB first
+    codes = b.copy()
+    for k, hname in ((2, "hh"), (3, "hhh"), (4, "hhhh")):
+        codes = codes[:-1] * 2 + b[k - 1 :]
+        probs = np.bincount(codes, minlength=2**k) / (n - k + 1)
+        for i in range(2**k):
+            name = format(i, f"0{k}b").replace("0", "d").replace("1", "u")
+            out[name] = float(probs[i])
+        out[hname] = _h(probs)
     return out
 
 

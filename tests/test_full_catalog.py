@@ -1,11 +1,14 @@
 """Catalog integrity: the complete default registry (291 ops -> 1,618
 columns) runs distributed with zero kernel errors and no dead columns."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyhctsa_spark.operators.features import extract_features, make_feature_counters
 from pyhctsa_spark.plans.default_ops import default_feature_set
 from pyhctsa_spark.sources.synthetic import sequences_df
+
+pytestmark = pytest.mark.slow
 
 
 def test_full_catalog_runs_clean(spark):

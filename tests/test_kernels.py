@@ -208,3 +208,63 @@ def test_local_simple_mean_forecast():
 def test_std_nth_der():
     assert K.std_nth_der(Y, 1) == pytest.approx(np.std(np.diff(Y), ddof=1))
     assert K.std_nth_der(Y, 2) == pytest.approx(np.std(np.diff(Y, n=2), ddof=1))
+
+
+def test_motif_two_word_lengths_3_4():
+    # hand-checkable series: b = diff>0 pattern 1,0,1,0,1,0,1,0,1 (n=9)
+    y = np.array([0, 1, 0, 1, 0, 1, 0, 1, 0, 1], dtype=float)
+    m = K.motif_two(y, "diff")
+    # alternating u/d: only 'udu'/'dud' 3-words and 'udud'/'dudu' 4-words
+    assert m["udu"] + m["dud"] == pytest.approx(1.0)
+    assert m["uuu"] == 0.0 and m["ddd"] == 0.0
+    assert m["udud"] + m["dudu"] == pytest.approx(1.0)
+    assert m["hhh"] == pytest.approx(
+        -(m["udu"] * np.log(m["udu"]) + m["dud"] * np.log(m["dud"]))
+    )
+    # probabilities of each word length sum to 1
+    for k in (3, 4):
+        names = [
+            format(i, f"0{k}b").replace("0", "d").replace("1", "u")
+            for i in range(2**k)
+        ]
+        assert sum(m[n] for n in names) == pytest.approx(1.0)
+    # reference guard: too-short series raises (registry maps to NaN)
+    with pytest.raises(ValueError):
+        K.motif_two(np.array([1.0, 2.0, 3.0]))
+
+
+def test_motif_two_mask_parity_random():
+    # independent shrinking-mask implementation (SB_MotifTwo semantics,
+    # Symbolic.py:138-295) vs the vectorized bincount version
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal(200)
+    b = (np.diff(y) > 0).astype(int)
+    masks = {"d": b == 0, "u": b == 1}
+    m = K.motif_two(y, "diff")
+    for k in (2, 3, 4):
+        new = {}
+        for name, mask in masks.items():
+            mask = mask[:-1]
+            new[name + "d"] = np.logical_and(mask, b[k - 1 :] == 0)
+            new[name + "u"] = np.logical_and(mask, b[k - 1 :] == 1)
+        masks = new
+        for name, mask in masks.items():
+            assert m[name] == pytest.approx(np.mean(mask), abs=1e-14), name
+
+
+def test_binpicker_reference_semantics():
+    from pyhctsa_spark.functions.helpers import binpicker
+
+    # nbins given: 'nice' snapped left edge + refined width, exact count
+    e = binpicker(0.13, 9.87, 10)
+    assert len(e) == 11
+    assert e[0] <= 0.13 and e[-1] >= 9.87
+    assert e[0] == 0.0  # snapped to a multiple of the power-of-ten width
+    # automatic branch: width from {1,2,3,5,10} x 10^k
+    e = binpicker(0.0, 10.0, None)
+    assert len(e) == 2 and e[0] == 0.0 and e[-1] == 10.0
+    e = binpicker(0.0, 10.0, None, binwidth_est=0.9)
+    assert np.allclose(np.diff(e), 1.0)
+    # nearly-constant data: half-integer-snapped degenerate bins
+    e = binpicker(5.0, 5.0, 10)
+    assert len(e) == 11 and e[0] <= 5.0 <= e[-1]

@@ -97,3 +97,33 @@ def test_extract_features_whole_series(spark):
     out = extract_features(df, fs, window=None).toPandas()
     assert len(out) == 6
     assert (out["window_idx"] == 0).all()
+
+
+def test_compute_matrix_batched_bit_equal_scalar():
+    """The *_2d batched dispatch must be bit-identical to the per-window
+    scalar path (the driver's oracle hash depends on it)."""
+    fs = FeatureSet(
+        expand(
+            [
+                Operation(K.mean_, "DN_Mean"),
+                Operation(K.spread_std, "DN_Spread_std"),
+                Operation(K.spread_iqr, "DN_Spread_iqr"),
+                Operation(K.burstiness, "DN_Burstiness"),
+                Operation(K.autocorr_timedomain, "ACtd", ["tau"], [{"tau": [1, 2]}]),
+                Operation(K.autocorr_fourier, "ACf", ["tau"], [{"tau": [1], "zscore": True}]),
+                Operation(K.trev, "CO_trev", ["tau"], [{"tau": [1]}]),
+            ]
+        )
+    )
+    rng = np.random.default_rng(5)
+    Y = np.round(rng.standard_normal((30, 16)) * 25 + 60)
+    Y[4] = 7.0  # constant row: zscored features -> NaN + error count
+    got, errs = fs.compute_matrix(Y)
+    want = np.empty_like(got)
+    werrs = 0
+    for i in range(Y.shape[0]):
+        vals, ne = fs.compute(Y[i])
+        want[i] = vals
+        werrs += ne
+    assert np.array_equal(got, want, equal_nan=True)
+    assert errs == werrs

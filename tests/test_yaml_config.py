@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 BASIC = "/root/reference/pyhctsa/Configurations/basic.yaml"
 
+pytestmark = pytest.mark.slow
+
 
 def test_basic_yaml_fully_mapped():
     from pyhctsa_spark.plans.yaml_config import load_yaml_operations
