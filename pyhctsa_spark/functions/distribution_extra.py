@@ -202,28 +202,45 @@ def remove_points(y: np.ndarray, remove_how: str = "absfar", p: float = 0.1,
     return out
 
 
-def histogram_asymmetry(y: np.ndarray, num_bins: int = 11) -> dict:
+def histogram_asymmetry(
+    y: np.ndarray, num_bins: int = 10, do_simple: bool = True
+) -> dict:
     """Asymmetries between the positive and negative histogram halves.
-    Parity: DN_HistogramAsymmetry (Distribution.py:683-740): separate
-    'nice'-edge histograms of the negative and positive values, compare
-    densities and mode positions."""
+    Parity: DN_HistogramAsymmetry (Distribution.py:683-739), complete:
+    separate histograms of the positive and negative values
+    (linearly-spaced bins when ``do_simple``, MATLAB 'nice' binpicker
+    edges otherwise), probabilities normalized by the count of nonzero
+    values; densityDiff is the (integer) count difference, mode
+    positions average ties, and modeAsymmetry = posMode + negMode."""
     y = np.asarray(y, dtype=np.float64)
-    yn = y[y < 0]
     yp = y[y > 0]
+    yn = y[y < 0]
     if yn.size < 2 or yp.size < 2:
         return {"densityDiff": float("nan")}
-    en = binpicker(float(yn.min()), float(yn.max()), num_bins)
-    ep = binpicker(float(yp.min()), float(yp.max()), num_bins)
-    pn = histc(yn, en)[:-1].astype(np.float64) / len(y)
-    pp = histc(yp, ep)[:-1].astype(np.float64) / len(y)
+    if do_simple:
+        counts_pos, edges_pos = np.histogram(
+            yp, bins=np.linspace(yp.min(), yp.max(), num_bins + 1)
+        )
+        counts_neg, edges_neg = np.histogram(
+            yn, bins=np.linspace(yn.min(), yn.max(), num_bins + 1)
+        )
+    else:
+        edges_pos = binpicker(float(yp.min()), float(yp.max()), num_bins)
+        counts_pos = histc(yp, edges_pos)[:-1]
+        edges_neg = binpicker(float(yn.min()), float(yn.max()), num_bins)
+        counts_neg = histc(yn, edges_neg)[:-1]
+    n_nonzero = np.sum(y != 0)
+    pp = counts_pos.astype(np.float64) / n_nonzero
+    pn = counts_neg.astype(np.float64) / n_nonzero
+    cp = 0.5 * (edges_pos[:-1] + edges_pos[1:])
+    cn = 0.5 * (edges_neg[:-1] + edges_neg[1:])
     out = {
-        "densityDiff": float(pp.sum() - pn.sum()),
+        "densityDiff": float(np.sum(y > 0) - np.sum(y < 0)),
         "modeProbPos": float(pp.max()),
         "modeProbNeg": float(pn.max()),
     }
     out["modeDiff"] = out["modeProbPos"] - out["modeProbNeg"]
-    cn = 0.5 * (en[:-1] + en[1:])
-    cp = 0.5 * (ep[:-1] + ep[1:])
-    out["posMode"] = float(cp[np.argmax(pp)])
-    out["negMode"] = float(cn[np.argmax(pn)])
+    out["posMode"] = float(np.mean(cp[pp == out["modeProbPos"]]))
+    out["negMode"] = float(np.mean(cn[pn == out["modeProbNeg"]]))
+    out["modeAsymmetry"] = out["posMode"] + out["negMode"]
     return out

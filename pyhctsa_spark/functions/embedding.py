@@ -242,17 +242,57 @@ def stick_angles(y: np.ndarray) -> dict:
             float(np.std(seg.std(axis=1, ddof=1), ddof=1) / sd),
         )
 
-    from pyhctsa_spark.functions.kernels import zscore
+    from pyhctsa_spark.functions.kernels import (
+        acf_fourier_full,
+        point_of_crossing,
+        zscore,
+    )
 
-    for j, suffix in ((0, "p"), (1, "n")):
+    def _z(v: np.ndarray) -> np.ndarray:
         try:
-            za = zscore(angles[j])
+            return zscore(v)
         except Exception:
-            za = np.array([])
+            return np.array([])
+
+    def _moments(v: np.ndarray) -> tuple[float, float]:
+        """(skew biased, kurtosis non-fisher biased) — scipy defaults."""
+        if v.size < 2:
+            return float("nan"), float("nan")
+        c = v - v.mean()
+        m2 = np.mean(c**2)
+        if m2 == 0:
+            return float("nan"), float("nan")
+        return float(np.mean(c**3) / m2**1.5), float(np.mean(c**4) / m2**2)
+
+    zsets = {"p": _z(angles[0]), "n": _z(angles[1]), "all": _z(all_angles)}
+    for suffix, za in zsets.items():
         for nseg in (2, 3, 4, 5):
             m_, s_ = _sub_statav(za, nseg) if za.size else (float("nan"),) * 2
             out[f"statav{nseg}_{suffix}_m"] = m_
             out[f"statav{nseg}_{suffix}_s"] = s_
+        # correlation structure of the angle sequence (zero-crossing
+        # timescale + Fourier ACF at lags 1, 2)
+        if za.size > 2:
+            acf = acf_fourier_full(za)
+            _, interp = point_of_crossing(acf, 0.0)
+            out[f"tau_{suffix}"] = interp - 1.0
+            out[f"ac1_{suffix}"] = float(acf[1]) if len(acf) > 1 else float("nan")
+            out[f"ac2_{suffix}"] = float(acf[2]) if len(acf) > 2 else float("nan")
+        else:
+            out[f"tau_{suffix}"] = out[f"ac1_{suffix}"] = out[f"ac2_{suffix}"] = float("nan")
+        # distribution of the z-scored angles (hazen quantiles) + raw moments
+        raw = {"p": angles[0], "n": angles[1], "all": all_angles}[suffix]
+        if za.size:
+            for q, nameq in ((0.01, "q1"), (0.1, "q10"), (0.9, "q90"), (0.99, "q99")):
+                out[f"{nameq}_{suffix}"] = float(
+                    np.quantile(za, q, method="hazen")
+                )
+        else:
+            for nameq in ("q1", "q10", "q90", "q99"):
+                out[f"{nameq}_{suffix}"] = float("nan")
+        sk, ku = _moments(raw)
+        out[f"skewness_{suffix}"] = sk
+        out[f"kurtosis_{suffix}"] = ku
     return out
 
 
@@ -395,34 +435,94 @@ def autocorr_shape(y: np.ndarray, stop_when="posDrown") -> dict:
     return out
 
 
+def _bspline_basis(x: np.ndarray, knots: np.ndarray, order: int = 4) -> np.ndarray:
+    """Cox–de Boor B-spline basis values: B[i, j] = B_j(x_i) for the
+    ``len(knots) - order`` normalized B-splines on the given knot vector."""
+    t = np.asarray(knots, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    B = np.zeros((len(x), len(t) - 1))
+    for j in range(len(t) - 1):
+        B[:, j] = (x >= t[j]) & (x < t[j + 1])
+    for k in range(2, order + 1):
+        Bn = np.zeros((len(x), len(t) - k))
+        for j in range(len(t) - k):
+            term = np.zeros(len(x))
+            d1 = t[j + k - 1] - t[j]
+            d2 = t[j + k] - t[j + 1]
+            if d1 > 0:
+                term += (x - t[j]) / d1 * B[:, j]
+            if d2 > 0:
+                term += (t[j + k] - x) / d2 * B[:, j + 1]
+            Bn[:, j] = term
+        B = Bn
+    return B
+
+
+def splinefit3(y: np.ndarray) -> np.ndarray:
+    """Least-squares cubic regression spline with three knots at
+    (0, floor(N/2)-1, N-1) — the detrender of the C PD_PeriodicityWang
+    (Toolboxes/c22/splinefit.c, itself Lundgren's SPLINEFIT specialized
+    to 3 breaks / 2 pieces). The basis is the five order-4 B-splines on
+    the uniformly-extended knot vector the C builds (breaks mirrored
+    outward by the piece spacings); coefficients solve the normal
+    equations. Returns the fitted trend."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    b0, b1, b2 = 0.0, float(n // 2 - 1), float(n - 1)
+    h0, h1 = b1 - b0, b2 - b1
+    knots = np.array(
+        [
+            b0 - (2 * h1 + h0), b0 - (h1 + h0), b0 - h1,
+            b0, b1, b2,
+            b2 + h0, b2 + h0 + h1, b2 + 2 * h0 + h1,
+        ]
+    )
+    x = np.arange(n, dtype=np.float64)
+    A = _bspline_basis(x, knots, order=4)
+    # normal equations, like the C's lsqsolve_sub + gauss elimination
+    coef = np.linalg.solve(A.T @ A, A.T @ y)
+    return A @ coef
+
+
 def periodicity_wang(y: np.ndarray) -> dict:
-    """Wang periodicity detector: cubic-polynomial detrend (stand-in for
-    the C version's regression spline), ACF to N/3, then the first peak
-    whose trough-to-peak rise exceeds each threshold. Parity:
-    PD_PeriodicityWang semantics (Toolboxes/c22/PD_PeriodicityWang.c via
-    Correlation.py:326-355)."""
+    """Wang periodicity detector. Parity: PD_PeriodicityWang
+    (Toolboxes/c22/PD_PeriodicityWang.c via Correlation.py:326-355),
+    complete: 3-knot regression-spline detrend (splinefit3), raw
+    autocovariance acf[tau] = mean(y_t * y_{t+tau}) to ceil(N/3), strict
+    slope-sign peaks/troughs, thresholds
+    (0, 0.01, 0.1, 0.2, 1/sqrt(N), 5/sqrt(N), 10/sqrt(N)); the first
+    peak with a prior trough, rise >= threshold, and positive value wins;
+    default 1 (the C/MATLAB not-found value)."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
-    t = np.arange(N, dtype=np.float64)
-    coef = np.polyfit(t, y, 3)
-    ydt = y - np.polyval(coef, t)
-    acf = acf_fourier_full(ydt)
-    max_tau = N // 3
-    thresholds = [0.0, 0.01, 0.1, 0.2, 1 / math.e, 0.5, 0.7071067811865476]
-    out = {}
-    # find troughs and peaks of the ACF
-    d = np.diff(acf[: max_tau + 2])
-    troughs = np.flatnonzero((d[:-1] < 0) & (d[1:] >= 0)) + 1
-    peaks = np.flatnonzero((d[:-1] > 0) & (d[1:] <= 0)) + 1
-    for k, th in enumerate(thresholds):
-        found = 0
+    ths = [0.0, 0.01, 0.1, 0.2, 1 / math.sqrt(N), 5 / math.sqrt(N),
+           10 / math.sqrt(N)]
+    out = {f"th{k+1}": 1.0 for k in range(7)}
+    if N < 4 or not np.isfinite(y).all():
+        return out
+    ysub = y - splinefit3(y)
+    acmax = int(math.ceil(N / 3))
+    # acf[i] = raw autocovariance at lag i+1 (cov_mean, stats.c:123-135)
+    acf = np.array(
+        [np.dot(ysub[: N - tau], ysub[tau:]) / (N - tau)
+         for tau in range(1, acmax + 1)]
+    )
+    slope_in = acf[1:-1] - acf[:-2]
+    slope_out = acf[2:] - acf[1:-1]
+    # stored as lag values (acf index + 1)
+    troughs = np.flatnonzero((slope_in < 0) & (slope_out > 0)) + 2
+    peaks = np.flatnonzero((slope_in > 0) & (slope_out < 0)) + 2
+    for k, th in enumerate(ths):
         for p in peaks:
-            prior_troughs = troughs[troughs < p]
-            if prior_troughs.size == 0:
+            prior = troughs[troughs < p]
+            if prior.size == 0:
                 continue
-            tr = prior_troughs[-1]
-            if acf[p] - acf[tr] > 0 and acf[p] > th:
-                found = int(p)
-                break
-        out[f"th{k+1}"] = float(found)
+            the_peak = acf[p - 1]
+            the_trough = acf[prior[-1] - 1]
+            if the_peak - the_trough < th:
+                continue
+            if the_peak < 0:
+                continue
+            out[f"th{k+1}"] = float(p)
+            break
     return out

@@ -141,16 +141,24 @@ def find_peaks_simple(
 
 
 def xcorr(x: np.ndarray, y: np.ndarray, normed: bool = True,
-          maxlags: int = 10) -> tuple[np.ndarray, np.ndarray]:
+          maxlags: int | None = 10) -> tuple[np.ndarray, np.ndarray]:
     """Cross-correlation coefficients at lags -maxlags..maxlags
-    (matplotlib-style normalization; utils.py:426-452 semantics)."""
+    (matplotlib-style normalization; utils.py:426-452 semantics,
+    complete: equal-length check, maxlags=None -> full +/-(N-1) range,
+    range validation)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     n = len(x)
+    if n != len(y):
+        raise ValueError("x and y must be equal length")
     c = np.correlate(x, y, mode="full")
     if normed:
         denom = math.sqrt(float(x @ x) * float(y @ y))
         c = c / denom if denom > 0 else np.full_like(c, np.nan)
+    if maxlags is None:
+        maxlags = n - 1
+    if maxlags >= n or maxlags < 1:
+        raise ValueError(f"maxlags must be None or strictly positive < {n}")
     lags = np.arange(-maxlags, maxlags + 1)
     return lags, c[n - 1 - maxlags : n + maxlags]
 

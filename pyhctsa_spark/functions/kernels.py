@@ -984,25 +984,46 @@ def local_global(y: np.ndarray, subset: str = "l", n: int = 100) -> dict:
 
 def range_evolve(y: np.ndarray) -> dict:
     """Cumulative-range growth statistics. Parity: SY_RangeEvolve
-    (Stationarity.py:491-550) subset: number of unique range-increase
-    points, fraction of range reached at 10%/50% of the series."""
+    (Stationarity.py:491-549), complete: cums[i] = ptp(y[:i+1]); counts
+    of unique cumulative-range values reached within the first
+    1/10/20/50 % (nuqp*) and first 10/50/100/1000 points (nuql*) as
+    fractions of the total unique count, plus the fraction of the full
+    range captured at those same cut points (p*, l*). Short series keep
+    the reference's quirk of emitting ``nuql{N}`` = NaN when N < Nval.
+    """
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
     run_max = np.maximum.accumulate(y)
     run_min = np.minimum.accumulate(y)
-    cumrange = run_max - run_min
-    total = cumrange[-1]
-    incr = np.diff(cumrange) > 0
-    out = {
-        "totnuq": float(1 + np.sum(incr)),
-        "nuqp10": float(1 + np.sum(incr[: max(1, N // 10) - 1])),
-        "nuqp50": float(1 + np.sum(incr[: max(1, N // 2) - 1])),
-    }
-    if total > 0:
-        out["p10"] = float(cumrange[max(0, N // 10 - 1)] / total)
-        out["p50"] = float(cumrange[max(0, N // 2 - 1)] / total)
-    else:
-        out["p10"] = out["p50"] = float("nan")
+    cums = run_max - run_min
+    fullr = float(np.ptp(y))
+
+    def lunique(x: np.ndarray) -> int:
+        return len(np.unique(x))
+
+    out: dict = {}
+    out["totnuq"] = float(lunique(cums))
+
+    def cumtox(frac: float) -> float:
+        return lunique(cums[: int(np.floor(N * frac))]) / out["totnuq"]
+
+    out["nuqp1"] = cumtox(0.01)
+    out["nuqp10"] = cumtox(0.1)
+    out["nuqp20"] = cumtox(0.2)
+    out["nuqp50"] = cumtox(0.5)
+    lengths = [10, 50, 100, 1000]
+    for nval in lengths:
+        if N >= nval:
+            out[f"nuql{nval}"] = lunique(cums[:nval]) / out["totnuq"]
+        else:
+            out[f"nuql{N}"] = float("nan")
+    for pct, frac in (("p1", 0.01), ("p10", 0.1), ("p20", 0.2), ("p50", 0.5)):
+        out[pct] = float(cums[int(np.ceil(N * frac)) - 1] / fullr) if fullr > 0 else float("nan")
+    for nval in lengths:
+        if N >= nval:
+            out[f"l{nval}"] = float(cums[nval - 1] / fullr) if fullr > 0 else float("nan")
+        else:
+            out[f"l{nval}"] = float("nan")
     return out
 
 

@@ -255,41 +255,68 @@ def fast_dfa(y: np.ndarray) -> float:
     return float(coef[0])
 
 
+def _natural_vg_degrees(y: np.ndarray) -> np.ndarray:
+    """Degrees of the natural visibility graph (Lacasa et al. 2008):
+    i sees j>i iff every m between them lies strictly below the line
+    from (i, y_i) to (j, y_j) — equivalently slope(i->j) strictly
+    exceeds the running max of slope(i->m) for m<j. One O(N) vectorized
+    sweep per source node (O(N^2) total, within the reference's
+    5000-sample cap)."""
+    N = len(y)
+    deg = np.zeros(N, dtype=np.int64)
+    for i in range(N - 1):
+        d = np.arange(1, N - i, dtype=np.float64)
+        slopes = (y[i + 1 :] - y[i]) / d
+        run = np.maximum.accumulate(slopes)
+        vis = np.empty(len(slopes), dtype=bool)
+        vis[0] = True  # immediate neighbor always visible
+        vis[1:] = slopes[1:] > run[:-1]
+        deg[i] += int(vis.sum())
+        deg[i + 1 :][vis] += 1
+    return deg
+
+
 def visibility_graph(y: np.ndarray, meth: str = "horiz", max_l: int = 5000) -> dict:
-    """Degree-distribution statistics of the reference's
-    nearest-taller-neighbor 'horizontal visibility' construction —
+    """Degree-distribution statistics of a visibility graph.
+    Parity: NW_VisibilityGraph (Graph.py:9-125), both methods:
+    'horiz' — the reference's nearest-taller-neighbor construction,
     ported bug-for-bug (each node links only to its nearest taller
-    neighbor on each side, then symmetrized). Parity: NW_VisibilityGraph
-    (Graph.py:9-125); the ts2vg 'norm' method is not supported
-    (documented drop, SURVEY.md §7.2)."""
+    neighbor on each side, then symmetrized), O(N) via stacks;
+    'norm' — the natural visibility graph (ts2vg NaturalVG semantics,
+    reimplemented as a running-max-slope sweep)."""
     y = np.asarray(y, dtype=np.float64)
     if len(y) > max_l:
         y = y[:max_l]
     N = len(y)
     y = y - y.min()
-    # degrees of the nearest-taller-neighbor graph, O(N) via stacks
-    fwd = np.full(N, -1, dtype=np.int64)   # nearest taller to the right
-    stack: list[int] = []
-    for i in range(N):
-        while stack and y[i] > y[stack[-1]]:
-            fwd[stack.pop()] = i
-        stack.append(i)
-    bwd = np.full(N, -1, dtype=np.int64)   # nearest taller to the left
-    stack = []
-    for i in range(N - 1, -1, -1):
-        while stack and y[i] > y[stack[-1]]:
-            bwd[stack.pop()] = i
-        stack.append(i)
-    deg = np.zeros(N, dtype=np.int64)
-    edges = set()
-    for i in range(N):
-        if fwd[i] >= 0:
-            edges.add((i, fwd[i]))
-        if bwd[i] >= 0:
-            edges.add((bwd[i], i))
-    for a_, b_ in edges:
-        deg[a_] += 1
-        deg[b_] += 1
+    if meth == "norm":
+        deg = _natural_vg_degrees(y)
+    elif meth == "horiz":
+        # degrees of the nearest-taller-neighbor graph, O(N) via stacks
+        fwd = np.full(N, -1, dtype=np.int64)   # nearest taller to the right
+        stack: list[int] = []
+        for i in range(N):
+            while stack and y[i] > y[stack[-1]]:
+                fwd[stack.pop()] = i
+            stack.append(i)
+        bwd = np.full(N, -1, dtype=np.int64)   # nearest taller to the left
+        stack = []
+        for i in range(N - 1, -1, -1):
+            while stack and y[i] > y[stack[-1]]:
+                bwd[stack.pop()] = i
+            stack.append(i)
+        deg = np.zeros(N, dtype=np.int64)
+        edges = set()
+        for i in range(N):
+            if fwd[i] >= 0:
+                edges.add((i, fwd[i]))
+            if bwd[i] >= 0:
+                edges.add((bwd[i], i))
+        for a_, b_ in edges:
+            deg[a_] += 1
+            deg[b_] += 1
+    else:
+        raise ValueError(meth)
     k = deg.astype(np.float64)
     vals, counts = np.unique(k, return_counts=True)
     mode = float(vals[np.argmax(counts)])

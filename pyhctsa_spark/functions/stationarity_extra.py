@@ -177,45 +177,76 @@ def medfilt1(x: np.ndarray, k: int) -> np.ndarray:
     return np.median(windows, axis=1)
 
 
-def preproc_compare(y: np.ndarray, detrend_meth: str = "diff1") -> dict:
-    """Ratios of stationarity/spread statistics between a detrended
-    version and the raw series. Parity: PP_Compare semantics
-    (PreProcess.py:31-136 subset: diff1, medianf, rav, poly1/poly2
-    detrendings; StatAv/sliding-window/trend ratios)."""
+def preproc_compare(y: np.ndarray, detrend_meth: str = "medianf") -> dict:
+    """Ratios of stationarity/outlier statistics between a preprocessed
+    version and the raw series. Parity: PP_Compare
+    (PreProcess.py:31-136), complete output surface:
+
+    detrendings — poly<o> (polynomial-fit residual), diff<n>, medianf<n>
+    (the median-FILTERED series, as the reference defines it), rav<n>
+    (causal running average, lfilter semantics), resample_<P>_<Q>
+    (Fourier-based stand-in for scipy's polyphase resampler — the one
+    documented deviation, scipy is absent here).
+
+    outputs — statv{2,4,6,8,10} (StatAv 'seg' ratios),
+    swms{w}_{s} / swss{w}_{s} (sliding-window mean/std ratios),
+    olbt_{m,s}{2,5} (trimmed-mean / trimmed-std ratios via
+    DN_OutlierTest justMe), each as stat(detrended)/stat(raw) on the
+    z-scored series.
+    """
+    from pyhctsa_spark.functions.distribution_extra import outlier_test
+    from pyhctsa_spark.functions.kernels import sliding_window, stat_av, zscore
+
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
     t = np.arange(N, dtype=np.float64)
-    if detrend_meth.startswith("diff"):
-        n_d = int(detrend_meth[4:] or 1)
+    if detrend_meth.startswith("poly"):
+        deg = int(detrend_meth[4:])
+        y_d = y - np.polyval(np.polyfit(t, y, deg), t)
+    elif detrend_meth.startswith("diff"):
+        n_d = int(detrend_meth[4:])
         y_d = np.diff(y, n=n_d)
     elif detrend_meth.startswith("medianf"):
-        k = int(detrend_meth[7:] or 5)
-        y_d = y - medfilt1(y, k)
+        k = int(detrend_meth[7:])
+        y_d = medfilt1(y, k)
     elif detrend_meth.startswith("rav"):
-        k = int(detrend_meth[3:] or 5)
-        kern = np.ones(k) / k
-        y_d = y - np.convolve(y, kern, mode="same")
+        k = int(detrend_meth[3:])
+        # causal moving average: lfilter(ones(k)/k, 1, y)
+        y_d = np.convolve(y, np.ones(k) / k, mode="full")[:N]
     elif detrend_meth.startswith("resample_"):
         from pyhctsa_spark.functions.symbolic import fourier_resample
 
         _, p_, q_ = detrend_meth.split("_")
         y_d = fourier_resample(y, max(2, len(y) * int(p_) // int(q_)))
-    elif detrend_meth in ("poly1", "poly2", "poly3"):
-        deg = int(detrend_meth[-1])
-        y_d = y - np.polyval(np.polyfit(t, y, deg), t)
     else:
         raise ValueError(detrend_meth)
 
-    def ratio(f) -> float:
-        a, b = f(y_d), f(y)
-        return float(a / b) if b not in (0.0,) and np.isfinite(b) else float("nan")
+    if np.all(y_d == 0):
+        return {"statv2": float("nan")}
+    yz = zscore(y)
+    y_dz = zscore(y_d)
 
-    out = {
-        "statav5rat": ratio(lambda v: stat_av(v, "seg", 5)),
-        "swss5rat": ratio(lambda v: sliding_window(v, "std", "std", 5, 1)),
-        "stdrat": ratio(lambda v: np.std(v, ddof=1)),
-        "iqrrat": ratio(spread_iqr),
-        "ac1rat": ratio(lambda v: autocorr_fourier(v, 1)),
-        "gradrat": ratio(lambda v: trend(v)["gradient"]),
-    }
+    def _safe(num: float, den: float) -> float:
+        return float(num / den) if den != 0 and np.isfinite(den) else float("nan")
+
+    out = {}
+    for seg in (2, 4, 6, 8, 10):
+        out[f"statv{seg}"] = _safe(
+            stat_av(y_dz, "seg", seg), stat_av(yz, "seg", seg)
+        )
+    for win, step in ((2, 2), (5, 1), (5, 2), (10, 1), (10, 2)):
+        out[f"swms{win}_{step}"] = _safe(
+            sliding_window(y_dz, "mean", "std", win, step),
+            sliding_window(yz, "mean", "std", win, step),
+        )
+    for win, step in ((2, 1), (2, 2), (5, 1), (5, 2), (10, 1), (10, 2)):
+        out[f"swss{win}_{step}"] = _safe(
+            sliding_window(y_dz, "std", "std", win, step),
+            sliding_window(yz, "std", "std", win, step),
+        )
+    for thresh, method in ((2, "mean"), (5, "mean"), (2, "std"), (5, "std")):
+        out[f"olbt_{method[0]}{thresh}"] = _safe(
+            outlier_test(y_dz, thresh, method),
+            outlier_test(yz, thresh, method),
+        )
     return out

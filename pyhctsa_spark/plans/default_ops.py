@@ -239,7 +239,7 @@ def default_operations() -> list[Operation]:
                   [{"how_to_window": "l", "n": [50, 100], "zscore": True},
                    {"how_to_window": "n", "n": [5], "zscore": True}]),
         Operation(SX.preproc_compare, "PP_Compare", ["detrend_meth"],
-                  [{"detrend_meth": ["diff1", "medianf", "rav", "poly1", "poly2"],
+                  [{"detrend_meth": ["diff1", "medianf3", "rav4", "poly1", "poly2"],
                     "zscore": True}]),
     ]
 

@@ -9,10 +9,11 @@ numpy kernel through an adapter table, and compiles a FeatureSet whose
 labels follow the reference's naming (base_name + ordered_args + the
 same value mangling + ``_raw`` suffixes).
 
-Operations whose methods the engine documents as dropped (ts2vg 'norm'
-visibility graph) simply raise inside the kernel and surface as NaN via
-the registry's per-feature error isolation — exactly how the reference
-records per-feature errors (calculator.py:101-104).
+Unsupported kernel methods (none currently — the last gap, ts2vg's
+'norm' visibility graph, now has a native implementation) would simply
+raise inside the kernel and surface as NaN via the registry's
+per-feature error isolation — exactly how the reference records
+per-feature errors (calculator.py:101-104).
 """
 
 from __future__ import annotations
@@ -291,7 +292,7 @@ FUNC_TABLE = {
     ("ModelFit", "ExpSmoothing"): lambda y, ntrain=None, alpha="best": M.exp_smoothing(y, ntrain, alpha),
     ("ModelFit", "LocalSimple"): lambda y, forecastMeth="mean", trainLength=4: K.local_simple(y, forecastMeth, _tau_of(y, trainLength)),
     ("ModelFit", "LoopLocalSimple"): _loop_local_simple,
-    ("Graph", "VisibilityGraph"): lambda y, meth="horiz": PH.visibility_graph(y, meth) if meth == "horiz" else (_ for _ in ()).throw(NotImplementedError("'norm' visibility graph requires ts2vg (documented drop)")),
+    ("Graph", "VisibilityGraph"): lambda y, meth="horiz": PH.visibility_graph(y, meth),
     ("Physics", "ForcePotential"): lambda y, whatPotential="dblwell", params=None: PH.force_potential(y, whatPotential, params),
     ("Physics", "Walker"): lambda y, walkerRule="prop", walkerParams=None: PH.walker(y, walkerRule, walkerParams),
     ("PreProcess", "PreProcCompare"): lambda y, detrendMeth="diff1": SX.preproc_compare(y, detrendMeth),

@@ -143,6 +143,27 @@ def test_medfilt_and_preproc_compare():
     f = SX.medfilt1(x, 3)
     assert f[1] == 1.0  # spike removed
     pc = SX.preproc_compare(np.cumsum(NOISE), "diff1")
-    assert pc["stdrat"] < 1.5
+    assert np.isfinite(pc["swss5_1"]) and np.isfinite(pc["olbt_m2"])
     pc2 = SX.preproc_compare(np.cumsum(NOISE), "poly2")
-    assert np.isfinite(pc2["statav5rat"])
+    assert np.isfinite(pc2["statv4"])
+    assert set(pc2) == {f"statv{s}" for s in (2,4,6,8,10)} | {f"swms{w}_{s}" for w,s in ((2,2),(5,1),(5,2),(10,1),(10,2))} | {f"swss{w}_{s}" for w,s in ((2,1),(2,2),(5,1),(5,2),(10,1),(10,2))} | {"olbt_m2","olbt_m5","olbt_s2","olbt_s5"}
+
+
+def test_splinefit3_spans_cubics():
+    # any global cubic lies in the 3-knot spline space -> exact fit
+    x = np.arange(120, dtype=float)
+    y = 0.01 * x**3 - 0.7 * x**2 + 2 * x - 5
+    fit = EM.splinefit3(y)
+    assert np.abs(fit - y).max() < 1e-9
+
+
+def test_periodicity_wang_reference_semantics():
+    # sinusoid + quadratic trend: spline detrend must expose period 25
+    t = np.arange(300, dtype=float)
+    y = np.sin(2 * np.pi * t / 25) + 0.01 * t + 5e-5 * t**2
+    out = EM.periodicity_wang(y)
+    assert set(out) == {f"th{k}" for k in range(1, 8)}
+    assert all(v == 25.0 for v in out.values())
+    # not-found default is 1 (C/MATLAB behavior), e.g. on a pure trend
+    out2 = EM.periodicity_wang(np.arange(60, dtype=float))
+    assert out2["th7"] == 1.0

@@ -33,8 +33,5 @@ def test_queries_oracle_keys_consistent():
     q = em.queries()
     o = em.oracle_sql()
     assert set(o) <= set(q)
-    # every oracle-less query is intentionally rows-only
-    assert set(q) - set(o) == {
-        "rollup_tiers_events", "minhash_dedup_pairs", "simhash_near_pairs",
-        "knn_ivf", "media_features", "feature_matrix",
-    }
+    # the only oracle-less query is the full-schema rollup (HOL columns)
+    assert set(q) - set(o) == {"rollup_full_events"}

@@ -81,3 +81,26 @@ def test_visibility_graph_matches_reference_construction_bruteforce():
     out = P.visibility_graph(y)
     assert out["meank"] == pytest.approx(np.mean(k_expect))
     assert out["maxk"] == np.max(k_expect)
+
+
+def test_natural_visibility_graph_matches_bruteforce():
+    import numpy as np
+
+    from pyhctsa_spark.functions.physics import _natural_vg_degrees, visibility_graph
+
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal(80)
+    ys = y - y.min()
+    N = len(ys)
+    deg = np.zeros(N, dtype=int)
+    for i in range(N):
+        for j in range(i + 1, N):
+            if all(
+                ys[m] < ys[j] + (ys[i] - ys[j]) * (j - m) / (j - i)
+                for m in range(i + 1, j)
+            ):
+                deg[i] += 1
+                deg[j] += 1
+    assert np.array_equal(_natural_vg_degrees(ys), deg)
+    out = visibility_graph(y, "norm")
+    assert out["meank"] == deg.mean()
