@@ -48,6 +48,30 @@ def _shingles(text_col: str, k: int):
     )
 
 
+def _shingle_df(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh: array<string>) distinct k-word shingles per doc.
+
+    Two-step projection on purpose: ``words`` must be a real column
+    before the shingle transform references it ~3k times — inlining the
+    split() into the expression tree re-splits the text once per
+    element_at (measured 10x the whole stage cost). A non-cheap,
+    multiply-referenced alias is a projection barrier Catalyst keeps.
+    """
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    idx = F.sequence(F.lit(0), F.size("_w") - k)
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_w"), i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+    return words.select(id_col, sh.alias("sh")).where(F.size("sh") > 0)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -64,8 +88,8 @@ def minhash_signatures(
     lambda — 64x the string work per row); the shuffle carries only 64
     partially-combined longs per doc, so this is the 100 TB shape too.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("sh")
+    exploded = _shingle_df(df, text_col, id_col, shingle_k).select(
+        F.col(id_col), F.explode("sh").alias("sh")
     )
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"_m{s}")
@@ -110,6 +134,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "minhash_sig", "band.band_id", "band.band_hash")
+    # materialize the banded signature table before the self-join — both
+    # aliases below would otherwise recompute the full signature pipeline
+    # (at warehouse scale this is the persisted signature table)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -175,9 +203,8 @@ def minhash_verified_pairs(
     miss probability (1 - J^4)^16 < 3e-8) — which is what the DuckDB
     oracle checks end-to-end.
     """
-    sh_df = df.select(
-        F.col(id_col), _shingles(text_col, shingle_k).alias("sh")
-    ).where(F.size("sh") > 0)
+    # the shingle table feeds both sides of the verify join — materialize
+    sh_df = _shingle_df(df, text_col, id_col, shingle_k).persist()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes // bands
@@ -262,6 +289,10 @@ def simhash_near_pairs_2x32(
     blocked = sim_df.select(
         id_col, "fp_hi", "fp_lo", F.explode(F.array(*chunk_structs)).alias("c")
     ).select(id_col, "fp_hi", "fp_lo", "c.chunk_id", "c.chunk_val")
+    # materialize before the self-join: both aliases would otherwise
+    # recompute the fingerprint aggregation (the persisted-fingerprint
+    # table shape at warehouse scale)
+    blocked = blocked.persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = (
         F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
@@ -342,7 +373,7 @@ def simhash_near_pairs(
     )
     blocked = sim_df.select(id_col, "simhash", chunks.alias("c")).select(
         id_col, "simhash", "c.chunk_id", "c.chunk_val"
-    )
+    ).persist()  # both self-join sides read the fingerprint table once
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
