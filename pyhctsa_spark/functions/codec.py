@@ -37,27 +37,25 @@ def _stream_checksum(bits_u64: np.ndarray) -> int:
         return int((bits_u64 * w).sum(dtype=np.uint64))
 
 
-class _BitWriter:
-    __slots__ = ("buf", "acc", "nbits")
+def _pack_fields(fields: np.ndarray, widths: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-width bitfields, vectorized.
 
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, bits: int) -> None:
-        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
-        self.nbits += bits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
-
-    def getvalue(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            return bytes(self.buf) + bytes([(self.acc << pad) & 0xFF])
-        return bytes(self.buf)
+    ``fields`` uint64 values, ``widths`` their bit widths (1..64). Each
+    field is exploded to its bits (np.repeat + per-position shifts) and
+    the whole stream packed with np.packbits — no per-value Python loop.
+    """
+    widths = np.asarray(widths, dtype=np.int64)
+    fields = np.asarray(fields, dtype=np.uint64)
+    if len(widths) == 0:
+        return b""
+    # MSB-align every field in its own 64-bit lane, explode to a fixed
+    # (n, 64) bit matrix, then boolean-select each lane's live bits —
+    # fixed-shape ops only, no per-bit index arrays
+    top = fields << (64 - widths).astype(np.uint64)
+    lanes = top.astype(">u8").view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(lanes, axis=1)
+    mask = np.arange(64, dtype=np.int64)[None, :] < widths[:, None]
+    return np.packbits(bits[mask]).tobytes()
 
 
 class _BitReader:
@@ -68,14 +66,12 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, bits: int) -> int:
-        out = 0
         p = self.pos
-        for _ in range(bits):
-            byte = self.data[p >> 3]
-            out = (out << 1) | ((byte >> (7 - (p & 7))) & 1)
-            p += 1
-        self.pos = p
-        return out
+        self.pos = p + bits
+        start = p >> 3
+        end = (p + bits + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        return (chunk >> ((end << 3) - p - bits)) & ((1 << bits) - 1)
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
@@ -102,39 +98,66 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     bits = v.view(np.uint64)
     n = len(bits)
     cksum = _stream_checksum(bits)
-    w = _BitWriter()
+    payload = b""
     if n:
-        w.write(int(bits[0]), 64)
         x = bits[1:] ^ bits[:-1]
+        m = len(x)
         nz = x != 0
-        lz = np.zeros(len(x), dtype=np.int64)
-        tz = np.zeros(len(x), dtype=np.int64)
+        lz = np.zeros(m, dtype=np.int64)
+        tz = np.zeros(m, dtype=np.int64)
         if nz.any():
             lz[nz] = np.minimum(_clz64(x[nz]), 31)
             tz[nz] = _ctz64(x[nz])
-        xl = x.tolist()
-        lzl = lz.tolist()
-        tzl = tz.tolist()
+        # sequential pass ONLY for the window-reuse decision (the live
+        # (prev_lz, prev_tz) state is a true serial dependency); all bit
+        # math and packing below is vectorized
+        reuse = np.zeros(m, dtype=bool)
+        gov_lz = lz.copy()
+        gov_tz = tz.copy()
+        nz_idx = np.flatnonzero(nz)
+        lzl, tzl = lz.tolist(), tz.tolist()
         prev_lz, prev_tz = -1, -1
-        for i in range(len(xl)):
-            xi = xl[i]
-            if xi == 0:
-                w.write(0, 1)
-                continue
+        reuse_l, glz_l, gtz_l = [], [], []
+        for i in nz_idx.tolist():
             li, ti = lzl[i], tzl[i]
             if prev_lz >= 0 and li >= prev_lz and ti >= prev_tz:
-                # reuse previous window
-                w.write(0b10, 2)
-                mlen = 64 - prev_lz - prev_tz
-                w.write(xi >> prev_tz, mlen)
+                reuse_l.append(True)
+                glz_l.append(prev_lz)
+                gtz_l.append(prev_tz)
             else:
-                w.write(0b11, 2)
-                mlen = 64 - li - ti
-                w.write(li, 5)
-                w.write(mlen - 1, 6)
-                w.write(xi >> ti, mlen)
+                reuse_l.append(False)
+                glz_l.append(li)
+                gtz_l.append(ti)
                 prev_lz, prev_tz = li, ti
-    return _MAGIC_G + struct.pack("<IQ", n, cksum & (2**64 - 1)) + w.getvalue()
+        if len(nz_idx):
+            reuse[nz_idx] = reuse_l
+            gov_lz[nz_idx] = glz_l
+            gov_tz[nz_idx] = gtz_l
+        # field 1: control (1 bit '0' | 2 bits '10' | 13 bits '11'+lz+len)
+        mlen = 64 - gov_lz - gov_tz
+        new = nz & ~reuse
+        f1 = np.zeros(m, dtype=np.uint64)
+        w1 = np.ones(m, dtype=np.int64)
+        f1[reuse] = np.uint64(0b10)
+        w1[reuse] = 2
+        f1[new] = (
+            np.uint64(0b11 << 11)
+            | (lz[new].astype(np.uint64) << np.uint64(6))
+            | (mlen[new] - 1).astype(np.uint64)
+        )
+        w1[new] = 13
+        # field 2: significant payload bits (absent for zero-XOR)
+        f2 = x >> gov_tz.astype(np.uint64)
+        w2 = np.zeros(m, dtype=np.int64)
+        w2[nz] = mlen[nz]
+        fields = np.empty(1 + 2 * m, dtype=np.uint64)
+        widths = np.empty(1 + 2 * m, dtype=np.int64)
+        fields[0], widths[0] = bits[0], 64
+        fields[1::2], widths[1::2] = f1, w1
+        fields[2::2], widths[2::2] = f2, w2
+        keep = widths > 0
+        payload = _pack_fields(fields[keep], widths[keep])
+    return _MAGIC_G + struct.pack("<IQ", n, cksum & (2**64 - 1)) + payload
 
 
 def gorilla_decode(blob: bytes) -> np.ndarray:
@@ -173,28 +196,55 @@ def dod_encode(offsets: np.ndarray) -> bytes:
     o = np.ascontiguousarray(offsets, dtype=np.int64)
     n = len(o)
     cksum = _stream_checksum(o.view(np.uint64))
-    w = _BitWriter()
+    parts = []
     if n:
-        w.write(int(o[0]) & (2**64 - 1), 64)
+        parts.append((np.uint64(int(o[0]) & (2**64 - 1)), 64))
     if n > 1:
-        w.write(int(o[1] - o[0]) & (2**64 - 1), 64)
-        dod = np.diff(np.diff(o))
-        for d in dod.tolist():
-            if d == 0:
-                w.write(0, 1)
-            elif -63 <= d <= 64:
-                w.write(0b10, 2)
-                w.write(d + 63, 7)
-            elif -255 <= d <= 256:
-                w.write(0b110, 3)
-                w.write(d + 255, 9)
-            elif -2047 <= d <= 2048:
-                w.write(0b1110, 4)
-                w.write(d + 2047, 12)
-            else:
-                w.write(0b1111, 4)
-                w.write(d & (2**64 - 1), 64)
-    return _MAGIC_D + struct.pack("<IQ", n, cksum & (2**64 - 1)) + w.getvalue()
+        parts.append((np.uint64(int(o[1] - o[0]) & (2**64 - 1)), 64))
+        d = np.diff(np.diff(o))
+        m = len(d)
+        du = d.view(np.uint64)
+        # bucket classification + control|payload fused into one field
+        # (fully vectorized — no serial state in delta-of-delta)
+        b0 = d == 0
+        b7 = ~b0 & (d >= -63) & (d <= 64)
+        b9 = ~b0 & ~b7 & (d >= -255) & (d <= 256)
+        b12 = ~b0 & ~b7 & ~b9 & (d >= -2047) & (d <= 2048)
+        b64 = ~(b0 | b7 | b9 | b12)
+        f1 = np.zeros(m, dtype=np.uint64)
+        w1 = np.ones(m, dtype=np.int64)
+        f1[b7] = np.uint64(0b10 << 7) | (d[b7] + 63).astype(np.uint64)
+        w1[b7] = 9
+        f1[b9] = np.uint64(0b110 << 9) | (d[b9] + 255).astype(np.uint64)
+        w1[b9] = 12
+        f1[b12] = np.uint64(0b1110 << 12) | (d[b12] + 2047).astype(np.uint64)
+        w1[b12] = 16
+        f1[b64] = np.uint64(0b1111)
+        w1[b64] = 4
+        f2 = np.zeros(m, dtype=np.uint64)
+        w2 = np.zeros(m, dtype=np.int64)
+        f2[b64] = du[b64]
+        w2[b64] = 64
+        fields = np.empty(len(parts) + 2 * m, dtype=np.uint64)
+        widths = np.empty(len(parts) + 2 * m, dtype=np.int64)
+        for i, (fv, fw) in enumerate(parts):
+            fields[i], widths[i] = fv, fw
+        k = len(parts)
+        fields[k::2], widths[k::2] = f1, w1
+        fields[k + 1 :: 2], widths[k + 1 :: 2] = f2, w2
+        keep = widths > 0
+        return _MAGIC_D + struct.pack("<IQ", n, cksum & (2**64 - 1)) + _pack_fields(
+            fields[keep], widths[keep]
+        )
+    payload = (
+        _pack_fields(
+            np.array([p[0] for p in parts], dtype=np.uint64),
+            np.array([p[1] for p in parts], dtype=np.int64),
+        )
+        if parts
+        else b""
+    )
+    return _MAGIC_D + struct.pack("<IQ", n, cksum & (2**64 - 1)) + payload
 
 
 def dod_decode(blob: bytes) -> np.ndarray:
@@ -211,7 +261,8 @@ def dod_decode(blob: bytes) -> np.ndarray:
         out[0] = _signed64(r.read(64))
         if n > 1:
             delta = _signed64(r.read(64))
-            out[1] = out[0] + delta
+            # int64 wraparound semantics, matching the encoder's masking
+            out[1] = _signed64((int(out[0]) + delta) & (2**64 - 1))
             for i in range(2, n):
                 if r.read(1) == 0:
                     d = 0
@@ -223,8 +274,8 @@ def dod_decode(blob: bytes) -> np.ndarray:
                     d = r.read(12) - 2047
                 else:
                     d = _signed64(r.read(64))
-                delta += d
-                out[i] = out[i - 1] + delta
+                delta = _signed64((delta + d) & (2**64 - 1))
+                out[i] = _signed64((int(out[i - 1]) + delta) & (2**64 - 1))
     if n and _stream_checksum(out.view(np.uint64)) != cksum:
         raise ValueError("dod block checksum mismatch")
     return out
