@@ -372,6 +372,113 @@ FROM (
 GROUP BY user_id
 """)
 
+# --- DN_cv k=1 per user ----------------------------------------------------
+QUERIES["user_cv1"] = _q("""
+SELECT user_id, round(stddev_samp(v) / nullif(avg(v), CAST(0.0 AS DOUBLE)), 6) AS cv1
+FROM series GROUP BY user_id
+""")
+
+# --- DN_Moments k=3 (3rd central moment / sample std) per user --------------
+QUERIES["user_moment3"] = _q("""
+SELECT s.user_id,
+       round(avg((s.v - t.mu) * (s.v - t.mu) * (s.v - t.mu))
+             / nullif(t.sd, CAST(0.0 AS DOUBLE)), 6) AS moment3
+FROM series s
+JOIN (SELECT user_id, avg(v) AS mu, stddev_samp(v) AS sd
+      FROM series GROUP BY user_id) t USING (user_id)
+GROUP BY s.user_id, t.sd
+""")
+
+# --- DN_CustomSkewness 'pearson' per user -----------------------------------
+QUERIES["user_skew_pearson"] = _q("""
+SELECT user_id,
+       round(3.0 * (avg(v) - median(v))
+             / nullif(stddev_samp(v), CAST(0.0 AS DOUBLE)), 6) AS skew_pearson
+FROM series GROUP BY user_id
+""")
+
+# --- DN_TrimmedMean p=10 per user -------------------------------------------
+# k = round-half-even(n * 10 / 100 / 2) values trimmed from each sorted end
+# (banker's rounding spelled out so both engines match numpy.round).
+QUERIES["user_trimmed_mean10"] = _q("""
+SELECT user_id, round(avg(v), 6) AS trimmed_mean10
+FROM (
+  SELECT r.user_id, r.v, r.rk, r.cnt,
+         CAST(floor(r.half) + CASE
+              WHEN r.half - floor(r.half) > 0.5 THEN 1
+              WHEN r.half - floor(r.half) = 0.5
+                   AND CAST(floor(r.half) AS BIGINT) % 2 = 1 THEN 1
+              ELSE 0 END AS BIGINT) AS k
+  FROM (
+    SELECT user_id, v,
+           row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+           count(*) OVER (PARTITION BY user_id) AS cnt,
+           count(*) OVER (PARTITION BY user_id) * CAST(10.0 AS DOUBLE)
+             / 100.0 / 2.0 AS half
+    FROM series
+  ) r
+) t
+WHERE rk > k AND rk <= cnt - k
+GROUP BY user_id
+""")
+
+# --- SY_DriftingMean 'fix' l=20 per user ------------------------------------
+QUERIES["user_drift_mean20"] = _q("""
+SELECT user_id,
+       round(max(m) / avg(s2), 6)            AS drift_max,
+       round(min(m) / avg(s2), 6)            AS drift_min,
+       round(avg(m) / avg(s2), 6)            AS drift_mean,
+       round((max(m) - min(m)) / avg(s2), 6) AS drift_meanmaxmin
+FROM (
+  SELECT user_id, seg, avg(v) AS m, var_samp(v) AS s2
+  FROM (SELECT user_id, v, CAST(floor(rn / 20) AS BIGINT) AS seg FROM series) t
+  GROUP BY user_id, seg HAVING count(*) = 20
+) segs
+GROUP BY user_id HAVING count(*) >= 2 AND avg(s2) <> 0
+""")
+
+# --- SY_LocalGlobal 'l' n=50 per user ----------------------------------------
+QUERIES["user_local_global_l50"] = _q("""
+SELECT s.user_id,
+       round(abs(avg(s.v) FILTER (WHERE s.rn < 50)), 6) AS lg_absmean,
+       round(stddev_samp(s.v) FILTER (WHERE s.rn < 50)
+             / nullif(max(t.sd), CAST(0.0 AS DOUBLE)), 6) AS lg_stdrat,
+       round(median(s.v) FILTER (WHERE s.rn < 50), 6) AS lg_median
+FROM series s
+JOIN (SELECT user_id, stddev_samp(v) AS sd FROM series GROUP BY user_id) t
+  USING (user_id)
+GROUP BY s.user_id
+""")
+
+# --- CR_RAD tau=2 per user ---------------------------------------------------
+QUERIES["user_rad2"] = _q("""
+SELECT d.user_id,
+       round(stddev_samp(d.dv)
+             * (1.0 / nullif(stddev_samp(d.dv) FILTER (WHERE d.v > d.med), CAST(0.0 AS DOUBLE))
+                - 1.0 / nullif(stddev_samp(d.dv) FILTER (WHERE d.v <= d.med), CAST(0.0 AS DOUBLE))),
+             6) AS rad2
+FROM (
+  SELECT w2.user_id, w2.v, w2.v2 - w2.v AS dv, t.med
+  FROM win w2
+  JOIN (SELECT user_id, median(v) AS med FROM series GROUP BY user_id) t
+    USING (user_id)
+  WHERE w2.v2 IS NOT NULL
+) d
+GROUP BY d.user_id
+""")
+
+# --- CO_NonlinearAutocorr taus=[0,1,2] per user ------------------------------
+QUERIES["user_nlac_012"] = _q("""
+SELECT user_id, round(avg(v * v1 * v2), 6) AS nlac_012
+FROM win WHERE v2 IS NOT NULL GROUP BY user_id
+""")
+
+# --- SY_StdNthDer n=2 per user -----------------------------------------------
+QUERIES["user_stdnthder2"] = _q("""
+SELECT user_id, round(stddev_samp((v2 - v1) - (v1 - v)), 6) AS stdnthder2
+FROM win WHERE v2 IS NOT NULL GROUP BY user_id
+""")
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------

@@ -35,3 +35,63 @@ def test_queries_oracle_keys_consistent():
     assert set(o) <= set(q)
     # the only oracle-less query is the full-schema rollup (HOL columns)
     assert set(q) - set(o) == {"rollup_full_events"}
+
+
+def test_new_user_queries_mirror_kernels():
+    """The 9 round-2 catalog queries must compute the same values as the
+    numpy kernels they represent (SQL is the driver-checked spec; the
+    kernel is the engine's extract path)."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+    scalar_checks = {
+        "user_cv1": lambda y: K.cv(y, 1),
+        "user_moment3": lambda y: K.moments(y, 3),
+        "user_skew_pearson": lambda y: K.custom_skewness(y, "pearson"),
+        "user_trimmed_mean10": lambda y: K.trimmed_mean(y, 10.0),
+        "user_rad2": lambda y: K.rad(y, 2),
+        "user_nlac_012": lambda y: K.nonlinear_autocorr(y, [0, 1, 2]),
+        "user_stdnthder2": lambda y: K.std_nth_der(y, 2),
+    }
+    for name, fn in scalar_checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            want = round(fn(y), 6)
+            got = df.loc[u].iloc[0] if u in df.index else float("nan")
+            assert np.isclose(got, want, atol=2e-6, equal_nan=True), (name, u)
+    dict_checks = {
+        "user_local_global_l50": (
+            lambda y: K.local_global(y, "l", 50),
+            [("lg_absmean", "absmean"), ("lg_stdrat", "std"), ("lg_median", "median")],
+        ),
+        "user_drift_mean20": (
+            lambda y: K.drifting_mean(y, "fix", 20),
+            [("drift_max", "max"), ("drift_min", "min"),
+             ("drift_mean", "mean"), ("drift_meanmaxmin", "meanmaxmin")],
+        ),
+    }
+    for name, (fn, pairs) in dict_checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            want = fn(y)
+            for sqlc, kk in pairs:
+                w = want[kk]
+                if u not in df.index:
+                    assert np.isnan(w), (name, u)
+                    continue
+                assert np.isclose(
+                    df.loc[u][sqlc], round(w, 6), atol=2e-6, equal_nan=True
+                ), (name, u, sqlc)
