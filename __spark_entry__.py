@@ -92,6 +92,25 @@ def _rollup_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_cascade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention path under the driver gate: tier 1 computed ONLY from
+    the materialized tier-0 store (cascade_from_store: groupBy + ALG
+    state merge — raw values never revisited). ALG columns are exactly
+    mergeable, so the result must be bit-identical to the direct tier-1
+    computation; the DuckDB oracle recomputes it from raw events."""
+    from pyhctsa_spark.operators.rollup import cascade_from_store, rollup_tiers
+
+    seq = _sequences_from_events(spark, sf_dir)
+    tier0 = rollup_tiers(seq, window=4, group=4, n_tiers=1, lags=[1, 2])
+    tier1 = cascade_from_store(tier0, group=4, lags=[1, 2])
+    return tier1.select(
+        "doc_id", "source", "window_idx", "n",
+        _f6("mean", "mean_v"), _f6("variance", "var_v"),
+        _f6("spread_std", "std_v"), _f6("ac1_td"), _f6("ac2_td"),
+        _f6("burst_b"), _f6("burst_b_kim"),
+    )
+
+
 def _rollup_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the full rollup schema incl. HOL columns (hazen IQR)
     and the window=8 flagship configuration — exercises the exact
@@ -198,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _mk(name) for name in OQ.QUERIES
     }
     out["rollup_tiers_events"] = _rollup_events_query
+    out["rollup_cascade_tier1"] = _rollup_cascade_query
     out["rollup_full_events"] = _rollup_full_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query

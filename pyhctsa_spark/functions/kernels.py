@@ -988,8 +988,13 @@ def range_evolve(y: np.ndarray) -> dict:
     of unique cumulative-range values reached within the first
     1/10/20/50 % (nuqp*) and first 10/50/100/1000 points (nuql*) as
     fractions of the total unique count, plus the fraction of the full
-    range captured at those same cut points (p*, l*). Short series keep
-    the reference's quirk of emitting ``nuql{N}`` = NaN when N < Nval.
+    range captured at those same cut points (p*, l*).
+
+    Documented deviation: for N < Nval the reference's Python emits a
+    series-length-dependent key ``nuql{N}`` (Stationarity.py:536 — an
+    f-string typo for the clearly intended ``nuql{Nval}``); the engine
+    emits the intended fixed key (= NaN) so the feature schema is stable
+    across series lengths, which a columnar engine requires.
     """
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
@@ -1016,7 +1021,7 @@ def range_evolve(y: np.ndarray) -> dict:
         if N >= nval:
             out[f"nuql{nval}"] = lunique(cums[:nval]) / out["totnuq"]
         else:
-            out[f"nuql{N}"] = float("nan")
+            out[f"nuql{nval}"] = float("nan")
     for pct, frac in (("p1", 0.01), ("p10", 0.1), ("p20", 0.2), ("p50", 0.5)):
         out[pct] = float(cums[int(np.ceil(N * frac)) - 1] / fullr) if fullr > 0 else float("nan")
     for nval in lengths:

@@ -959,6 +959,77 @@ SELECT doc_id, source, tier, window_idx, n,
 FROM f4
 """
 
+# Retention-path cascade: tier 1 built purely from the materialized
+# tier-0 store (operators/rollup.cascade_from_store) must equal the
+# direct 16-token-window computation over raw events — the exact
+# mergeability of the ALG state is the engine's continuous-aggregate
+# correctness claim. Same bit-exact construction as the rollup oracle,
+# restricted to the wlen=16 tier (HOL columns are NULL on the cascade
+# path and excluded here).
+ENGINE_ORACLES["rollup_cascade_tier1"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(CAST(round(value) AS INTEGER) AS DOUBLE) AS v
+  FROM events
+),
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 16) AS BIGINT) AS window_idx,
+         rn % 16 AS i, v,
+         lead(v)    OVER (PARTITION BY doc_id ORDER BY rn) AS v1,
+         lead(v, 2) OVER (PARTITION BY doc_id ORDER BY rn) AS v2
+  FROM series
+),
+agg AS (
+  SELECT doc_id, source, window_idx,
+         CAST(count(*) AS BIGINT)              AS n,
+         CAST(16 AS DOUBLE)                    AS nd,
+         sum(v)                                AS s1,
+         sum(v * v)                            AS s2,
+         sum(v * v1) FILTER (WHERE i < 15)     AS sxy1,
+         sum(v * v2) FILTER (WHERE i < 14)     AS sxy2,
+         sum(v)      FILTER (WHERE i < 15)     AS s1a1,
+         sum(v * v)  FILTER (WHERE i < 15)     AS s2a1,
+         sum(v)      FILTER (WHERE i >= 1)     AS s1b1,
+         sum(v * v)  FILTER (WHERE i >= 1)     AS s2b1,
+         sum(v)      FILTER (WHERE i < 14)     AS s1a2,
+         sum(v * v)  FILTER (WHERE i < 14)     AS s2a2,
+         sum(v)      FILTER (WHERE i >= 2)     AS s1b2,
+         sum(v * v)  FILTER (WHERE i >= 2)     AS s2b2
+  FROM w
+  GROUP BY doc_id, source, window_idx
+  HAVING count(*) = 16
+),
+f1 AS (SELECT *, s1 / nd AS mean FROM agg),
+f2 AS (
+  SELECT *, greatest((s2 - nd * (mean * mean)) / (nd - 1.0), 0.0) AS var
+  FROM f1
+),
+f3 AS (
+  SELECT *, sqrt(var) AS std,
+         sqrt(var) / nullif(mean, 0.0) AS r,
+         s1a1 / (nd - 1.0) AS mu1a, s1b1 / (nd - 1.0) AS mu1b,
+         s1a2 / (nd - 2.0) AS mu2a, s1b2 / (nd - 2.0) AS mu2b
+  FROM f2
+)
+SELECT doc_id, source, window_idx, n,
+       round(mean, 6) AS mean_v,
+       round(var, 6)  AS var_v,
+       round(std, 6)  AS std_v,
+       round((sxy1 / (nd - 1.0) - mu1a * mu1b)
+             / nullif(sqrt(greatest(s2a1 / (nd - 1.0) - mu1a * mu1a, 0.0))
+                      * sqrt(greatest(s2b1 / (nd - 1.0) - mu1b * mu1b, 0.0)), 0.0), 6) AS ac1_td,
+       round((sxy2 / (nd - 2.0) - mu2a * mu2b)
+             / nullif(sqrt(greatest(s2a2 / (nd - 2.0) - mu2a * mu2a, 0.0))
+                      * sqrt(greatest(s2b2 / (nd - 2.0) - mu2b * mu2b, 0.0)), 0.0), 6) AS ac2_td,
+       round((r - 1.0) / (r + 1.0), 6) AS burst_b,
+       round((sqrt(nd + 1.0) * r - sqrt(nd - 1.0))
+             / nullif((sqrt(nd + 1.0) - 2.0) * r + sqrt(nd - 1.0), 0.0), 6) AS burst_b_kim
+FROM f3
+"""
+
 # hctsa-style feature matrix over W=16 token windows: the registry path
 # (plans/registry.FeatureSet -> operators/features.extract_features) with
 # SQL-expressible kernels; labels match the engine's column names.
