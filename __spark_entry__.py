@@ -111,6 +111,51 @@ def _rollup_cascade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill path under the driver gate: deterministically drop
+    interior offsets (rn % 7 == 3), feed the sparse (offsets, values)
+    form through the gapped rollup (gap_fill: linear interior
+    interpolation, edge clamp — functions/gapfill.py), and emit tier-0/1
+    ALG columns. The oracle re-derives the filled series with SQL
+    IGNORE NULLS windows and the identical interpolation arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.rollup import rollup_tiers
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "_gap_events"
+    )
+    gapped = spark.sql(
+        """
+        WITH series AS (
+          SELECT user_id,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+                 CAST(round(value) AS INT) AS tok,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM _gap_events
+        )
+        SELECT CAST(user_id AS STRING) AS doc_id,
+               transform(array_sort(collect_list(struct(rn, tok))),
+                         s -> CAST(s.rn AS INT))                    AS offsets,
+               transform(array_sort(collect_list(struct(rn, tok))),
+                         s -> CAST(s.tok AS DOUBLE))                AS values,
+               CAST(max(cnt) AS INT)                                AS n_tok,
+               concat('evt', CAST(pmod(user_id, 4) AS STRING))      AS source
+        FROM series
+        WHERE rn % 7 <> 3 OR rn = 0 OR rn = cnt - 1
+        GROUP BY user_id
+        """
+    )
+    r = rollup_tiers(gapped, window=4, group=4, n_tiers=2, lags=[1, 2],
+                     gapped=True)
+    return r.select(
+        "doc_id", "source", "tier", "window_idx", "n",
+        _f6("mean", "mean_v"), _f6("variance", "var_v"),
+        _f6("spread_std", "std_v"), _f6("ac1_td"), _f6("ac2_td"),
+        _f6("burst_b"), _f6("burst_b_kim"),
+    )
+
+
 def _rollup_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the full rollup schema incl. HOL columns (hazen IQR)
     and the window=8 flagship configuration — exercises the exact
@@ -218,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["rollup_tiers_events"] = _rollup_events_query
     out["rollup_cascade_tier1"] = _rollup_cascade_query
+    out["rollup_gapfill"] = _rollup_gapfill_query
     out["rollup_full_events"] = _rollup_full_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query

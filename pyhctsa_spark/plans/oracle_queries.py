@@ -1030,6 +1030,111 @@ SELECT doc_id, source, window_idx, n,
 FROM f3
 """
 
+# Gap-fill path: interior offsets rn % 7 == 3 are dropped; the engine's
+# gap_fill (np.interp: linear interior, edge clamp) reconstructs the
+# dense series before windowing. This SQL re-derives the filled values
+# with IGNORE NULLS windows and np.interp's exact arithmetic
+# (slope = (v_r - v_l)/(o_r - o_l); fv = slope*(rn - o_l) + v_l), then
+# computes the same tier-0/1 window features as the rollup oracle.
+ENGINE_ORACLES["rollup_gapfill"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(CAST(round(value) AS INTEGER) AS DOUBLE) AS v,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+),
+mark AS (
+  SELECT *, CASE WHEN rn % 7 = 3 AND rn > 0 AND rn < cnt - 1
+                 THEN 0 ELSE 1 END AS kept
+  FROM series
+),
+nb AS (
+  SELECT *,
+         last_value(CASE WHEN kept = 1 THEN rn END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_l,
+         last_value(CASE WHEN kept = 1 THEN v END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_l,
+         first_value(CASE WHEN kept = 1 THEN rn END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS o_r,
+         first_value(CASE WHEN kept = 1 THEN v END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_r
+  FROM mark
+),
+filled AS (
+  SELECT doc_id, source, rn,
+         CASE WHEN kept = 1 THEN v
+              WHEN o_l IS NULL THEN v_r
+              WHEN o_r IS NULL THEN v_l
+              ELSE ((v_r - v_l) / (o_r - o_l)) * (rn - o_l) + v_l
+         END AS v
+  FROM nb
+),
+tiers AS (
+  SELECT CAST(0 AS INTEGER) AS tier, 4 AS wlen
+  UNION ALL SELECT CAST(1 AS INTEGER), 16
+),
+w AS (
+  SELECT f.doc_id, f.source, t.tier, t.wlen,
+         CAST(floor(f.rn / t.wlen) AS BIGINT) AS window_idx,
+         f.rn % t.wlen AS i, f.v,
+         lead(f.v)    OVER (PARTITION BY f.doc_id, t.tier ORDER BY f.rn) AS v1,
+         lead(f.v, 2) OVER (PARTITION BY f.doc_id, t.tier ORDER BY f.rn) AS v2
+  FROM filled f CROSS JOIN tiers t
+),
+agg AS (
+  SELECT doc_id, source, tier, window_idx,
+         CAST(count(*) AS BIGINT)                 AS n,
+         CAST(max(wlen) AS DOUBLE)                AS nd,
+         sum(v)                                   AS s1,
+         sum(v * v)                               AS s2,
+         sum(v * v1) FILTER (WHERE i < wlen - 1)  AS sxy1,
+         sum(v * v2) FILTER (WHERE i < wlen - 2)  AS sxy2,
+         sum(v)      FILTER (WHERE i < wlen - 1)  AS s1a1,
+         sum(v * v)  FILTER (WHERE i < wlen - 1)  AS s2a1,
+         sum(v)      FILTER (WHERE i >= 1)        AS s1b1,
+         sum(v * v)  FILTER (WHERE i >= 1)        AS s2b1,
+         sum(v)      FILTER (WHERE i < wlen - 2)  AS s1a2,
+         sum(v * v)  FILTER (WHERE i < wlen - 2)  AS s2a2,
+         sum(v)      FILTER (WHERE i >= 2)        AS s1b2,
+         sum(v * v)  FILTER (WHERE i >= 2)        AS s2b2
+  FROM w
+  GROUP BY doc_id, source, tier, window_idx
+  HAVING count(*) = max(wlen)
+),
+f1 AS (SELECT *, s1 / nd AS mean FROM agg),
+f2 AS (
+  SELECT *, greatest((s2 - nd * (mean * mean)) / (nd - 1.0), 0.0) AS var
+  FROM f1
+),
+f3 AS (
+  SELECT *, sqrt(var) AS std,
+         sqrt(var) / nullif(mean, 0.0) AS r,
+         s1a1 / (nd - 1.0) AS mu1a, s1b1 / (nd - 1.0) AS mu1b,
+         s1a2 / (nd - 2.0) AS mu2a, s1b2 / (nd - 2.0) AS mu2b
+  FROM f2
+)
+SELECT doc_id, source, tier, window_idx, n,
+       round(mean, 6) AS mean_v,
+       round(var, 6)  AS var_v,
+       round(std, 6)  AS std_v,
+       round((sxy1 / (nd - 1.0) - mu1a * mu1b)
+             / nullif(sqrt(greatest(s2a1 / (nd - 1.0) - mu1a * mu1a, 0.0))
+                      * sqrt(greatest(s2b1 / (nd - 1.0) - mu1b * mu1b, 0.0)), 0.0), 6) AS ac1_td,
+       round((sxy2 / (nd - 2.0) - mu2a * mu2b)
+             / nullif(sqrt(greatest(s2a2 / (nd - 2.0) - mu2a * mu2a, 0.0))
+                      * sqrt(greatest(s2b2 / (nd - 2.0) - mu2b * mu2b, 0.0)), 0.0), 6) AS ac2_td,
+       round((r - 1.0) / (r + 1.0), 6) AS burst_b,
+       round((sqrt(nd + 1.0) * r - sqrt(nd - 1.0))
+             / nullif((sqrt(nd + 1.0) - 2.0) * r + sqrt(nd - 1.0), 0.0), 6) AS burst_b_kim
+FROM f3
+"""
+
 # hctsa-style feature matrix over W=16 token windows: the registry path
 # (plans/registry.FeatureSet -> operators/features.extract_features) with
 # SQL-expressible kernels; labels match the engine's column names.
