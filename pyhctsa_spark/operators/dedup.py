@@ -454,49 +454,64 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    planes: int = 16,
+    planes: int = 8,
+    tables: int = 12,
     min_cosine: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicates: random-hyperplane LSH bucket (sign
-    pattern of ``planes`` deterministic pseudo-random projections) then
-    exact cosine verification within buckets."""
-    dims = F.size(F.col(vec_col))
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # deterministic pseudo-random plane weights from xxhash64(seed,p,d):
-    # uniform in [-1, 1)
-    def plane_dot(p):
-        return F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.transform(
-                    F.sequence(F.lit(0), dims - 1),
-                    lambda d: (
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2_000_000))
-                        / 1_000_000.0
-                        - 1.0
-                    ),
-                ),
-                lambda x, wgt: x * wgt,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    """Embedding near-duplicates via MULTI-TABLE random-hyperplane LSH
+    with exact in-bucket cosine verification.
 
-    sig = F.concat_ws(
-        "",
-        *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(planes)],
-    )
-    norm = F.sqrt(
-        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    Per-pair recall at cosine c is 1 - (1 - p^planes)^tables with
+    p = 1 - arccos(c)/pi: the defaults (8 planes x 12 tables) give
+    ~0.999 at c = 0.95 while a random pair lands in a shared bucket in
+    ~4.6% of tables — a single 16-plane table (the previous shape) had
+    only ~18% recall at 0.95. More planes = cheaper verify, lower
+    recall; more tables buy it back linearly in index size.
+
+    The 96 hyperplane projections run as ONE Arrow-batched matmul per
+    batch (pandas UDF -> BLAS) — the scale shape for dense projections;
+    per-element JVM lambdas would be interpreted per plane. Candidates
+    shuffle only (table, bucket, id) tuples; verification is pair-local.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _make_bucket_udf(dim_hint: int):
+        import numpy as np
+        Wm = np.random.default_rng(seed).standard_normal(
+            (tables * planes, dim_hint)
+        )
+        pow2 = 2 ** np.arange(planes, dtype=np.int64)
+
+        @pandas_udf("array<long>", "scalar")
+        def buckets(vecs):
+            X = np.vstack(vecs.to_numpy()).astype(np.float64)
+            S = (X @ Wm[:, : X.shape[1]].T) >= 0.0  # (n, tables*planes)
+            codes = S.reshape(len(X), tables, planes) @ pow2  # (n, tables)
+            return pd.Series(list(codes))
+
+        return buckets
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    bucket_udf = _make_bucket_udf(dim)
     base = (
-        df.select(id_col, F.col(vec_col))
-        .withColumn("_v", vec_d)
-        .withColumn("bucket", sig)
-        .withColumn("_norm", norm)
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn(
+            "_norm",
+            F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .withColumn("_codes", bucket_udf(F.col("_v")))
     )
-    a, b = base.alias("a"), base.alias("b")
+    blocked = base.select(
+        id_col, "_v", "_norm", F.posexplode("_codes").alias("tbl", "code")
+    ).persist()  # both self-join sides read the bucket table once
+    a, b = blocked.alias("a"), blocked.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -506,7 +521,8 @@ def embedding_near_dup_pairs(
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.code") == F.col("b.code"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -514,5 +530,6 @@ def embedding_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             cos.alias("cosine"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cosine") >= min_cosine)
     )

@@ -231,3 +231,40 @@ def test_dedup_components_end_to_end_minhash(spark, docs):
     # every component's id is its minimum member
     g = comp.groupby("component_id").doc_id.min()
     assert (g.index == g.values).all()
+
+
+def test_embedding_lsh_finds_planted_near_dups(spark):
+    import numpy as np
+
+    from pyhctsa_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((120, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 10 near-duplicates: copy + small noise (cosine ~ 0.99)
+    planted = set()
+    for j in range(10):
+        v = base[j] + 0.05 * rng.standard_normal(32)
+        rows.append((1000 + j, [float(x) for x in v]))
+        planted.add((j, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs(df, min_cosine=0.95).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    # exact ground truth for precision
+    X = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if C[i, j] >= 0.95
+    }
+    assert planted <= truth
+    # verification step guarantees precision = 1
+    assert pairs <= truth
+    # multi-table recall at cos>=0.95 is ~0.999 per pair
+    assert len(pairs & planted) >= 9
