@@ -37,3 +37,33 @@ def test_cascade_plan_single_exchange_on_doc_keys(spark):
     # exactly one shuffle, keyed on (doc_id, parent_idx) — no source keys
     assert plan.count("Exchange hashpartitioning") == 1
     assert "doc_id" in plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+
+
+def test_pipeline_join_strategies(spark):
+    """Dedup/ANN plans must never degenerate to cartesian products; the
+    only nested-loop broadcast allowed is knn's intentional bounded
+    query-side cross (the corpus side is never replicated)."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_verified_pairs,
+        simhash_md5,
+        simhash_near_pairs_2x32,
+    )
+    from pyhctsa_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5)
+    cases = {
+        "minhash": (minhash_verified_pairs(docs), 0),
+        "simhash": (simhash_near_pairs_2x32(simhash_md5(docs)), 0),
+        "emb_lsh": (embedding_near_dup_pairs(emb, min_cosine=0.3), 0),
+        "knn_bf": (knn_bruteforce(emb, qs, k=3), 1),
+        "knn_ivf": (knn_ivf(emb, qs, k=3), 2),
+    }
+    for name, (df, max_bnl) in cases.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoop") <= max_bnl, name
