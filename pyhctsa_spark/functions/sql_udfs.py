@@ -27,6 +27,12 @@ from pyhctsa_spark.functions import kernels as K
 from pyhctsa_spark.functions import physics as PH
 
 
+def _periodicity_th2(y):
+    from pyhctsa_spark.functions.embedding import periodicity_wang
+
+    return periodicity_wang(y)["th2"]
+
+
 def _series_udf(fn):
     """Wrap f(1-D float64) -> float as a pandas UDF over array columns."""
 
@@ -75,6 +81,14 @@ _SCALAR_KERNELS = {
     "hctsa_dfa": PH.fast_dfa,
     "hctsa_trend_slope": lambda y: K.trend(y)["gradient"],
     "hctsa_statav5": lambda y: K.stat_av(y, "seg", 5),
+    "hctsa_cv": lambda y: K.cv(y, 1),
+    "hctsa_skew_pearson": lambda y: K.custom_skewness(y, "pearson"),
+    "hctsa_trimmed_mean10": lambda y: K.trimmed_mean(y, 10.0),
+    "hctsa_rad": lambda y: K.rad(y, 2),
+    "hctsa_motif2_uu": lambda y: K.motif_two(y, "diff")["uu"],
+    "hctsa_motif2_hhhh": lambda y: K.motif_two(y, "diff")["hhhh"],
+    "hctsa_periodicity_wang": lambda y: _periodicity_th2(y),
+    "hctsa_cid_ce": lambda y: K.cid_ce(y)["CE1"],
 }
 _PARAM_KERNELS = {
     "hctsa_ac": K.autocorr_fourier,
