@@ -479,6 +479,56 @@ SELECT user_id, round(stddev_samp((v2 - v1) - (v1 - v)), 6) AS stdnthder2
 FROM win WHERE v2 IS NOT NULL GROUP BY user_id
 """)
 
+# --- EN_PermEn m=3 tau=1 (normalized) per user -------------------------------
+# Ordinal pattern via stable-tie ranks: rank_j = #{strictly smaller} +
+# #{equal at earlier positions} (numpy double-argsort semantics,
+# kernels.perm_entropy); code = ra + 3*rb + 9*rc; H / ln(3!).
+QUERIES["user_permen3"] = _q("""
+SELECT user_id,
+       round(-sum((cnt / tot) * ln(cnt / tot)) / ln(6.0), 6) AS permen3
+FROM (
+  SELECT user_id, code, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+  FROM (
+    SELECT user_id,
+           (CASE WHEN v1 < v THEN 1 ELSE 0 END
+            + CASE WHEN v2 < v THEN 1 ELSE 0 END)
+         + (CASE WHEN v < v1 THEN 1 ELSE 0 END
+            + CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+            + CASE WHEN v = v1 THEN 1 ELSE 0 END) * 3
+         + (CASE WHEN v < v2 THEN 1 ELSE 0 END
+            + CASE WHEN v1 < v2 THEN 1 ELSE 0 END
+            + CASE WHEN v = v2 THEN 1 ELSE 0 END
+            + CASE WHEN v1 = v2 THEN 1 ELSE 0 END) * 9 AS code
+    FROM win WHERE v2 IS NOT NULL
+  ) pat
+  GROUP BY user_id, code
+) c
+GROUP BY user_id
+""")
+
+# --- EN_DistributionEntropy 'hist' numBins=10 per user ------------------------
+# Equal-width histogram over [min, max] (last bin inclusive); with the
+# density*binwidth normalization of the kernel, p_bin = cnt/total, so
+# H = -sum p ln p over occupied bins.
+QUERIES["user_distent10"] = _q("""
+SELECT user_id,
+       round(-sum((cnt / tot) * ln(cnt / tot)), 6) AS distent10
+FROM (
+  SELECT b.user_id, b.bin, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY b.user_id) AS DOUBLE) AS tot
+  FROM (
+    SELECT s.user_id,
+           least(CAST(floor((s.v - st.mn) / nullif((st.mx - st.mn) / 10.0, CAST(0.0 AS DOUBLE))) AS BIGINT), 9) AS bin
+    FROM series s
+    JOIN (SELECT user_id, min(v) AS mn, max(v) AS mx
+          FROM series GROUP BY user_id) st USING (user_id)
+  ) b
+  GROUP BY b.user_id, b.bin
+) c
+GROUP BY user_id
+""")
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------

@@ -65,6 +65,8 @@ def test_new_user_queries_mirror_kernels():
         "user_rad2": lambda y: K.rad(y, 2),
         "user_nlac_012": lambda y: K.nonlinear_autocorr(y, [0, 1, 2]),
         "user_stdnthder2": lambda y: K.std_nth_der(y, 2),
+        "user_permen3": lambda y: K.perm_entropy(y, 3, 1),
+        "user_distent10": lambda y: K.distribution_entropy_hist(y, 10),
     }
     for name, fn in scalar_checks.items():
         df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
