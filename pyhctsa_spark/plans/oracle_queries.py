@@ -507,6 +507,37 @@ FROM (
 GROUP BY user_id
 """)
 
+# --- EN_SampEn m=1,2 r=0.1*std per user ---------------------------------------
+# Physionet sampen semantics (entropy.sample_entropy): template matches
+# with Chebyshev distance over i<j pairs, no self-matches;
+# B_m / A_m restricted to the Richman-Moorman index set (i < j <= N-m-1);
+# sampen_m = -ln(A_m / B_m), NULL where undefined (engine emits inf).
+QUERIES["user_sampen"] = _q("""
+SELECT user_id,
+       round(CASE WHEN a1 > 0 AND b1 > 0
+                  THEN -ln(CAST(a1 AS DOUBLE) / b1) END, 6) AS sampen1,
+       round(CASE WHEN a2 > 0 AND b2 > 0
+                  THEN -ln(CAST(a2 AS DOUBLE) / b2) END, 6) AS sampen2
+FROM (
+  SELECT user_id,
+         sum(CASE WHEN rj <= cnt - 2 AND c0 = 1 THEN 1 ELSE 0 END)                       AS b1,
+         sum(CASE WHEN rj <= cnt - 2 AND c0 = 1 AND c1 = 1 THEN 1 ELSE 0 END)            AS a1,
+         sum(CASE WHEN rj <= cnt - 3 AND c0 = 1 AND c1 = 1 THEN 1 ELSE 0 END)            AS b2,
+         sum(CASE WHEN rj <= cnt - 3 AND c0 = 1 AND c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS a2
+  FROM (
+    SELECT a.user_id, b.rn AS rj, st.cnt AS cnt,
+           CASE WHEN abs(a.v - b.v) <= st.r THEN 1 ELSE 0 END   AS c0,
+           CASE WHEN abs(a.v1 - b.v1) <= st.r THEN 1 ELSE 0 END AS c1,
+           CASE WHEN abs(a.v2 - b.v2) <= st.r THEN 1 ELSE 0 END AS c2
+    FROM win a
+    JOIN win b ON a.user_id = b.user_id AND a.rn < b.rn
+    JOIN (SELECT user_id, 0.1 * stddev_samp(v) AS r, count(*) AS cnt
+          FROM series GROUP BY user_id) st
+      ON st.user_id = a.user_id
+  ) p GROUP BY user_id
+) agg
+""")
+
 # --- EN_DistributionEntropy 'hist' numBins=10 per user ------------------------
 # Equal-width histogram over [min, max] (last bin inclusive); with the
 # density*binwidth normalization of the kernel, p_bin = cnt/total, so

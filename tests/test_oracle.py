@@ -74,6 +74,17 @@ def test_new_user_queries_mirror_kernels():
             want = round(fn(y), 6)
             got = df.loc[u].iloc[0] if u in df.index else float("nan")
             assert np.isclose(got, want, atol=2e-6, equal_nan=True), (name, u)
+    from pyhctsa_spark.functions.entropy import sample_entropy
+
+    df_se = con.execute(QUERIES["user_sampen"]["duck"]).fetchdf().set_index("user_id")
+    for u, y in ys.items():
+        out = sample_entropy(y, 2)
+        for col in ("sampen1", "sampen2"):
+            want, got = out[col], df_se.loc[u][col]
+            if not np.isfinite(want):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(want, 6), atol=2e-6), (u, col)
     dict_checks = {
         "user_local_global_l50": (
             lambda y: K.local_global(y, "l", 50),
