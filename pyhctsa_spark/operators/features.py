@@ -48,6 +48,20 @@ def extract_features(
     )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # output-side memory bound (see operators/rollup.py): flush a
+        # RecordBatch every ~64k output rows instead of materializing a
+        # whole input batch's feature matrix at once
+        FLUSH_ROWS = 1 << 16
+
+        def _emit(out_ids, out_src, out_widx, mats):
+            M = np.concatenate(mats, axis=0)
+            arrays = [
+                pa.array(out_ids, type=pa.string()),
+                pa.array(out_src, type=pa.string()),
+                pa.array(np.concatenate(out_widx)),
+            ] + [pa.array(np.ascontiguousarray(M[:, j])) for j in range(M.shape[1])]
+            return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
         for rb in batches:
             names = rb.schema.names
             doc_ids = rb.column(names.index("doc_id")).to_pylist()
@@ -58,6 +72,7 @@ def extract_features(
             out_src: list[str] = []
             out_widx: list[np.ndarray] = []
             mats: list[np.ndarray] = []
+            n_acc = 0
             n_err = 0
             for r in range(rb.num_rows):
                 raw = flat[offs[r] : offs[r + 1]]
@@ -79,17 +94,16 @@ def extract_features(
                 n_err += ne
                 out_ids.extend([doc_ids[r]] * k)
                 out_src.extend([sources[r]] * k)
+                n_acc += k
+                if n_acc >= FLUSH_ROWS:
+                    yield _emit(out_ids, out_src, out_widx, mats)
+                    out_ids, out_src, out_widx, mats = [], [], [], []
+                    n_acc = 0
             if counters is not None:
                 counters["rows_read"].add(rb.num_rows)
                 counters["extract_errors"].add(n_err)
             if mats:
-                M = np.concatenate(mats, axis=0)
-                arrays = [
-                    pa.array(out_ids, type=pa.string()),
-                    pa.array(out_src, type=pa.string()),
-                    pa.array(np.concatenate(out_widx)),
-                ] + [pa.array(np.ascontiguousarray(M[:, j])) for j in range(M.shape[1])]
-                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+                yield _emit(out_ids, out_src, out_widx, mats)
 
     needed = [c for c in ("doc_id", "source", "tokens_bin", "tokens") if c in df.columns]
     return df.select(*needed).mapInArrow(fn, schema=ddl)

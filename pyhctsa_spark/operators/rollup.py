@@ -272,7 +272,15 @@ def _make_rollup_fn(
                 else:
                     cksums = None
 
+            # Output-side memory bound: flush a RecordBatch whenever the
+            # accumulated window count passes the threshold, instead of
+            # materializing the whole input batch's output at once. A
+            # 10k-row Arrow batch of long docs can expand to >10M output
+            # rows (GBs per worker x 32 workers = OOM, observed); the
+            # input batch stays bounded by the scan's partition bytes.
+            FLUSH_ROWS = 1 << 16
             blocks: list[dict] = []
+            n_acc = 0
             n_windows = 0
             n_bad = 0
             for r in range(n_rows):
@@ -301,6 +309,7 @@ def _make_rollup_fn(
                                feature_set)
                 )
                 n_windows += len(state["n"])
+                n_acc += len(state["n"])
                 for tier in range(1, n_tiers):
                     state = S.merge_groups(state, group, lags)
                     if len(state["n"]) == 0:
@@ -312,6 +321,11 @@ def _make_rollup_fn(
                                    Yt, feature_set)
                     )
                     n_windows += len(state["n"])
+                    n_acc += len(state["n"])
+                if n_acc >= FLUSH_ROWS:
+                    yield _assemble_arrow(blocks, pa_schema, len(feat_cols))
+                    blocks = []
+                    n_acc = 0
             if counters is not None:
                 counters["rows_read"].add(n_rows)
                 counters["windows_emitted"].add(n_windows)

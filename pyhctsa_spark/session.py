@@ -44,13 +44,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # All kernels are Arrow pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Token arrays can be ~8k ints; cap rows/batch so a batch stays
-        # well under executor memory even for the longest docs.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Token arrays can be ~16k ints; cap rows/batch so an input batch
+        # stays ~32MB even for the longest docs (output-side memory is
+        # bounded separately: the kernels flush RecordBatches every ~64k
+        # rows). 2048 measured ~15% faster than 512 on the rollup (fewer
+        # Arrow roundtrips).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # 128 MiB parquet split — the default, stated explicitly because
         # partition sizing is part of the contract (BASELINE.md §3).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs scan, kernel I/O and N concurrent parquet WRITERS
+        # in one JVM: 32 writer tasks x (row-group buffers + dictionary
+        # pages + the binary state column) overflow an 8g heap (observed
+        # java.lang.OutOfMemoryError in ColumnChunkPageWriteStore on the
+        # 240k-doc/0.7B-point run). On a real cluster this is per-executor
+        # sizing; locally default to a heap that matches 32 writers.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
