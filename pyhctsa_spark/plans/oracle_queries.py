@@ -507,6 +507,22 @@ FROM (
 GROUP BY user_id
 """)
 
+# --- IN_AutoMutualInfo 'gaussian' tau=1,2 per user -----------------------------
+# Exact for gaussian variables: ami_tau = -0.5 ln(1 - corr(y_t, y_{t+tau})^2)
+# (info._mi_gaussian over the lag slices).
+QUERIES["user_ami_gaussian"] = _q("""
+SELECT user_id,
+       round(-0.5 * ln(1.0 - corr(v, v1) * corr(v, v1)), 6) AS ami1,
+       round(-0.5 * ln(1.0 - c2 * c2), 6) AS ami2
+FROM (
+  SELECT user_id, v, v1,
+         corr(v, v2) OVER (PARTITION BY user_id) AS c2
+  FROM win
+) t
+WHERE v1 IS NOT NULL
+GROUP BY user_id, c2
+""")
+
 # --- EN_SampEn m=1,2 r=0.1*std per user ---------------------------------------
 # Physionet sampen semantics (entropy.sample_entropy): template matches
 # with Chebyshev distance over i<j pairs, no self-matches;

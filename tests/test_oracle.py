@@ -75,6 +75,15 @@ def test_new_user_queries_mirror_kernels():
             got = df.loc[u].iloc[0] if u in df.index else float("nan")
             assert np.isclose(got, want, atol=2e-6, equal_nan=True), (name, u)
     from pyhctsa_spark.functions.entropy import sample_entropy
+    from pyhctsa_spark.functions.info import auto_mutual_info
+
+    df_ami = con.execute(QUERIES["user_ami_gaussian"]["duck"]).fetchdf().set_index("user_id")
+    for u, y in ys.items():
+        want = auto_mutual_info(y, [1, 2], "gaussian")
+        for col in ("ami1", "ami2"):
+            assert np.isclose(
+                df_ami.loc[u][col], round(want[col], 6), atol=2e-6, equal_nan=True
+            ), (u, col)
 
     df_se = con.execute(QUERIES["user_sampen"]["duck"]).fetchdf().set_index("user_id")
     for u, y in ys.items():
