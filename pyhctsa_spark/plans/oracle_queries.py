@@ -523,6 +523,36 @@ WHERE v1 IS NOT NULL
 GROUP BY user_id, c2
 """)
 
+# --- CO_HistogramAMI 'even' numBins=10 tau=1 per user --------------------------
+# Joint 2-D histogram of (y_t, y_{t+1}) over 10 even bins spanning
+# [min, max] (the kernel's +-0.1 edge extensions only widen the outer
+# bins, which is equivalent to clamping the top index); MI in nats over
+# occupied cells with window-sum marginals.
+QUERIES["user_histami_even10"] = _q("""
+SELECT user_id,
+       round(sum((cnt / tot) * ln((cnt / tot) / ((ci / tot) * (cj / tot)))), 6)
+         AS histami1
+FROM (
+  SELECT user_id, cnt, tot,
+         sum(cnt) OVER (PARTITION BY user_id, bi) AS ci,
+         sum(cnt) OVER (PARTITION BY user_id, bj) AS cj
+  FROM (
+    SELECT user_id, bi, bj, CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+    FROM (
+      SELECT w2.user_id,
+             least(CAST(floor((w2.v - st.mn) / st.bw) AS BIGINT), 9)  AS bi,
+             least(CAST(floor((w2.v1 - st.mn) / st.bw) AS BIGINT), 9) AS bj
+      FROM win w2
+      JOIN (SELECT user_id, min(v) AS mn, (max(v) - min(v)) / 10.0 AS bw
+            FROM series GROUP BY user_id) st USING (user_id)
+      WHERE w2.v1 IS NOT NULL
+    ) b GROUP BY user_id, bi, bj
+  ) c
+) d
+GROUP BY user_id
+""")
+
 # --- EN_SampEn m=1,2 r=0.1*std per user ---------------------------------------
 # Physionet sampen semantics (entropy.sample_entropy): template matches
 # with Chebyshev distance over i<j pairs, no self-matches;

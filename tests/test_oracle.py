@@ -75,7 +75,14 @@ def test_new_user_queries_mirror_kernels():
             got = df.loc[u].iloc[0] if u in df.index else float("nan")
             assert np.isclose(got, want, atol=2e-6, equal_nan=True), (name, u)
     from pyhctsa_spark.functions.entropy import sample_entropy
-    from pyhctsa_spark.functions.info import auto_mutual_info
+    from pyhctsa_spark.functions.info import auto_mutual_info, histogram_ami
+
+    df_ha = con.execute(QUERIES["user_histami_even10"]["duck"]).fetchdf().set_index("user_id")
+    for u, y in ys.items():
+        assert np.isclose(
+            df_ha.loc[u].iloc[0], round(histogram_ami(y, 1, "even", 10), 6),
+            atol=2e-6, equal_nan=True,
+        ), u
 
     df_ami = con.execute(QUERIES["user_ami_gaussian"]["duck"]).fetchdf().set_index("user_id")
     for u, y in ys.items():
