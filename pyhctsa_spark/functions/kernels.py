@@ -744,22 +744,38 @@ def nonlinear_autocorr(y: np.ndarray, taus: list[int]) -> float:
 def embed2_basic(y: np.ndarray, tau: int = 1) -> dict:
     """Point-density predicates in the (y_t, y_{t+tau}) embedding.
 
-    Parity: CO_Embed2_Basic (Correlation.py:923-1010) subset: incircle
-    radii, updiag/downdiag bands, parabola bands, ring."""
+    Parity: CO_Embed2_Basic (Correlation.py:923-1010), complete: thick
+    up/down diagonals (widths 0.1/0.5) + their ratios, concave-up/down
+    parabolas at shifts 0/+1/-1, unit rings (widths 0.1/0.2/0.5),
+    circles (r^2 thresholds 0.1..3) plus median/std of the circle
+    densities — reference output names."""
     y = np.asarray(y, dtype=np.float64)
-    x1 = y[:-tau]
-    x2 = y[tau:]
-    r2 = x1**2 + x2**2
-    out = {}
-    for rad in (0.1, 0.2, 0.5, 1.0, 2.0, 3.0):
-        out[f"incircle_{rad}"] = float(np.mean(r2 < rad))
-    for w in (0.01, 0.05, 0.1):
-        out[f"updiag_{w}"] = float(np.mean(np.abs(x2 - x1) < w))
-        out[f"downdiag_{w}"] = float(np.mean(np.abs(x2 + x1) < w))
-    out["ratdiag01"] = out["updiag_0.01"] / out["downdiag_0.01"] if out["downdiag_0.01"] else float("nan")
-    out["parabup01"] = float(np.mean(np.abs(x2 - x1**2) < 0.1))
-    out["parabdown01"] = float(np.mean(np.abs(x2 + x1**2) < 0.1))
-    out["ring1_01"] = float(np.mean(np.abs(r2 - 1.0) < 0.1))
+    xt = y[:-tau]
+    xtp = y[tau:]
+    n = float(len(xt))
+    r2 = xtp**2 + xt**2
+    out: dict = {}
+    out["updiag01"] = float(np.sum(np.abs(xtp - xt) < 0.1) / n)
+    out["updiag05"] = float(np.sum(np.abs(xtp - xt) < 0.5) / n)
+    out["downdiag01"] = float(np.sum(np.abs(xtp + xt) < 0.1) / n)
+    out["downdiag05"] = float(np.sum(np.abs(xtp + xt) < 0.5) / n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["ratdiag01"] = float(np.divide(out["updiag01"], out["downdiag01"]))
+        out["ratdiag05"] = float(np.divide(out["updiag05"], out["downdiag05"]))
+    for w, lbl in ((0.1, "01"), (0.5, "05")):
+        out[f"parabup{lbl}"] = float(np.sum(np.abs(xtp - xt**2) < w) / n)
+        out[f"parabdown{lbl}"] = float(np.sum(np.abs(xtp + xt**2) < w) / n)
+        out[f"parabup{lbl}_1"] = float(np.sum(np.abs(xtp - (xt**2 + 1)) < w) / n)
+        out[f"parabdown{lbl}_1"] = float(np.sum(np.abs(xtp + (xt**2 - 1)) < w) / n)
+        out[f"parabup{lbl}_n1"] = float(np.sum(np.abs(xtp - (xt**2 - 1)) < w) / n)
+        out[f"parabdown{lbl}_n1"] = float(np.sum(np.abs(xtp + (xt**2 + 1)) < w) / n)
+    for w, lbl in ((0.1, "01"), (0.2, "02"), (0.5, "05")):
+        out[f"ring1_{lbl}"] = float(np.sum(np.abs(r2 - 1.0) < w) / n)
+    for rad, lbl in ((0.1, "01"), (0.2, "02"), (0.5, "05"), (1.0, "1"), (2.0, "2"), (3.0, "3")):
+        out[f"incircle_{lbl}"] = float(np.sum(r2 < rad) / n)
+    circ = np.array([out[f"incircle_{lb}"] for lb in ("01", "02", "05", "1", "2", "3")])
+    out["medianincircle"] = float(np.median(circ))
+    out["stdincircle"] = float(np.std(circ, ddof=1))
     return out
 
 
