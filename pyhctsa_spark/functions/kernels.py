@@ -905,30 +905,77 @@ def motif_two(y: np.ndarray, binarize_how: str = "diff") -> dict:
 def binary_stats(y: np.ndarray, binarize_how: str = "diff") -> dict:
     """Run-length statistics of the binarized series.
 
-    Parity: SB_BinaryStats (Symbolic.py:458-540) subset: longest/mean
-    stretch of 0s and 1s, p(up).
+    Parity: SB_BinaryStats (Symbolic.py:458-540), complete: stepBinary
+    binarization ('diff': diff > 0; 'mean'/'median': above; 'iqr':
+    inside the hazen interquartile range), second-half/first-half ones
+    ratio (pupstat2), stretch counts/extremes/means/stds raw and /N
+    (the reference's empty-stretch1 branch omits stdstretch1norm —
+    surfaced as NaN by the registry — and its diff-binarized N is
+    len(y)-1; both preserved).
     """
     y = np.asarray(y, dtype=np.float64)
     if binarize_how == "diff":
-        b = (np.diff(y) >= 0).astype(np.int8)
+        b = (np.diff(y) > 0).astype(np.int8)
     elif binarize_how == "mean":
         b = (y > y.mean()).astype(np.int8)
+    elif binarize_how == "median":
+        b = (y > np.median(y)).astype(np.int8)
     elif binarize_how == "iqr":
         lo, hi = quantile_hazen(y, 0.25), quantile_hazen(y, 0.75)
-        b = ((y < lo) | (y > hi)).astype(np.int8)
+        b = ((y > lo) & (y < hi)).astype(np.int8)
     else:
         raise ValueError(binarize_how)
-    # run-length encode
-    change = np.flatnonzero(np.diff(b)) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(b)]))
-    lengths = ends - starts
-    vals = b[starts]
-    out = {"pup": float(np.mean(b))}
-    for v, name in ((1, "stretch1"), (0, "stretch0")):
-        ls = lengths[vals == v]
-        out[f"longest{name}"] = float(ls.max()) if ls.size else 0.0
-        out[f"mean{name}"] = float(ls.mean()) if ls.size else 0.0
+    N = len(b)
+    out: dict = {}
+    first_ones = float(np.sum(b[: N // 2] == 1))
+    second_ones = float(np.sum(b[N // 2 :] == 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["pupstat2"] = float(np.divide(second_ones, first_ones))
+    # run lengths via the reference's padded-index-gap trick
+    d0 = np.diff(np.flatnonzero(np.concatenate(([1], b, [1]))))
+    stretch0 = d0[d0 != 1] - 1
+    d1 = np.diff(np.flatnonzero(np.concatenate(([0], b, [0])) == 0))
+    stretch1 = d1[d1 != 1] - 1
+    out["pstretch1"] = float(len(stretch1) / N)
+    if len(stretch0) == 0:
+        out["longstretch0"] = 0.0
+        out["longstretch0norm"] = 0.0
+        out["meanstretch0"] = 0.0
+        out["meanstretch0norm"] = 0.0
+        out["stdstretch0"] = float("nan")
+        out["stdstretch0norm"] = float("nan")
+    else:
+        out["longstretch0"] = float(stretch0.max())
+        out["longstretch0norm"] = float(stretch0.max() / N)
+        out["meanstretch0"] = float(stretch0.mean())
+        out["meanstretch0norm"] = float(stretch0.mean() / N)
+        out["stdstretch0"] = float(np.std(stretch0, ddof=1))
+        out["stdstretch0norm"] = float(np.std(stretch0, ddof=1) / N)
+    if len(stretch1) == 0:
+        out["longstretch1"] = 0.0
+        out["longstretch1norm"] = 0.0
+        out["meanstretch1"] = 0.0
+        out["meanstretch1norm"] = 0.0
+        out["stdstretch1"] = float("nan")
+        # reference omits stdstretch1norm here (bug-for-bug)
+    else:
+        out["longstretch1"] = float(stretch1.max())
+        out["longstretch1norm"] = float(stretch1.max() / N)
+        out["meanstretch1"] = float(stretch1.mean())
+        out["meanstretch1norm"] = float(stretch1.mean() / N)
+        out["stdstretch1"] = float(np.std(stretch1, ddof=1))
+        out["stdstretch1norm"] = float(np.std(stretch1, ddof=1) / N)
+    out["meanstretchdiff"] = (out["meanstretch1"] - out["meanstretch0"]) / N
+    out["stdstretchdiff"] = (out["stdstretch1"] - out["stdstretch0"]) / N
+    with np.errstate(invalid="ignore"):
+        out["diff21stretch1"] = (
+            float(np.mean(stretch1 == 2) - np.mean(stretch1 == 1))
+            if len(stretch1) else float("nan")
+        )
+        out["diff21stretch0"] = (
+            float(np.mean(stretch0 == 2) - np.mean(stretch0 == 1))
+            if len(stretch0) else float("nan")
+        )
     return out
 
 
@@ -975,27 +1022,56 @@ def fit_polynomial(y: np.ndarray, k: int = 1) -> float:
     return float(np.sqrt(np.mean(resid**2)))
 
 
-def local_global(y: np.ndarray, subset: str = "l", n: int = 100) -> dict:
-    """Stats of a subset vs. the global series (z-scored framing left to
-    the caller). Parity: SY_LocalGlobal (Stationarity.py:634-701) subset:
-    'l' first n points, 'p' first fraction, 'unicg' evenly spaced n."""
+def local_global(y: np.ndarray, subset: str = "l", n: int | float | None = None) -> dict:
+    """Stats of a local subset vs. the global series.
+
+    Parity: SY_LocalGlobal (Stationarity.py:634-701), complete:
+    'l' first n points (default 100), 'p' initial proportion (default
+    0.1), 'unicg' n evenly spaced points; raw |mean| / std(ddof=1) /
+    median of the subset, plus |1 - local/global| comparisons of hazen
+    IQR, biased skewness, Pearson kurtosis, and lag-1 Fourier ACF.
+    Subsets shorter than 5 points return NaNs (the reference returns a
+    bare NaN)."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
+    if n is None:
+        n = 0.1 if subset == "p" else 100
     if subset == "l":
-        r = y[: min(n, N)]
+        r = y[: min(int(n), N)]
     elif subset == "p":
-        r = y[: int(np.floor(N * (n / 100.0) if n > 1 else N * n))]
+        frac = float(n)
+        r = y[: int(np.floor(N * frac))]
     elif subset == "unicg":
-        r = y[np.round(np.linspace(0, N - 1, n)).astype(int)]
+        r = y[np.round(np.linspace(1, N, int(n))).astype(int) - 1]
     else:
         raise ValueError(subset)
-    sdy = y.std(ddof=1)
-    return {
-        "absmean": float(np.abs(r.mean())),
-        "std": float(r.std(ddof=1) / sdy) if sdy != 0 else float("nan"),
-        "median": float(np.median(r)),
-        "iqr": float(spread_iqr(r) / spread_iqr(y)) if spread_iqr(y) != 0 else float("nan"),
-    }
+    keys = ("absmean", "std", "median", "iqr", "skewness", "kurtosis", "ac1")
+    if len(r) < 5:
+        return {k: float("nan") for k in keys}
+
+    def _skew(v):
+        c = v - v.mean()
+        m2 = np.mean(c**2)
+        return np.mean(c**3) / m2**1.5 if m2 > 0 else float("nan")
+
+    def _kurt(v):
+        c = v - v.mean()
+        m2 = np.mean(c**2)
+        return np.mean(c**4) / m2**2 if m2 > 0 else float("nan")
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = {
+            "absmean": float(np.abs(r.mean())),
+            "std": float(r.std(ddof=1)),
+            "median": float(np.median(r)),
+            "iqr": float(np.abs(1.0 - spread_iqr(r) / spread_iqr(y))),
+            "skewness": float(np.abs(1.0 - _skew(r) / _skew(y))),
+            "kurtosis": float(np.abs(1.0 - _kurt(r) / _kurt(y))),
+            "ac1": float(
+                np.abs(1.0 - autocorr_fourier(r, 1) / autocorr_fourier(y, 1))
+            ),
+        }
+    return out
 
 
 def range_evolve(y: np.ndarray) -> dict:

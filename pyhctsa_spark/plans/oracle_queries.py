@@ -438,16 +438,16 @@ GROUP BY user_id HAVING count(*) >= 2 AND avg(s2) <> 0
 """)
 
 # --- SY_LocalGlobal 'l' n=50 per user ----------------------------------------
+# Raw subset statistics (the reference reports the local |mean| / std /
+# median unnormalized; the |1 - local/global| comparison columns need
+# hazen quantiles and Fourier ACF and stay kernel-side).
 QUERIES["user_local_global_l50"] = _q("""
-SELECT s.user_id,
-       round(abs(avg(s.v) FILTER (WHERE s.rn < 50)), 6) AS lg_absmean,
-       round(stddev_samp(s.v) FILTER (WHERE s.rn < 50)
-             / nullif(max(t.sd), CAST(0.0 AS DOUBLE)), 6) AS lg_stdrat,
-       round(median(s.v) FILTER (WHERE s.rn < 50), 6) AS lg_median
-FROM series s
-JOIN (SELECT user_id, stddev_samp(v) AS sd FROM series GROUP BY user_id) t
-  USING (user_id)
-GROUP BY s.user_id
+SELECT user_id,
+       round(abs(avg(v) FILTER (WHERE rn < 50)), 6)       AS lg_absmean,
+       round(stddev_samp(v) FILTER (WHERE rn < 50), 6)    AS lg_std,
+       round(median(v) FILTER (WHERE rn < 50), 6)         AS lg_median
+FROM series
+GROUP BY user_id
 """)
 
 # --- CR_RAD tau=2 per user ---------------------------------------------------

@@ -164,8 +164,12 @@ def test_motif_two_probs_sum():
 def test_binary_stats_runs():
     y = np.array([0, 1, 1, 1, 0, 0, 1, 0], dtype=float)
     out = K.binary_stats(y, "mean")
-    assert out["longeststretch1"] == 3.0
-    assert out["longeststretch0"] == 2.0
+    assert out["longstretch1"] == 3.0
+    assert out["longstretch0"] == 2.0
+    assert out["pstretch1"] == 2 / 8
+    # 'diff' preserves the reference quirk: N = len(y) - 1
+    d = K.binary_stats(np.array([0, 1, 0, 1, 1, 0], dtype=float), "diff")
+    assert d["pstretch1"] == 2 / 5
 
 
 def test_pnn_and_cid():

@@ -104,7 +104,7 @@ def test_new_user_queries_mirror_kernels():
     dict_checks = {
         "user_local_global_l50": (
             lambda y: K.local_global(y, "l", 50),
-            [("lg_absmean", "absmean"), ("lg_stdrat", "std"), ("lg_median", "median")],
+            [("lg_absmean", "absmean"), ("lg_std", "std"), ("lg_median", "median")],
         ),
         "user_drift_mean20": (
             lambda y: K.drifting_mean(y, "fix", 20),
