@@ -626,27 +626,35 @@ def pnn(y: np.ndarray, threshold: float) -> float:
 
 
 def simple_stats(y: np.ndarray, what_stat: str = "zcross") -> float:
-    """Parity: SY_SimpleStats (Stationarity.py:271-338).
-
-    'zcross': proportion of zero crossings of the mean-centered series;
-    'maxima'/'minima': proportion of local extrema; 'pmcross': proportion
-    of crossings of +/- 1 std levels... (subset ported)."""
+    """Parity: SY_SimpleStats (Stationarity.py:271-338), complete:
+    'zcross' = proportion of zero crossings of the (assumed z-scored)
+    series; 'maxima'/'minima' = proportion of local extrema over N-1;
+    'pmcross' = ratio of +1-level to -1-level crossings;
+    'zsczcross' = ratio of zero crossings of the linearly-detrended
+    z-scored series to the raw z-scored series."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
     if what_stat == "zcross":
-        z = y - y.mean()
-        return float(np.sum(z[:-1] * z[1:] < 0) / N)
-    d = np.diff(y)
+        return float(np.sum(y[:-1] * y[1:] < 0) / N)
     if what_stat == "maxima":
-        return float(np.sum((d[:-1] > 0) & (d[1:] < 0)) / N)
+        d = np.diff(y)
+        return float(np.sum((d[:-1] > 0) & (d[1:] < 0)) / (N - 1))
     if what_stat == "minima":
-        return float(np.sum((d[:-1] < 0) & (d[1:] > 0)) / N)
+        d = np.diff(y)
+        return float(np.sum((d[:-1] < 0) & (d[1:] > 0)) / (N - 1))
     if what_stat == "pmcross":
-        sd = y.std(ddof=1)
-        up = y - y.mean() - sd
-        dn = y - y.mean() + sd
-        c = np.sum(up[:-1] * up[1:] < 0) + np.sum(dn[:-1] * dn[1:] < 0)
-        return float(c / N)
+        up = y - 1.0
+        dn = y + 1.0
+        c1 = float(np.sum(up[:-1] * up[1:] < 0))
+        c2 = float(np.sum(dn[:-1] * dn[1:] < 0))
+        return float(c1 / c2) if c2 else float("nan")
+    if what_stat == "zsczcross":
+        z = zscore(y)
+        h1 = float(np.sum(z[:-1] * z[1:] < 0))
+        t = np.arange(N, dtype=np.float64)
+        dz = z - np.polyval(np.polyfit(t, z, 1), t)
+        h2 = float(np.sum(dz[:-1] * dz[1:] < 0))
+        return float(h2 / h1) if h1 else float("nan")
     raise ValueError(what_stat)
 
 

@@ -91,7 +91,7 @@ def default_operations() -> list[Operation]:
         Operation(K.std_nth_der, "SY_StdNthDer", ["n"],
                   [{"n": [1, 2, 3, 4, 5, 10]}]),
         Operation(K.simple_stats, "SY_SimpleStats", ["what_stat"],
-                  [{"what_stat": ["zcross", "maxima", "minima", "pmcross"],
+                  [{"what_stat": ["zcross", "maxima", "minima", "pmcross", "zsczcross"],
                     "zscore": True}]),
         Operation(K.drifting_mean, "SY_DriftingMean", ["how", "seg_len"],
                   [{"how": "fix", "seg_len": [20, 50, 100]},
