@@ -387,6 +387,16 @@ def autocorr_shape(y: np.ndarray, stop_when="posDrown") -> dict:
                 acf.append(v)
                 break
             acf.append(v)
+    elif stop_when == "doubleDrown":
+        # stop at 2*tau, where tau is the first lag with |ACF| < th
+        for i in range(1, N + 1):
+            v = full[i - 1]
+            if ndrown > 0 and i == ndrown * 2:
+                acf.append(v)
+                break
+            elif i > 1 and abs(v) < th:
+                ndrown = i
+            acf.append(v)
     else:
         raise ValueError(stop_when)
     acf_arr = np.array(acf)
@@ -396,10 +406,21 @@ def autocorr_shape(y: np.ndarray, stop_when="posDrown") -> dict:
         "sumacf": float(acf_arr.sum()),
         "meanacf": float(acf_arr.mean()),
     }
+    if stop_when != "posDrown":
+        out["meanabsacf"] = float(np.mean(np.abs(acf_arr)))
+        out["sumabsacf"] = float(np.sum(np.abs(acf_arr)))
     if nac > 5:
         out["ac1"] = autocorr_fourier(acf_arr, 1)
+        if np.all(acf_arr > 0):
+            out["actau"] = float("nan")
+        else:
+            from pyhctsa_spark.functions.kernels import first_crossing_ac
+
+            tau_c = int(first_crossing_ac(acf_arr)["firstCrossing"])
+            out["actau"] = autocorr_fourier(acf_arr, tau_c)
     else:
         out["ac1"] = float("nan")
+        out["actau"] = float("nan")
     dacf = np.diff(acf_arr)
     ddacf = np.diff(dacf)
     extrr = np.flatnonzero(dacf[1:] * dacf[:-1] < 0)

@@ -328,6 +328,7 @@ def trev(y: np.ndarray, tau: int = 1) -> dict:
         "raw": num / denom if denom != 0 else float("nan"),
         "abs": abs(num) / denom if denom != 0 else float("nan"),
         "num": num,
+        "absnum": abs(num),
         "denom": denom,
     }
 
@@ -338,7 +339,7 @@ def tc3(y: np.ndarray, tau: int = 1) -> dict:
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     if 2 * tau >= n:
-        return {"raw": float("nan"), "abs": float("nan"), "num": float("nan"), "denom": float("nan")}
+        return {"raw": float("nan"), "abs": float("nan"), "num": float("nan"), "absnum": float("nan"), "denom": float("nan")}
     a = y[: n - 2 * tau]
     b = y[tau : n - tau]
     c = y[2 * tau :]
@@ -348,6 +349,7 @@ def tc3(y: np.ndarray, tau: int = 1) -> dict:
         "raw": num / denom if denom != 0 else float("nan"),
         "abs": abs(num) / denom if denom != 0 else float("nan"),
         "num": num,
+        "absnum": abs(num),
         "denom": denom,
     }
 
@@ -570,28 +572,39 @@ def sliding_window(
 
 
 def trend(y: np.ndarray) -> dict:
-    """Linear-trend stats. Parity: SY_Trend (Stationarity.py:787-837):
-    std ratio after linear detrend, OLS slope/intercept vs t=0..N-1, and
-    mean/std/min/max-derived stats of cumsum."""
+    """Linear-trend stats. Parity: SY_Trend (Stationarity.py:787-837),
+    complete: std ratio after linear detrend, OLS fit against the
+    MATLAB-style 1..N axis (intercept convention matters), and stats of
+    the RAW cumulative sum — its mean/std, its own linear fit, and the
+    first/second-half means."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
-    t = np.arange(N, dtype=np.float64)
-    tm = t.mean()
-    ym = y.mean()
-    denom = np.sum((t - tm) ** 2)
-    slope = float(np.sum((t - tm) * (y - ym)) / denom) if denom != 0 else float("nan")
-    intercept = float(ym - slope * tm)
+    t = np.arange(1, N + 1, dtype=np.float64)
+
+    def _fit(v: np.ndarray) -> tuple[float, float]:
+        tm = t.mean()
+        vm = v.mean()
+        denom = np.sum((t - tm) ** 2)
+        if denom == 0:
+            return float("nan"), float("nan")
+        slope = float(np.sum((t - tm) * (v - vm)) / denom)
+        return slope, float(vm - slope * tm)
+
+    slope, intercept = _fit(y)
     resid = y - (intercept + slope * t)
     sdy = y.std(ddof=1)
-    yc = np.cumsum(y - ym)
+    yc = np.cumsum(y)
+    slope_c, intercept_c = _fit(yc)
     return {
         "stdRatio": float(resid.std(ddof=1) / sdy) if sdy != 0 else float("nan"),
         "gradient": slope,
         "intercept": intercept,
         "meanYC": float(yc.mean()),
         "stdYC": float(yc.std(ddof=1)),
-        "minYC": float(yc.min()),
-        "maxYC": float(yc.max()),
+        "gradientYC": slope_c,
+        "interceptYC": intercept_c,
+        "meanYC12": float(np.mean(yc[: int(np.floor(N / 2))])),
+        "meanYC22": float(np.mean(yc[int(np.floor(N / 2)) :])),
     }
 
 
@@ -658,40 +671,57 @@ def simple_stats(y: np.ndarray, what_stat: str = "zcross") -> float:
     raise ValueError(what_stat)
 
 
-def local_simple(y: np.ndarray, forecast_meth: str = "mean", train_length: int = 4) -> dict:
+def local_simple(y: np.ndarray, forecast_meth: str = "mean", train_length=4) -> dict:
     """Rolling local forecast residual stats. Parity: FC_LocalSimple
-    (ModelFit.py:78-123): forecast each point from the previous
-    ``train_length`` points (mean or median), residual stats + residual AC1.
-    """
+    (ModelFit.py:78-123), complete: forecast each point from the previous
+    ``train_length`` points (mean / median / linear fit; 'ac' sets the
+    train length to the first ACF zero crossing), residuals are
+    prediction - value; outputs mean/std/absmean of residuals, their
+    5-segment sliding-window stationarity (sws/swm), Fourier ac1/ac2,
+    and the residual-vs-series interpolated ACF-crossing timescales
+    (taures, tauresrat)."""
     y = np.asarray(y, dtype=np.float64)
-    lp = train_length
-    if len(y) <= lp:
-        return {"meanerr": float("nan"), "stderr": float("nan"), "meanabserr": float("nan"), "ac1": float("nan"), "rmserr": float("nan")}
+    if train_length == "ac":
+        lp = int(first_crossing_ac(y)["firstCrossing"])
+    else:
+        lp = int(train_length)
+    nan_out = {k: float("nan") for k in
+               ("meanerr", "stderr", "meanabserr", "sws", "swm", "ac1",
+                "ac2", "taures", "tauresrat")}
+    if lp < 1 or len(y) <= lp:
+        return nan_out
     W = np.lib.stride_tricks.sliding_window_view(y[:-1], lp)
     if forecast_meth == "mean":
         fc = W.mean(axis=1)
     elif forecast_meth == "median":
         fc = np.median(W, axis=1)
     elif forecast_meth == "lfit":
-        # linear extrapolation from the previous lp points
-        t = np.arange(lp, dtype=np.float64)
+        # linear fit over x = 1..lp, predict at x = lp+1
+        t = np.arange(1, lp + 1, dtype=np.float64)
         tm = t.mean()
         denom = np.sum((t - tm) ** 2)
         if denom == 0:
             fc = W.mean(axis=1)
         else:
             slope = (W - W.mean(axis=1, keepdims=True)) @ (t - tm) / denom
-            fc = W.mean(axis=1) + slope * (lp - tm)
+            fc = W.mean(axis=1) + slope * (lp + 1 - tm)
     else:
         raise ValueError(forecast_meth)
-    res = y[lp:] - fc
-    return {
+    res = fc - y[lp:]  # prediction - value (reference convention)
+    out = {
         "meanerr": float(np.mean(res)),
         "stderr": float(np.std(res, ddof=1)),
         "meanabserr": float(np.mean(np.abs(res))),
-        "rmserr": float(np.sqrt(np.mean(res**2))),
-        "ac1": autocorr_timedomain(res, 1),
+        "sws": sliding_window(res, "std", "std", 5, 1),
+        "swm": sliding_window(res, "mean", "std", 5, 1),
+        "ac1": autocorr_fourier(res, 1),
+        "ac2": autocorr_fourier(res, 2),
     }
+    taures = first_crossing_ac(res)["pointOfCrossing"]
+    tauy = first_crossing_ac(y)["pointOfCrossing"]
+    out["taures"] = float(taures)
+    out["tauresrat"] = float(taures / tauy) if tauy else float("nan")
+    return out
 
 
 def glscf(y: np.ndarray, alpha: float, beta: float, tau: int) -> float:

@@ -63,39 +63,72 @@ def ar_cov(y: np.ndarray, p: int = 2) -> dict:
     return out
 
 
-def ar_fit_select(y: np.ndarray, pmin: int = 1, pmax: int = 10) -> dict:
-    """AR order selection by normalized AIC/BIC over p = pmin..pmax, plus
-    stats of the chosen model and Ljung-Box on its residuals. Parity:
-    MF_ARfit semantics (ModelFit.py:443-551) with the OLS estimator."""
+def ar_fit_select(y: np.ndarray, pmin: int = 1, pmax: int = 10,
+                  selector: str = "sbc") -> dict:
+    """AR order selection + fitted-model statistics. Parity: MF_ARfit
+    (ModelFit.py:443-551), full output surface, with the engine's OLS
+    estimator standing in for statsmodels' AutoReg (documented engine
+    policy — no-constant fit, normalized information criteria):
+    per-order sbc_p / fpe_p curves (BIC / AIC), their minima and argmin
+    orders, the selector-optimal model's coefficients A1..A6
+    (zero-padded), coefficient summary stats, noise variance C,
+    Ljung-Box(20, model_df=popt) residual significance, the fraction of
+    the first 20 residual ACF lags beyond the 1.96/sqrt(N) band, and
+    95%% normal-approximation coefficient-error stats."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
-    aics, bics = {}, {}
-    fits = {}
+    crits_bic, crits_aic, fits = {}, {}, {}
     for p in range(pmin, pmax + 1):
         phi, sigma2 = ar_ols_fit(y, p)
         nobs = N - p
         ll = -0.5 * nobs * (math.log(2 * math.pi * sigma2) + 1.0)
-        aics[p] = (-2 * ll + 2 * (p + 1)) / N
-        bics[p] = (-2 * ll + math.log(nobs) * (p + 1)) / N
+        crits_aic[p] = (-2 * ll + 2 * (p + 1)) / N
+        crits_bic[p] = (-2 * ll + math.log(nobs) * (p + 1)) / N
         fits[p] = (phi, sigma2)
-    p_aic = min(aics, key=aics.get)
-    p_bic = min(bics, key=bics.get)
-    phi, sigma2 = fits[p_bic]
-    X, t = _lag_matrix(y, p_bic)
+    sel = crits_bic if selector in ("sbc", "bic") else crits_aic
+    p_opt = min(sel, key=sel.get)
+    if p_opt < pmin:
+        p_opt = pmin
+    phi, sigma2 = fits[p_opt]
+    out: dict = {}
+    out["A1"] = float(phi[0])
+    for i in range(2, 7):
+        out[f"A{i}"] = float(phi[i - 1]) if len(phi) >= i else 0.0
+    out["maxA"] = float(phi.max())
+    out["minA"] = float(phi.min())
+    out["meanA"] = float(phi.mean())
+    out["stdA"] = float(np.std(phi, ddof=1)) if len(phi) > 1 else 0.0
+    out["sumA"] = float(phi.sum())
+    out["rmsA"] = float(np.sqrt(np.sum(phi**2)))
+    out["sumsqA"] = float(np.sum(phi**2))
+    out["C"] = float(sigma2)
+    for p in range(pmin, pmax + 1):
+        out[f"sbc_{p}"] = float(crits_bic[p])
+        out[f"fpe_{p}"] = float(crits_aic[p])
+    out["minsbc"] = float(min(crits_bic.values()))
+    out["popt_sbc"] = float(min(crits_bic, key=crits_bic.get))
+    out["minfpe"] = float(min(crits_aic.values()))
+    out["popt_fpe"] = float(min(crits_aic, key=crits_aic.get))
+    # residual diagnostics on the selector-optimal fit
+    X, t = _lag_matrix(y, p_opt)
     resid = t - X @ phi
-    lb = hypothesis_test(resid, "lbq")
-    out = {
-        "popt_aic": float(p_aic),
-        "popt_bic": float(p_bic),
-        "min_aic": float(aics[p_aic]),
-        "min_bic": float(bics[p_bic]),
-        "sigma2_opt": float(sigma2),
-        "res_ac1_opt": autocorr_fourier(resid, 1),
-        "lbq_p_opt": lb,
-        "meanA": float(np.mean(phi)),
-    }
-    for j, ph in enumerate(phi[: min(6, len(phi))], start=1):
-        out[f"A{j}"] = float(ph)
+    nobs = len(resid)
+    acf_r = acf_fourier_full(resid)[1:21]
+    q = nobs * (nobs + 2) * float(
+        np.sum(acf_r**2 / (nobs - np.arange(1, 21)))
+    )
+    df = max(1, 20 - p_opt)
+    out["res_siglev"] = float(chi2_sf(q, df))
+    out["pcorr_res"] = float(np.sum(np.abs(acf_r) > 1.96 / math.sqrt(N)) / 20)
+    # 95% normal-approx coefficient errors from the OLS covariance
+    try:
+        cov = sigma2 * np.linalg.inv(X.T @ X)
+        aerr = 1.96 * np.sqrt(np.diag(cov))
+        out["aerr_min"] = float(aerr.min())
+        out["aerr_max"] = float(aerr.max())
+        out["aerr_mean"] = float(aerr.mean())
+    except np.linalg.LinAlgError:
+        out["aerr_min"] = out["aerr_max"] = out["aerr_mean"] = float("nan")
     return out
 
 
@@ -204,13 +237,29 @@ def residual_analysis(e: np.ndarray) -> dict:
 _KPSS_CT_TABLE = [(0.119, 0.10), (0.146, 0.05), (0.176, 0.025), (0.216, 0.01)]
 
 
-def kpss_test(y: np.ndarray, lags: int | None = None) -> dict:
+def kpss_test(y: np.ndarray, lags: int | list | None = None) -> dict:
     """KPSS stationarity test, trend case (regression='ct' as the
     reference configures, Stationarity.py:432-490): detrend by OLS line,
     partial sums, Newey-West long-run variance with Bartlett weights,
-    p-value interpolated from the standard critical-value table."""
+    p-value interpolated from the standard critical-value table.
+
+    A list of lags runs the reference's sweep and returns
+    max/min p-values and statistics plus the argmax/argmin lags."""
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
+    if isinstance(lags, (list, tuple, np.ndarray)):
+        lag_list = [int(v) for v in lags]
+        stats_ = [kpss_test(y, lv) for lv in lag_list]
+        stat = np.array([s["stat"] for s in stats_])
+        pv = np.array([s["pValue"] for s in stats_])
+        return {
+            "maxpValue": float(pv.max()),
+            "minpValue": float(pv.min()),
+            "maxstat": float(stat.max()),
+            "minstat": float(stat.min()),
+            "lagmaxstat": float(lag_list[int(np.argmax(stat))]),
+            "lagminstat": float(lag_list[int(np.argmin(stat))]),
+        }
     if lags is None:
         lags = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
     t = np.arange(n, dtype=np.float64)
@@ -234,11 +283,39 @@ def kpss_test(y: np.ndarray, lags: int | None = None) -> dict:
     return {"stat": stat, "pValue": p, "lags": float(lags)}
 
 
-def variance_ratio_test(y: np.ndarray, period: int = 2, iid: bool = True) -> dict:
+def variance_ratio_test(y: np.ndarray, period=2, iid=True) -> dict:
     """Lo-MacKinlay variance ratio test. Parity: SY_VarRatioTest
     (HypothesisTests.py:10-81): VR(q) from overlapping q-sums with
     bias-corrected variances; z-stat under iid or heteroskedastic
-    assumptions; two-sided normal p."""
+    assumptions; two-sided normal p.
+
+    A list of periods (with a matching list of IID flags, the
+    reference's signature: IID=0 means heteroskedasticity-robust) runs
+    the sweep and returns the reference's summary statistics."""
+    if isinstance(period, (list, tuple, np.ndarray)):
+        iids = list(iid)
+        if len(iids) != len(period):
+            raise ValueError("periods and IIDs lists must have equal length")
+        runs = [
+            variance_ratio_test(y, int(p), bool(i))
+            for p, i in zip(period, iids)
+        ]
+        pvals = np.array([r["pValue"] for r in runs])
+        stats_ = np.array([r["stat"] for r in runs])
+        imaxp = int(np.argmax(pvals))
+        iminp = int(np.argmin(pvals))
+        return {
+            "maxpValue": float(pvals.max()),
+            "minpValue": float(pvals.min()),
+            "meanpValue": float(pvals.mean()),
+            "periodmaxpValue": float(period[imaxp]),
+            "periodminpValue": float(period[iminp]),
+            "IIDperiodmaxpValue": float(iids[imaxp]),
+            "IIDperiodminpValue": float(iids[iminp]),
+            "meanstat": float(stats_.mean()),
+            "maxstat": float(stats_.max()),
+            "minstat": float(stats_.min()),
+        }
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     q = period

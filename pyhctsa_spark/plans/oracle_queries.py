@@ -338,10 +338,11 @@ GROUP BY user_id
 """)
 
 # --- FC_LocalSimple 'mean' trainLength=4 per user -------------------------
+# residual = prediction - value (ModelFit.py:110 convention)
 QUERIES["user_local_simple_mean4"] = _q("""
 SELECT user_id,
-       round(avg(v - f), 6)          AS meanerr,
-       round(stddev_samp(v - f), 6)  AS stderr
+       round(avg(f - v), 6)          AS meanerr,
+       round(stddev_samp(f - v), 6)  AS stderr
 FROM (
   SELECT user_id, rn, v,
          avg(v) OVER (PARTITION BY user_id ORDER BY rn
@@ -1334,6 +1335,7 @@ SELECT doc_id, source, window_idx,
        round(tnum / nullif(tden, 0.0), 6)      AS "CO_trev_1_raw",
        round(abs(tnum) / nullif(tden, 0.0), 6) AS "CO_trev_1_abs",
        round(tnum, 6)                          AS "CO_trev_1_num",
+       round(abs(tnum), 6)                     AS "CO_trev_1_absnum",
        round(tden, 6)                          AS "CO_trev_1_denom"
 FROM fin
 """

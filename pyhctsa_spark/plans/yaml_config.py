@@ -115,27 +115,18 @@ def _shannon(y, numBins=2, depth=3):
 
 
 def _kpss(y, lags=0):
+    # a list reaches here only from the YAML's nested-list form
+    # ([!range [0, 10]]) — the reference's multi-lag sweep branch
     if isinstance(lags, list):
-        out = {}
-        for l in lags:
-            r = M.kpss_test(y, int(l))
-            out[f"lagmaxstat" if False else f"stat_{l}"] = r["stat"]
-            out[f"pValue_{l}"] = r["pValue"]
-        return out
+        return M.kpss_test(y, [int(v) for v in lags])
     return M.kpss_test(y, int(lags))
 
 
 def _var_ratio(y, periods=2, IIDs=1):
-    ps = periods if isinstance(periods, list) else [periods]
-    iids = IIDs if isinstance(IIDs, list) else [IIDs]
-    if len(ps) == 1 and len(iids) == 1:
-        return M.variance_ratio_test(y, int(ps[0]), bool(iids[0]))
-    out = {}
-    for p, i in zip(ps, iids):
-        r = M.variance_ratio_test(y, int(p), bool(i))
-        out[f"ratio_{p}_{i}"] = r["ratio"]
-        out[f"p_{p}_{i}"] = r["pValue"]
-    return out
+    if isinstance(periods, list):
+        return M.variance_ratio_test(y, [int(p) for p in periods],
+                                     list(IIDs))
+    return M.variance_ratio_test(y, int(periods), bool(IIDs))
 
 
 def _moment_corr(y, windowLength=None, wOverlap=None, mom1="mean", mom2="std",
@@ -151,20 +142,30 @@ def _moment_corr(y, windowLength=None, wOverlap=None, mom1="mean", mom2="std",
 
 
 def _loop_local_simple(y, forecastMeth="mean"):
-    """Sweep trainLength 1..10 of LocalSimple; curve-shape stats
-    (FC_LoopLocalSimple semantics, ModelFit.py:15-77)."""
-    stats = [K.local_simple(y, forecastMeth, tl) for tl in range(1, 11)]
-    stds = np.array([s["stderr"] for s in stats])
-    ac1s = np.array([s["ac1"] for s in stats])
-    return {
-        "stderr_chn": float(np.mean(np.diff(stds))),
-        "stderr_meansgndiff": float(np.mean(np.sign(np.diff(stds)))),
-        "stderr_peakpos": float(np.argmax(stds)),
-        "stderr_peaksize": float(np.max(stds) / np.abs(np.mean(stds))),
-        "ac1_chn": float(np.nanmean(np.diff(ac1s))),
-        "ac1_meansgndiff": float(np.nanmean(np.sign(np.diff(ac1s)))),
-        "ac1_stderr": float(np.nanstd(ac1s, ddof=1)),
-    }
+    """Sweep trainLength of LocalSimple (1..10 for 'mean', 1,3,..,17 for
+    'median'); normalized curve-shape stats of the stderr / sws / swm /
+    ac1 / ac2 curves. Parity: FC_LoopLocalSimple (ModelFit.py:15-77),
+    reference output names."""
+    if forecastMeth == "mean":
+        train_range = range(1, 11)
+    elif forecastMeth == "median":
+        train_range = range(1, 19, 2)
+    else:
+        raise ValueError(forecastMeth)
+    stats = [K.local_simple(y, forecastMeth, tl) for tl in train_range]
+    out = {}
+    for key, name in (
+        ("stderr", "stderr"), ("sws", "sws"), ("swm", "swm"),
+        ("ac1", "ac1"), ("ac2", "ac2"),
+    ):
+        curve = np.array([s[key] for s in stats], dtype=np.float64)
+        rng_ = np.ptp(curve)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[f"{name}_chn"] = float(np.mean(np.diff(curve)) / rng_)
+            out[f"{name}_meansgndiff"] = float(np.mean(np.sign(np.diff(curve))))
+            if name != "stderr":
+                out[f"{name}_stdn"] = float(np.std(curve, ddof=1) / rng_)
+    return out
 
 
 def _hist_mode(y, numBins=10, doAbs=0):
@@ -288,7 +289,7 @@ FUNC_TABLE = {
     ("HypothesisTests", "VarianceRatioTest"): _var_ratio,
     ("Spectral", "SpectralSummaries"): lambda y, psdMeth="fft", windowType="none": SP.spectral_summaries(y, psdMeth, windowType),
     ("ModelFit", "ARCov"): lambda y, p=2: M.ar_cov(y, int(p)),
-    ("ModelFit", "ARFit"): lambda y, pmin=1, pmax=10, selector="sbc": M.ar_fit_select(y, int(pmin), int(pmax)),
+    ("ModelFit", "ARFit"): lambda y, pmin=1, pmax=10, selector="sbc": M.ar_fit_select(y, int(pmin), int(pmax), selector),
     ("ModelFit", "ExpSmoothing"): lambda y, ntrain=None, alpha="best": M.exp_smoothing(y, ntrain, alpha),
     ("ModelFit", "LocalSimple"): lambda y, forecastMeth="mean", trainLength=4: K.local_simple(y, forecastMeth, _tau_of(y, trainLength)),
     ("ModelFit", "LoopLocalSimple"): _loop_local_simple,

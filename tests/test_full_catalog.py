@@ -25,7 +25,10 @@ def test_full_catalog_runs_clean(spark):
     # short series legitimately produce no ACF extrema before decay
     # (meanminima/meanmaxima of CO_AutoCorrShape); on 16k-token docs the
     # catalog has ZERO all-NaN columns (verified distributed)
+    # actau is NaN by construction for stopWhen='posDrown' (the kept ACF
+    # segment is all-positive; the reference then emits NaN too)
     assert set(all_nan) <= {
         "CO_AutoCorrShape_meanminima",
         "CO_AutoCorrShape_meanmaxima",
+        "CO_AutoCorrShape_actau",
     }

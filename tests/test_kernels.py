@@ -131,9 +131,14 @@ def test_stat_av_equals_sliding_window_mean_std():
 
 def test_trend_slope_matches_polyfit():
     t = K.trend(Y)
-    coef = np.polyfit(np.arange(len(Y)), Y, 1)
+    # reference fits against the MATLAB-style 1..N axis
+    coef = np.polyfit(np.arange(1, len(Y) + 1), Y, 1)
     assert t["gradient"] == pytest.approx(coef[0], rel=1e-8)
     assert t["intercept"] == pytest.approx(coef[1], rel=1e-8)
+    yc = np.cumsum(Y)
+    coef_c = np.polyfit(np.arange(1, len(Y) + 1), yc, 1)
+    assert t["gradientYC"] == pytest.approx(coef_c[0], rel=1e-8)
+    assert t["meanYC12"] == pytest.approx(np.mean(yc[: len(Y) // 2]), rel=1e-10)
 
 
 def test_perm_entropy_bounds_and_monotone_signal():
@@ -204,8 +209,9 @@ def test_histogram_mode():
 def test_local_simple_mean_forecast():
     y = np.arange(20.0)
     out = K.local_simple(y, "mean", 4)
-    # forecast of linear ramp from mean of last 4 = value - 2.5
-    assert out["meanerr"] == pytest.approx(2.5)
+    # residual = prediction - value (reference convention);
+    # forecast of a linear ramp from the mean of the last 4 = value - 2.5
+    assert out["meanerr"] == pytest.approx(-2.5)
     assert out["stderr"] == pytest.approx(0.0, abs=1e-12)
 
 

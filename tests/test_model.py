@@ -38,7 +38,7 @@ def test_ar_cov_outputs():
 def test_ar_fit_select_picks_true_order():
     y = _ar_series([0.5, -0.4, 0.25])
     out = M.ar_fit_select(y, 1, 8)
-    assert out["popt_bic"] == 3.0
+    assert out["popt_sbc"] == 3.0
     assert out["A1"] == pytest.approx(0.5, abs=0.06)
 
 
