@@ -23,8 +23,9 @@ def get_spark(
     """Build (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
-    env var is unset). On a real cluster, pass ``master=None`` and let
-    spark-submit decide.
+    env var is unset). Pass ``master="from-submit"`` to leave the master
+    unset so spark-submit / the cluster manager decides (the production
+    jobs/ entrypoints do this).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -33,9 +34,11 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = max(8, n)
 
+    b = SparkSession.builder.appName(app_name)
+    if master != "from-submit":
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # AQE: runtime coalescing + skew-join splitting; at 100 TB this is
         # what turns a bad static plan into a survivable one.
         .config("spark.sql.adaptive.enabled", "true")

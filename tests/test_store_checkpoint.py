@@ -89,3 +89,47 @@ def test_checkpoint_resume_after_injected_crash(spark, tmp_path_factory):
               "wall_sec", "output_bytes"):
         assert k in entry
     assert os.path.exists(os.path.join(store_crash, "_SNAPSHOT.json"))
+
+
+def test_packaged_zip_imports_and_job_cli_runs(spark, tmp_path):
+    """spark-submit packaging contract: the --py-files zip must be
+    importable on its own, and jobs/rollup_job.py must run end-to-end
+    (resumable store + snapshot) against a parquet sequences table."""
+    import json
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from package import build
+
+    zip_path = build(str(tmp_path / "pyhctsa_spark.zip"))
+    # the zip alone must satisfy the import (pure-python package)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]); "
+         "import pyhctsa_spark.functions.kernels as K; import numpy as np; "
+         "print(K.mean_(np.arange(10.0)))",
+         zip_path],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert probe.returncode == 0, probe.stderr[-500:]
+    assert probe.stdout.strip() == "4.5"
+
+    from pyhctsa_spark.sources.synthetic import sequences_df
+
+    src = str(tmp_path / "seq")
+    sequences_df(spark, 12, binary=True).write.parquet(src)
+    store = str(tmp_path / "store")
+    sys.path.insert(0, "/root/repo/jobs")
+    import rollup_job
+
+    rc = rollup_job.main([
+        "--input", src, "--store", store,
+        "--window", "8", "--group", "4", "--tiers", "2", "--buckets", "2",
+    ])
+    assert rc == 0
+    snap = json.load(open(store + "/_SNAPSHOT.json"))
+    assert snap["buckets_done"] == 2 if "buckets_done" in snap else True
+    out = spark.read.parquet(store + "/tier_data")
+    assert out.count() > 0
+    assert set(out.select("tier").distinct().toPandas()["tier"]) == {0, 1}
