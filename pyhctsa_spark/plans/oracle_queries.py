@@ -1416,3 +1416,257 @@ def spark_sql_for(name: str) -> str:
 
 def duck_sql_for(name: str) -> str:
     return QUERIES[name]["duck"]
+
+
+# ===========================================================================
+# Round-2 continuation: catalog queries for previously pytest-only operators
+# ===========================================================================
+#
+# The Fourier ACF (CO_AutoCorr method='Fourier', Correlation.py:1241-1259)
+# zero-pads to >= 2N, so the circular correlation it computes equals the
+# LINEAR autocovariance of the mean-centered series:
+#     acf[tau] = sum_t yc_t * yc_{t+tau} / sum_t yc_t^2
+# which is exactly expressible as a lag self-join on `cent`.  Everything
+# built on the Fourier ACF (first crossing, first minimum, PACF, AR
+# residual ACs) therefore gets a plain-SQL oracle.
+
+_PRE_ACF = _PRE + """,
+acov AS (
+  SELECT a.user_id, b.rn - a.rn AS tau, sum(a.vc * b.vc) AS s
+  FROM cent a JOIN cent b ON a.user_id = b.user_id AND b.rn >= a.rn
+  GROUP BY a.user_id, b.rn - a.rn
+),
+acfn AS (
+  SELECT x.user_id, x.tau,
+         x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM acov x
+  JOIN (SELECT user_id, s FROM acov WHERE tau = 0) s0
+    ON s0.user_id = x.user_id
+),
+nn AS (
+  SELECT user_id, count(*) AS n FROM series GROUP BY user_id
+)
+"""
+
+
+def _qa(sql: str) -> dict:
+    return {"spark": _PRE_ACF + sql, "duck": _PRE_ACF + sql}
+
+
+# --- DK_timerev tau=1 per user (Correlation.py:84-132) ----------------------
+QUERIES["user_timerev1"] = _q("""
+SELECT user_id, round(avg(v * v * v1 - v * v1 * v1), 6) AS timerev1
+FROM win WHERE v1 IS NOT NULL GROUP BY user_id
+""")
+
+# --- DN_Fit_mle 'gaussian' per user (Distribution.py:285-335) ---------------
+QUERIES["user_fitmle_gauss"] = _q("""
+SELECT user_id, round(avg(v), 6) AS gauss_mean,
+       round(stddev_pop(v), 6) AS gauss_std
+FROM series GROUP BY user_id
+""")
+
+# --- SY_FitPolynomial k=1 per user (Stationarity.py:702-731) ----------------
+# OLS closed form: mean squared residual of the best-fit line is
+# var_pop(y) * (1 - corr(t, y)^2); rms is its square root.
+QUERIES["user_fitpoly1"] = _q("""
+SELECT user_id,
+       round(sqrt(var_pop(v) *
+                  (1.0 - corr(CAST(rn AS DOUBLE), v) * corr(CAST(rn AS DOUBLE), v))), 6)
+         AS fitpoly1_rms
+FROM series GROUP BY user_id
+""")
+
+# --- CO_FirstCrossing corrFun='ac' threshold=0 (Correlation.py:1296-1343) ---
+# pointOfCrossing (utils.py:242-281): first index i with acf[i] < 0, plus
+# the linear interpolation between i-1 and i; (N-1, N-1) when no crossing.
+# Outputs are zero-based lags as the reference emits them.
+QUERIES["user_firstcross_ac"] = _qa("""
+, fz AS (
+  SELECT user_id, min(tau) AS i FROM acfn
+  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id
+)
+SELECT nn.user_id,
+       round(CAST(coalesce(fz.i, nn.n - 1) AS DOUBLE), 6) AS ac_firstcross,
+       round(CASE WHEN fz.i IS NULL THEN CAST(nn.n - 1 AS DOUBLE)
+                  ELSE (fz.i - 1) + (CAST(0.0 AS DOUBLE) - p.r)
+                       / nullif(c.r - p.r, CAST(0.0 AS DOUBLE)) END, 6)
+         AS ac_crosspoint
+FROM nn
+LEFT JOIN fz ON fz.user_id = nn.user_id
+LEFT JOIN acfn p ON p.user_id = nn.user_id AND p.tau = fz.i - 1
+LEFT JOIN acfn c ON c.user_id = nn.user_id AND c.tau = fz.i
+""")
+
+# --- CO_FirstMin 'ac' per user (Information.py:11-89) -----------------------
+# First tau in 1..N-2 that is a strict local minimum of the Fourier ACF;
+# N-1 when none exists (kernels.first_min_ac).
+QUERIES["user_firstmin_ac"] = _qa("""
+, ext AS (
+  SELECT user_id, tau, r,
+         lag(r)  OVER (PARTITION BY user_id ORDER BY tau) AS rp,
+         lead(r) OVER (PARTITION BY user_id ORDER BY tau) AS rf
+  FROM acfn
+),
+fm AS (
+  SELECT user_id, min(tau) AS t FROM ext
+  WHERE tau >= 1 AND r < rp AND r < rf GROUP BY user_id
+)
+SELECT nn.user_id,
+       round(CAST(coalesce(fm.t, nn.n - 1) AS DOUBLE), 6) AS ac_firstmin
+FROM nn LEFT JOIN fm ON fm.user_id = nn.user_id
+""")
+
+# --- CO_PartialAutoCorr lags 1-3 (Correlation.py:805-850) -------------------
+# Durbin-Levinson on the Fourier ACF, unrolled in closed form:
+#   pac_1 = r1; pac_2 = (r2 - r1^2)/(1 - r1^2);
+#   phi21 = r1 - pac_2 r1;
+#   pac_3 = (r3 - phi21 r2 - pac_2 r1) / (1 - phi21 r1 - pac_2 r2).
+QUERIES["user_pacf3"] = _qa("""
+, rr AS (
+  SELECT user_id,
+         max(CASE WHEN tau = 1 THEN r END) AS r1,
+         max(CASE WHEN tau = 2 THEN r END) AS r2,
+         max(CASE WHEN tau = 3 THEN r END) AS r3
+  FROM acfn GROUP BY user_id
+),
+p2 AS (
+  SELECT user_id, r1, r2, r3,
+         (r2 - r1 * r1) / nullif(1.0 - r1 * r1, CAST(0.0 AS DOUBLE)) AS phi22
+  FROM rr
+)
+SELECT user_id,
+       round(r1, 6) AS pac_1,
+       round(phi22, 6) AS pac_2,
+       round((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+             / nullif(1.0 - (r1 - phi22 * r1) * r1 - phi22 * r2,
+                      CAST(0.0 AS DOUBLE)), 6) AS pac_3
+FROM p2
+""")
+
+# --- SY_VarRatioTest period=2 IID (HypothesisTests.py:10-81) ----------------
+# Lo-MacKinlay: va = var_samp(diff); vb over 2-sums with the unbiased
+# scaling m = q(nq-q+1)(1-q/nq); se_iid(q=2) = sqrt(1/nq).
+QUERIES["user_vrt2"] = _q("""
+SELECT user_id,
+       round(vr, 6) AS vrt2_ratio,
+       round((vr - 1.0) / sqrt(1.0 / nq), 6) AS vrt2_stat
+FROM (
+  SELECT ag.user_id, ag.nq,
+         bg.sb / (2.0 * (ag.nq - 1.0) * (1.0 - 2.0 / ag.nq))
+           / nullif(ag.va, CAST(0.0 AS DOUBLE)) AS vr
+  FROM (
+    SELECT user_id, CAST(count(*) AS DOUBLE) AS nq, avg(v1 - v) AS mu,
+           var_samp(v1 - v) AS va
+    FROM win WHERE v1 IS NOT NULL GROUP BY user_id
+  ) ag
+  JOIN (
+    SELECT w.user_id,
+           sum((w.v2 - w.v - 2.0 * m.mu) * (w.v2 - w.v - 2.0 * m.mu)) AS sb
+    FROM win w
+    JOIN (SELECT user_id, avg(v1 - v) AS mu FROM win
+          WHERE v1 IS NOT NULL GROUP BY user_id) m
+      ON m.user_id = w.user_id
+    WHERE w.v2 IS NOT NULL GROUP BY w.user_id
+  ) bg ON bg.user_id = ag.user_id
+) t
+""")
+
+# --- SY_KPSStest lags=0, 'ct' detrend (Stationarity.py:432-490) -------------
+# OLS line detrend on t=0..N-1, partial sums S, s2 = mean(e^2) (lag 0, no
+# Newey-West terms), stat = sum(S^2)/(N^2 s2); p interpolated from the
+# standard ct critical-value table with boundary clamping.
+QUERIES["user_kpss_l0"] = _q("""
+SELECT user_id,
+       round(st, 6) AS kpss_stat,
+       round(CASE WHEN st < 0.119 THEN 0.10
+                  WHEN st > 0.216 THEN 0.01
+                  WHEN st <= 0.146 THEN
+                    0.10 + (st - 0.119) * (0.05 - 0.10) / (0.146 - 0.119)
+                  WHEN st <= 0.176 THEN
+                    0.05 + (st - 0.146) * (0.025 - 0.05) / (0.176 - 0.146)
+                  ELSE 0.025 + (st - 0.176) * (0.01 - 0.025) / (0.216 - 0.176)
+             END, 6) AS kpss_p
+FROM (
+  SELECT user_id,
+         ss / (CAST(n AS DOUBLE) * n * nullif(s2, CAST(0.0 AS DOUBLE))) AS st
+  FROM (
+    SELECT user_id, max(n) AS n, sum(S * S) AS ss, sum(e * e) / max(n) AS s2
+    FROM (
+      SELECT user_id, rn, n, e,
+             sum(e) OVER (PARTITION BY user_id ORDER BY rn) AS S
+      FROM (
+        SELECT s.user_id, s.rn, r.n,
+               s.v - (r.my - r.b1 * r.mt) - r.b1 * CAST(s.rn AS DOUBLE) AS e
+        FROM series s
+        JOIN (
+          SELECT user_id, count(*) AS n,
+                 covar_pop(CAST(rn AS DOUBLE), v)
+                   / nullif(var_pop(CAST(rn AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS b1,
+                 avg(v) AS my, avg(CAST(rn AS DOUBLE)) AS mt
+          FROM series GROUP BY user_id
+        ) r ON r.user_id = s.user_id
+      ) d
+    ) c GROUP BY user_id
+  ) k
+) f
+""")
+
+# --- MF_arcov p=1 (ModelFit.py:350-390) -------------------------------------
+# No-intercept OLS AR(1) on the raw series: phi = sum(y_{t-1} y_t) /
+# sum(y_{t-1}^2); sigma2 = SSR/(N-1); filter residuals (zero-initialized
+# past) with mean / std(ddof=1) / Fourier-ACF lags 1-2.
+QUERIES["user_arcov1"] = _q("""
+, ph AS (
+  SELECT user_id,
+         sum(v * v1) FILTER (WHERE v1 IS NOT NULL)
+           / nullif(sum(v * v) FILTER (WHERE v1 IS NOT NULL),
+                    CAST(0.0 AS DOUBLE)) AS phi,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM win GROUP BY user_id
+),
+sg AS (
+  SELECT w.user_id,
+         sum((w.v1 - p.phi * w.v) * (w.v1 - p.phi * w.v)) / (p.n - 1.0) AS s2
+  FROM win w JOIN ph p ON p.user_id = w.user_id
+  WHERE w.v1 IS NOT NULL GROUP BY w.user_id, p.n
+),
+errt AS (
+  SELECT w.user_id, w.rn,
+         w.v - p.phi * coalesce(lag(w.v) OVER (PARTITION BY w.user_id ORDER BY w.rn),
+                                CAST(0.0 AS DOUBLE)) AS err
+  FROM win w JOIN ph p ON p.user_id = w.user_id
+),
+ec AS (
+  SELECT user_id, rn, err,
+         err - avg(err) OVER (PARTITION BY user_id) AS e
+  FROM errt
+),
+el AS (
+  SELECT user_id, e,
+         lead(e)    OVER (PARTITION BY user_id ORDER BY rn) AS e1,
+         lead(e, 2) OVER (PARTITION BY user_id ORDER BY rn) AS e2
+  FROM ec
+),
+ac AS (
+  SELECT user_id, sum(e * e) AS s0,
+         sum(e * e1) FILTER (WHERE e1 IS NOT NULL) AS s1,
+         sum(e * e2) FILTER (WHERE e2 IS NOT NULL) AS s2
+  FROM el GROUP BY user_id
+),
+rs AS (
+  SELECT user_id, avg(err) AS mu, stddev_samp(err) AS sd
+  FROM errt GROUP BY user_id
+)
+SELECT ph.user_id,
+       round(-ph.phi, 6) AS a2,
+       round(sg.s2, 6) AS e_var,
+       round(rs.mu, 6) AS res_mu,
+       round(rs.sd, 6) AS res_std,
+       round(ac.s1 / nullif(ac.s0, CAST(0.0 AS DOUBLE)), 6) AS res_ac1,
+       round(ac.s2 / nullif(ac.s0, CAST(0.0 AS DOUBLE)), 6) AS res_ac2
+FROM ph
+JOIN sg ON sg.user_id = ph.user_id
+JOIN ac ON ac.user_id = ph.user_id
+JOIN rs ON rs.user_id = ph.user_id
+""")

@@ -124,3 +124,64 @@ def test_new_user_queries_mirror_kernels():
                 assert np.isclose(
                     df.loc[u][sqlc], round(w, 6), atol=2e-6, equal_nan=True
                 ), (name, u, sqlc)
+
+
+def test_r2b_user_queries_mirror_kernels():
+    """Round-2 continuation batch 1: ACF-derived + model-fit catalog
+    queries vs the numpy kernels they represent."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.functions import model as M
+    from pyhctsa_spark.functions.distribution_extra import fit_mle
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    def arcov(y):
+        o = M.ar_cov(y, 1)
+        return {"a2": o["a2"], "e_var": o["e"], "res_mu": o["res_mu"],
+                "res_std": o["res_std"], "res_ac1": o["res_AC1"],
+                "res_ac2": o["res_AC2"]}
+
+    checks = {
+        "user_timerev1": lambda y: {"timerev1": K.timerev_kaplan(y, 1)},
+        "user_fitmle_gauss": lambda y: {
+            "gauss_mean": fit_mle(y, "gaussian")["mean"],
+            "gauss_std": fit_mle(y, "gaussian")["std"]},
+        "user_fitpoly1": lambda y: {"fitpoly1_rms": K.fit_polynomial(y, 1)},
+        "user_firstcross_ac": lambda y: {
+            "ac_firstcross": K.first_crossing_ac(y)["firstCrossing"],
+            "ac_crosspoint": K.first_crossing_ac(y)["pointOfCrossing"]},
+        "user_firstmin_ac": lambda y: {"ac_firstmin": K.first_min_ac(y)},
+        "user_pacf3": lambda y: {
+            f"pac_{k}": M.partial_autocorr(y, 3)[f"pac_{k}"] for k in (1, 2, 3)},
+        "user_vrt2": lambda y: {
+            "vrt2_ratio": M.variance_ratio_test(y, 2, True)["ratio"],
+            "vrt2_stat": M.variance_ratio_test(y, 2, True)["stat"]},
+        "user_kpss_l0": lambda y: {
+            "kpss_stat": M.kpss_test(y, 0)["stat"],
+            "kpss_p": M.kpss_test(y, 0)["pValue"]},
+        "user_arcov1": arcov,
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            want = fn(y)
+            for col, w in want.items():
+                got = df.loc[u][col] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
