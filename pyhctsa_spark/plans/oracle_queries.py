@@ -1670,3 +1670,236 @@ JOIN sg ON sg.user_id = ph.user_id
 JOIN ac ON ac.user_id = ph.user_id
 JOIN rs ON rs.user_id = ph.user_id
 """)
+
+
+# --- DN_Spread robust estimators (Distribution.py:88-97) --------------------
+# Hazen-quantile IQR (pos = p*n + 0.5 clamped to [1,n], linear interp
+# between adjacent order statistics), mean abs dev, median abs dev.
+QUERIES["user_spread_robust"] = _q("""
+, hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+ps AS (
+  SELECT CAST(0.25 AS DOUBLE) AS p UNION ALL SELECT CAST(0.75 AS DOUBLE)
+),
+bounds AS (
+  SELECT h.user_id, p.p, h.n,
+         least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(h.n AS DOUBLE)) AS posc
+  FROM (SELECT DISTINCT user_id, n FROM hq) h CROSS JOIN ps p
+),
+qv AS (
+  SELECT b.user_id, b.p,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM bounds b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+md AS (
+  SELECT s.user_id, median(abs(s.v - m.med)) AS mead, avg(abs(s.v - m.mu)) AS mad
+  FROM series s
+  JOIN (SELECT user_id, median(v) AS med, avg(v) AS mu
+        FROM series GROUP BY user_id) m ON m.user_id = s.user_id
+  GROUP BY s.user_id
+)
+SELECT md.user_id,
+       round(q75.q - q25.q, 6) AS spread_iqr,
+       round(md.mad, 6)  AS spread_mad,
+       round(md.mead, 6) AS spread_mead
+FROM md
+JOIN qv q25 ON q25.user_id = md.user_id AND q25.p = CAST(0.25 AS DOUBLE)
+JOIN qv q75 ON q75.user_id = md.user_id AND q75.p = CAST(0.75 AS DOUBLE)
+""")
+
+# --- DN_pleft th=0.1 (Distribution.py:160-184) ------------------------------
+# Hazen 0.9-quantile of |y - mean|, over std(ddof=1).
+QUERIES["user_pleft"] = _q("""
+, dev AS (
+  SELECT s.user_id, abs(s.v - m.mu) AS a, m.sd
+  FROM series s
+  JOIN (SELECT user_id, avg(v) AS mu, stddev_samp(v) AS sd
+        FROM series GROUP BY user_id) m ON m.user_id = s.user_id
+),
+hq AS (
+  SELECT user_id, a, sd,
+         row_number() OVER (PARTITION BY user_id ORDER BY a) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM dev
+),
+bounds AS (
+  SELECT user_id, max(sd) AS sd, max(n) AS n,
+         least(greatest(CAST(0.9 AS DOUBLE) * max(n) + 0.5,
+                        CAST(1.0 AS DOUBLE)), CAST(max(n) AS DOUBLE)) AS posc
+  FROM hq GROUP BY user_id
+)
+SELECT b.user_id,
+       round((lo.a + (b.posc - floor(b.posc)) * (hi.a - lo.a))
+             / nullif(b.sd, CAST(0.0 AS DOUBLE)), 6) AS pleft
+FROM bounds b
+JOIN hq lo ON lo.user_id = b.user_id AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+JOIN hq hi ON hi.user_id = b.user_id
+          AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+""")
+
+# --- DN_OutlierTest p=2 (Distribution.py:580-631) ---------------------------
+# Mean and (ratio) std of values strictly inside the hazen 2%/98%
+# quantiles.
+QUERIES["user_outliertest2"] = _q("""
+, hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+ps AS (
+  SELECT CAST(0.02 AS DOUBLE) AS p UNION ALL SELECT CAST(0.98 AS DOUBLE)
+),
+bounds AS (
+  SELECT h.user_id, p.p, h.n,
+         least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(h.n AS DOUBLE)) AS posc
+  FROM (SELECT DISTINCT user_id, n FROM hq) h CROSS JOIN ps p
+),
+qv AS (
+  SELECT b.user_id, b.p,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM bounds b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+mid AS (
+  SELECT s.user_id, avg(s.v) AS mu, stddev_samp(s.v) AS sd
+  FROM series s
+  JOIN qv lo2 ON lo2.user_id = s.user_id AND lo2.p = CAST(0.02 AS DOUBLE)
+  JOIN qv hi2 ON hi2.user_id = s.user_id AND hi2.p = CAST(0.98 AS DOUBLE)
+  WHERE s.v > lo2.q AND s.v < hi2.q
+  GROUP BY s.user_id
+)
+SELECT mid.user_id,
+       round(mid.mu, 6) AS ot2_mean,
+       round(mid.sd / nullif(g.sd, CAST(0.0 AS DOUBLE)), 6) AS ot2_std
+FROM mid
+JOIN (SELECT user_id, stddev_samp(v) AS sd FROM series GROUP BY user_id) g
+  ON g.user_id = mid.user_id
+""")
+
+# --- EN_ApEn m=1 r=0.2*std (Entropy.py:407-470) -----------------------------
+# Chebyshev radius counts INCLUDING self-matches (KDTree.query_radius
+# semantics): phi_m = mean_i ln(C_i / N_m); apen = phi_1 - phi_2.
+QUERIES["user_apen1"] = _q("""
+, st AS (
+  SELECT user_id, 0.2 * stddev_samp(v) AS r, CAST(count(*) AS DOUBLE) AS n
+  FROM series GROUP BY user_id
+),
+pr AS (
+  SELECT a.user_id, a.rn AS i, st.n,
+         CASE WHEN a.v1 IS NOT NULL THEN 1 ELSE 0 END AS has1,
+         CASE WHEN abs(a.v - b.v) <= st.r THEN 1 ELSE 0 END AS c0,
+         CASE WHEN a.v1 IS NOT NULL AND b.v1 IS NOT NULL
+                   AND greatest(abs(a.v - b.v), abs(a.v1 - b.v1)) <= st.r
+              THEN 1 ELSE 0 END AS c1
+  FROM win a
+  JOIN win b ON b.user_id = a.user_id
+  JOIN st ON st.user_id = a.user_id
+),
+byi AS (
+  SELECT user_id, i, max(n) AS n, max(has1) AS has1,
+         sum(c0) AS cnt0, sum(c1) AS cnt1
+  FROM pr GROUP BY user_id, i
+)
+SELECT user_id,
+       round(avg(ln(cnt0 / n))
+             - avg(ln(greatest(cnt1, 1) / (n - 1))) FILTER (WHERE has1 = 1),
+             6) AS apen1
+FROM byi GROUP BY user_id
+""")
+
+# --- EN_MS_shannon 2 bins, depth 3 (Entropy.py:15-86, MS_shannon.c) ---------
+# Rank-equipopulated binary alphabet (stable ties by position), 3-letter
+# overlapping words, Shannon entropy in nats over depth.
+QUERIES["user_msshannon_2_3"] = _q("""
+, sym AS (
+  SELECT user_id, rn,
+         CAST(floor(((row_number() OVER (PARTITION BY user_id ORDER BY v, rn)
+                      - 1) * 2.0)
+                    / (count(*) OVER (PARTITION BY user_id))) AS BIGINT) AS s
+  FROM series
+),
+words AS (
+  SELECT user_id,
+         s + 2 * lead(s)    OVER (PARTITION BY user_id ORDER BY rn)
+           + 4 * lead(s, 2) OVER (PARTITION BY user_id ORDER BY rn) AS word
+  FROM sym
+),
+wc AS (
+  SELECT user_id, word, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+  FROM words WHERE word IS NOT NULL GROUP BY user_id, word
+)
+SELECT user_id,
+       round(-sum((cnt / tot) * ln(cnt / tot)) / 3.0, 6) AS msshannon_2_3
+FROM wc GROUP BY user_id
+""")
+
+# --- SY_LocalExtrema 'l' n=20 (Stationarity.py:339-431) ---------------------
+# Length-20 windows via the MATLAB zero-padded buffer; the padded (or
+# zero-ending) final column is dropped, mirroring the reference quirk.
+QUERIES["user_localext20"] = _qa("""
+, kp AS (
+  SELECT nn.user_id,
+         CASE WHEN nn.n % 20 = 0 AND lv.v <> CAST(0.0 AS DOUBLE)
+              THEN CAST(nn.n / 20 AS BIGINT)
+              ELSE CAST(ceil(CAST(nn.n AS DOUBLE) / 20.0) AS BIGINT) - 1
+         END AS k
+  FROM nn
+  JOIN (SELECT s.user_id, s.v FROM series s
+        JOIN nn ON nn.user_id = s.user_id AND s.rn = nn.n - 1) lv
+    ON lv.user_id = nn.user_id
+),
+seg AS (
+  SELECT user_id, CAST(floor(rn / 20) AS BIGINT) AS sg,
+         max(v) AS mx, min(v) AS mn
+  FROM series GROUP BY user_id, CAST(floor(rn / 20) AS BIGINT)
+),
+sege AS (
+  SELECT seg.user_id, seg.sg, seg.mx, seg.mn, abs(seg.mn) AS amn,
+         CASE WHEN abs(seg.mn) > seg.mx THEN seg.mn ELSE seg.mx END AS ext
+  FROM seg JOIN kp ON kp.user_id = seg.user_id AND seg.sg < kp.k
+),
+segl AS (
+  SELECT *, lead(ext) OVER (PARTITION BY user_id ORDER BY sg) AS exn
+  FROM sege
+)
+SELECT user_id,
+       round(avg(mx) / nullif(avg(amn), CAST(0.0 AS DOUBLE)), 6) AS meanrat,
+       round(median(mx) / nullif(median(amn), CAST(0.0 AS DOUBLE)), 6) AS medianrat,
+       round(min(mx), 6) AS minmax,
+       round(min(amn), 6) AS minabsmin,
+       round(min(mx) / nullif(min(amn), CAST(0.0 AS DOUBLE)), 6) AS minmaxonminabsmin,
+       round(avg(mx), 6) AS meanmax,
+       round(avg(amn), 6) AS meanabsmin,
+       round(avg(ext), 6) AS meanext,
+       round(median(mx), 6) AS medianmax,
+       round(median(amn), 6) AS medianabsmin,
+       round(median(ext), 6) AS medianext,
+       round(stddev_samp(mx), 6) AS stdmax,
+       round(stddev_samp(mn), 6) AS stdmin,
+       round(stddev_samp(ext), 6) AS stdext,
+       round(sum(CASE WHEN ext * exn < 0 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END) / count(*), 6) AS zcext,
+       round(avg(abs(ext)), 6) AS meanabsext,
+       round(median(abs(ext)), 6) AS medianabsext,
+       round(sum(abs(mx - amn)) / count(*), 6) AS diffmaxabsmin,
+       round(sum(CAST(sign(ext) AS DOUBLE)) / count(*), 6) AS uord,
+       round(max(mx) / nullif(median(mx), CAST(0.0 AS DOUBLE)), 6) AS maxmaxmed,
+       round(min(mn) / nullif(median(mn), CAST(0.0 AS DOUBLE)), 6) AS minminmed,
+       round(max(abs(ext)) / nullif(median(abs(ext)), CAST(0.0 AS DOUBLE)), 6) AS maxabsext
+FROM segl GROUP BY user_id HAVING count(*) >= 2
+""")

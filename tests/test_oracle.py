@@ -185,3 +185,54 @@ def test_r2b_user_queries_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2c_user_queries_mirror_kernels():
+    """Round-2 continuation batch 2: hazen-quantile, ApEn, MS-shannon,
+    LocalExtrema catalog queries vs the numpy kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.functions.distribution_extra import outlier_test, pleft
+    from pyhctsa_spark.functions.entropy import (
+        approximate_entropy,
+        shannon_entropy_ms,
+    )
+    from pyhctsa_spark.functions.stationarity_extra import local_extrema
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    checks = {
+        "user_spread_robust": lambda y: {
+            "spread_iqr": K.spread_iqr(y), "spread_mad": K.spread_mad(y),
+            "spread_mead": K.spread_mead(y)},
+        "user_pleft": lambda y: {"pleft": pleft(y, 0.1)},
+        "user_outliertest2": lambda y: {
+            "ot2_mean": outlier_test(y, 2.0)["mean"],
+            "ot2_std": outlier_test(y, 2.0)["std"]},
+        "user_apen1": lambda y: {"apen1": approximate_entropy(y, 1, 0.2)},
+        "user_msshannon_2_3": lambda y: {
+            "msshannon_2_3": shannon_entropy_ms(y, 2, 3)},
+        "user_localext20": lambda y: local_extrema(y, "l", 20),
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
