@@ -1903,3 +1903,108 @@ SELECT user_id,
        round(max(abs(ext)) / nullif(median(abs(ext)), CAST(0.0 AS DOUBLE)), 6) AS maxabsext
 FROM segl GROUP BY user_id HAVING count(*) >= 2
 """)
+
+
+# --- SC_fastdfa (Scaling.py:6-34, Little's fastdfa) -------------------------
+# Dyadic scales s_k = N >> k while >= 4; profile = cumsum of centered y;
+# per-window DFA-1 residual mean-square has the OLS closed form
+# var_pop(prof) - covar_pop(t, prof)^2 / var_pop(t); the scaling
+# exponent is the least-squares slope of log10(fluct) on log10(scale).
+QUERIES["user_dfa"] = _qa("""
+, prof AS (
+  SELECT user_id, rn,
+         sum(vc) OVER (PARTITION BY user_id ORDER BY rn) AS p
+  FROM cent
+),
+ks AS (
+  SELECT 0 AS k, 1 AS p2 UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 4
+  UNION ALL SELECT 3, 8 UNION ALL SELECT 4, 16 UNION ALL SELECT 5, 32
+  UNION ALL SELECT 6, 64
+),
+scales AS (
+  SELECT nn.user_id, CAST(floor(CAST(nn.n AS DOUBLE) / ks.p2) AS BIGINT) AS s
+  FROM nn JOIN ks ON CAST(floor(CAST(nn.n AS DOUBLE) / ks.p2) AS BIGINT) >= 4
+),
+winres AS (
+  SELECT pr.user_id, sc.s, CAST(floor(pr.rn / sc.s) AS BIGINT) AS wi,
+         var_pop(pr.p)
+           - covar_pop(CAST(pr.rn AS DOUBLE), pr.p)
+             * covar_pop(CAST(pr.rn AS DOUBLE), pr.p)
+             / nullif(var_pop(CAST(pr.rn AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           AS msr
+  FROM prof pr
+  JOIN scales sc ON sc.user_id = pr.user_id
+  JOIN nn ON nn.user_id = pr.user_id
+  WHERE pr.rn < CAST(floor(CAST(nn.n AS DOUBLE) / sc.s) AS BIGINT) * sc.s
+  GROUP BY pr.user_id, sc.s, CAST(floor(pr.rn / sc.s) AS BIGINT)
+),
+fl AS (
+  SELECT user_id, log10(CAST(s AS DOUBLE)) AS lx,
+         log10(sqrt(avg(msr))) AS ly
+  FROM winres GROUP BY user_id, s
+)
+SELECT user_id,
+       round(covar_pop(lx, ly) / nullif(var_pop(lx), CAST(0.0 AS DOUBLE)), 6)
+         AS dfa_alpha
+FROM fl GROUP BY user_id
+""")
+
+# --- SP_Summaries 'fft' (Spectral.py:9-305), SQL-expressible subset ---------
+# Single-sided PSD S_k = 2 |FFT(y, nfft)|^2 / (ny 2 pi) at w_k = 2 pi
+# k / nfft, nfft = next pow2(ny), via an explicit DFT join (k-range
+# reuses the series' own rn values: nfft/2 <= ny - 1 always).  Emits
+# max / location, moments, cumulative-spectrum quantile widths, Shannon
+# entropy, spectral flatness, band power, and 0.5-level crossings.
+QUERIES["user_spec_fft"] = _qa("""
+, nf AS (
+  SELECT user_id, n,
+         CASE WHEN n <= 4 THEN 4 WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16
+              WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+              WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+              WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+              WHEN n <= 2048 THEN 2048 WHEN n <= 4096 THEN 4096
+              ELSE 8192 END AS nfft
+  FROM nn
+),
+spec AS (
+  SELECT s.user_id, ks.rn AS k,
+         2.0 * pi() * ks.rn / nf.nfft AS w,
+         2.0 * (pow(sum(s.v * cos(2.0 * pi() * ks.rn * s.rn / nf.nfft)), 2)
+                + pow(sum(s.v * sin(2.0 * pi() * ks.rn * s.rn / nf.nfft)), 2))
+           / nf.n / (2.0 * pi()) AS S,
+         nf.nfft, nf.n
+  FROM series s
+  JOIN nf ON nf.user_id = s.user_id
+  JOIN series ks ON ks.user_id = s.user_id AND ks.rn <= nf.nfft / 2
+  GROUP BY s.user_id, ks.rn, nf.nfft, nf.n
+),
+speco AS (
+  SELECT user_id, k, w, S, nfft,
+         CAST(nfft / 2 + 1 AS BIGINT) AS nb,
+         2.0 * pi() / nfft AS dw,
+         sum(S) OVER (PARTITION BY user_id ORDER BY k) AS csS,
+         sum(S) OVER (PARTITION BY user_id) AS totS,
+         max(S) OVER (PARTITION BY user_id) AS mxS,
+         lead(S) OVER (PARTITION BY user_id ORDER BY k) AS S1
+  FROM spec
+)
+SELECT user_id,
+       round(max(mxS), 6) AS maxS,
+       round(min(w) FILTER (WHERE S = mxS), 6) AS maxw,
+       round(avg(S), 6) AS spec_mean,
+       round(median(S), 6) AS spec_median,
+       round(stddev_samp(S), 6) AS spec_std,
+       round(min(w) FILTER (WHERE csS >= 0.5  * totS), 6) AS centroid,
+       round(min(w) FILTER (WHERE csS >= 0.1  * totS), 6) AS wmax_10,
+       round(min(w) FILTER (WHERE csS >= 0.9  * totS), 6) AS wmax_90,
+       round(-sum(S * ln(nullif(S, CAST(0.0 AS DOUBLE))))
+               FILTER (WHERE S > 0), 6) AS spect_shann_ent,
+       round(10.0 * log10(exp(avg(ln(nullif(S, CAST(0.0 AS DOUBLE)))))
+                          / nullif(avg(S), CAST(0.0 AS DOUBLE))), 6) AS sfm,
+       round(sum(S) FILTER (WHERE k < CAST(floor(nb / 2) AS BIGINT))
+             * max(dw), 6) AS area_2_1,
+       round(sum(CASE WHEN (S - 0.5 * mxS) * (S1 - 0.5 * mxS) < 0
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+               FILTER (WHERE S1 IS NOT NULL), 6) AS ncross_f05
+FROM speco GROUP BY user_id
+""")

@@ -236,3 +236,49 @@ def test_r2c_user_queries_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2d_dfa_spectral_mirror_kernels():
+    """Round-2 continuation batch 3: DFA-1 exponent and SP_Summaries
+    'fft' subset vs the numpy kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.physics import fast_dfa
+    from pyhctsa_spark.functions.spectral import spectral_summaries
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    def spec(y):
+        o = spectral_summaries(y, "fft")
+        return {"maxS": o["maxS"], "maxw": o["maxw"], "spec_mean": o["mean"],
+                "spec_median": o["median"], "spec_std": o["std"],
+                "centroid": o["centroid"], "wmax_10": o["wmax_10"],
+                "wmax_90": o["wmax_90"],
+                "spect_shann_ent": o["spect_shann_ent"], "sfm": o["sfm"],
+                "area_2_1": o["area_2_1"], "ncross_f05": o["ncross_f05"]}
+
+    checks = {
+        "user_dfa": lambda y: {"dfa_alpha": fast_dfa(y)},
+        "user_spec_fft": spec,
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
