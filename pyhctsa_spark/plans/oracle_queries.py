@@ -2008,3 +2008,427 @@ SELECT user_id,
                FILTER (WHERE S1 IS NOT NULL), 6) AS ncross_f05
 FROM speco GROUP BY user_id
 """)
+
+
+# --- SB_MotifThree 'quantile' (Symbolic.py:296-400) -------------------------
+# CoarseGrain 'quantile' 3-alphabet via hazen tertile thresholds
+# (th[0]-1 makes the bottom bin closed); word probabilities use the
+# reference's windowed denominators N-w+1; entropies over words 1-4.
+QUERIES["user_motif3"] = _q("""
+, hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+th AS (
+  SELECT b.user_id, b.i,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(1.0 AS DOUBLE) / 3.0 AS p
+                UNION ALL SELECT 2, CAST(2.0 AS DOUBLE) / 3.0) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+sym AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.v <= t1.q THEN 0 WHEN s.v <= t2.q THEN 1 ELSE 2 END AS sy
+  FROM series s
+  JOIN th t1 ON t1.user_id = s.user_id AND t1.i = 1
+  JOIN th t2 ON t2.user_id = s.user_id AND t2.i = 2
+),
+codes AS (
+  SELECT user_id, sy,
+         sy * 3 + lead(sy)    OVER (PARTITION BY user_id ORDER BY rn) AS w2,
+         (sy * 3 + lead(sy) OVER (PARTITION BY user_id ORDER BY rn)) * 3
+           + lead(sy, 2) OVER (PARTITION BY user_id ORDER BY rn) AS w3,
+         ((sy * 3 + lead(sy) OVER (PARTITION BY user_id ORDER BY rn)) * 3
+           + lead(sy, 2) OVER (PARTITION BY user_id ORDER BY rn)) * 3
+           + lead(sy, 3) OVER (PARTITION BY user_id ORDER BY rn) AS w4
+  FROM sym
+),
+h1 AS (
+  SELECT user_id,
+         avg(CASE WHEN sy = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pa,
+         avg(CASE WHEN sy = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pb,
+         avg(CASE WHEN sy = 2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pc
+  FROM codes GROUP BY user_id
+),
+e2 AS (
+  SELECT user_id, -sum((cnt / tot) * ln(cnt / tot)) AS h
+  FROM (SELECT user_id, w2, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+        FROM codes WHERE w2 IS NOT NULL GROUP BY user_id, w2) t
+  GROUP BY user_id
+),
+e3 AS (
+  SELECT user_id, -sum((cnt / tot) * ln(cnt / tot)) AS h
+  FROM (SELECT user_id, w3, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+        FROM codes WHERE w3 IS NOT NULL GROUP BY user_id, w3) t
+  GROUP BY user_id
+),
+e4 AS (
+  SELECT user_id, -sum((cnt / tot) * ln(cnt / tot)) AS h
+  FROM (SELECT user_id, w4, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+        FROM codes WHERE w4 IS NOT NULL GROUP BY user_id, w4) t
+  GROUP BY user_id
+)
+SELECT h1.user_id,
+       round(h1.pa, 6) AS a, round(h1.pb, 6) AS b, round(h1.pc, 6) AS c,
+       round(-(CASE WHEN h1.pa > 0 THEN h1.pa * ln(h1.pa) ELSE CAST(0.0 AS DOUBLE) END
+               + CASE WHEN h1.pb > 0 THEN h1.pb * ln(h1.pb) ELSE CAST(0.0 AS DOUBLE) END
+               + CASE WHEN h1.pc > 0 THEN h1.pc * ln(h1.pc) ELSE CAST(0.0 AS DOUBLE) END), 6) AS h,
+       round(e2.h, 6) AS hh, round(e3.h, 6) AS hhh, round(e4.h, 6) AS hhhh
+FROM h1
+JOIN e2 ON e2.user_id = h1.user_id
+JOIN e3 ON e3.user_id = h1.user_id
+JOIN e4 ON e4.user_id = h1.user_id
+""")
+
+# --- SB_TransitionMatrix 2 groups, tau=1 (Symbolic.py:541-649) --------------
+# Median-split alphabet; T in MATLAB column-major naming; all eigen /
+# covariance summaries in closed form for the 2x2 case:
+#   eig = (tr +- sqrt(tr^2 - 4 det)) / 2, complex when disc < 0;
+#   np.cov(T.T) entries from pairwise column deviations.
+QUERIES["user_transmat2"] = _q("""
+, sy AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.v <= m.med THEN 1 ELSE 2 END AS g
+  FROM series s
+  JOIN (SELECT user_id, median(v) AS med FROM series GROUP BY user_id) m
+    ON m.user_id = s.user_id
+),
+pr AS (
+  SELECT user_id, g,
+         lead(g) OVER (PARTITION BY user_id ORDER BY rn) AS g2
+  FROM sy
+),
+tm AS (
+  SELECT user_id,
+         sum(CASE WHEN g = 1 AND g2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           / count(g2) AS t00,
+         sum(CASE WHEN g = 1 AND g2 = 2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           / count(g2) AS t01,
+         sum(CASE WHEN g = 2 AND g2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           / count(g2) AS t10,
+         sum(CASE WHEN g = 2 AND g2 = 2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           / count(g2) AS t11
+  FROM pr WHERE g2 IS NOT NULL GROUP BY user_id
+),
+ex AS (
+  SELECT user_id, t00, t01, t10, t11,
+         t00 + t11 AS tr,
+         t00 * t11 - t01 * t10 AS det,
+         (t00 + t11) * (t00 + t11) - 4.0 * (t00 * t11 - t01 * t10) AS disc,
+         (t00 - t10) * (t00 - t10) / 2.0 AS c00,
+         (t01 - t11) * (t01 - t11) / 2.0 AS c11,
+         (t00 - t10) * (t01 - t11) / 2.0 AS c01
+  FROM tm
+)
+SELECT user_id,
+       round(t00, 6) AS T1, round(t10, 6) AS T2,
+       round(t01, 6) AS T3, round(t11, 6) AS T4,
+       round(tr, 6) AS ondiag,
+       round(abs(t00 - t11) / sqrt(2.0), 6) AS stddiag,
+       round(2.0 * abs(t01 - t10), 6) AS symdiff,
+       round(t10 - t01, 6) AS symsumdiff,
+       round(sqrt(abs(disc) / 2.0), 6) AS stdeig,
+       round(CASE WHEN disc >= 0 THEN (tr + sqrt(disc)) / 2.0 ELSE tr / 2.0 END, 6) AS maxeig,
+       round(CASE WHEN disc >= 0 THEN (tr - sqrt(disc)) / 2.0 ELSE tr / 2.0 END, 6) AS mineig,
+       round(CASE WHEN disc >= 0 THEN CAST(0.0 AS DOUBLE) ELSE sqrt(-disc) / 2.0 END, 6) AS maximeig,
+       round(c00 + c11, 6) AS sumdiagcov,
+       round(sqrt((c00 - c11) * (c00 - c11) + 4.0 * c01 * c01) / sqrt(2.0), 6) AS stdeigcov,
+       round((c00 + c11 + sqrt((c00 - c11) * (c00 - c11) + 4.0 * c01 * c01)) / 2.0, 6) AS maxeigcov
+FROM ex
+""")
+
+# --- CO_TranslateShape circle d=2 'pts' (Correlation.py:1344-1477) ----------
+# Neighbor counts inside a radius-2 circle in (t, y) translated to each
+# interior point; count-distribution stats, the (smallest) modal count,
+# i-count fractions, and StatAv 2/3/4 of the count sequence.
+QUERIES["user_translate_circle2"] = _qa("""
+, cnts AS (
+  SELECT a.user_id, a.rn,
+         CAST(sum(CASE WHEN (b.rn - a.rn) * (b.rn - a.rn)
+                            + (b.v - a.v) * (b.v - a.v) <= 4.0
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS cnt
+  FROM series a
+  JOIN series b ON b.user_id = a.user_id
+              AND b.rn BETWEEN a.rn - 2 AND a.rn + 2
+  JOIN nn ON nn.user_id = a.user_id
+  WHERE a.rn >= 2 AND a.rn <= nn.n - 3
+  GROUP BY a.user_id, a.rn
+),
+seq AS (
+  SELECT user_id, cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id) AS nn2,
+         stddev_samp(cnt) OVER (PARTITION BY user_id) AS sdall
+  FROM cnts
+),
+md AS (
+  SELECT user_id, cnt, hits, tot,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY hits DESC, cnt ASC) AS rk
+  FROM (SELECT user_id, cnt, count(*) AS hits,
+               sum(count(*)) OVER (PARTITION BY user_id) AS tot
+        FROM cnts GROUP BY user_id, cnt) t
+),
+sv AS (
+  SELECT q.user_id, q.ns,
+         stddev_samp(q.sm) / nullif(max(q.sdall), CAST(0.0 AS DOUBLE)) AS av_m,
+         stddev_samp(q.ss) / nullif(max(q.sdall), CAST(0.0 AS DOUBLE)) AS av_s
+  FROM (
+    SELECT s.user_id, x.ns,
+           CAST(floor(s.i / floor(s.nn2 / x.ns)) AS BIGINT) AS sg,
+           avg(s.cnt) AS sm, stddev_samp(s.cnt) AS ss,
+           count(*) AS c, max(floor(s.nn2 / x.ns)) AS wlen,
+           max(s.sdall) AS sdall
+    FROM seq s
+    CROSS JOIN (SELECT 2 AS ns UNION ALL SELECT 3 UNION ALL SELECT 4) x
+    GROUP BY s.user_id, x.ns, CAST(floor(s.i / floor(s.nn2 / x.ns)) AS BIGINT)
+  ) q
+  WHERE q.c = q.wlen
+  GROUP BY q.user_id, q.ns
+)
+SELECT st.user_id,
+       round(st.mx, 6) AS cnt_max,
+       round(st.sd, 6) AS cnt_std,
+       round(st.mu, 6) AS cnt_mean,
+       round(md.hits / md.tot, 6) AS npatmode,
+       round(md.cnt, 6) AS cnt_mode,
+       round(st.p1, 6) AS ones, round(st.p2, 6) AS twos,
+       round(st.p3, 6) AS threes, round(st.p4, 6) AS fours,
+       round(st.p5, 6) AS fives,
+       round(s2.av_m, 6) AS statav2_m, round(s2.av_s, 6) AS statav2_s,
+       round(s3.av_m, 6) AS statav3_m, round(s3.av_s, 6) AS statav3_s,
+       round(s4.av_m, 6) AS statav4_m, round(s4.av_s, 6) AS statav4_s
+FROM (
+  SELECT user_id, max(cnt) AS mx, stddev_samp(cnt) AS sd, avg(cnt) AS mu,
+         avg(CASE WHEN cnt = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS p1,
+         avg(CASE WHEN cnt = 2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS p2,
+         avg(CASE WHEN cnt = 3 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS p3,
+         avg(CASE WHEN cnt = 4 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS p4,
+         avg(CASE WHEN cnt = 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS p5
+  FROM cnts GROUP BY user_id
+) st
+JOIN md ON md.user_id = st.user_id AND md.rk = 1
+JOIN sv s2 ON s2.user_id = st.user_id AND s2.ns = 2
+JOIN sv s3 ON s3.user_id = st.user_id AND s3.ns = 3
+JOIN sv s4 ON s4.user_id = st.user_id AND s4.ns = 4
+""")
+
+
+# --- CO_Embed2 tau='tau' (Correlation.py:196-304), SQL subset ---------------
+# tau = ACF first zero-crossing capped at N/10 (>= 1); angles of
+# successive embedded steps (atan of dy2/dy1, +-pi/2 from the divide-
+# by-zero limits), 10-bin angular histogram stats including empty bins,
+# distance statistics over fifths, and outlier areas (mergesort-stable
+# closest-half selection).
+QUERIES["user_embed2"] = _qa("""
+, fz AS (
+  SELECT user_id, min(tau) AS i FROM acfn
+  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id
+),
+tauv AS (
+  SELECT nn.user_id,
+         greatest(CASE WHEN coalesce(fz.i, nn.n - 1) > CAST(nn.n AS DOUBLE) / 10.0
+                       THEN CAST(floor(CAST(nn.n AS DOUBLE) / 10.0) AS BIGINT)
+                       ELSE coalesce(fz.i, nn.n - 1) END, 1) AS tau,
+         nn.n
+  FROM nn LEFT JOIN fz ON fz.user_id = nn.user_id
+),
+emb AS (
+  SELECT a.user_id, a.rn, a.v AS m0, b.v AS m1, t.n - t.tau AS nm
+  FROM series a
+  JOIN tauv t ON t.user_id = a.user_id
+  JOIN series b ON b.user_id = a.user_id AND b.rn = a.rn + t.tau
+),
+dxy AS (
+  SELECT user_id, rn, nm,
+         lead(m1) OVER (PARTITION BY user_id ORDER BY rn) - m1 AS dy,
+         lead(m0) OVER (PARTITION BY user_id ORDER BY rn) - m0 AS dx
+  FROM emb
+),
+th AS (
+  SELECT user_id, rn, nm,
+         CASE WHEN dx = CAST(0.0 AS DOUBLE) THEN
+                CASE WHEN dy > 0 THEN pi() / 2.0
+                     WHEN dy < 0 THEN -pi() / 2.0
+                     ELSE CAST('NaN' AS DOUBLE) END
+              ELSE atan(dy / dx) END AS theta
+  FROM dxy WHERE dx IS NOT NULL
+),
+thh AS (SELECT * FROM th WHERE theta IS NOT NULL),
+bins AS (
+  SELECT s.user_id, s.rn AS b FROM series s WHERE s.rn < 10
+),
+bc AS (
+  SELECT bins.user_id, bins.b,
+         coalesce(hc.c, 0) AS c,
+         sum(coalesce(hc.c, 0)) OVER (PARTITION BY bins.user_id) AS tot
+  FROM bins
+  LEFT JOIN (
+    SELECT user_id,
+           least(CAST(floor((theta + pi() / 2.0) / (pi() / 10.0)) AS BIGINT), 9) AS b,
+           count(*) AS c
+    FROM thh GROUP BY user_id,
+           least(CAST(floor((theta + pi() / 2.0) / (pi() / 10.0)) AS BIGINT), 9)
+  ) hc ON hc.user_id = bins.user_id AND hc.b = bins.b
+),
+hstats AS (
+  SELECT user_id,
+         stddev_samp(CAST(c AS DOUBLE) / tot) AS hist10std,
+         -sum(CASE WHEN c > 0
+                   THEN (CAST(c AS DOUBLE) / tot)
+                        * ln((CAST(c AS DOUBLE) / tot) / (pi() / 10.0))
+                   ELSE CAST(0.0 AS DOUBLE) END) AS histent
+  FROM bc GROUP BY user_id
+),
+tstats AS (
+  SELECT user_id, avg(theta) AS theta_mean,
+         stddev_samp(theta) AS theta_std
+  FROM thh GROUP BY user_id
+),
+fif AS (
+  SELECT user_id, m0, m1,
+         CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY rn) - 1)
+                    / floor(nm / 5.0)) AS BIGINT) AS sg,
+         floor(nm / 5.0) AS afifth
+  FROM emb
+),
+fstat AS (
+  SELECT user_id, sg,
+         avg(sqrt(m0 * m0 + m1 * m1)) AS dm,
+         stddev_samp(sqrt(m0 * m0 + m1 * m1)) AS ds,
+         (max(m0) - min(m0)) * (max(m1) - min(m1)) AS spana
+  FROM fif WHERE sg < 5 AND afifth > 0
+  GROUP BY user_id, sg HAVING count(*) = max(afifth)
+),
+fagg AS (
+  SELECT user_id,
+         avg(dm) AS mean_eucdm, stddev_samp(dm) AS std_eucdm,
+         avg(ds) AS mean_eucds, stddev_samp(ds) AS std_eucds,
+         avg(spana) AS meanspana, stddev_samp(spana) AS stdspana
+  FROM fstat GROUP BY user_id
+),
+dr AS (
+  SELECT user_id, m0, m1, nm,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY sqrt(m0 * m0 + m1 * m1), rn) AS rk
+  FROM emb
+),
+areas AS (
+  SELECT user_id,
+         (max(m0) - min(m0)) * (max(m1) - min(m1)) AS areas_all,
+         (max(m0) FILTER (WHERE rk <= CAST(ceil(nm / 2.0) AS BIGINT))
+          - min(m0) FILTER (WHERE rk <= CAST(ceil(nm / 2.0) AS BIGINT)))
+         * (max(m1) FILTER (WHERE rk <= CAST(ceil(nm / 2.0) AS BIGINT))
+            - min(m1) FILTER (WHERE rk <= CAST(ceil(nm / 2.0) AS BIGINT))) AS areas_50
+  FROM dr GROUP BY user_id
+)
+SELECT t.user_id,
+       round(t.theta_mean, 6) AS theta_mean,
+       round(t.theta_std, 6) AS theta_std,
+       round(h.hist10std, 6) AS hist10std,
+       round(h.histent, 6) AS histent,
+       round(f.mean_eucdm, 6) AS mean_eucdm,
+       round(f.std_eucdm, 6) AS std_eucdm,
+       round(f.mean_eucds, 6) AS mean_eucds,
+       round(f.std_eucds, 6) AS std_eucds,
+       round(f.meanspana, 6) AS meanspana,
+       round(f.stdspana, 6) AS stdspana,
+       round(ar.areas_all, 6) AS areas_all,
+       round(ar.areas_50, 6) AS areas_50,
+       round(ar.areas_50 / nullif(ar.areas_all, CAST(0.0 AS DOUBLE)), 6) AS arearat
+FROM tstats t
+JOIN hstats h ON h.user_id = t.user_id
+JOIN fagg f ON f.user_id = t.user_id
+JOIN areas ar ON ar.user_id = t.user_id
+""")
+
+# --- IN_AutoMutualInfoStats gaussian, max_tau=10 (Information.py:155-257) ---
+# AMI(tau) = -0.5 ln(1 - corr(y_t, y_{t+tau})^2) per lag via a lag
+# self-join; curve statistics: mean/std, extrema fraction, first
+# minimum (else lami), mean-crossing fraction, lag-1 Fourier ACF of the
+# 10-point curve.
+QUERIES["user_amistats_g10"] = _q("""
+, taus AS (
+  SELECT 1 AS tau UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+amit AS (
+  SELECT a.user_id, t.tau,
+         -0.5 * ln(1.0 - corr(a.v, b.v) * corr(a.v, b.v)) AS ami
+  FROM series a
+  JOIN taus t ON 1 = 1
+  JOIN series b ON b.user_id = a.user_id AND b.rn = a.rn + t.tau
+  GROUP BY a.user_id, t.tau
+),
+cent2 AS (
+  SELECT user_id, tau, ami,
+         ami - avg(ami) OVER (PARTITION BY user_id) AS c,
+         avg(ami) OVER (PARTITION BY user_id) AS mami
+  FROM amit
+),
+curve AS (
+  SELECT user_id, tau, ami, c, mami,
+         lead(ami) OVER (PARTITION BY user_id ORDER BY tau) AS ami1,
+         lead(ami, 2) OVER (PARTITION BY user_id ORDER BY tau) AS ami2,
+         lead(c) OVER (PARTITION BY user_id ORDER BY tau) AS c1
+  FROM cent2
+),
+ext AS (
+  SELECT user_id,
+         sum(CASE WHEN (ami1 - ami) * (ami2 - ami1) < 0 THEN 1 ELSE 0 END)
+           FILTER (WHERE ami2 IS NOT NULL) AS next_,
+         min(CASE WHEN ami2 IS NOT NULL
+                       AND (ami1 - ami) * (ami2 - ami1) < 0
+                  THEN tau END) AS firstext,
+         sum(CASE WHEN sign(ami1 - mami) <> sign(ami - mami)
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           FILTER (WHERE ami1 IS NOT NULL) AS ncrossmean,
+         sum(c * c1) FILTER (WHERE c1 IS NOT NULL) AS s1,
+         sum(c * c) AS s0,
+         count(*) AS lami
+  FROM curve GROUP BY user_id
+),
+pv AS (
+  SELECT user_id,
+         max(CASE WHEN tau = 1 THEN ami END) AS ami1,
+         max(CASE WHEN tau = 2 THEN ami END) AS ami2,
+         max(CASE WHEN tau = 3 THEN ami END) AS ami3,
+         max(CASE WHEN tau = 4 THEN ami END) AS ami4,
+         max(CASE WHEN tau = 5 THEN ami END) AS ami5,
+         max(CASE WHEN tau = 6 THEN ami END) AS ami6,
+         max(CASE WHEN tau = 7 THEN ami END) AS ami7,
+         max(CASE WHEN tau = 8 THEN ami END) AS ami8,
+         max(CASE WHEN tau = 9 THEN ami END) AS ami9,
+         max(CASE WHEN tau = 10 THEN ami END) AS ami10,
+         avg(ami) AS mami, stddev_samp(ami) AS stdami
+  FROM amit GROUP BY user_id
+)
+SELECT pv.user_id,
+       round(pv.ami1, 6) AS ami1, round(pv.ami2, 6) AS ami2,
+       round(pv.ami3, 6) AS ami3, round(pv.ami4, 6) AS ami4,
+       round(pv.ami5, 6) AS ami5, round(pv.ami6, 6) AS ami6,
+       round(pv.ami7, 6) AS ami7, round(pv.ami8, 6) AS ami8,
+       round(pv.ami9, 6) AS ami9, round(pv.ami10, 6) AS ami10,
+       round(pv.mami, 6) AS mami,
+       round(pv.stdami, 6) AS stdami,
+       round(CAST(ext.next_ AS DOUBLE) / (ext.lami - 1), 6) AS pextrema,
+       round(CAST(coalesce(ext.firstext, ext.lami) AS DOUBLE), 6) AS fmmi,
+       round(ext.ncrossmean / (ext.lami - 1), 6) AS pcrossmean,
+       round(ext.s1 / nullif(ext.s0, CAST(0.0 AS DOUBLE)), 6) AS amiac1
+FROM pv JOIN ext ON ext.user_id = pv.user_id
+""")

@@ -282,3 +282,68 @@ def test_r2d_dfa_spectral_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2e_symbolic_embedding_mirror_kernels():
+    """Round-2 continuation batch 4: MotifThree, TransitionMatrix,
+    TranslateShape, Embed2, AMI-stats catalog queries vs the kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.embedding import embed2, translate_shape
+    from pyhctsa_spark.functions.info import ami_stats
+    from pyhctsa_spark.functions.symbolic import motif_three, transition_matrix
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    def ts(y):
+        o = translate_shape(y, "circle", 2, "pts")
+        ren = {"cnt_max": "max", "cnt_std": "std", "cnt_mean": "mean",
+               "npatmode": "npatmode", "cnt_mode": "mode"}
+        out = {k: o[v] for k, v in ren.items()}
+        for k in ("ones", "twos", "threes", "fours", "fives", "statav2_m",
+                  "statav2_s", "statav3_m", "statav3_s", "statav4_m",
+                  "statav4_s"):
+            out[k] = o[k]
+        return out
+
+    checks = {
+        "user_motif3": lambda y: {
+            k: motif_three(y)[k] for k in ("a", "b", "c", "h", "hh", "hhh", "hhhh")},
+        "user_transmat2": lambda y: {
+            k: transition_matrix(y, "quantile", 2, 1)[k] for k in
+            ("T1", "T2", "T3", "T4", "ondiag", "stddiag", "symdiff",
+             "symsumdiff", "stdeig", "maxeig", "mineig", "maximeig",
+             "sumdiagcov", "stdeigcov", "maxeigcov")},
+        "user_translate_circle2": ts,
+        "user_embed2": lambda y: {
+            k: embed2(y)[k] for k in
+            ("theta_mean", "theta_std", "hist10std", "histent", "mean_eucdm",
+             "std_eucdm", "mean_eucds", "std_eucds", "meanspana", "stdspana",
+             "areas_all", "areas_50", "arearat")},
+        "user_amistats_g10": lambda y: {
+            k: ami_stats(y, 10, "gaussian")[k] for k in
+            ("ami1", "ami2", "ami3", "ami4", "ami5", "ami6", "ami7", "ami8",
+             "ami9", "ami10", "mami", "stdami", "pextrema", "fmmi",
+             "pcrossmean", "amiac1")},
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
