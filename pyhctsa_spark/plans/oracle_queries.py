@@ -2432,3 +2432,231 @@ SELECT pv.user_id,
        round(ext.s1 / nullif(ext.s0, CAST(0.0 AS DOUBLE)), 6) AS amiac1
 FROM pv JOIN ext ON ext.user_id = pv.user_id
 """)
+
+
+# --- CO_fzcglscf alpha=beta=1 (Correlation.py:1100-1152) --------------------
+# GLSCF(1,1,tau) for every lag from one O(N^2/2) pair join; first
+# crossing through zero with the reference's linear interpolation
+# (tau at the crossing when prev is absent or equal); N when no crossing.
+QUERIES["user_fzcglscf11"] = _qa("""
+, gl AS (
+  SELECT a.user_id, b.rn - a.rn AS tau,
+         (avg(abs(a.v) * abs(b.v)) - avg(abs(a.v)) * avg(abs(b.v)))
+           / nullif(sqrt(greatest(avg(abs(a.v) * abs(a.v))
+                                  - avg(abs(a.v)) * avg(abs(a.v)),
+                                  CAST(0.0 AS DOUBLE)))
+                    * sqrt(greatest(avg(abs(b.v) * abs(b.v))
+                                    - avg(abs(b.v)) * avg(abs(b.v)),
+                                    CAST(0.0 AS DOUBLE))),
+                    CAST(0.0 AS DOUBLE)) AS g
+  FROM series a JOIN series b ON b.user_id = a.user_id AND b.rn > a.rn
+  GROUP BY a.user_id, b.rn - a.rn
+),
+fc AS (
+  SELECT user_id, min(tau) AS t FROM gl
+  WHERE g <= CAST(0.0 AS DOUBLE) GROUP BY user_id
+)
+SELECT nn.user_id,
+       round(CASE WHEN fc.t IS NULL THEN CAST(nn.n AS DOUBLE)
+                  WHEN fc.t = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN p.g = c.g THEN CAST(fc.t AS DOUBLE)
+                  ELSE fc.t - 1 + p.g / (p.g - c.g) END, 6) AS fzcglscf11
+FROM nn
+LEFT JOIN fc ON fc.user_id = nn.user_id
+LEFT JOIN gl p ON p.user_id = nn.user_id AND p.tau = fc.t - 1
+LEFT JOIN gl c ON c.user_id = nn.user_id AND c.tau = fc.t
+""")
+
+# --- FC_LoopLocalSimple 'mean' (ModelFit.py:15-77) --------------------------
+# LocalSimple(mean, ltrain) for ltrain = 1..10 via a bounded-window pair
+# join; per-ltrain residual stderr / Fourier ac1-ac2 / 5-segment sliding
+# std-of-{std,mean}; then the reference's normalized curve-shape stats
+# over the sweep (mean-diff over range, mean sign of diffs, std over
+# range).
+QUERIES["user_llsimple_mean"] = _q("""
+, lps AS (
+  SELECT 1 AS lp UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+res AS (
+  SELECT a.user_id, l.lp, a.rn, avg(b.v) - a.v AS r
+  FROM series a
+  JOIN lps l ON 1 = 1
+  JOIN series b ON b.user_id = a.user_id
+               AND b.rn BETWEEN a.rn - l.lp AND a.rn - 1
+  WHERE a.rn >= l.lp
+  GROUP BY a.user_id, l.lp, a.rn, a.v
+),
+rc AS (
+  SELECT user_id, lp, rn, r,
+         r - avg(r) OVER (PARTITION BY user_id, lp) AS rcnt,
+         count(*) OVER (PARTITION BY user_id, lp) AS nr
+  FROM res
+),
+rl AS (
+  SELECT user_id, lp, rn, r, rcnt, nr,
+         lead(rcnt)    OVER (PARTITION BY user_id, lp ORDER BY rn) AS rc1,
+         lead(rcnt, 2) OVER (PARTITION BY user_id, lp ORDER BY rn) AS rc2,
+         row_number()  OVER (PARTITION BY user_id, lp ORDER BY rn) - 1 AS i
+  FROM rc
+),
+base AS (
+  SELECT user_id, lp,
+         stddev_samp(r) AS stderr,
+         sum(rcnt * rc1) FILTER (WHERE rc1 IS NOT NULL)
+           / nullif(sum(rcnt * rcnt), CAST(0.0 AS DOUBLE)) AS ac1,
+         sum(rcnt * rc2) FILTER (WHERE rc2 IS NOT NULL)
+           / nullif(sum(rcnt * rcnt), CAST(0.0 AS DOUBLE)) AS ac2
+  FROM rl GROUP BY user_id, lp
+),
+segs AS (
+  SELECT user_id, lp,
+         CAST(floor(i / floor(nr / 5.0)) AS BIGINT) AS sg,
+         avg(r) AS sm, stddev_samp(r) AS ss,
+         count(*) AS c, max(floor(nr / 5.0)) AS wlen
+  FROM rl GROUP BY user_id, lp, CAST(floor(i / floor(nr / 5.0)) AS BIGINT)
+),
+sw AS (
+  SELECT user_id, lp,
+         stddev_samp(ss) AS sws_n, stddev_samp(sm) AS swm_n
+  FROM segs WHERE c = wlen GROUP BY user_id, lp
+),
+curve AS (
+  SELECT b.user_id, b.lp, b.stderr, b.ac1, b.ac2,
+         sw.sws_n / nullif(b.stderr, CAST(0.0 AS DOUBLE)) AS sws,
+         sw.swm_n / nullif(b.stderr, CAST(0.0 AS DOUBLE)) AS swm
+  FROM base b
+  JOIN sw ON sw.user_id = b.user_id AND sw.lp = b.lp
+),
+diffs AS (
+  SELECT user_id, lp, stderr, sws, swm, ac1, ac2,
+         lead(stderr) OVER (PARTITION BY user_id ORDER BY lp) - stderr AS dstderr,
+         lead(sws)    OVER (PARTITION BY user_id ORDER BY lp) - sws    AS dsws,
+         lead(swm)    OVER (PARTITION BY user_id ORDER BY lp) - swm    AS dswm,
+         lead(ac1)    OVER (PARTITION BY user_id ORDER BY lp) - ac1    AS dac1,
+         lead(ac2)    OVER (PARTITION BY user_id ORDER BY lp) - ac2    AS dac2
+  FROM curve
+)
+SELECT user_id,
+       round(avg(dstderr) / nullif(max(stderr) - min(stderr), CAST(0.0 AS DOUBLE)), 6) AS stderr_chn,
+       round(avg(CAST(sign(dstderr) AS DOUBLE)), 6) AS stderr_meansgndiff,
+       round(avg(dsws) / nullif(max(sws) - min(sws), CAST(0.0 AS DOUBLE)), 6) AS sws_chn,
+       round(avg(CAST(sign(dsws) AS DOUBLE)), 6) AS sws_meansgndiff,
+       round(stddev_samp(sws) / nullif(max(sws) - min(sws), CAST(0.0 AS DOUBLE)), 6) AS sws_stdn,
+       round(avg(dswm) / nullif(max(swm) - min(swm), CAST(0.0 AS DOUBLE)), 6) AS swm_chn,
+       round(avg(CAST(sign(dswm) AS DOUBLE)), 6) AS swm_meansgndiff,
+       round(stddev_samp(swm) / nullif(max(swm) - min(swm), CAST(0.0 AS DOUBLE)), 6) AS swm_stdn,
+       round(avg(dac1) / nullif(max(ac1) - min(ac1), CAST(0.0 AS DOUBLE)), 6) AS ac1_chn,
+       round(avg(CAST(sign(dac1) AS DOUBLE)), 6) AS ac1_meansgndiff,
+       round(stddev_samp(ac1) / nullif(max(ac1) - min(ac1), CAST(0.0 AS DOUBLE)), 6) AS ac1_stdn,
+       round(avg(dac2) / nullif(max(ac2) - min(ac2), CAST(0.0 AS DOUBLE)), 6) AS ac2_chn,
+       round(avg(CAST(sign(dac2) AS DOUBLE)), 6) AS ac2_meansgndiff,
+       round(stddev_samp(ac2) / nullif(max(ac2) - min(ac2), CAST(0.0 AS DOUBLE)), 6) AS ac2_stdn
+FROM diffs GROUP BY user_id
+""")
+
+# --- PH_Walker 'prop' p=0.5 (Physics.py:10-174), SQL subset -----------------
+# The proportional walker is a linear recursion with closed form
+# w_i = p * sum_{j<i} (1-p)^{i-1-j} y_j, evaluated as an O(N^2/2) join;
+# trajectory stats, walker-vs-series comparisons, residual AC and
+# 5-segment sliding std-of-std.
+QUERIES["user_walker_prop"] = _qa("""
+, wk AS (
+  SELECT s.user_id, s.rn,
+         coalesce(w.w, CAST(0.0 AS DOUBLE)) AS w, s.v
+  FROM series s
+  LEFT JOIN (
+    SELECT a.user_id, a.rn,
+           0.5 * sum(power(0.5, a.rn - 1 - b.rn) * b.v) AS w
+    FROM series a
+    JOIN series b ON b.user_id = a.user_id AND b.rn < a.rn
+    GROUP BY a.user_id, a.rn
+  ) w ON w.user_id = s.user_id AND w.rn = s.rn
+),
+wc AS (
+  SELECT user_id, rn, w, v,
+         w - avg(w) OVER (PARTITION BY user_id) AS cw,
+         w - v AS res,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM wk
+),
+wl AS (
+  SELECT user_id, rn, w, v, cw, res, n,
+         lead(w)  OVER (PARTITION BY user_id ORDER BY rn) AS w1,
+         lead(cw) OVER (PARTITION BY user_id ORDER BY rn) AS cw1,
+         lead(cw, 2) OVER (PARTITION BY user_id ORDER BY rn) AS cw2,
+         lead(w - v) OVER (PARTITION BY user_id ORDER BY rn) AS res1,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS i
+  FROM wc
+),
+wst AS (
+  SELECT user_id,
+         avg(w) AS w_mean, median(w) AS w_median,
+         stddev_samp(w) AS w_std, min(w) AS w_min, max(w) AS w_max,
+         sum(cw * cw1) FILTER (WHERE cw1 IS NOT NULL)
+           / nullif(sum(cw * cw), CAST(0.0 AS DOUBLE)) AS w_ac1,
+         sum(cw * cw2) FILTER (WHERE cw2 IS NOT NULL)
+           / nullif(sum(cw * cw), CAST(0.0 AS DOUBLE)) AS w_ac2,
+         sum(CASE WHEN w * w1 < 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+           FILTER (WHERE w1 IS NOT NULL) / (max(n) - 1) AS w_propzcross,
+         avg(abs(v - w)) AS sw_meanabsdiff,
+         sum(CASE WHEN res * res1 < 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+           FILTER (WHERE res1 IS NOT NULL) / (max(n) - 1) AS sw_propcross,
+         stddev_samp(res) AS res_sd
+  FROM wl GROUP BY user_id
+),
+rcent AS (
+  SELECT user_id, rn,
+         res - avg(res) OVER (PARTITION BY user_id) AS cr
+  FROM wc
+),
+rac AS (
+  SELECT user_id,
+         sum(cr * cr1) FILTER (WHERE cr1 IS NOT NULL)
+           / nullif(sum(cr * cr), CAST(0.0 AS DOUBLE)) AS res_ac1
+  FROM (
+    SELECT user_id, cr,
+           lead(cr) OVER (PARTITION BY user_id ORDER BY rn) AS cr1
+    FROM rcent
+  ) z GROUP BY user_id
+),
+rsegs AS (
+  SELECT user_id,
+         CAST(floor(i / floor(n / 5.0)) AS BIGINT) AS sg,
+         stddev_samp(res) AS ss, count(*) AS c, max(floor(n / 5.0)) AS wlen
+  FROM wl GROUP BY user_id, CAST(floor(i / floor(n / 5.0)) AS BIGINT)
+),
+rsw AS (
+  SELECT user_id, stddev_samp(ss) AS sws_n
+  FROM rsegs WHERE c = wlen GROUP BY user_id
+),
+yst AS (
+  SELECT user_id, stddev_samp(v) AS y_std, min(v) AS y_min, max(v) AS y_max
+  FROM series GROUP BY user_id
+)
+SELECT w.user_id,
+       round(w.w_mean, 6) AS w_mean,
+       round(w.w_median, 6) AS w_median,
+       round(w.w_std, 6) AS w_std,
+       round(w.w_ac1, 6) AS w_ac1,
+       round(w.w_ac2, 6) AS w_ac2,
+       round(w.w_min, 6) AS w_min,
+       round(w.w_max, 6) AS w_max,
+       round(w.w_propzcross, 6) AS w_propzcross,
+       round(w.sw_meanabsdiff, 6) AS sw_meanabsdiff,
+       round(w.w_std / nullif(y.y_std, CAST(0.0 AS DOUBLE)), 6) AS sw_stdrat,
+       round(w.w_min / nullif(y.y_min, CAST(0.0 AS DOUBLE)), 6) AS sw_minrat,
+       round(w.w_max / nullif(y.y_max, CAST(0.0 AS DOUBLE)), 6) AS sw_maxrat,
+       round(w.sw_propcross, 6) AS sw_propcross,
+       round(w.w_ac1 / nullif(ac1y.r, CAST(0.0 AS DOUBLE)), 6) AS sw_ac1rat,
+       round(ra.res_ac1, 6) AS res_ac1,
+       round(rs.sws_n / nullif(w.res_sd, CAST(0.0 AS DOUBLE)), 6) AS res_swss5_1
+FROM wst w
+JOIN yst y ON y.user_id = w.user_id
+JOIN rac ra ON ra.user_id = w.user_id
+JOIN rsw rs ON rs.user_id = w.user_id
+JOIN acfn ac1y ON ac1y.user_id = w.user_id AND ac1y.tau = 1
+""")

@@ -347,3 +347,50 @@ def test_r2e_symbolic_embedding_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2f_sweep_queries_mirror_kernels():
+    """Round-2 continuation batch 5: fzcglscf, LoopLocalSimple sweep, and
+    proportional-walker catalog queries vs the kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.functions.physics import walker
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+    from pyhctsa_spark.plans.yaml_config import _loop_local_simple
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    def wk(y):
+        o = walker(y, "prop", 0.5)
+        return {k: o[k] for k in
+                ("w_mean", "w_median", "w_std", "w_ac1", "w_ac2", "w_min",
+                 "w_max", "w_propzcross", "sw_meanabsdiff", "sw_stdrat",
+                 "sw_minrat", "sw_maxrat", "sw_propcross", "sw_ac1rat",
+                 "res_ac1", "res_swss5_1")}
+
+    checks = {
+        "user_fzcglscf11": lambda y: {"fzcglscf11": K.fzcglscf(y, 1, 1)},
+        "user_llsimple_mean": lambda y: _loop_local_simple(y, "mean"),
+        "user_walker_prop": wk,
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf().set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
