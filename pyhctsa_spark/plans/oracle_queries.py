@@ -2660,3 +2660,86 @@ JOIN rac ra ON ra.user_id = w.user_id
 JOIN rsw rs ON rs.user_id = w.user_id
 JOIN acfn ac1y ON ac1y.user_id = w.user_id AND ac1y.tau = 1
 """)
+
+
+# --- EX_MovingThreshold a=1, b=0.1 (ExtremeEvents.py:5-78) ------------------
+# The adaptive barrier is a nonlinear per-step recursion (kick above
+# extremes, decay otherwise) — not expressible as a window function, so
+# the ENGINE computes it (per-user Arrow kernel) and the ORACLE walks
+# the same recursion as a DuckDB recursive CTE, plus hazen-IQR and
+# kick-interval statistics.
+ENGINE_ORACLES["user_movthresh"] = """
+WITH RECURSIVE raw AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         abs(CAST(value AS DOUBLE)) AS v
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, v, CAST(1.0 AS DOUBLE) AS q, CAST(0.0 AS DOUBLE) AS kick
+  FROM raw WHERE rn = 0
+  UNION ALL
+  SELECT r.user_id, r.rn, r.v,
+         CASE WHEN r.v > w.q THEN 2.0 * r.v ELSE 0.9 * w.q END,
+         CASE WHEN r.v > w.q THEN 2.0 * r.v - w.q ELSE CAST(0.0 AS DOUBLE) END
+  FROM walk w
+  JOIN raw r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+),
+hq AS (
+  SELECT user_id, q,
+         row_number() OVER (PARTITION BY user_id ORDER BY q) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM walk
+),
+qv AS (
+  SELECT b.user_id, b.i,
+         lo.q + (b.posc - floor(b.posc)) * (hi.q - lo.q) AS qq
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.25 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+ik AS (
+  SELECT user_id, rn - lag(rn) OVER (PARTITION BY user_id ORDER BY rn) AS d
+  FROM walk WHERE kick > 0
+),
+iks AS (
+  SELECT user_id,
+         CASE WHEN count(d) > 1 THEN stddev_samp(d) END AS stdkicks,
+         avg(CAST(d AS DOUBLE)) AS meankickf,
+         median(CAST(d AS DOUBLE)) AS mediankicksf
+  FROM ik GROUP BY user_id
+),
+st AS (
+  SELECT user_id,
+         avg(q) AS meanq, median(q) AS medianq, max(q) AS maxq,
+         min(q) AS minq, stddev_samp(q) AS stdq,
+         avg(q - v) AS meanqover,
+         sum(kick) / (count(*) - 1) AS pkick
+  FROM walk GROUP BY user_id
+)
+SELECT st.user_id,
+       round(st.meanq, 6) AS meanq,
+       round(st.medianq, 6) AS medianq,
+       round(q75.qq - q25.qq, 6) AS iqrq,
+       round(st.maxq, 6) AS maxq,
+       round(st.minq, 6) AS minq,
+       round(st.stdq, 6) AS stdq,
+       round(st.meanqover, 6) AS meanqover,
+       round(st.pkick, 6) AS pkick,
+       round(iks.stdkicks, 6) AS stdkicks,
+       round(iks.meankickf, 6) AS meankickf,
+       round(iks.mediankicksf, 6) AS mediankicksf
+FROM st
+JOIN qv q25 ON q25.user_id = st.user_id AND q25.i = 1
+JOIN qv q75 ON q75.user_id = st.user_id AND q75.i = 2
+LEFT JOIN iks ON iks.user_id = st.user_id
+"""

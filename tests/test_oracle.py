@@ -394,3 +394,35 @@ def test_r2f_sweep_queries_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2g_movthresh_recursive_oracle(spark):
+    """EX_MovingThreshold: engine applyInPandas kernel vs the DuckDB
+    recursive-CTE oracle at sf0.001."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    d = con.execute(em.oracle_sql()["user_movthresh"]).fetchdf()
+    s = em.queries()["user_movthresh"](spark, "/root/testdata/sf0.001").toPandas()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if np.issubdtype(df[c].dtype, np.floating):
+                df[c] = df[c].round(9)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    cs, cd = canon(s), canon(d)
+    assert cs.shape == cd.shape
+    assert list(cs.dtypes.astype(str)) == list(cd.dtypes.astype(str))
+    for c in cs.columns:
+        assert (cs[c].isna() == cd[c].isna()).all(), c
+        if np.issubdtype(cs[c].dtype, np.number):
+            assert np.allclose(cs[c].dropna(), cd[c].dropna(), atol=1e-9), c
