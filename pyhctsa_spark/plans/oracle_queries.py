@@ -2743,3 +2743,230 @@ JOIN qv q25 ON q25.user_id = st.user_id AND q25.i = 1
 JOIN qv q75 ON q75.user_id = st.user_id AND q75.i = 2
 LEFT JOIN iks ON iks.user_id = st.user_id
 """
+
+
+# --- CO_AutoCorrShape 'posDrown' (Correlation.py:1478-1644), SQL subset -----
+# Keep the ACF out to the first lag below 2/sqrt(N) (kept if still
+# positive); emit the drown index, sum/mean of the kept curve, and the
+# number of concave local minima of the kept curve.
+QUERIES["user_acshape"] = _qa("""
+, thv AS (
+  SELECT user_id, 2.0 / sqrt(CAST(n AS DOUBLE)) AS th, n FROM nn
+),
+dr AS (
+  SELECT a.user_id, min(a.tau) AS t0
+  FROM acfn a JOIN thv t ON t.user_id = a.user_id AND a.r < t.th
+  GROUP BY a.user_id
+),
+cut AS (
+  SELECT nn.user_id,
+         CASE WHEN dr.t0 IS NULL THEN CAST(0 AS BIGINT)
+              WHEN c.r > 0 THEN dr.t0 + 1 ELSE dr.t0 END AS ndrown,
+         CASE WHEN dr.t0 IS NULL THEN nn.n - 1
+              WHEN c.r > 0 THEN dr.t0 ELSE dr.t0 - 1 END AS keepmax
+  FROM nn
+  LEFT JOIN dr ON dr.user_id = nn.user_id
+  LEFT JOIN acfn c ON c.user_id = nn.user_id AND c.tau = dr.t0
+),
+kept AS (
+  SELECT a.user_id, a.tau, a.r,
+         lead(a.r)    OVER (PARTITION BY a.user_id ORDER BY a.tau) AS r1,
+         lead(a.r, 2) OVER (PARTITION BY a.user_id ORDER BY a.tau) AS r2
+  FROM acfn a JOIN cut ON cut.user_id = a.user_id AND a.tau <= cut.keepmax
+)
+SELECT c.user_id,
+       round(CAST(c.ndrown AS DOUBLE), 6) AS nac,
+       round(k.sumacf, 6) AS sumacf,
+       round(k.meanacf, 6) AS meanacf,
+       round(k.nminima, 6) AS nminima
+FROM cut c
+JOIN (
+  SELECT user_id, sum(r) AS sumacf, avg(r) AS meanacf,
+         CAST(sum(CASE WHEN r2 IS NOT NULL
+                            AND (r2 - r1) * (r1 - r) < 0
+                            AND (r2 - r1) - (r1 - r) > 0
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS nminima
+  FROM kept GROUP BY user_id
+) k ON k.user_id = c.user_id
+""")
+
+# --- SY_RangeEvolve (Stationarity.py:491-549), complete ---------------------
+# Cumulative range via running max/min windows; unique-value and
+# range-fraction statistics at percentage and fixed-length cut points
+# (NaN keys for N below a fixed cut, the engine's stable-schema policy).
+QUERIES["user_rangeevolve"] = _q("""
+, rv AS (
+  SELECT user_id, rn,
+         max(v) OVER (PARTITION BY user_id ORDER BY rn)
+           - min(v) OVER (PARTITION BY user_id ORDER BY rn) AS cums,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+agg AS (
+  SELECT user_id, max(n) AS n,
+         CAST(count(DISTINCT cums) AS DOUBLE) AS totnuq,
+         CAST(count(DISTINCT CASE WHEN rn < CAST(floor(n * CAST(0.01 AS DOUBLE)) AS BIGINT)
+                                  THEN cums END) AS DOUBLE) AS u_p1,
+         CAST(count(DISTINCT CASE WHEN rn < CAST(floor(n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+                                  THEN cums END) AS DOUBLE) AS u_p10,
+         CAST(count(DISTINCT CASE WHEN rn < CAST(floor(n * CAST(0.2 AS DOUBLE)) AS BIGINT)
+                                  THEN cums END) AS DOUBLE) AS u_p20,
+         CAST(count(DISTINCT CASE WHEN rn < CAST(floor(n * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                                  THEN cums END) AS DOUBLE) AS u_p50,
+         CAST(count(DISTINCT CASE WHEN rn < 10 THEN cums END) AS DOUBLE) AS u_l10,
+         CAST(count(DISTINCT CASE WHEN rn < 50 THEN cums END) AS DOUBLE) AS u_l50,
+         max(CASE WHEN rn = CAST(ceil(n * CAST(0.01 AS DOUBLE)) AS BIGINT) - 1 THEN cums END) AS c_p1,
+         max(CASE WHEN rn = CAST(ceil(n * CAST(0.1 AS DOUBLE)) AS BIGINT) - 1 THEN cums END) AS c_p10,
+         max(CASE WHEN rn = CAST(ceil(n * CAST(0.2 AS DOUBLE)) AS BIGINT) - 1 THEN cums END) AS c_p20,
+         max(CASE WHEN rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT) - 1 THEN cums END) AS c_p50,
+         max(CASE WHEN rn = 9 THEN cums END) AS c_l10,
+         max(CASE WHEN rn = 49 THEN cums END) AS c_l50
+  FROM rv GROUP BY user_id
+),
+fr AS (
+  SELECT user_id, max(v) - min(v) AS fullr FROM series GROUP BY user_id
+)
+SELECT a.user_id,
+       round(a.totnuq, 6) AS totnuq,
+       round(a.u_p1 / a.totnuq, 6) AS nuqp1,
+       round(a.u_p10 / a.totnuq, 6) AS nuqp10,
+       round(a.u_p20 / a.totnuq, 6) AS nuqp20,
+       round(a.u_p50 / a.totnuq, 6) AS nuqp50,
+       round(CASE WHEN a.n >= 10 THEN a.u_l10 / a.totnuq END, 6) AS nuql10,
+       round(CASE WHEN a.n >= 50 THEN a.u_l50 / a.totnuq END, 6) AS nuql50,
+       CAST(NULL AS DOUBLE) AS nuql100,
+       CAST(NULL AS DOUBLE) AS nuql1000,
+       round(a.c_p1 / nullif(f.fullr, CAST(0.0 AS DOUBLE)), 6) AS p1,
+       round(a.c_p10 / nullif(f.fullr, CAST(0.0 AS DOUBLE)), 6) AS p10,
+       round(a.c_p20 / nullif(f.fullr, CAST(0.0 AS DOUBLE)), 6) AS p20,
+       round(a.c_p50 / nullif(f.fullr, CAST(0.0 AS DOUBLE)), 6) AS p50,
+       round(CASE WHEN a.n >= 10 THEN a.c_l10 / nullif(f.fullr, CAST(0.0 AS DOUBLE)) END, 6) AS l10,
+       round(CASE WHEN a.n >= 50 THEN a.c_l50 / nullif(f.fullr, CAST(0.0 AS DOUBLE)) END, 6) AS l50,
+       CAST(NULL AS DOUBLE) AS l100,
+       CAST(NULL AS DOUBLE) AS l1000
+FROM agg a JOIN fr f ON f.user_id = a.user_id
+""")
+
+# --- MD_hrv_classic (Medical.py:71-211), complete ---------------------------
+# pNNx thresholds, LF/HF band powers from a Hann periodogram (nfft=256
+# DFT join with the window spelled out), MATLAB binpicker 'nbins=10'
+# triangular index (power-of-10 width refinement + digitize-equivalent
+# edge comparisons), and Poincare SD1/SD2.
+QUERIES["user_hrv_classic"] = _qa("""
+, k16 AS (
+  SELECT d1.rn * 16 + d2.rn AS k
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 16 AND user_id =
+        (SELECT min(user_id) FROM series)) d1
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 16 AND user_id =
+        (SELECT min(user_id) FROM series)) d2
+  WHERE d1.rn * 16 + d2.rn <= 128
+),
+hw AS (
+  SELECT s.user_id, s.rn, s.v,
+         s.v * (0.5 - 0.5 * cos(2.0 * pi() * s.rn / (nn.n - 1))) AS wv,
+         (0.5 - 0.5 * cos(2.0 * pi() * s.rn / (nn.n - 1)))
+           * (0.5 - 0.5 * cos(2.0 * pi() * s.rn / (nn.n - 1))) AS w2
+  FROM series s JOIN nn ON nn.user_id = s.user_id
+),
+spec AS (
+  SELECT h.user_id, k16.k,
+         (pow(sum(h.wv * cos(2.0 * pi() * k16.k * h.rn / 256.0)), 2)
+          + pow(sum(h.wv * sin(2.0 * pi() * k16.k * h.rn / 256.0)), 2))
+           / (2.0 * pi() * max(t.sw2))
+           * (CASE WHEN k16.k = 0 OR k16.k = 128 THEN 1.0 ELSE 2.0 END) AS P,
+         2.0 * pi() * k16.k / 256.0 AS F
+  FROM hw h
+  JOIN (SELECT user_id, sum(w2) AS sw2 FROM hw GROUP BY user_id) t
+    ON t.user_id = h.user_id
+  CROSS JOIN k16
+  GROUP BY h.user_id, k16.k
+),
+bands AS (
+  SELECT user_id,
+         sum(P) FILTER (WHERE F >= 0.04 AND F <= 0.15) AS lfp,
+         sum(P) FILTER (WHERE F >= 0.15 AND F <= 0.4) AS hfp,
+         sum(P) FILTER (WHERE F <= 0.04) AS vlfp,
+         sum(P) AS totp
+  FROM spec GROUP BY user_id
+),
+bp AS (
+  SELECT mm.user_id, mm.mn, mm.mx,
+         least(bw2.bw * floor(mm.mn / bw2.bw), mm.mn) AS le0, bw2.bw AS bw0
+  FROM (SELECT user_id, min(v) AS mn, max(v) AS mx
+        FROM series GROUP BY user_id) mm
+  JOIN (
+    SELECT user_id,
+           power(10.0, floor(log10((mx - mn) / 10.0)))
+             * floor(((mx - mn) / 10.0)
+                     / power(10.0, floor(log10((mx - mn) / 10.0)))) AS bw
+    FROM (SELECT user_id, min(v) AS mn, max(v) AS mx
+          FROM series GROUP BY user_id) m2
+  ) bw2 ON bw2.user_id = mm.user_id
+),
+bpf AS (
+  SELECT user_id, mn, mx, le0,
+         power(10.0, floor(log10((mx - le0) / 9.0 - (mx - le0) / 10.0)))
+           * ceil(((mx - le0) / 10.0)
+                  / power(10.0, floor(log10((mx - le0) / 9.0
+                                            - (mx - le0) / 10.0)))) AS bw,
+         greatest(le0 + 10.0 * (power(10.0, floor(log10((mx - le0) / 9.0 - (mx - le0) / 10.0)))
+           * ceil(((mx - le0) / 10.0)
+                  / power(10.0, floor(log10((mx - le0) / 9.0
+                                            - (mx - le0) / 10.0))))), mx) AS re
+  FROM bp
+),
+tric AS (
+  SELECT s.user_id,
+         CASE WHEN s.v = b.re THEN 10
+              WHEN s.v < b.le0 + 1.0 * b.bw THEN 0
+              WHEN s.v < b.le0 + 2.0 * b.bw THEN 1
+              WHEN s.v < b.le0 + 3.0 * b.bw THEN 2
+              WHEN s.v < b.le0 + 4.0 * b.bw THEN 3
+              WHEN s.v < b.le0 + 5.0 * b.bw THEN 4
+              WHEN s.v < b.le0 + 6.0 * b.bw THEN 5
+              WHEN s.v < b.le0 + 7.0 * b.bw THEN 6
+              WHEN s.v < b.le0 + 8.0 * b.bw THEN 7
+              WHEN s.v < b.le0 + 9.0 * b.bw THEN 8
+              ELSE 9 END AS bin
+  FROM series s JOIN bpf b ON b.user_id = s.user_id
+),
+tri AS (
+  SELECT t.user_id, CAST(max(c) AS DOUBLE) AS maxc
+  FROM (SELECT user_id, bin, count(*) AS c FROM tric GROUP BY user_id, bin) t
+  GROUP BY t.user_id
+),
+dx AS (
+  SELECT user_id, abs(v1 - v) AS ad, v1 - v AS d
+  FROM win WHERE v1 IS NOT NULL
+),
+dstat AS (
+  SELECT user_id,
+         avg(CASE WHEN ad > 0.005 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pnn5,
+         avg(CASE WHEN ad > 0.01  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pnn10,
+         avg(CASE WHEN ad > 0.02  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pnn20,
+         avg(CASE WHEN ad > 0.03  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pnn30,
+         avg(CASE WHEN ad > 0.04  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pnn40,
+         stddev_samp(d) AS rmssd
+  FROM dx GROUP BY user_id
+),
+yst AS (
+  SELECT user_id, stddev_samp(v) AS sd, count(*) AS n
+  FROM series GROUP BY user_id
+)
+SELECT d.user_id,
+       round(d.pnn5, 6) AS pnn5, round(d.pnn10, 6) AS pnn10,
+       round(d.pnn20, 6) AS pnn20, round(d.pnn30, 6) AS pnn30,
+       round(d.pnn40, 6) AS pnn40,
+       round(b.lfp / nullif(b.hfp, CAST(0.0 AS DOUBLE)), 6) AS lfhf,
+       round(b.vlfp / b.totp * 100.0, 6) AS vlf,
+       round(b.lfp / b.totp * 100.0, 6) AS lf,
+       round(b.hfp / b.totp * 100.0, 6) AS hf,
+       round(y.n / t.maxc, 6) AS tri,
+       round(d.rmssd / sqrt(2.0) * 1000.0, 6) AS SD1,
+       round(sqrt(greatest(2.0 * y.sd * y.sd - 0.5 * d.rmssd * d.rmssd,
+                           CAST(0.0 AS DOUBLE))) * 1000.0, 6) AS SD2
+FROM dstat d
+JOIN bands b ON b.user_id = d.user_id
+JOIN tri t ON t.user_id = d.user_id
+JOIN yst y ON y.user_id = d.user_id
+""")

@@ -426,3 +426,49 @@ def test_r2g_movthresh_recursive_oracle(spark):
         assert (cs[c].isna() == cd[c].isna()).all(), c
         if np.issubdtype(cs[c].dtype, np.number):
             assert np.allclose(cs[c].dropna(), cd[c].dropna(), atol=1e-9), c
+
+
+def test_r2h_acshape_rangeevolve_hrv_mirror_kernels():
+    """Round-2 continuation batch 7: AutoCorrShape, RangeEvolve (complete)
+    and hrv_classic (complete, incl. binpicker edges + Hann periodogram)
+    vs the kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.embedding import autocorr_shape
+    from pyhctsa_spark.functions.kernels import range_evolve
+    from pyhctsa_spark.functions.medical import hrv_classic
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    checks = {
+        "user_acshape": lambda y: {
+            "nac": autocorr_shape(y)["Nac"],
+            "sumacf": autocorr_shape(y)["sumacf"],
+            "meanacf": autocorr_shape(y)["meanacf"],
+            "nminima": autocorr_shape(y)["nminima"]},
+        "user_rangeevolve": range_evolve,
+        "user_hrv_classic": hrv_classic,
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf()
+        df.columns = [c.lower() for c in df.columns]
+        df = df.set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col.lower()] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
