@@ -2970,3 +2970,222 @@ JOIN bands b ON b.user_id = d.user_id
 JOIN tri t ON t.user_id = d.user_id
 JOIN yst y ON y.user_id = d.user_id
 """)
+
+
+# --- EN_mse scales [1,2], m=2, r=0.15 (Entropy.py:166-262) ------------------
+# Non-overlapping-mean coarse-graining (the tier cascade's downsample),
+# physionet SampEn (m=2) per scale with r = 0.15 * std of the
+# coarse-grained series, + max/min/mean over the finite scales.
+QUERIES["user_mse12"] = _q("""
+, cg2 AS (
+  SELECT user_id, CAST(floor(rn / 2) AS BIGINT) AS t, (v + v1) / 2.0 AS c
+  FROM win WHERE rn % 2 = 0 AND v1 IS NOT NULL
+),
+cl2 AS (
+  SELECT user_id, t, c,
+         lead(c)    OVER (PARTITION BY user_id ORDER BY t) AS c1,
+         lead(c, 2) OVER (PARTITION BY user_id ORDER BY t) AS c2
+  FROM cg2
+),
+st2 AS (
+  SELECT user_id, 0.15 * stddev_samp(c) AS r, count(*) AS cnt
+  FROM cg2 GROUP BY user_id
+),
+se2 AS (
+  SELECT user_id,
+         CASE WHEN a2 > 0 AND b2 > 0
+              THEN -ln(CAST(a2 AS DOUBLE) / b2) END AS sampen
+  FROM (
+    SELECT a.user_id,
+           sum(CASE WHEN b.t <= st2.cnt - 3
+                         AND abs(a.c - b.c) <= st2.r
+                         AND abs(a.c1 - b.c1) <= st2.r THEN 1 ELSE 0 END) AS b2,
+           sum(CASE WHEN b.t <= st2.cnt - 3
+                         AND abs(a.c - b.c) <= st2.r
+                         AND abs(a.c1 - b.c1) <= st2.r
+                         AND abs(a.c2 - b.c2) <= st2.r THEN 1 ELSE 0 END) AS a2
+    FROM cl2 a
+    JOIN cl2 b ON b.user_id = a.user_id AND a.t < b.t
+    JOIN st2 ON st2.user_id = a.user_id
+    GROUP BY a.user_id
+  ) p
+),
+wl1 AS (
+  SELECT user_id, rn, v, v1, v2 FROM win
+),
+st1 AS (
+  SELECT user_id, 0.15 * stddev_samp(v) AS r, count(*) AS cnt
+  FROM series GROUP BY user_id
+),
+se1 AS (
+  SELECT user_id,
+         CASE WHEN a2 > 0 AND b2 > 0
+              THEN -ln(CAST(a2 AS DOUBLE) / b2) END AS sampen
+  FROM (
+    SELECT a.user_id,
+           sum(CASE WHEN b.rn <= st1.cnt - 3
+                         AND abs(a.v - b.v) <= st1.r
+                         AND abs(a.v1 - b.v1) <= st1.r THEN 1 ELSE 0 END) AS b2,
+           sum(CASE WHEN b.rn <= st1.cnt - 3
+                         AND abs(a.v - b.v) <= st1.r
+                         AND abs(a.v1 - b.v1) <= st1.r
+                         AND abs(a.v2 - b.v2) <= st1.r THEN 1 ELSE 0 END) AS a2
+    FROM wl1 a
+    JOIN wl1 b ON b.user_id = a.user_id AND a.rn < b.rn
+    JOIN st1 ON st1.user_id = a.user_id
+    GROUP BY a.user_id
+  ) p
+)
+SELECT s1.user_id,
+       round(s1.sampen, 6) AS sampen_s1,
+       round(s2.sampen, 6) AS sampen_s2,
+       round(CASE WHEN s1.sampen IS NULL THEN s2.sampen
+                  WHEN s2.sampen IS NULL THEN s1.sampen
+                  ELSE greatest(s1.sampen, s2.sampen) END, 6) AS maxSampEn,
+       round(CASE WHEN s1.sampen IS NULL THEN s2.sampen
+                  WHEN s2.sampen IS NULL THEN s1.sampen
+                  ELSE least(s1.sampen, s2.sampen) END, 6) AS minSampEn,
+       round((coalesce(s1.sampen, CAST(0.0 AS DOUBLE))
+              + coalesce(s2.sampen, CAST(0.0 AS DOUBLE)))
+             / nullif((CASE WHEN s1.sampen IS NULL THEN 0 ELSE 1 END)
+                      + (CASE WHEN s2.sampen IS NULL THEN 0 ELSE 1 END), 0),
+             6) AS meanSampEn
+FROM se1 s1 JOIN se2 s2 ON s2.user_id = s1.user_id
+""")
+
+# --- EN_rpde m=2 tau=1 eps=0.12 (Entropy.py:349-406) ------------------------
+# Close returns without recursion: per embedded point, the exit time is
+# the first later index outside the eps-ball and the return time the
+# first index at or after it back inside; recurrence-period density
+# entropy over the T histogram (ne+1 bins).
+QUERIES["user_rpde"] = _qa("""
+, emb AS (
+  SELECT user_id, rn AS i, v AS e0, v1 AS e1,
+         count(*) OVER (PARTITION BY user_id) AS ne
+  FROM win WHERE v1 IS NOT NULL
+),
+prs AS (
+  SELECT a.user_id, a.i, b.i AS j,
+         greatest(abs(b.e0 - a.e0), abs(b.e1 - a.e1)) AS d
+  FROM emb a JOIN emb b ON b.user_id = a.user_id AND b.i > a.i
+),
+ex AS (
+  SELECT user_id, i, min(j) AS jex FROM prs
+  WHERE d > CAST(0.12 AS DOUBLE) GROUP BY user_id, i
+),
+ret AS (
+  SELECT p.user_id, p.i, min(p.j) - p.i AS T
+  FROM prs p JOIN ex ON ex.user_id = p.user_id AND ex.i = p.i
+  WHERE p.j >= ex.jex AND p.d <= CAST(0.12 AS DOUBLE)
+  GROUP BY p.user_id, p.i
+),
+hist AS (
+  SELECT user_id, T, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS s
+  FROM ret GROUP BY user_id, T
+),
+hstat AS (
+  SELECT user_id,
+         -sum((cnt / s) * ln(cnt / s)) AS H,
+         count(*) AS nbins,
+         max(cnt / s) AS maxp
+  FROM hist GROUP BY user_id
+),
+nev AS (
+  SELECT user_id, max(ne) + 1 AS nn2 FROM emb GROUP BY user_id
+)
+SELECT nv.user_id,
+       round(h.H, 6) AS H,
+       round(h.H / ln(CAST(nv.nn2 AS DOUBLE)), 6) AS H_norm,
+       round(coalesce(CAST(h.nbins AS DOUBLE) / nv.nn2, CAST(0.0 AS DOUBLE)), 6)
+         AS propNonZero,
+       round(CAST(nv.nn2 AS DOUBLE) / h.nbins, 6) AS meanNonZero,
+       round(coalesce(h.maxp * nv.nn2, CAST(0.0 AS DOUBLE)), 6) AS maxRPD
+FROM nev nv LEFT JOIN hstat h ON h.user_id = nv.user_id
+""")
+
+# --- MD_rawHRVmeas (Medical.py:6-70) ----------------------------------------
+# Triangular indices at 10 / 20 / ceil(sqrt(N)) binpicker bins (generic
+# per-user bin count via a digitize join against the refined edges) and
+# Poincare SD1/SD2.
+QUERIES["user_raw_hrv"] = _qa("""
+, nbt AS (
+  SELECT user_id, 1 AS which, 10 AS nb FROM nn
+  UNION ALL SELECT user_id, 2, 20 FROM nn
+  UNION ALL SELECT user_id, 3, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS INT) FROM nn
+),
+mm AS (
+  SELECT user_id, min(v) AS mn, max(v) AS mx FROM series GROUP BY user_id
+),
+bp0 AS (
+  SELECT t.user_id, t.which, t.nb, m.mn, m.mx,
+         power(10.0, floor(log10((m.mx - m.mn) / t.nb)))
+           * floor(((m.mx - m.mn) / t.nb)
+                   / power(10.0, floor(log10((m.mx - m.mn) / t.nb)))) AS bw0
+  FROM nbt t JOIN mm m ON m.user_id = t.user_id
+),
+bp1 AS (
+  SELECT user_id, which, nb, mn, mx,
+         least(bw0 * floor(mn / bw0), mn) AS le
+  FROM bp0
+),
+bpf AS (
+  SELECT user_id, which, nb, mn, mx, le,
+         CASE WHEN nb > 1 THEN
+           power(10.0, floor(log10((mx - le) / (nb - 1.0) - (mx - le) / nb)))
+             * ceil(((mx - le) / nb)
+                    / power(10.0, floor(log10((mx - le) / (nb - 1.0)
+                                              - (mx - le) / nb))))
+         ELSE (mx - le) END AS bw
+  FROM bp1
+),
+bpr AS (
+  SELECT user_id, which, nb, le, bw,
+         greatest(le + nb * bw, mx) AS re
+  FROM bpf
+),
+ints AS (
+  SELECT DISTINCT rn AS k FROM series
+  WHERE rn <= 20 AND user_id = (SELECT min(user_id) FROM series)
+),
+edges AS (
+  SELECT b.user_id, b.which, ints.k,
+         CASE WHEN ints.k = 0 THEN b.le
+              WHEN ints.k = b.nb THEN b.re
+              ELSE b.le + ints.k * b.bw END AS e
+  FROM bpr b JOIN ints ON ints.k <= b.nb
+),
+dig AS (
+  SELECT s.user_id, e.which, s.rn,
+         count(*) FILTER (WHERE e.e <= s.v) - 1 AS bin
+  FROM series s
+  JOIN edges e ON e.user_id = s.user_id
+  GROUP BY s.user_id, e.which, s.rn
+),
+tri AS (
+  SELECT user_id, which, CAST(max(c) AS DOUBLE) AS maxc
+  FROM (SELECT user_id, which, bin, count(*) AS c
+        FROM dig GROUP BY user_id, which, bin) t
+  GROUP BY user_id, which
+),
+dst AS (
+  SELECT user_id, stddev_samp(v1 - v) AS rmssd
+  FROM win WHERE v1 IS NOT NULL GROUP BY user_id
+),
+yst AS (
+  SELECT user_id, var_samp(v) AS vr, count(*) AS n
+  FROM series GROUP BY user_id
+)
+SELECT y.user_id,
+       round(y.n / t10.maxc, 6) AS tri10,
+       round(y.n / t20.maxc, 6) AS tri20,
+       round(y.n / tsq.maxc, 6) AS trisqrt,
+       round(d.rmssd / sqrt(2.0) * 1000.0, 6) AS SD1,
+       round(sqrt(greatest(2.0 * y.vr - 0.5 * d.rmssd * d.rmssd,
+                           CAST(0.0 AS DOUBLE))) * 1000.0, 6) AS SD2
+FROM yst y
+JOIN dst d ON d.user_id = y.user_id
+JOIN tri t10 ON t10.user_id = y.user_id AND t10.which = 1
+JOIN tri t20 ON t20.user_id = y.user_id AND t20.which = 2
+JOIN tri tsq ON tsq.user_id = y.user_id AND tsq.which = 3
+""")

@@ -472,3 +472,43 @@ def test_r2h_acshape_rangeevolve_hrv_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2i_mse_rpde_rawhrv_mirror_kernels():
+    """Round-2 continuation batch 8: multiscale SampEn (scales 1-2),
+    recurrence-period density entropy, and rawHRVmeas vs the kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.entropy import multiscale_entropy, rpde
+    from pyhctsa_spark.functions.medical import raw_hrv_meas
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    checks = {
+        "user_mse12": lambda y: multiscale_entropy(y, [1, 2]),
+        "user_rpde": lambda y: rpde(y),
+        "user_raw_hrv": raw_hrv_meas,
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf()
+        df.columns = [c.lower() for c in df.columns]
+        df = df.set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col.lower()] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
