@@ -49,43 +49,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return rollup_tiers(seq, window=8, group=4, n_tiers=3, lags=[1, 2])
 
 
+def _events_kernel_query(keys: list[str], kernel) -> Callable[[SparkSession, str], DataFrame]:
+    """Engine query template for sequential operators: run a numpy
+    kernel per user's event series through applyInPandas
+    (Arrow-batched), one output row per user with ``keys`` columns.
+    The matching DuckDB oracle replays the recursion as a recursive CTE
+    (plans/oracle_queries.ENGINE_ORACLES)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        schema = "user_id bigint, " + ", ".join(f"{k} double" for k in keys)
+
+        def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            pdf = pdf.sort_values("event_id")
+            o = kernel(pdf["value"].to_numpy(dtype=np.float64))
+            row = {"user_id": int(pdf["user_id"].iloc[0])}
+            row.update({k: float(o[k]) for k in keys})
+            return pd.DataFrame([row])
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = ev.select("user_id", "event_id", "value").groupBy(
+            "user_id"
+        ).applyInPandas(per_user, schema)
+        return out.select("user_id", *[_f6(k) for k in keys])
+
+    return run
+
+
 _MOVTHRESH_KEYS = [
     "meanq", "medianq", "iqrq", "maxq", "minq", "stdq", "meanqover",
     "pkick", "stdkicks", "meankickf", "mediankicksf",
 ]
 
 
-def _movthresh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EX_MovingThreshold (a=1, b=0.1) over each user's event series.
+def _movthresh_kernel(y):
+    from pyhctsa_spark.functions.physics import moving_threshold
 
-    The barrier recursion is sequential, so the engine runs the numpy
-    kernel per user group through applyInPandas (Arrow-batched); the
-    DuckDB oracle replays the same recursion as a recursive CTE
-    (plans/oracle_queries.ENGINE_ORACLES['user_movthresh'])."""
-    import pandas as pd
+    return moving_threshold(y, 1.0, 0.1)
 
-    schema = "user_id bigint, " + ", ".join(
-        f"{k} double" for k in _MOVTHRESH_KEYS
-    )
 
-    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
+def _polvar_kernel(y):
+    from pyhctsa_spark.functions.medical import polvar
 
-        from pyhctsa_spark.functions.physics import moving_threshold
+    return {"polvar_d1_6": polvar(y, 1.0, 6)}
 
-        pdf = pdf.sort_values("event_id")
-        o = moving_threshold(
-            pdf["value"].to_numpy(dtype=np.float64), 1.0, 0.1
-        )
-        row = {"user_id": int(pdf["user_id"].iloc[0])}
-        row.update({k: float(o[k]) for k in _MOVTHRESH_KEYS})
-        return pd.DataFrame([row])
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    out = ev.select("user_id", "event_id", "value").groupBy(
-        "user_id"
-    ).applyInPandas(per_user, schema)
-    return out.select("user_id", *[_f6(k) for k in _MOVTHRESH_KEYS])
+_movthresh_query = _events_kernel_query(_MOVTHRESH_KEYS, _movthresh_kernel)
+_polvar_query = _events_kernel_query(["polvar_d1_6"], _polvar_kernel)
 
 
 def _mk(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -310,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = _media_features_query
     out["feature_matrix"] = _feature_matrix_query
     out["user_movthresh"] = _movthresh_query
+    out["user_polvar"] = _polvar_query
     return out
 
 

@@ -3189,3 +3189,56 @@ JOIN tri t10 ON t10.user_id = y.user_id AND t10.which = 1
 JOIN tri t20 ON t20.user_id = y.user_id AND t20.which = 2
 JOIN tri tsq ON tsq.user_id = y.user_id AND tsq.which = 3
 """)
+
+
+# --- MD_polvar d=1, D=6 (Medical.py:212-283) --------------------------------
+# The reference's non-overlapping advance-by-D scan (jump D after a
+# uniform window, else advance 1) is a data-dependent walk, replayed as
+# a recursive CTE over precomputed all-same window flags; the engine
+# side runs the numpy kernel per user group (__spark_entry__).
+ENGINE_ORACLES["user_polvar"] = """
+WITH RECURSIVE raw AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+dx AS (
+  SELECT user_id, rn,
+         CASE WHEN abs(lead(v) OVER (PARTITION BY user_id ORDER BY rn) - v)
+                   >= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END AS sym
+  FROM raw
+),
+sy AS (
+  SELECT user_id, rn, sym,
+         sum(sym) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wsum,
+         count(*) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wcnt,
+         count(*) OVER (PARTITION BY user_id) AS nd
+  FROM dx WHERE rn < (SELECT max(r2.rn) FROM raw r2 WHERE r2.user_id = dx.user_id)
+),
+flags AS (
+  SELECT user_id, rn,
+         CASE WHEN wcnt = 6 AND (wsum = 0 OR wsum = 6) THEN 1 ELSE 0 END AS allsame,
+         nd
+  FROM sy
+),
+walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS pc
+  FROM (SELECT DISTINCT user_id FROM flags) u
+  UNION ALL
+  SELECT w.user_id,
+         w.i + CASE WHEN f.allsame = 1 THEN 6 ELSE 1 END,
+         w.pc + CASE WHEN f.allsame = 1 THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN flags f ON f.user_id = w.user_id AND f.rn = w.i
+  WHERE w.i <= f.nd - 6
+)
+SELECT w.user_id,
+       round(CAST(max(w.pc) AS DOUBLE) / max(f2.nd), 6) AS polvar_d1_6
+FROM walk w
+JOIN (SELECT user_id, max(nd) AS nd FROM flags GROUP BY user_id) f2
+  ON f2.user_id = w.user_id
+GROUP BY w.user_id
+"""
