@@ -3242,3 +3242,149 @@ JOIN (SELECT user_id, max(nd) AS nd FROM flags GROUP BY user_id) f2
   ON f2.user_id = w.user_id
 GROUP BY w.user_id
 """
+
+
+# --- DN_Mean, all 7 location measures (Distribution.py:213-259) -------------
+QUERIES["user_mean_types"] = _q("""
+, hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+qv AS (
+  SELECT b.user_id, b.i,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.25 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+iqm AS (
+  SELECT s.user_id, avg(s.v) AS iqm
+  FROM series s
+  JOIN qv lo2 ON lo2.user_id = s.user_id AND lo2.i = 1
+  JOIN qv hi2 ON hi2.user_id = s.user_id AND hi2.i = 2
+  WHERE s.v >= lo2.q AND s.v <= hi2.q
+  GROUP BY s.user_id
+),
+base AS (
+  SELECT user_id,
+         avg(v) AS m_arith, median(v) AS m_median,
+         CASE WHEN min(v) > 0 THEN exp(avg(ln(abs(v) + CASE WHEN v > 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END))) END AS m_geom,
+         count(*) / sum(1.0 / v) AS m_harm,
+         sqrt(avg(v * v)) AS m_rms
+  FROM series GROUP BY user_id
+)
+SELECT b.user_id,
+       round(b.m_arith, 6) AS m_arith,
+       round(b.m_median, 6) AS m_median,
+       round(b.m_geom, 6) AS m_geom,
+       round(b.m_harm, 6) AS m_harm,
+       round(b.m_rms, 6) AS m_rms,
+       round(i.iqm, 6) AS m_iqm,
+       round(0.5 * (q1.q + q3.q), 6) AS m_midhinge
+FROM base b
+JOIN iqm i ON i.user_id = b.user_id
+JOIN qv q1 ON q1.user_id = b.user_id AND q1.i = 1
+JOIN qv q3 ON q3.user_id = b.user_id AND q3.i = 2
+""")
+
+# --- DN_Fit_mle 'uniform' / 'geometric' (Distribution.py:285-335) -----------
+QUERIES["user_fitmle_rest"] = _q("""
+SELECT user_id,
+       round(min(v), 6) AS unif_a,
+       round(max(v), 6) AS unif_b,
+       round(1.0 / (1.0 + avg(v)), 6) AS geom_p
+FROM series GROUP BY user_id
+""")
+
+# --- DN_OutlierInclude 'abs', inc=1.0 (Distribution.py:460-580) -------------
+# Threshold sweep over the raw |y| scale (inc=1.0 keeps the sweep
+# bounded on unnormalized series); per-threshold inter-event-time and
+# event-position curves, the reference's NaN / 2%-coverage trims, curve
+# summaries, and the +-1-lag cross-correlation between the mean
+# inter-event time and its standard error.
+QUERIES["user_outlierinc_abs"] = _qa("""
+, i400 AS (
+  SELECT a.rn * 20 + b.rn AS k
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 20 AND user_id =
+        (SELECT min(user_id) FROM series)) a
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 20 AND user_id =
+        (SELECT min(user_id) FROM series)) b
+),
+mxs AS (
+  SELECT user_id, max(abs(v)) AS mxa, count(*) AS n
+  FROM series GROUP BY user_id
+),
+ths AS (
+  SELECT m.user_id, CAST(i.k AS DOUBLE) AS th, m.n
+  FROM mxs m JOIN i400 i ON CAST(i.k AS DOUBLE) < m.mxa
+),
+evs AS (
+  SELECT t.user_id, t.th, s.rn, t.n,
+         lead(s.rn) OVER (PARTITION BY t.user_id, t.th ORDER BY s.rn) - s.rn AS dt
+  FROM ths t JOIN series s ON s.user_id = t.user_id AND abs(s.v) >= t.th
+),
+rowst AS (
+  SELECT user_id, th, max(n) AS n,
+         avg(CAST(dt AS DOUBLE)) AS mdt,
+         CASE WHEN count(dt) > 1
+              THEN stddev_samp(CAST(dt AS DOUBLE)) / sqrt(count(*)) END AS sdt,
+         CAST(count(dt) AS DOUBLE) / max(n) * 100.0 AS pct,
+         median(CAST(rn AS DOUBLE)) / (max(n) / 2.0) - 1.0 AS medr,
+         avg(CAST(rn AS DOUBLE)) / (max(n) / 2.0) - 1.0 AS meanr,
+         CASE WHEN count(*) > 1
+              THEN stddev_samp(CAST(rn AS DOUBLE)) / sqrt(count(*)) END AS sr
+  FROM evs GROUP BY user_id, th
+),
+lims AS (
+  SELECT user_id,
+         min(CASE WHEN mdt IS NULL THEN th END) AS nanth
+  FROM rowst GROUP BY user_id
+),
+kept0 AS (
+  SELECT r.* FROM rowst r
+  JOIN lims l ON l.user_id = r.user_id
+  WHERE l.nanth IS NULL OR r.th < l.nanth
+),
+lims2 AS (
+  SELECT user_id, max(CASE WHEN pct > 2.0 THEN th END) AS lastv
+  FROM kept0 GROUP BY user_id
+),
+kept AS (
+  SELECT k.*,
+         lead(k.mdt) OVER (PARTITION BY k.user_id ORDER BY k.th) AS mdt1,
+         lead(k.sdt) OVER (PARTITION BY k.user_id ORDER BY k.th) AS sdt1
+  FROM kept0 k
+  JOIN lims2 l ON l.user_id = k.user_id
+  WHERE l.lastv IS NULL OR k.th <= l.lastv
+)
+SELECT user_id,
+       round(avg(mdt), 6) AS mdtm,
+       round(median(mdt), 6) AS mdtmd,
+       round(stddev_samp(mdt), 6) AS mdtstd,
+       round(avg(medr), 6) AS mdrm,
+       round(median(medr), 6) AS mdrmd,
+       round(stddev_samp(medr), 6) AS mdrstd,
+       round(avg(meanr), 6) AS mrm,
+       round(median(meanr), 6) AS mrmd,
+       round(stddev_samp(meanr), 6) AS mrstd,
+       round(CASE WHEN count(*) > 2 AND count(sdt) = count(*) THEN
+               sum(mdt1 * sdt) FILTER (WHERE mdt1 IS NOT NULL)
+               / nullif(sqrt(sum(mdt * mdt) * sum(sdt * sdt)),
+                        CAST(0.0 AS DOUBLE)) END, 6) AS xcmerr1,
+       round(CASE WHEN count(*) > 2 AND count(sdt) = count(*) THEN
+               sum(mdt * sdt1) FILTER (WHERE sdt1 IS NOT NULL)
+               / nullif(sqrt(sum(mdt * mdt) * sum(sdt * sdt)),
+                        CAST(0.0 AS DOUBLE)) END, 6) AS xcmerrn1
+FROM kept GROUP BY user_id
+""")

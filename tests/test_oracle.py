@@ -512,3 +512,56 @@ def test_r2i_mse_rpde_rawhrv_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2j_meantypes_fitmle_outlierinc_mirror_kernels():
+    """Round-2 continuation batch 9: DN_Mean (7 measures), remaining
+    Fit_mle branches, and the full DN_OutlierInclude sweep (inc=1.0)."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.distribution_extra import (
+        fit_mle,
+        mean_types,
+        outlier_include,
+    )
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    checks = {
+        "user_mean_types": lambda y: {
+            "m_arith": mean_types(y, "arithmetic"),
+            "m_median": mean_types(y, "median"),
+            "m_geom": mean_types(y, "geom"),
+            "m_harm": mean_types(y, "harm"),
+            "m_rms": mean_types(y, "rms"),
+            "m_iqm": mean_types(y, "iqm"),
+            "m_midhinge": mean_types(y, "midhinge")},
+        "user_fitmle_rest": lambda y: {
+            "unif_a": fit_mle(y, "uniform")["a"],
+            "unif_b": fit_mle(y, "uniform")["b"],
+            "geom_p": fit_mle(y, "geometric")},
+        "user_outlierinc_abs": lambda y: outlier_include(y, "abs", 1.0),
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf()
+        df.columns = [c.lower() for c in df.columns]
+        df = df.set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col.lower()] if u in df.index else float("nan")
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
