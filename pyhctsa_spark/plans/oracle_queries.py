@@ -3388,3 +3388,254 @@ SELECT user_id,
                         CAST(0.0 AS DOUBLE)) END, 6) AS xcmerrn1
 FROM kept GROUP BY user_id
 """)
+
+
+# --- PP_Compare 'medianf4' (PreProcess.py:31-136), complete surface ---------
+# Median-filter detrend (k=4, zero-padded edges) via a 4-offset join;
+# both series double-z-scored; StatAv 'seg' 2-10, overlapping
+# sliding-window mean/std stationarity at (win, inc_move) combos, and
+# trimmed outlier-test ratios — every output a detrended/raw ratio.
+QUERIES["user_ppc_medianf4"] = _q("""
+, z1 AS (
+  SELECT user_id, rn,
+         (v - avg(v) OVER (PARTITION BY user_id))
+           / nullif(stddev_samp(v) OVER (PARTITION BY user_id),
+                    CAST(0.0 AS DOUBLE)) AS x
+  FROM series
+),
+zraw AS (
+  SELECT user_id, rn,
+         (x - avg(x) OVER (PARTITION BY user_id))
+           / nullif(stddev_samp(x) OVER (PARTITION BY user_id),
+                    CAST(0.0 AS DOUBLE)) AS x
+  FROM z1
+),
+off4 AS (
+  SELECT -2 AS o UNION ALL SELECT -1 UNION ALL SELECT 0 UNION ALL SELECT 1
+),
+mf AS (
+  SELECT s.user_id, s.rn,
+         median(coalesce(b.v, CAST(0.0 AS DOUBLE))) AS d
+  FROM series s
+  CROSS JOIN off4 o
+  LEFT JOIN series b ON b.user_id = s.user_id AND b.rn = s.rn + o.o
+  GROUP BY s.user_id, s.rn
+),
+zd1 AS (
+  SELECT user_id, rn,
+         (d - avg(d) OVER (PARTITION BY user_id))
+           / nullif(stddev_samp(d) OVER (PARTITION BY user_id),
+                    CAST(0.0 AS DOUBLE)) AS x
+  FROM mf
+),
+zdet AS (
+  SELECT user_id, rn,
+         (x - avg(x) OVER (PARTITION BY user_id))
+           / nullif(stddev_samp(x) OVER (PARTITION BY user_id),
+                    CAST(0.0 AS DOUBLE)) AS x
+  FROM zd1
+),
+ser2 AS (
+  SELECT user_id, 0 AS wh, rn, x FROM zraw
+  UNION ALL
+  SELECT user_id, 1 AS wh, rn, x FROM zdet
+),
+sn AS (
+  SELECT user_id, wh, count(*) AS n, stddev_samp(x) AS sx
+  FROM ser2 GROUP BY user_id, wh
+),
+segt AS (
+  SELECT 2 AS sg UNION ALL SELECT 4 UNION ALL SELECT 6
+  UNION ALL SELECT 8 UNION ALL SELECT 10
+),
+sv AS (
+  SELECT q.user_id, q.wh, q.sg,
+         stddev_samp(q.m) / nullif(max(q.sx), CAST(0.0 AS DOUBLE)) AS v
+  FROM (
+    SELECT s.user_id, s.wh, t.sg,
+           CAST(floor(s.rn / floor(n.n / CAST(t.sg AS DOUBLE))) AS BIGINT) AS si,
+           avg(s.x) AS m, count(*) AS c,
+           max(floor(n.n / CAST(t.sg AS DOUBLE))) AS p, max(n.sx) AS sx
+    FROM ser2 s
+    JOIN sn n ON n.user_id = s.user_id AND n.wh = s.wh
+    CROSS JOIN segt t
+    GROUP BY s.user_id, s.wh, t.sg,
+             CAST(floor(s.rn / floor(n.n / CAST(t.sg AS DOUBLE))) AS BIGINT)
+  ) q
+  WHERE q.c = q.p AND q.si < q.sg
+  GROUP BY q.user_id, q.wh, q.sg
+),
+cmb AS (
+  SELECT 2 AS w, 1 AS st UNION ALL SELECT 2, 2 UNION ALL SELECT 5, 1
+  UNION ALL SELECT 5, 2 UNION ALL SELECT 10, 1 UNION ALL SELECT 10, 2
+),
+i25 AS (
+  SELECT DISTINCT rn AS k FROM series
+  WHERE rn < 25 AND user_id = (SELECT min(user_id) FROM series)
+),
+sw0 AS (
+  SELECT s.user_id, s.wh, c.w, c.st, i.k AS sidx,
+         avg(s.x) AS wm, stddev_samp(s.x) AS ws
+  FROM sn n
+  JOIN cmb c ON 1 = 1
+  JOIN i25 i
+    ON i.k <= CAST(floor((n.n - floor(n.n / CAST(c.w AS DOUBLE)))
+                   / greatest(floor(floor(n.n / CAST(c.w AS DOUBLE))
+                                    / CAST(c.st AS DOUBLE)),
+                              CAST(1.0 AS DOUBLE))) AS BIGINT)
+  JOIN ser2 s ON s.user_id = n.user_id AND s.wh = n.wh
+    AND s.rn >= i.k * greatest(floor(floor(n.n / CAST(c.w AS DOUBLE))
+                                     / CAST(c.st AS DOUBLE)),
+                               CAST(1.0 AS DOUBLE))
+    AND s.rn < i.k * greatest(floor(floor(n.n / CAST(c.w AS DOUBLE))
+                                    / CAST(c.st AS DOUBLE)),
+                              CAST(1.0 AS DOUBLE))
+              + floor(n.n / CAST(c.w AS DOUBLE))
+  GROUP BY s.user_id, s.wh, c.w, c.st, i.k
+),
+sw1 AS (
+  SELECT s0.user_id, s0.wh, s0.w, s0.st,
+         stddev_samp(s0.wm) / nullif(max(n.sx), CAST(0.0 AS DOUBLE)) AS vm,
+         stddev_samp(s0.ws) / nullif(max(n.sx), CAST(0.0 AS DOUBLE)) AS vs
+  FROM sw0 s0 JOIN sn n ON n.user_id = s0.user_id AND n.wh = s0.wh
+  GROUP BY s0.user_id, s0.wh, s0.w, s0.st
+),
+olbsrc AS (
+  SELECT user_id, wh, x,
+         row_number() OVER (PARTITION BY user_id, wh ORDER BY x, rn) AS rk,
+         count(*) OVER (PARTITION BY user_id, wh) AS n
+  FROM ser2
+),
+olbq AS (
+  SELECT user_id, wh, x,
+         least(greatest(CAST(0.02 AS DOUBLE) * n + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(n AS DOUBLE)) AS p2l,
+         least(greatest(CAST(0.98 AS DOUBLE) * n + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(n AS DOUBLE)) AS p2h,
+         least(greatest(CAST(0.05 AS DOUBLE) * n + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(n AS DOUBLE)) AS p5l,
+         least(greatest(CAST(0.95 AS DOUBLE) * n + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(n AS DOUBLE)) AS p5h,
+         rk, n
+  FROM olbsrc
+),
+olbb AS (
+  SELECT user_id, wh, x, p2l, p2h, p5l, p5h,
+         max(CASE WHEN rk = CAST(floor(p2l) AS BIGINT) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v2ll,
+         max(CASE WHEN rk = least(CAST(floor(p2l) AS BIGINT) + 1, n) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v2lh,
+         max(CASE WHEN rk = CAST(floor(p2h) AS BIGINT) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v2hl,
+         max(CASE WHEN rk = least(CAST(floor(p2h) AS BIGINT) + 1, n) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v2hh,
+         max(CASE WHEN rk = CAST(floor(p5l) AS BIGINT) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v5ll,
+         max(CASE WHEN rk = least(CAST(floor(p5l) AS BIGINT) + 1, n) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v5lh,
+         max(CASE WHEN rk = CAST(floor(p5h) AS BIGINT) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v5hl,
+         max(CASE WHEN rk = least(CAST(floor(p5h) AS BIGINT) + 1, n) THEN x END)
+           OVER (PARTITION BY user_id, wh) AS v5hh
+  FROM olbq
+),
+olb AS (
+  SELECT user_id, wh,
+         avg(x) FILTER (WHERE x > v2ll + (p2l - floor(p2l)) * (v2lh - v2ll)
+                          AND x < v2hl + (p2h - floor(p2h)) * (v2hh - v2hl)) AS m2,
+         stddev_samp(x) FILTER (WHERE x > v2ll + (p2l - floor(p2l)) * (v2lh - v2ll)
+                                  AND x < v2hl + (p2h - floor(p2h)) * (v2hh - v2hl)) AS s2,
+         avg(x) FILTER (WHERE x > v5ll + (p5l - floor(p5l)) * (v5lh - v5ll)
+                          AND x < v5hl + (p5h - floor(p5h)) * (v5hh - v5hl)) AS m5,
+         stddev_samp(x) FILTER (WHERE x > v5ll + (p5l - floor(p5l)) * (v5lh - v5ll)
+                                  AND x < v5hl + (p5h - floor(p5h)) * (v5hh - v5hl)) AS s5
+  FROM olbb GROUP BY user_id, wh
+)
+, svp AS (
+  SELECT user_id,
+         max(CASE WHEN wh = 0 AND sg = 2 THEN v END) AS r2,
+         max(CASE WHEN wh = 1 AND sg = 2 THEN v END) AS d2,
+         max(CASE WHEN wh = 0 AND sg = 4 THEN v END) AS r4,
+         max(CASE WHEN wh = 1 AND sg = 4 THEN v END) AS d4,
+         max(CASE WHEN wh = 0 AND sg = 6 THEN v END) AS r6,
+         max(CASE WHEN wh = 1 AND sg = 6 THEN v END) AS d6,
+         max(CASE WHEN wh = 0 AND sg = 8 THEN v END) AS r8,
+         max(CASE WHEN wh = 1 AND sg = 8 THEN v END) AS d8,
+         max(CASE WHEN wh = 0 AND sg = 10 THEN v END) AS r10,
+         max(CASE WHEN wh = 1 AND sg = 10 THEN v END) AS d10
+  FROM sv GROUP BY user_id
+),
+swp AS (
+  SELECT user_id,
+         max(CASE WHEN wh = 0 AND w = 2 AND st = 1 THEN vs END) AS r21s,
+         max(CASE WHEN wh = 1 AND w = 2 AND st = 1 THEN vs END) AS d21s,
+         max(CASE WHEN wh = 0 AND w = 2 AND st = 2 THEN vm END) AS r22m,
+         max(CASE WHEN wh = 1 AND w = 2 AND st = 2 THEN vm END) AS d22m,
+         max(CASE WHEN wh = 0 AND w = 2 AND st = 2 THEN vs END) AS r22s,
+         max(CASE WHEN wh = 1 AND w = 2 AND st = 2 THEN vs END) AS d22s,
+         max(CASE WHEN wh = 0 AND w = 5 AND st = 1 THEN vm END) AS r51m,
+         max(CASE WHEN wh = 1 AND w = 5 AND st = 1 THEN vm END) AS d51m,
+         max(CASE WHEN wh = 0 AND w = 5 AND st = 1 THEN vs END) AS r51s,
+         max(CASE WHEN wh = 1 AND w = 5 AND st = 1 THEN vs END) AS d51s,
+         max(CASE WHEN wh = 0 AND w = 5 AND st = 2 THEN vm END) AS r52m,
+         max(CASE WHEN wh = 1 AND w = 5 AND st = 2 THEN vm END) AS d52m,
+         max(CASE WHEN wh = 0 AND w = 5 AND st = 2 THEN vs END) AS r52s,
+         max(CASE WHEN wh = 1 AND w = 5 AND st = 2 THEN vs END) AS d52s,
+         max(CASE WHEN wh = 0 AND w = 10 AND st = 1 THEN vm END) AS r101m,
+         max(CASE WHEN wh = 1 AND w = 10 AND st = 1 THEN vm END) AS d101m,
+         max(CASE WHEN wh = 0 AND w = 10 AND st = 1 THEN vs END) AS r101s,
+         max(CASE WHEN wh = 1 AND w = 10 AND st = 1 THEN vs END) AS d101s,
+         max(CASE WHEN wh = 0 AND w = 10 AND st = 2 THEN vm END) AS r102m,
+         max(CASE WHEN wh = 1 AND w = 10 AND st = 2 THEN vm END) AS d102m,
+         max(CASE WHEN wh = 0 AND w = 10 AND st = 2 THEN vs END) AS r102s,
+         max(CASE WHEN wh = 1 AND w = 10 AND st = 2 THEN vs END) AS d102s
+  FROM sw1 GROUP BY user_id
+),
+olp AS (
+  SELECT user_id,
+         max(CASE WHEN wh = 0 THEN m2 END) AS rm2,
+         max(CASE WHEN wh = 1 THEN m2 END) AS dm2,
+         max(CASE WHEN wh = 0 THEN m5 END) AS rm5,
+         max(CASE WHEN wh = 1 THEN m5 END) AS dm5,
+         max(CASE WHEN wh = 0 THEN s2 END) AS rs2,
+         max(CASE WHEN wh = 1 THEN s2 END) AS ds2,
+         max(CASE WHEN wh = 0 THEN s5 END) AS rs5,
+         max(CASE WHEN wh = 1 THEN s5 END) AS ds5
+  FROM olb GROUP BY user_id
+),
+snp AS (
+  SELECT user_id,
+         max(CASE WHEN wh = 0 THEN sx END) AS rsx,
+         max(CASE WHEN wh = 1 THEN sx END) AS dsx
+  FROM sn GROUP BY user_id
+)
+SELECT svp.user_id,
+       round(svp.d2 / nullif(svp.r2, CAST(0.0 AS DOUBLE)), 6) AS statv2,
+       round(svp.d4 / nullif(svp.r4, CAST(0.0 AS DOUBLE)), 6) AS statv4,
+       round(svp.d6 / nullif(svp.r6, CAST(0.0 AS DOUBLE)), 6) AS statv6,
+       round(svp.d8 / nullif(svp.r8, CAST(0.0 AS DOUBLE)), 6) AS statv8,
+       round(svp.d10 / nullif(svp.r10, CAST(0.0 AS DOUBLE)), 6) AS statv10,
+       round(swp.d22m / nullif(swp.r22m, CAST(0.0 AS DOUBLE)), 6) AS swms2_2,
+       round(swp.d51m / nullif(swp.r51m, CAST(0.0 AS DOUBLE)), 6) AS swms5_1,
+       round(swp.d52m / nullif(swp.r52m, CAST(0.0 AS DOUBLE)), 6) AS swms5_2,
+       round(swp.d101m / nullif(swp.r101m, CAST(0.0 AS DOUBLE)), 6) AS swms10_1,
+       round(swp.d102m / nullif(swp.r102m, CAST(0.0 AS DOUBLE)), 6) AS swms10_2,
+       round(swp.d21s / nullif(swp.r21s, CAST(0.0 AS DOUBLE)), 6) AS swss2_1,
+       round(swp.d22s / nullif(swp.r22s, CAST(0.0 AS DOUBLE)), 6) AS swss2_2,
+       round(swp.d51s / nullif(swp.r51s, CAST(0.0 AS DOUBLE)), 6) AS swss5_1,
+       round(swp.d52s / nullif(swp.r52s, CAST(0.0 AS DOUBLE)), 6) AS swss5_2,
+       round(swp.d101s / nullif(swp.r101s, CAST(0.0 AS DOUBLE)), 6) AS swss10_1,
+       round(swp.d102s / nullif(swp.r102s, CAST(0.0 AS DOUBLE)), 6) AS swss10_2,
+       round(olp.dm2 / nullif(olp.rm2, CAST(0.0 AS DOUBLE)), 6) AS olbt_m2,
+       round(olp.dm5 / nullif(olp.rm5, CAST(0.0 AS DOUBLE)), 6) AS olbt_m5,
+       round((olp.ds2 / nullif(snp.dsx, CAST(0.0 AS DOUBLE)))
+             / nullif(olp.rs2 / nullif(snp.rsx, CAST(0.0 AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)), 6) AS olbt_s2,
+       round((olp.ds5 / nullif(snp.dsx, CAST(0.0 AS DOUBLE)))
+             / nullif(olp.rs5 / nullif(snp.rsx, CAST(0.0 AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)), 6) AS olbt_s5
+FROM svp
+JOIN swp ON swp.user_id = svp.user_id
+JOIN olp ON olp.user_id = svp.user_id
+JOIN snp ON snp.user_id = svp.user_id
+""")

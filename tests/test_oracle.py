@@ -565,3 +565,36 @@ def test_r2j_meantypes_fitmle_outlierinc_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2k_ppcompare_mirror_kernel():
+    """PP_Compare 'medianf4': complete 20-output ratio surface vs the
+    kernel. The outlier-test thresholds are computed window-style inside
+    ONE pipeline instance — a join would re-instantiate the z-score CTE
+    and ulp-shift the plateau ties at the strict quantile boundary."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.stationarity_extra import preproc_compare
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_ppc_medianf4"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    for u, v in series:
+        o = preproc_compare(np.array(v, dtype=np.float64), "medianf4")
+        for col, w in o.items():
+            got = df.loc[u][col.lower()]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
