@@ -3639,3 +3639,139 @@ JOIN swp ON swp.user_id = svp.user_id
 JOIN olp ON olp.user_id = svp.user_id
 JOIN snp ON snp.user_id = svp.user_id
 """)
+
+
+# --- SY_DynWin (Stationarity.py:88-168), complete -----------------------------
+# Stationarity sweep nseg = 2..10: per aligned window of length N//nseg,
+# ten local features (mean, std, skew, Fisher kurtosis, quadSampEn1 at
+# absolute r=0.15, Fourier AC1/AC2, AC at the global and the local ACF
+# first-zero lag, and that local lag itself); std across windows per
+# scale, std across scales per feature. NULL propagation mirrors
+# numpy's NaN std (any missing window poisons the column).
+QUERIES["user_dynwin"] = _qa("""
+, fz AS (
+  SELECT user_id, min(tau) AS i FROM acfn
+  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id
+),
+tg AS (
+  SELECT nn.user_id, coalesce(fz.i, nn.n - 1) AS taug
+  FROM nn LEFT JOIN fz ON fz.user_id = nn.user_id
+),
+nsegt AS (
+  SELECT 2 AS sg UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+  UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
+  UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+wassign AS (
+  SELECT s.user_id, t.sg, s.rn, s.v,
+         CAST(floor(nn.n / CAST(t.sg AS DOUBLE)) AS BIGINT) AS wlen,
+         CAST(floor(s.rn / floor(nn.n / CAST(t.sg AS DOUBLE))) AS BIGINT) AS wi
+  FROM series s
+  JOIN nn ON nn.user_id = s.user_id
+  CROSS JOIN nsegt t
+  WHERE CAST(floor(s.rn / floor(nn.n / CAST(t.sg AS DOUBLE))) AS BIGINT)
+        < CAST(floor(nn.n / floor(nn.n / CAST(t.sg AS DOUBLE))) AS BIGINT)
+),
+wrows AS (
+  SELECT user_id, sg, wi, wlen, rn, v,
+         avg(v) OVER (PARTITION BY user_id, sg, wi) AS wm,
+         lead(v) OVER (PARTITION BY user_id, sg, wi ORDER BY rn) AS v1,
+         rn - wi * wlen AS k
+  FROM wassign
+),
+wstat AS (
+  SELECT user_id, sg, wi, max(wlen) AS wlen,
+         avg(v) AS m, stddev_samp(v) AS sd,
+         avg((v - wm) * (v - wm)) AS m2,
+         avg((v - wm) * (v - wm) * (v - wm)) AS m3,
+         avg((v - wm) * (v - wm) * (v - wm) * (v - wm)) AS m4
+  FROM wrows GROUP BY user_id, sg, wi
+),
+wpair AS (
+  SELECT a.user_id, a.sg, a.wi, b.rn - a.rn AS tau,
+         sum((a.v - a.wm) * (b.v - b.wm)) AS s
+  FROM wrows a
+  JOIN wrows b ON b.user_id = a.user_id AND b.sg = a.sg AND b.wi = a.wi
+              AND b.rn >= a.rn
+  GROUP BY a.user_id, a.sg, a.wi, b.rn - a.rn
+),
+wacf AS (
+  SELECT p.user_id, p.sg, p.wi, p.tau,
+         p.s / nullif(p0.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM wpair p
+  JOIN (SELECT user_id, sg, wi, s FROM wpair WHERE tau = 0) p0
+    ON p0.user_id = p.user_id AND p0.sg = p.sg AND p0.wi = p.wi
+),
+wtaul AS (
+  SELECT w.user_id, w.sg, w.wi, w.wlen,
+         coalesce(fzw.t, w.wlen - 1) AS taul
+  FROM (SELECT DISTINCT user_id, sg, wi, wlen FROM wassign) w
+  LEFT JOIN (SELECT user_id, sg, wi, min(tau) AS t FROM wacf
+             WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id, sg, wi) fzw
+    ON fzw.user_id = w.user_id AND fzw.sg = w.sg AND fzw.wi = w.wi
+),
+wsamp AS (
+  SELECT a.user_id, a.sg, a.wi,
+         sum(CASE WHEN b.k <= a.wlen - 2
+                       AND abs(a.v - b.v) <= CAST(0.15 AS DOUBLE)
+                  THEN 1 ELSE 0 END) AS b1,
+         sum(CASE WHEN b.k <= a.wlen - 2
+                       AND abs(a.v - b.v) <= CAST(0.15 AS DOUBLE)
+                       AND a.v1 IS NOT NULL AND b.v1 IS NOT NULL
+                       AND abs(a.v1 - b.v1) <= CAST(0.15 AS DOUBLE)
+                  THEN 1 ELSE 0 END) AS a1
+  FROM wrows a
+  JOIN wrows b ON b.user_id = a.user_id AND b.sg = a.sg AND b.wi = a.wi
+              AND a.k < b.k
+  GROUP BY a.user_id, a.sg, a.wi
+),
+feats AS (
+  SELECT st.user_id, st.sg, st.wi,
+         st.m AS f_mean, st.sd AS f_std,
+         st.m3 / nullif(st.m2 * sqrt(st.m2), CAST(0.0 AS DOUBLE)) AS f_skew,
+         st.m4 / nullif(st.m2 * st.m2, CAST(0.0 AS DOUBLE)) - 3.0 AS f_kurt,
+         CASE WHEN sp.a1 > 0 AND sp.b1 > 0
+              THEN -ln(CAST(sp.a1 AS DOUBLE) / sp.b1) + ln(CAST(0.3 AS DOUBLE))
+         END AS f_sampen,
+         r1.r AS f_ac1, r2.r AS f_ac2, rg.r AS f_actaug, rl.r AS f_actaul,
+         CAST(tl.taul AS DOUBLE) AS f_taul
+  FROM wstat st
+  JOIN wtaul tl ON tl.user_id = st.user_id AND tl.sg = st.sg AND tl.wi = st.wi
+  JOIN tg ON tg.user_id = st.user_id
+  LEFT JOIN wsamp sp ON sp.user_id = st.user_id AND sp.sg = st.sg AND sp.wi = st.wi
+  LEFT JOIN wacf r1 ON r1.user_id = st.user_id AND r1.sg = st.sg
+                   AND r1.wi = st.wi AND r1.tau = 1
+  LEFT JOIN wacf r2 ON r2.user_id = st.user_id AND r2.sg = st.sg
+                   AND r2.wi = st.wi AND r2.tau = 2
+  LEFT JOIN wacf rg ON rg.user_id = st.user_id AND rg.sg = st.sg
+                   AND rg.wi = st.wi AND rg.tau = tg.taug
+  LEFT JOIN wacf rl ON rl.user_id = st.user_id AND rl.sg = st.sg
+                   AND rl.wi = st.wi AND rl.tau = tl.taul
+),
+perscale AS (
+  SELECT user_id, sg,
+         CASE WHEN count(f_mean) = count(*) THEN stddev_samp(f_mean) END AS s_mean,
+         CASE WHEN count(f_std) = count(*) THEN stddev_samp(f_std) END AS s_std,
+         CASE WHEN count(f_skew) = count(*) THEN stddev_samp(f_skew) END AS s_skew,
+         CASE WHEN count(f_kurt) = count(*) THEN stddev_samp(f_kurt) END AS s_kurt,
+         CASE WHEN count(f_sampen) = count(*) THEN stddev_samp(f_sampen) END AS s_sampen,
+         CASE WHEN count(f_ac1) = count(*) THEN stddev_samp(f_ac1) END AS s_ac1,
+         CASE WHEN count(f_ac2) = count(*) THEN stddev_samp(f_ac2) END AS s_ac2,
+         CASE WHEN count(f_actaug) = count(*) THEN stddev_samp(f_actaug) END AS s_actaug,
+         CASE WHEN count(f_actaul) = count(*) THEN stddev_samp(f_actaul) END AS s_actaul,
+         CASE WHEN count(f_taul) = count(*) THEN stddev_samp(f_taul) END AS s_taul
+  FROM feats GROUP BY user_id, sg
+)
+SELECT user_id,
+       round(CASE WHEN count(s_mean) = count(*) THEN stddev_samp(s_mean) END, 6) AS stdmean,
+       round(CASE WHEN count(s_std) = count(*) THEN stddev_samp(s_std) END, 6) AS stdstd,
+       round(CASE WHEN count(s_skew) = count(*) THEN stddev_samp(s_skew) END, 6) AS stdskew,
+       round(CASE WHEN count(s_kurt) = count(*) THEN stddev_samp(s_kurt) END, 6) AS stdkurt,
+       round(CASE WHEN count(s_sampen) = count(*) THEN stddev_samp(s_sampen) END, 6) AS stdsampen1_015,
+       round(CASE WHEN count(s_ac1) = count(*) THEN stddev_samp(s_ac1) END, 6) AS stdac1,
+       round(CASE WHEN count(s_ac2) = count(*) THEN stddev_samp(s_ac2) END, 6) AS stdac2,
+       round(CASE WHEN count(s_actaug) = count(*) THEN stddev_samp(s_actaug) END, 6) AS stdactaug,
+       round(CASE WHEN count(s_actaul) = count(*) THEN stddev_samp(s_actaul) END, 6) AS stdactaul,
+       round(CASE WHEN count(s_taul) = count(*) THEN stddev_samp(s_taul) END, 6) AS stdtaul
+FROM perscale GROUP BY user_id
+""")
