@@ -199,3 +199,33 @@ def write_sequences(
     sequences_df(spark, n_docs, partitions, binary=binary).write.mode(
         "overwrite"
     ).partitionBy("source").parquet(path)
+
+
+CHUNK_SCHEMA = (
+    "doc_id string, source string, chunk_idx int, tokens_bin binary"
+)
+
+
+def chunked_sequences_df(spark, n_docs: int, chunk_tokens: int = 100,
+                         partitions: int | None = None):
+    """The same deterministic sequences split into fixed-size chunks of
+    ``chunk_tokens`` int32 tokens (last chunk partial) — the arrival
+    unit for the stateful streaming rollup (streaming/rollup_stream.
+    stream_rollup_chunks)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_docs, 1, parts)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                doc_id, tokens, source = make_doc(int(i))
+                raw = np.asarray(tokens, dtype="<i4").tobytes()
+                step = chunk_tokens * 4
+                for ci, off in enumerate(range(0, len(raw), step)):
+                    rows.append((doc_id, source, ci, raw[off:off + step]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "chunk_idx", "tokens_bin"]
+            )
+
+    return base.mapInPandas(gen, schema=CHUNK_SCHEMA)

@@ -56,3 +56,108 @@ def stream_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rollup_chunks(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: int = 32,
+    lags: list[int] | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stateful streaming tier-0 rollup over CHUNKED sequences.
+
+    Rows ``(doc_id, source, chunk_idx, tokens_bin)`` arrive over time —
+    a document's token stream split across files/micro-batches. Windows
+    that span chunk boundaries need carried state, so this uses
+    ``applyInPandasWithState``: per-doc GroupState = (next expected
+    chunk, emitted-window base index, carry bytes of the incomplete
+    window). Each trigger emits exactly the windows completed by the
+    newly arrived chunks; the checkpoint makes the whole pipeline
+    exactly-once across restarts. Out-of-order or replayed chunks inside
+    a trigger are sorted / dropped by ``chunk_idx`` before assembly.
+
+    This is the engine's ``applyInPandasWithState`` surface (SURVEY §2.0
+    streaming mandate); the stateless variant (whole docs per row) is
+    ``stream_rollup`` above.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.functions import stats_state as S
+    from pyhctsa_spark.sources.synthetic import CHUNK_SCHEMA
+
+    lags = lags or [1, 2]
+    out_schema = (
+        "doc_id string, source string, tier int, window_idx long, n long, "
+        "mean double, variance double, spread_std double, "
+        "spread_iqr double, ac1_td double, ac2_td double, "
+        "ac1_fourier double, burst_b double, burst_b_kim double"
+    )
+    state_schema = "next_chunk int, win_base long, carry binary"
+
+    def fn(key, pdfs, state: "GroupState"):
+        doc_id = key[0]
+        chunks = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            next_chunk, win_base, carry = state.get
+            carry = bytes(carry) if carry is not None else b""
+        else:
+            next_chunk, win_base, carry = 0, 0, b""
+        chunks = chunks.sort_values("chunk_idx")
+        chunks = chunks[chunks["chunk_idx"] >= next_chunk]
+        parts = [carry]
+        for _, row in chunks.iterrows():
+            if row["chunk_idx"] != next_chunk:
+                break  # gap: hold until the missing chunk arrives
+            parts.append(bytes(row["tokens_bin"]))
+            next_chunk += 1
+        buf = b"".join(parts)
+        toks = np.frombuffer(buf, dtype="<i4")
+        nwin = len(toks) // window
+        if nwin:
+            Y = toks[: nwin * window].reshape(nwin, window).astype(np.float64)
+            st = S.states_from_windows(Y, lags)
+            fin = S.finalize(st, lags)
+            out = pd.DataFrame(
+                {
+                    "doc_id": [doc_id] * nwin,
+                    "source": chunks["source"].iloc[0]
+                    if len(chunks)
+                    else None,
+                    "tier": np.zeros(nwin, dtype=np.int32),
+                    "window_idx": win_base + np.arange(nwin, dtype=np.int64),
+                    "n": st["n"],
+                    "mean": fin["mean"],
+                    "variance": fin["variance"],
+                    "spread_std": fin["spread_std"],
+                    "spread_iqr": K.iqr_hazen_2d(Y),
+                    "ac1_td": fin.get("ac1_td", np.full(nwin, np.nan)),
+                    "ac2_td": fin.get("ac2_td", np.full(nwin, np.nan)),
+                    "ac1_fourier": fin.get(
+                        "ac1_fourier", np.full(nwin, np.nan)
+                    ),
+                    "burst_b": fin["burst_b"],
+                    "burst_b_kim": fin["burst_b_kim"],
+                }
+            )
+            yield out
+        state.update((next_chunk, win_base + nwin, buf[nwin * window * 4:]))
+
+    reader = spark.readStream.schema(CHUNK_SCHEMA).parquet(source_dir)
+    rolled = reader.groupBy("doc_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        rolled.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -268,3 +268,51 @@ def test_embedding_lsh_finds_planted_near_dups(spark):
     assert pairs <= truth
     # multi-table recall at cos>=0.95 is ~0.999 per pair
     assert len(pairs & planted) >= 9
+
+
+def test_streaming_chunked_rollup_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState path: chunks of each document arrive over
+    two triggers; carried per-doc state completes the windows that span
+    chunk and trigger boundaries, and the final sink equals batch tier-0
+    exactly."""
+    from pyhctsa_spark.operators.rollup import rollup_tiers
+    from pyhctsa_spark.sources.synthetic import chunked_sequences_df, sequences_df
+    from pyhctsa_spark.streaming.rollup_stream import stream_rollup_chunks
+
+    base = tmp_path_factory.mktemp("chunkstream")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+
+    chunks = chunked_sequences_df(spark, 12, chunk_tokens=75, partitions=2)
+    chunks.cache()
+    # wave 1: even chunks up to each doc's midpoint; wave 2: the rest.
+    half = chunks.where(F.col("chunk_idx") < 3)
+    rest = chunks.where(F.col("chunk_idx") >= 3)
+    half.write.mode("overwrite").parquet(src)
+
+    q = stream_rollup_chunks(spark, src, sink, ckpt, window=32,
+                             available_now=True)
+    q.awaitTermination(120)
+    mid = spark.read.parquet(sink)
+    # only windows fully covered by the first 3 chunks (225 tokens -> 7
+    # complete 32-token windows at most) may exist yet
+    assert mid.count() > 0
+    assert mid.agg(F.max("window_idx")).first()[0] <= 6
+
+    rest.write.mode("append").parquet(src)
+    q2 = stream_rollup_chunks(spark, src, sink, ckpt, window=32,
+                              available_now=True)
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    )
+    want_cols = list(got.columns)
+    want = (
+        rollup_tiers(sequences_df(spark, 12, partitions=2, binary=True),
+                     window=32, n_tiers=1)
+        .toPandas()[want_cols]
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    chunks.unpersist()
