@@ -3775,3 +3775,240 @@ SELECT user_id,
        round(CASE WHEN count(s_taul) = count(*) THEN stddev_samp(s_taul) END, 6) AS stdtaul
 FROM perscale GROUP BY user_id
 """)
+
+
+# --- CO_Embed2_Dist tau='tau' (Correlation.py:851-922), complete ------------
+# Successive Euclidean step lengths in the (y_t, y_{t+tau}) plane:
+# Fourier ACs of the distance series, moments, hazen IQR, and the
+# exponential-MLE negative log-likelihood N(ln mean + 1).
+QUERIES["user_embed2_dist"] = _qa("""
+, fz AS (
+  SELECT user_id, min(tau) AS i FROM acfn
+  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id
+),
+tauv AS (
+  SELECT nn.user_id,
+         greatest(CASE WHEN coalesce(fz.i, nn.n - 1) > CAST(nn.n AS DOUBLE) / 10.0
+                       THEN CAST(floor(CAST(nn.n AS DOUBLE) / 10.0) AS BIGINT)
+                       ELSE coalesce(fz.i, nn.n - 1) END, 1) AS tau,
+         nn.n
+  FROM nn LEFT JOIN fz ON fz.user_id = nn.user_id
+),
+emb AS (
+  SELECT a.user_id, a.rn, a.v AS m0, b.v AS m1
+  FROM series a
+  JOIN tauv t ON t.user_id = a.user_id
+  JOIN series b ON b.user_id = a.user_id AND b.rn = a.rn + t.tau
+),
+dst AS (
+  SELECT user_id, rn,
+         sqrt(pow(lead(m0) OVER (PARTITION BY user_id ORDER BY rn) - m0, 2)
+              + pow(lead(m1) OVER (PARTITION BY user_id ORDER BY rn) - m1, 2)) AS d
+  FROM emb
+),
+dd AS (SELECT user_id, rn, d FROM dst WHERE d IS NOT NULL),
+dc AS (
+  SELECT user_id, rn, d,
+         d - avg(d) OVER (PARTITION BY user_id) AS c
+  FROM dd
+),
+dl AS (
+  SELECT user_id, d, c,
+         lead(c)    OVER (PARTITION BY user_id ORDER BY rn) AS c1,
+         lead(c, 2) OVER (PARTITION BY user_id ORDER BY rn) AS c2,
+         lead(c, 3) OVER (PARTITION BY user_id ORDER BY rn) AS c3
+  FROM dc
+),
+hq AS (
+  SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM dd
+),
+qv AS (
+  SELECT b.user_id, b.i,
+         lo.d + (b.posc - floor(b.posc)) * (hi.d - lo.d) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.25 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+)
+SELECT ag.user_id,
+       round(ag.s1 / nullif(ag.s0, CAST(0.0 AS DOUBLE)), 6) AS d_ac1,
+       round(ag.s2 / nullif(ag.s0, CAST(0.0 AS DOUBLE)), 6) AS d_ac2,
+       round(ag.s3 / nullif(ag.s0, CAST(0.0 AS DOUBLE)), 6) AS d_ac3,
+       round(ag.mu, 6) AS d_mean,
+       round(ag.med, 6) AS d_median,
+       round(ag.sd, 6) AS d_std,
+       round(q75.q - q25.q, 6) AS d_iqr,
+       round(ag.mx, 6) AS d_max,
+       round(ag.mn, 6) AS d_min,
+       round(ag.mu / nullif(ag.sd, CAST(0.0 AS DOUBLE)), 6) AS d_cv,
+       round(ag.cnt * (ln(ag.mu) + 1.0), 6) AS d_expfit_nlogL
+FROM (
+  SELECT user_id,
+         sum(c * c) AS s0,
+         sum(c * c1) FILTER (WHERE c1 IS NOT NULL) AS s1,
+         sum(c * c2) FILTER (WHERE c2 IS NOT NULL) AS s2,
+         sum(c * c3) FILTER (WHERE c3 IS NOT NULL) AS s3,
+         avg(d) AS mu, median(d) AS med, stddev_samp(d) AS sd,
+         max(d) AS mx, min(d) AS mn, CAST(count(*) AS DOUBLE) AS cnt
+  FROM dl GROUP BY user_id
+) ag
+JOIN qv q25 ON q25.user_id = ag.user_id AND q25.i = 1
+JOIN qv q75 ON q75.user_id = ag.user_id AND q75.i = 2
+""")
+
+# --- CO_HistogramAMI 'quantiles' 5 bins, tau=1 (Correlation.py:434-529) -----
+# Hazen-quantile bin edges with the +-0.1 outer extensions; joint 2-D
+# histogram with edge-inclusive-right assignment; MI in nats.
+QUERIES["user_histami_quantile5"] = _q("""
+, hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+edges AS (
+  SELECT b.user_id, b.i,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS e
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.i * CAST(0.2 AS DOUBLE) * h.n + 0.5,
+                          CAST(1.0 AS DOUBLE)), CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2 UNION ALL SELECT 3
+                UNION ALL SELECT 4) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+ep AS (
+  SELECT user_id,
+         max(CASE WHEN i = 1 THEN e END) AS e1,
+         max(CASE WHEN i = 2 THEN e END) AS e2,
+         max(CASE WHEN i = 3 THEN e END) AS e3,
+         max(CASE WHEN i = 4 THEN e END) AS e4
+  FROM edges GROUP BY user_id
+),
+bpair AS (
+  SELECT w.user_id,
+         CASE WHEN w.v < ep.e1 THEN 0 WHEN w.v < ep.e2 THEN 1
+              WHEN w.v < ep.e3 THEN 2 WHEN w.v < ep.e4 THEN 3
+              ELSE 4 END AS bi,
+         CASE WHEN w.v1 < ep.e1 THEN 0 WHEN w.v1 < ep.e2 THEN 1
+              WHEN w.v1 < ep.e3 THEN 2 WHEN w.v1 < ep.e4 THEN 3
+              ELSE 4 END AS bj
+  FROM win w JOIN ep ON ep.user_id = w.user_id
+  WHERE w.v1 IS NOT NULL
+),
+cellc AS (
+  SELECT user_id, bi, bj, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+  FROM bpair GROUP BY user_id, bi, bj
+)
+SELECT user_id,
+       round(sum((cnt / tot) * ln((cnt / tot) / ((ci / tot) * (cj / tot)))), 6)
+         AS histami_q5
+FROM (
+  SELECT user_id, cnt, tot,
+         sum(cnt) OVER (PARTITION BY user_id, bi) AS ci,
+         sum(cnt) OVER (PARTITION BY user_id, bj) AS cj
+  FROM cellc
+) d
+GROUP BY user_id
+""")
+
+# --- DN_RemovePoints 'absfar' p=0.1 'remove' (Distribution.py:775-880) ------
+# Keep the round-half-even(0.9 N) points closest to zero (stable by
+# original index), re-index, and compare Fourier ACFs at lags 1-8 plus
+# moments and the raw-kurtosis ratio against the original.
+QUERIES["user_remove_points"] = _qa("""
+, kr AS (
+  SELECT user_id, rn, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY abs(v), rn) AS ark,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+kcnt AS (
+  SELECT user_id, n,
+         CAST(floor(h) + CASE
+              WHEN h - floor(h) > 0.5 THEN 1
+              WHEN h - floor(h) = 0.5
+                   AND CAST(floor(h) AS BIGINT) % 2 = 1 THEN 1
+              ELSE 0 END AS BIGINT) AS keepn
+  FROM (SELECT DISTINCT user_id, n, n * CAST(0.9 AS DOUBLE) AS h FROM kr) t
+),
+kept AS (
+  SELECT k.user_id, k.v,
+         row_number() OVER (PARTITION BY k.user_id ORDER BY k.rn) - 1 AS j
+  FROM kr k JOIN kcnt c ON c.user_id = k.user_id AND k.ark <= c.keepn
+),
+kc AS (
+  SELECT user_id, j, v,
+         v - avg(v) OVER (PARTITION BY user_id) AS c
+  FROM kept
+),
+kacf AS (
+  SELECT a.user_id, b.j - a.j AS tau, sum(a.c * b.c) AS s
+  FROM kc a JOIN kc b ON b.user_id = a.user_id
+                     AND b.j >= a.j AND b.j - a.j <= 8
+  GROUP BY a.user_id, b.j - a.j
+),
+kacfn AS (
+  SELECT x.user_id, x.tau, x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM kacf x
+  JOIN (SELECT user_id, s FROM kacf WHERE tau = 0) s0
+    ON s0.user_id = x.user_id
+  WHERE x.tau BETWEEN 1 AND 8
+),
+oacf AS (
+  SELECT user_id, tau, r FROM acfn WHERE tau BETWEEN 1 AND 8
+),
+accmp AS (
+  SELECT o.user_id,
+         sum(abs(k.r - o.r)) AS sumabs,
+         max(CASE WHEN o.tau = 1 THEN k.r / nullif(o.r, CAST(0.0 AS DOUBLE)) END) AS ac1rat,
+         max(CASE WHEN o.tau = 2 THEN k.r / nullif(o.r, CAST(0.0 AS DOUBLE)) END) AS ac2rat,
+         max(CASE WHEN o.tau = 3 THEN k.r / nullif(o.r, CAST(0.0 AS DOUBLE)) END) AS ac3rat,
+         max(CASE WHEN o.tau = 1 THEN abs(k.r - o.r) END) AS ac1diff,
+         max(CASE WHEN o.tau = 2 THEN abs(k.r - o.r) END) AS ac2diff,
+         max(CASE WHEN o.tau = 3 THEN abs(k.r - o.r) END) AS ac3diff
+  FROM oacf o JOIN kacfn k ON k.user_id = o.user_id AND k.tau = o.tau
+  GROUP BY o.user_id
+),
+kmom AS (
+  SELECT user_id, avg(v) AS mu, median(v) AS med, stddev_samp(v) AS sd,
+         avg(c * c * c * c) / nullif(avg(c * c) * avg(c * c),
+                                     CAST(0.0 AS DOUBLE)) AS kurt
+  FROM kc GROUP BY user_id
+),
+omom AS (
+  SELECT user_id,
+         avg(vc * vc * vc * vc) / nullif(avg(vc * vc) * avg(vc * vc),
+                                         CAST(0.0 AS DOUBLE)) AS kurt
+  FROM cent GROUP BY user_id
+)
+SELECT a.user_id,
+       round(a.ac1rat, 6) AS ac1rat, round(a.ac1diff, 6) AS ac1diff,
+       round(a.ac2rat, 6) AS ac2rat, round(a.ac2diff, 6) AS ac2diff,
+       round(a.ac3rat, 6) AS ac3rat, round(a.ac3diff, 6) AS ac3diff,
+       round(a.sumabs, 6) AS sumabsacfdiff,
+       round(km.mu, 6) AS rp_mean,
+       round(km.med, 6) AS rp_median,
+       round(km.sd, 6) AS rp_std,
+       round(km.kurt / nullif(om.kurt, CAST(0.0 AS DOUBLE)), 6) AS kurtosisrat
+FROM accmp a
+JOIN kmom km ON km.user_id = a.user_id
+JOIN omom om ON om.user_id = a.user_id
+""")

@@ -628,3 +628,54 @@ def test_r2l_dynwin_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r2m_embed2dist_histamiq_removepoints_mirror_kernels():
+    """Round-2 continuation batch 10: Embed2_Dist (complete),
+    quantile-binned HistogramAMI, and DN_RemovePoints vs the kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.distribution_extra import remove_points
+    from pyhctsa_spark.functions.embedding import embed2_dist
+    from pyhctsa_spark.functions.info import histogram_ami
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    ys = {u: np.array(v, dtype=np.float64) for u, v in series}
+
+    def rp(y):
+        o = remove_points(y, "absfar", 0.1, "remove")
+        out = {"rp_mean": o["mean"], "rp_median": o["median"],
+               "rp_std": o["std"]}
+        for k in ("ac1rat", "ac1diff", "ac2rat", "ac2diff", "ac3rat",
+                  "ac3diff", "sumabsacfdiff", "kurtosisrat"):
+            out[k] = o[k]
+        return out
+
+    checks = {
+        "user_embed2_dist": embed2_dist,
+        "user_histami_quantile5": lambda y: {
+            "histami_q5": histogram_ami(y, 1, "quantiles", 5)},
+        "user_remove_points": rp,
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf()
+        df.columns = [c.lower() for c in df.columns]
+        df = df.set_index("user_id")
+        for u, y in ys.items():
+            for col, w in fn(y).items():
+                got = df.loc[u][col.lower()]
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
