@@ -4012,3 +4012,232 @@ FROM accmp a
 JOIN kmom km ON km.user_id = a.user_id
 JOIN omom om ON om.user_id = a.user_id
 """)
+
+
+# --- NW_VisibilityGraph 'horiz' (Graph.py:9-125), complete ------------------
+# The reference's nearest-taller-neighbor construction: each node links
+# to the closest strictly-taller node on each side (min/max filtered
+# joins), the edge set deduplicated and symmetrized; then the full
+# degree-distribution surface: smallest-mode stats, hazen IQR, 90%
+# outlier measures, equal-width histogram entropy at ceil-free
+# int(sqrt(N)) bins, gaussian/exponential nlogL, Fourier ACs of the
+# degree sequence, and the interpolated ACF-crossing timescale.
+QUERIES["user_vg_horiz"] = _qa("""
+, fwd AS (
+  SELECT a.user_id, a.rn AS i, min(b.rn) AS j
+  FROM series a JOIN series b
+    ON b.user_id = a.user_id AND b.rn > a.rn AND b.v > a.v
+  GROUP BY a.user_id, a.rn
+),
+bwd AS (
+  SELECT a.user_id, a.rn AS i, max(b.rn) AS j
+  FROM series a JOIN series b
+    ON b.user_id = a.user_id AND b.rn < a.rn AND b.v > a.v
+  GROUP BY a.user_id, a.rn
+),
+edges AS (
+  SELECT user_id, i AS a, j AS b FROM fwd
+  UNION
+  SELECT user_id, j AS a, i AS b FROM bwd
+),
+degt AS (
+  SELECT s.user_id, s.rn,
+         CAST(coalesce(ea.c, 0) + coalesce(eb.c, 0) AS DOUBLE) AS k
+  FROM series s
+  LEFT JOIN (SELECT user_id, a, count(*) AS c FROM edges GROUP BY user_id, a) ea
+    ON ea.user_id = s.user_id AND ea.a = s.rn
+  LEFT JOIN (SELECT user_id, b, count(*) AS c FROM edges GROUP BY user_id, b) eb
+    ON eb.user_id = s.user_id AND eb.b = s.rn
+),
+md AS (
+  SELECT user_id, k AS mode, cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, k ASC) AS rk
+  FROM (SELECT user_id, k, count(*) AS cnt FROM degt GROUP BY user_id, k) t
+),
+hq AS (
+  SELECT user_id, k,
+         row_number() OVER (PARTITION BY user_id ORDER BY k) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM degt
+),
+qv AS (
+  SELECT b.user_id, b.i,
+         lo.k + (b.posc - floor(b.posc)) * (hi.k - lo.k) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.25 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)
+                UNION ALL SELECT 3, CAST(0.05 AS DOUBLE)
+                UNION ALL SELECT 4, CAST(0.95 AS DOUBLE)) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+qp AS (
+  SELECT user_id,
+         max(CASE WHEN i = 1 THEN q END) AS q25,
+         max(CASE WHEN i = 2 THEN q END) AS q75,
+         max(CASE WHEN i = 3 THEN q END) AS q05,
+         max(CASE WHEN i = 4 THEN q END) AS q95
+  FROM qv GROUP BY user_id
+),
+kcent AS (
+  SELECT user_id, rn, k,
+         k - avg(k) OVER (PARTITION BY user_id) AS c,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM degt
+),
+kacov AS (
+  SELECT a.user_id, b.rn - a.rn AS tau, sum(a.c * b.c) AS s
+  FROM kcent a JOIN kcent b ON b.user_id = a.user_id AND b.rn >= a.rn
+  GROUP BY a.user_id, b.rn - a.rn
+),
+kacfn AS (
+  SELECT x.user_id, x.tau, x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM kacov x
+  JOIN (SELECT user_id, s FROM kacov WHERE tau = 0) s0
+    ON s0.user_id = x.user_id
+),
+kfz AS (
+  SELECT user_id, min(tau) AS i FROM kacfn
+  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id
+),
+ktau AS (
+  SELECT kc.user_id,
+         CASE WHEN kfz.i IS NULL THEN CAST(kc.n - 1 AS DOUBLE)
+              ELSE (kfz.i - 1) + (CAST(0.0 AS DOUBLE) - p.r)
+                   / nullif(c2.r - p.r, CAST(0.0 AS DOUBLE)) END AS tau
+  FROM (SELECT DISTINCT user_id, n FROM kcent) kc
+  LEFT JOIN kfz ON kfz.user_id = kc.user_id
+  LEFT JOIN kacfn p ON p.user_id = kc.user_id AND p.tau = kfz.i - 1
+  LEFT JOIN kacfn c2 ON c2.user_id = kc.user_id AND c2.tau = kfz.i
+),
+vbp0 AS (
+  SELECT t.user_id, t.nb, t.mn, t.mx,
+         power(10.0, floor(log10((t.mx - t.mn) / t.nb)))
+           * floor(((t.mx - t.mn) / t.nb)
+                   / power(10.0, floor(log10((t.mx - t.mn) / t.nb)))) AS bw0
+  FROM (SELECT user_id, min(k) AS mn, max(k) AS mx,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS nb
+        FROM degt GROUP BY user_id) t
+),
+vbp1 AS (
+  SELECT user_id, nb, mn, mx,
+         least(bw0 * floor(mn / bw0), mn) AS le
+  FROM vbp0
+),
+vbpf AS (
+  SELECT user_id, nb, mn, mx, le,
+         CASE WHEN nb > 1 THEN
+           power(10.0, floor(log10((mx - le) / (nb - 1.0) - (mx - le) / nb)))
+             * ceil(((mx - le) / nb)
+                    / power(10.0, floor(log10((mx - le) / (nb - 1.0)
+                                              - (mx - le) / nb))))
+         ELSE (mx - le) END AS bw
+  FROM vbp1
+),
+vbpr AS (
+  SELECT user_id, nb, le, bw, greatest(le + nb * bw, mx) AS re
+  FROM vbpf
+),
+ints21 AS (
+  SELECT DISTINCT rn AS e FROM series
+  WHERE rn <= 20 AND user_id = (SELECT min(user_id) FROM series)
+),
+vedges AS (
+  SELECT b.user_id, ints21.e AS ei,
+         CASE WHEN ints21.e = 0 THEN b.le
+              WHEN ints21.e = b.nb THEN b.re
+              ELSE b.le + ints21.e * b.bw END AS ev
+  FROM vbpr b JOIN ints21 ON ints21.e <= b.nb
+),
+vdig AS (
+  SELECT d.user_id, d.rn,
+         count(*) FILTER (WHERE e.ev <= d.k) - 1 AS bin
+  FROM degt d
+  JOIN vedges e ON e.user_id = d.user_id
+  GROUP BY d.user_id, d.rn
+),
+hent AS (
+  SELECT c.user_id,
+         -sum(CASE WHEN c.bin < r.nb AND c.cnt > 0
+                   THEN (c.cnt / c.tot) * ln((c.cnt / c.tot) / r.bw)
+                   ELSE CAST(0.0 AS DOUBLE) END) * max(r.bw) AS h
+  FROM (SELECT user_id, bin, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+        FROM vdig GROUP BY user_id, bin) c
+  JOIN vbpr r ON r.user_id = c.user_id
+  GROUP BY c.user_id
+),
+kst AS (
+  SELECT user_id, avg(k) AS mu, median(k) AS med, stddev_samp(k) AS sd,
+         max(k) AS mx, min(k) AS mn, sum(k) AS tot,
+         avg(c * c) AS m2, avg(c * c * c) AS m3,
+         sum(0.5 * ((k - avg2) / nullif(sd2, CAST(0.0 AS DOUBLE)))
+                 * ((k - avg2) / nullif(sd2, CAST(0.0 AS DOUBLE)))
+             + ln(sd2 * sqrt(2.0 * pi()))) AS gnll,
+         sum(k / nullif(avg2, CAST(0.0 AS DOUBLE))
+             + ln(avg2)) AS enll,
+         count(*) AS n
+  FROM (
+    SELECT user_id, rn, k, c,
+           avg(k) OVER (PARTITION BY user_id) AS avg2,
+           stddev_samp(k) OVER (PARTITION BY user_id) AS sd2
+    FROM kcent
+  ) z GROUP BY user_id
+),
+acp AS (
+  SELECT user_id,
+         max(CASE WHEN tau = 1 THEN r END) AS kac1,
+         max(CASE WHEN tau = 2 THEN r END) AS kac2,
+         max(CASE WHEN tau = 3 THEN r END) AS kac3
+  FROM kacfn GROUP BY user_id
+),
+olstats AS (
+  SELECT d.user_id,
+         avg(d.k) FILTER (WHERE d.k >= qp.q05 AND d.k <= qp.q95) AS midmean,
+         avg(d.k - ks.mu) FILTER (WHERE d.k >= qp.q95) AS upmean
+  FROM degt d
+  JOIN qp ON qp.user_id = d.user_id
+  JOIN (SELECT user_id, avg(k) AS mu FROM degt GROUP BY user_id) ks
+    ON ks.user_id = d.user_id
+  GROUP BY d.user_id
+)
+SELECT k.user_id,
+       round(md.mode, 6) AS mode,
+       round(mdc.modecnt / k.tot, 6) AS propmode,
+       round(k.mu, 6) AS meank,
+       round(k.med, 6) AS mediank,
+       round(k.sd, 6) AS stdk,
+       round(k.mx, 6) AS maxk,
+       round(k.mn, 6) AS mink,
+       round(k.mx - k.mn, 6) AS rangek,
+       round(qp.q75 - qp.q25, 6) AS iqrk,
+       round(k.mx / nullif(k.med, CAST(0.0 AS DOUBLE)), 6) AS maxonmedian,
+       round(k.m3 / nullif(k.m2 * sqrt(k.m2), CAST(0.0 AS DOUBLE)), 6) AS skewnessk,
+       round(ol.midmean / nullif(k.mu, CAST(0.0 AS DOUBLE)), 6) AS ol90,
+       round(ol.upmean / nullif(k.sd, CAST(0.0 AS DOUBLE)), 6) AS olu90,
+       round(he.h, 6) AS entropy,
+       round(k.gnll, 6) AS gaussnlogL,
+       round(k.enll, 6) AS expnlogL,
+       round(acp.kac1, 6) AS kac1,
+       round(acp.kac2, 6) AS kac2,
+       round(acp.kac3, 6) AS kac3,
+       round(kt.tau, 6) AS ktau
+FROM kst k
+JOIN md ON md.user_id = k.user_id AND md.rk = 1
+JOIN (SELECT d2.user_id, CAST(count(*) AS DOUBLE) AS modecnt
+      FROM degt d2 JOIN md m2 ON m2.user_id = d2.user_id AND m2.rk = 1
+                             AND d2.k = m2.mode
+      GROUP BY d2.user_id) mdc ON mdc.user_id = k.user_id
+JOIN qp ON qp.user_id = k.user_id
+JOIN olstats ol ON ol.user_id = k.user_id
+JOIN hent he ON he.user_id = k.user_id
+JOIN acp ON acp.user_id = k.user_id
+JOIN ktau kt ON kt.user_id = k.user_id
+""")
