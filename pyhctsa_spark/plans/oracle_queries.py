@@ -4241,3 +4241,74 @@ JOIN hent he ON he.user_id = k.user_id
 JOIN acp ON acp.user_id = k.user_id
 JOIN ktau kt ON kt.user_id = k.user_id
 """)
+
+
+# --- SY_LocalDistributions 'par' 5 segments (Stationarity.py:13-87) ---------
+# Scott-rule gaussian KDE of each fifth vs the parent, evaluated on a
+# 200-point grid spanning the full series, as explicit exp-sum joins;
+# L1 divergences and their mean/median/max/population-std.
+QUERIES["user_localdists"] = _qa("""
+, grid AS (
+  SELECT a.rn * 15 + b.rn AS gi
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 15 AND user_id =
+        (SELECT min(user_id) FROM series)) a
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 15 AND user_id =
+        (SELECT min(user_id) FROM series)) b
+  WHERE a.rn * 15 + b.rn < 200
+),
+gpts AS (
+  SELECT m.user_id, g.gi,
+         m.mn + g.gi * (m.mx - m.mn) / 199.0 AS p
+  FROM (SELECT user_id, min(v) AS mn, max(v) AS mx
+        FROM series GROUP BY user_id) m
+  CROSS JOIN grid g
+),
+segrows AS (
+  SELECT s.user_id, s.rn, s.v,
+         CAST(floor(s.rn / floor(nn.n / 5.0)) AS BIGINT) AS sg
+  FROM series s JOIN nn ON nn.user_id = s.user_id
+  WHERE s.rn < 5 * CAST(floor(nn.n / 5.0) AS BIGINT)
+),
+segbw AS (
+  SELECT user_id, sg,
+         power(CAST(count(*) AS DOUBLE), -0.2) * stddev_samp(v) AS bw,
+         CAST(count(*) AS DOUBLE) AS m
+  FROM segrows GROUP BY user_id, sg
+),
+parbw AS (
+  SELECT user_id,
+         power(CAST(count(*) AS DOUBLE), -0.2) * stddev_samp(v) AS bw,
+         CAST(count(*) AS DOUBLE) AS m
+  FROM series GROUP BY user_id
+),
+segden AS (
+  SELECT g.user_id, g.gi, r.sg,
+         sum(exp(-0.5 * pow((g.p - r.v) / b.bw, 2)))
+           / (b.m * b.bw * sqrt(2.0 * pi())) AS f
+  FROM gpts g
+  JOIN segrows r ON r.user_id = g.user_id
+  JOIN segbw b ON b.user_id = g.user_id AND b.sg = r.sg
+  GROUP BY g.user_id, g.gi, r.sg, b.m, b.bw
+),
+parden AS (
+  SELECT g.user_id, g.gi,
+         sum(exp(-0.5 * pow((g.p - s.v) / b.bw, 2)))
+           / (b.m * b.bw * sqrt(2.0 * pi())) AS f
+  FROM gpts g
+  JOIN series s ON s.user_id = g.user_id
+  JOIN parbw b ON b.user_id = g.user_id
+  GROUP BY g.user_id, g.gi, b.m, b.bw
+),
+divs AS (
+  SELECT sd.user_id, sd.sg, sum(abs(sd.f - pd.f)) AS dv
+  FROM segden sd
+  JOIN parden pd ON pd.user_id = sd.user_id AND pd.gi = sd.gi
+  GROUP BY sd.user_id, sd.sg
+)
+SELECT user_id,
+       round(avg(dv), 6) AS meandiv,
+       round(median(dv), 6) AS mediandiv,
+       round(max(dv), 6) AS maxdiv,
+       round(stddev_pop(dv), 6) AS stddiv
+FROM divs GROUP BY user_id
+""")
