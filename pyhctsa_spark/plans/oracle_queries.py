@@ -4312,3 +4312,150 @@ SELECT user_id,
        round(stddev_pop(dv), 6) AS stddiv
 FROM divs GROUP BY user_id
 """)
+
+
+# --- MF_ARfit pmin=1 pmax=2 'sbc' (ModelFit.py:443-551), SQL subset ---------
+# Closed-form no-constant OLS AR(1)/AR(2) (2x2 normal equations),
+# normalized BIC/AIC curves, selector-optimal coefficients + summary
+# stats + noise variance, the 1.96/sqrt(N)-band residual-ACF fraction,
+# and the 95% coefficient errors from the OLS covariance diagonal.
+# (res_siglev needs the chi-square survival function and stays
+# engine-side.)
+QUERIES["user_arfit12"] = _q("""
+, lagd AS (
+  SELECT user_id, rn, v,
+         lag(v)    OVER (PARTITION BY user_id ORDER BY rn) AS vm1,
+         lag(v, 2) OVER (PARTITION BY user_id ORDER BY rn) AS vm2,
+         count(*)  OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+fit1 AS (
+  SELECT user_id, max(n) AS n,
+         sum(vm1 * v) / nullif(sum(vm1 * vm1), CAST(0.0 AS DOUBLE)) AS phi,
+         sum(vm1 * vm1) AS xx
+  FROM lagd WHERE vm1 IS NOT NULL GROUP BY user_id
+),
+sig1 AS (
+  SELECT l.user_id,
+         sum(pow(l.v - f.phi * l.vm1, 2)) / (f.n - 1.0) AS s2
+  FROM lagd l JOIN fit1 f ON f.user_id = l.user_id
+  WHERE l.vm1 IS NOT NULL GROUP BY l.user_id, f.n
+),
+ne2 AS (
+  SELECT user_id, max(n) AS n,
+         sum(vm1 * vm1) AS a, sum(vm1 * vm2) AS b, sum(vm2 * vm2) AS c,
+         sum(vm1 * v) AS r1, sum(vm2 * v) AS r2
+  FROM lagd WHERE vm2 IS NOT NULL GROUP BY user_id
+),
+fit2 AS (
+  SELECT user_id, n, a, b, c,
+         (c * r1 - b * r2) / nullif(a * c - b * b, CAST(0.0 AS DOUBLE)) AS p1,
+         (a * r2 - b * r1) / nullif(a * c - b * b, CAST(0.0 AS DOUBLE)) AS p2,
+         a * c - b * b AS det
+  FROM ne2
+),
+sig2 AS (
+  SELECT l.user_id,
+         sum(pow(l.v - f.p1 * l.vm1 - f.p2 * l.vm2, 2)) / (f.n - 2.0) AS s2
+  FROM lagd l JOIN fit2 f ON f.user_id = l.user_id
+  WHERE l.vm2 IS NOT NULL GROUP BY l.user_id, f.n
+),
+crit AS (
+  SELECT f1.user_id, f1.n, f1.phi AS phi1, s1.s2 AS s2_1,
+         f2.p1, f2.p2, s2.s2 AS s2_2, f2.a, f2.c, f2.det,
+         (CAST(f1.n AS DOUBLE) - 1.0)
+           * (ln(2.0 * pi() * s1.s2) + 1.0) / f1.n
+           + 2.0 * 2.0 / f1.n AS fpe1,
+         (CAST(f1.n AS DOUBLE) - 1.0)
+           * (ln(2.0 * pi() * s1.s2) + 1.0) / f1.n
+           + ln(CAST(f1.n AS DOUBLE) - 1.0) * 2.0 / f1.n AS sbc1,
+         (CAST(f1.n AS DOUBLE) - 2.0)
+           * (ln(2.0 * pi() * s2.s2) + 1.0) / f1.n
+           + 2.0 * 3.0 / f1.n AS fpe2,
+         (CAST(f1.n AS DOUBLE) - 2.0)
+           * (ln(2.0 * pi() * s2.s2) + 1.0) / f1.n
+           + ln(CAST(f1.n AS DOUBLE) - 2.0) * 3.0 / f1.n AS sbc2
+  FROM fit1 f1
+  JOIN sig1 s1 ON s1.user_id = f1.user_id
+  JOIN fit2 f2 ON f2.user_id = f1.user_id
+  JOIN sig2 s2 ON s2.user_id = f1.user_id
+),
+sel AS (
+  SELECT *, CASE WHEN sbc1 <= sbc2 THEN 1 ELSE 2 END AS popt
+  FROM crit
+),
+resid AS (
+  SELECT l.user_id, l.rn,
+         CASE WHEN s.popt = 1 THEN l.v - s.phi1 * l.vm1
+              ELSE l.v - s.p1 * l.vm1 - s.p2 * l.vm2 END AS e
+  FROM lagd l JOIN sel s ON s.user_id = l.user_id
+  WHERE (s.popt = 1 AND l.vm1 IS NOT NULL)
+     OR (s.popt = 2 AND l.vm2 IS NOT NULL)
+),
+rc AS (
+  SELECT user_id, rn, e - avg(e) OVER (PARTITION BY user_id) AS c
+  FROM resid
+),
+racv AS (
+  SELECT a.user_id, b.rn - a.rn AS tau, sum(a.c * b.c) AS s
+  FROM rc a JOIN rc b ON b.user_id = a.user_id AND b.rn >= a.rn
+                     AND b.rn - a.rn <= 20
+  GROUP BY a.user_id, b.rn - a.rn
+),
+racf AS (
+  SELECT x.user_id, x.tau, x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM racv x
+  JOIN (SELECT user_id, s FROM racv WHERE tau = 0) s0
+    ON s0.user_id = x.user_id
+  WHERE x.tau BETWEEN 1 AND 20
+),
+pcorr AS (
+  SELECT rf.user_id,
+         sum(CASE WHEN abs(rf.r) > 1.96 / sqrt(CAST(s.n AS DOUBLE))
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           / 20.0 AS pc
+  FROM racf rf JOIN sel s ON s.user_id = rf.user_id
+  GROUP BY rf.user_id
+)
+SELECT s.user_id,
+       round(CASE WHEN s.popt = 1 THEN s.phi1 ELSE s.p1 END, 6) AS A1,
+       round(CASE WHEN s.popt = 1 THEN CAST(0.0 AS DOUBLE) ELSE s.p2 END, 6) AS A2,
+       round(CASE WHEN s.popt = 1 THEN s.phi1
+                  ELSE greatest(s.p1, s.p2) END, 6) AS maxA,
+       round(CASE WHEN s.popt = 1 THEN s.phi1
+                  ELSE least(s.p1, s.p2) END, 6) AS minA,
+       round(CASE WHEN s.popt = 1 THEN s.phi1
+                  ELSE (s.p1 + s.p2) / 2.0 END, 6) AS meanA,
+       round(CASE WHEN s.popt = 1 THEN CAST(0.0 AS DOUBLE)
+                  ELSE abs(s.p1 - s.p2) / sqrt(2.0) END, 6) AS stdA,
+       round(CASE WHEN s.popt = 1 THEN s.phi1 ELSE s.p1 + s.p2 END, 6) AS sumA,
+       round(CASE WHEN s.popt = 1 THEN abs(s.phi1)
+                  ELSE sqrt(s.p1 * s.p1 + s.p2 * s.p2) END, 6) AS rmsA,
+       round(CASE WHEN s.popt = 1 THEN s.phi1 * s.phi1
+                  ELSE s.p1 * s.p1 + s.p2 * s.p2 END, 6) AS sumsqA,
+       round(CASE WHEN s.popt = 1 THEN s.s2_1 ELSE s.s2_2 END, 6) AS C,
+       round(s.sbc1, 6) AS sbc_1, round(s.sbc2, 6) AS sbc_2,
+       round(s.fpe1, 6) AS fpe_1, round(s.fpe2, 6) AS fpe_2,
+       round(least(s.sbc1, s.sbc2), 6) AS minsbc,
+       round(CASE WHEN s.sbc1 <= s.sbc2 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(2.0 AS DOUBLE) END, 6) AS popt_sbc,
+       round(least(s.fpe1, s.fpe2), 6) AS minfpe,
+       round(CASE WHEN s.fpe1 <= s.fpe2 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(2.0 AS DOUBLE) END, 6) AS popt_fpe,
+       round(p.pc, 6) AS pcorr_res,
+       round(CASE WHEN s.popt = 1
+                  THEN 1.96 * sqrt(s.s2_1 / f1x.xx)
+                  ELSE least(1.96 * sqrt(s.s2_2 * s.c / s.det),
+                             1.96 * sqrt(s.s2_2 * s.a / s.det)) END, 6) AS aerr_min,
+       round(CASE WHEN s.popt = 1
+                  THEN 1.96 * sqrt(s.s2_1 / f1x.xx)
+                  ELSE greatest(1.96 * sqrt(s.s2_2 * s.c / s.det),
+                                1.96 * sqrt(s.s2_2 * s.a / s.det)) END, 6) AS aerr_max,
+       round(CASE WHEN s.popt = 1
+                  THEN 1.96 * sqrt(s.s2_1 / f1x.xx)
+                  ELSE (1.96 * sqrt(s.s2_2 * s.c / s.det)
+                        + 1.96 * sqrt(s.s2_2 * s.a / s.det)) / 2.0 END, 6) AS aerr_mean
+FROM sel s
+JOIN pcorr p ON p.user_id = s.user_id
+JOIN fit1 f1x ON f1x.user_id = s.user_id
+""")

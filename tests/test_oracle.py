@@ -741,3 +741,39 @@ def test_r2o_localdists_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r2p_arfit_mirror_kernel():
+    """MF_ARfit (pmin=1, pmax=2): 22 SQL-expressible outputs vs the
+    kernel (res_siglev needs chi2_sf and stays engine-side)."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.model import ar_fit_select
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_arfit12"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    cols = ["A1", "A2", "maxA", "minA", "meanA", "stdA", "sumA", "rmsA",
+            "sumsqA", "C", "sbc_1", "sbc_2", "fpe_1", "fpe_2", "minsbc",
+            "popt_sbc", "minfpe", "popt_fpe", "pcorr_res", "aerr_min",
+            "aerr_max", "aerr_mean"]
+    for u, v in series:
+        o = ar_fit_select(np.array(v, dtype=np.float64), 1, 2, "sbc")
+        for col in cols:
+            w = o[col]
+            got = df.loc[u][col.lower()]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=5e-6), (u, col, got, w)
