@@ -4459,3 +4459,126 @@ FROM sel s
 JOIN pcorr p ON p.user_id = s.user_id
 JOIN fit1 f1x ON f1x.user_id = s.user_id
 """)
+
+
+# --- SB_BinaryStats 'diff' (Symbolic.py:458-540), complete ------------------
+# diff>0 binarization; run lengths via gaps-and-islands; halves ratio,
+# stretch count/extreme/mean/std raw and /N, the stretch-diff and
+# 2-vs-1-run-probability outputs.
+QUERIES["user_binarystats_diff"] = _q("""
+, bs AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS t,
+         CASE WHEN v1 - v > 0 THEN 1 ELSE 0 END AS b,
+         count(*) OVER (PARTITION BY user_id) AS nb
+  FROM win WHERE v1 IS NOT NULL
+),
+runs AS (
+  SELECT user_id, b, CAST(count(*) AS DOUBLE) AS len
+  FROM (SELECT user_id, t, b, nb,
+               t - row_number() OVER (PARTITION BY user_id, b ORDER BY t) AS g
+        FROM bs) x
+  GROUP BY user_id, b, g
+),
+r1 AS (
+  SELECT user_id, count(*) AS c1, max(len) AS mx1, avg(len) AS mu1,
+         stddev_samp(len) AS sd1,
+         avg(CASE WHEN len = 2 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+           - avg(CASE WHEN len = 1 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END) AS d21
+  FROM runs WHERE b = 1 GROUP BY user_id
+),
+r0 AS (
+  SELECT user_id, count(*) AS c0, max(len) AS mx0, avg(len) AS mu0,
+         stddev_samp(len) AS sd0,
+         avg(CASE WHEN len = 2 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+           - avg(CASE WHEN len = 1 THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END) AS d21
+  FROM runs WHERE b = 0 GROUP BY user_id
+),
+hv AS (
+  SELECT user_id, max(nb) AS nb,
+         sum(CASE WHEN t <  CAST(floor(nb / 2.0) AS BIGINT) AND b = 1
+                  THEN 1 ELSE 0 END) AS ones1,
+         sum(CASE WHEN t >= CAST(floor(nb / 2.0) AS BIGINT) AND b = 1
+                  THEN 1 ELSE 0 END) AS ones2
+  FROM bs GROUP BY user_id
+)
+SELECT hv.user_id,
+       round(CAST(hv.ones2 AS DOUBLE) / nullif(hv.ones1, 0), 6) AS pupstat2,
+       round(coalesce(CAST(r1.c1 AS DOUBLE), CAST(0.0 AS DOUBLE)) / hv.nb, 6)
+         AS pstretch1,
+       round(coalesce(r0.mx0, CAST(0.0 AS DOUBLE)), 6) AS longstretch0,
+       round(coalesce(r0.mx0, CAST(0.0 AS DOUBLE)) / hv.nb, 6) AS longstretch0norm,
+       round(coalesce(r0.mu0, CAST(0.0 AS DOUBLE)), 6) AS meanstretch0,
+       round(coalesce(r0.mu0, CAST(0.0 AS DOUBLE)) / hv.nb, 6) AS meanstretch0norm,
+       round(r0.sd0, 6) AS stdstretch0,
+       round(r0.sd0 / hv.nb, 6) AS stdstretch0norm,
+       round(coalesce(r1.mx1, CAST(0.0 AS DOUBLE)), 6) AS longstretch1,
+       round(coalesce(r1.mx1, CAST(0.0 AS DOUBLE)) / hv.nb, 6) AS longstretch1norm,
+       round(coalesce(r1.mu1, CAST(0.0 AS DOUBLE)), 6) AS meanstretch1,
+       round(coalesce(r1.mu1, CAST(0.0 AS DOUBLE)) / hv.nb, 6) AS meanstretch1norm,
+       round(r1.sd1, 6) AS stdstretch1,
+       round(r1.sd1 / hv.nb, 6) AS stdstretch1norm,
+       round((coalesce(r1.mu1, CAST(0.0 AS DOUBLE))
+              - coalesce(r0.mu0, CAST(0.0 AS DOUBLE))) / hv.nb, 6) AS meanstretchdiff,
+       round((r1.sd1 - r0.sd0) / hv.nb, 6) AS stdstretchdiff,
+       round(r1.d21, 6) AS diff21stretch1,
+       round(r0.d21, 6) AS diff21stretch0
+FROM hv
+LEFT JOIN r1 ON r1.user_id = hv.user_id
+LEFT JOIN r0 ON r0.user_id = hv.user_id
+""")
+
+# --- SB_BinaryStretch lseq1/lseq0 (Symbolic.py:401-457, bug-for-bug) --------
+# The reference's mislabeled statistic: gaps between sign changes of
+# (one-index diffs - 1.5), max consecutive-gap / N; 0 when fewer than
+# two sign changes.
+QUERIES["user_binarystretch"] = _q("""
+, bz AS (
+  SELECT user_id, rn,
+         CASE WHEN v > 0 THEN 1 ELSE 0 END AS b,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+tgt AS (SELECT 1 AS t UNION ALL SELECT 0),
+oneidx AS (
+  SELECT b.user_id, g.t,
+         row_number() OVER (PARTITION BY b.user_id, g.t ORDER BY b.rn) - 1 AS k,
+         b.rn, b.n
+  FROM bz b JOIN tgt g ON b.b = g.t
+),
+dfs AS (
+  SELECT user_id, t, k, n,
+         lead(rn) OVER (PARTITION BY user_id, t ORDER BY k) - rn - 1.5 AS d
+  FROM oneidx
+),
+sc AS (
+  SELECT user_id, t, k, n
+  FROM (SELECT user_id, t, k, n, d,
+               lead(d) OVER (PARTITION BY user_id, t ORDER BY k) AS d1
+        FROM dfs WHERE d IS NOT NULL) x
+  WHERE d1 IS NOT NULL AND d * d1 < 0
+),
+mg AS (
+  SELECT user_id, t,
+         max(nk) AS gapmax, count(*) AS nsc, max(n) AS n
+  FROM (SELECT user_id, t, n,
+               lead(k) OVER (PARTITION BY user_id, t ORDER BY k) - k AS nk
+        FROM sc) y
+  GROUP BY user_id, t
+),
+base AS (SELECT DISTINCT user_id FROM series)
+SELECT base.user_id,
+       round(coalesce(CASE WHEN m1.nsc > 1
+                           THEN CAST(m1.gapmax AS DOUBLE) / m1.n END,
+                      CAST(0.0 AS DOUBLE)), 6) AS stretch1,
+       round(coalesce(CASE WHEN m0.nsc > 1
+                           THEN CAST(m0.gapmax AS DOUBLE) / m0.n END,
+                      CAST(0.0 AS DOUBLE)), 6) AS stretch0
+FROM base
+LEFT JOIN mg m1 ON m1.user_id = base.user_id AND m1.t = 1
+LEFT JOIN mg m0 ON m0.user_id = base.user_id AND m0.t = 0
+""")

@@ -777,3 +777,43 @@ def test_r2p_arfit_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=5e-6), (u, col, got, w)
+
+
+def test_r2q_binarystats_stretch_mirror_kernels():
+    """SB_BinaryStats 'diff' (complete) and SB_BinaryStretch vs the
+    kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.kernels import binary_stats
+    from pyhctsa_spark.functions.symbolic import binary_stretch
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+
+    checks = {
+        "user_binarystats_diff": lambda y: binary_stats(y, "diff"),
+        "user_binarystretch": lambda y: {
+            "stretch1": binary_stretch(y, "lseq1"),
+            "stretch0": binary_stretch(y, "lseq0")},
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf()
+        df.columns = [c.lower() for c in df.columns]
+        df = df.set_index("user_id")
+        for u, v in series:
+            for col, w in fn(np.array(v, dtype=np.float64)).items():
+                got = df.loc[u][col.lower()]
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
