@@ -4582,3 +4582,136 @@ FROM base
 LEFT JOIN mg m1 ON m1.user_id = base.user_id AND m1.t = 1
 LEFT JOIN mg m0 ON m0.user_id = base.user_id AND m0.t = 0
 """)
+
+
+# --- CO_CompareMinAMI 'even' bins 2-10 (Correlation.py:356-433) -------------
+# For each bin count, scan the even-binned histogram AMI over
+# tau = 0..ceil(N/2) and take the lag before the first turning point
+# (last lag when the curve never turns); then the reference's statistics
+# over the nine first-minimum estimates, including the smallest-mode,
+# the last-5 convergence mean, and the local-maxima-above-band count.
+QUERIES["user_compare_minami"] = _qa("""
+, nbt AS (
+  SELECT 2 AS nb UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+  UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
+  UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+mm AS (
+  SELECT user_id, min(v) AS mn, max(v) AS mx FROM series GROUP BY user_id
+),
+ints11 AS (
+  SELECT DISTINCT rn AS i FROM series
+  WHERE rn <= 10 AND user_id = (SELECT min(user_id) FROM series)
+),
+edges AS (
+  SELECT m.user_id, t.nb, i.i,
+         CASE WHEN i.i = 0 THEN m.mn - 0.1
+              WHEN i.i = t.nb THEN m.mx + 0.1
+              ELSE m.mn + i.i * (m.mx - m.mn) / t.nb END AS e
+  FROM mm m CROSS JOIN nbt t
+  JOIN ints11 i ON i.i <= t.nb
+),
+taus AS (
+  SELECT nn.user_id, s.rn AS tau,
+         CAST(ceil(CAST(nn.n AS DOUBLE) / 2.0) AS BIGINT) AS taumax
+  FROM nn JOIN series s ON s.user_id = nn.user_id
+  WHERE s.rn <= CAST(ceil(CAST(nn.n AS DOUBLE) / 2.0) AS BIGINT)
+),
+pr AS (
+  SELECT t.user_id, t.tau, a.rn, a.v AS va, b.v AS vb
+  FROM taus t
+  JOIN series a ON a.user_id = t.user_id
+  JOIN series b ON b.user_id = t.user_id AND b.rn = a.rn + t.tau
+),
+dig AS (
+  SELECT p.user_id, e.nb, p.tau, p.rn,
+         count(*) FILTER (WHERE e.e <= p.va) - 1 AS bi,
+         count(*) FILTER (WHERE e.e <= p.vb) - 1 AS bj
+  FROM pr p
+  JOIN edges e ON e.user_id = p.user_id
+  GROUP BY p.user_id, e.nb, p.tau, p.rn, p.va, p.vb
+),
+cells AS (
+  SELECT user_id, nb, tau, bi, bj, CAST(count(*) AS DOUBLE) AS cnt,
+         CAST(sum(count(*)) OVER (PARTITION BY user_id, nb, tau) AS DOUBLE) AS tot
+  FROM dig GROUP BY user_id, nb, tau, bi, bj
+),
+amit AS (
+  SELECT user_id, nb, tau,
+         sum((cnt / tot) * ln((cnt / tot) / ((ci / tot) * (cj / tot)))) AS ami
+  FROM (
+    SELECT user_id, nb, tau, cnt, tot,
+           sum(cnt) OVER (PARTITION BY user_id, nb, tau, bi) AS ci,
+           sum(cnt) OVER (PARTITION BY user_id, nb, tau, bj) AS cj
+    FROM cells
+  ) x GROUP BY user_id, nb, tau
+),
+turn AS (
+  SELECT user_id, nb, min(tau) AS firstturn
+  FROM (
+    SELECT user_id, nb, tau, ami,
+           lag(ami)    OVER (PARTITION BY user_id, nb ORDER BY tau) AS a1,
+           lag(ami, 2) OVER (PARTITION BY user_id, nb ORDER BY tau) AS a2
+    FROM amit
+  ) d
+  WHERE tau > 1 AND (ami - a1) * (a1 - a2) < 0
+  GROUP BY user_id, nb
+),
+amim AS (
+  SELECT t.user_id, t.nb - 2 AS i,
+         CAST(coalesce(tr.firstturn - 1, tx.taumax) AS DOUBLE) AS am
+  FROM (SELECT DISTINCT user_id, nb FROM amit) t
+  JOIN (SELECT DISTINCT user_id, taumax FROM taus) tx
+    ON tx.user_id = t.user_id
+  LEFT JOIN turn tr ON tr.user_id = t.user_id AND tr.nb = t.nb
+),
+md AS (
+  SELECT user_id, am AS mode, cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, am ASC) AS rk
+  FROM (SELECT user_id, am, count(*) AS cnt FROM amim GROUP BY user_id, am) z
+),
+curve AS (
+  SELECT user_id, i, am,
+         lead(am) OVER (PARTITION BY user_id ORDER BY i) AS amn
+  FROM amim
+),
+dcurve AS (
+  SELECT user_id, i, d,
+         lead(d) OVER (PARTITION BY user_id ORDER BY i) AS d1
+  FROM (SELECT user_id, i, amn - am AS d FROM curve WHERE i <= 6) z
+),
+locext AS (
+  SELECT user_id, i + 1 AS li
+  FROM dcurve WHERE d1 IS NOT NULL AND d > 0 AND d * d1 < 0
+),
+stats AS (
+  SELECT user_id, min(am) AS mn, max(am) AS mx, median(am) AS med,
+         avg(am) AS mu, stddev_samp(am) AS sd,
+         CAST(count(DISTINCT am) AS DOUBLE) AS nuq,
+         avg(am) FILTER (WHERE i >= 4) AS conv4
+  FROM amim GROUP BY user_id
+),
+nloc AS (
+  SELECT a.user_id, CAST(count(*) AS DOUBLE) AS c
+  FROM amim a
+  JOIN stats st ON st.user_id = a.user_id
+  JOIN locext le ON le.user_id = a.user_id AND le.li = a.i
+  WHERE a.am > st.mu + st.sd
+  GROUP BY a.user_id
+)
+SELECT st.user_id,
+       round(st.mn, 6) AS ami_min,
+       round(st.mx, 6) AS ami_max,
+       round(st.mx - st.mn, 6) AS ami_range,
+       round(st.med, 6) AS ami_median,
+       round(st.mu, 6) AS ami_mean,
+       round(st.sd, 6) AS ami_std,
+       round(st.nuq, 6) AS nunique,
+       round(md.mode, 6) AS mode,
+       round(CAST(md.cnt AS DOUBLE) / 9.0, 6) AS modef,
+       round(st.conv4, 6) AS conv4,
+       round(coalesce(nl.c, CAST(0.0 AS DOUBLE)), 6) AS nlocmax
+FROM stats st
+JOIN md ON md.user_id = st.user_id AND md.rk = 1
+LEFT JOIN nloc nl ON nl.user_id = st.user_id
+""")

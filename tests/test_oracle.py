@@ -817,3 +817,40 @@ def test_r2q_binarystats_stretch_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2r_compare_minami_mirror_kernel():
+    """CO_CompareMinAMI 'even' bins 2-10: first-minimum sweep statistics
+    vs the kernel."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.info import compare_min_ami
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_compare_minami"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    ren = {"ami_min": "min", "ami_max": "max", "ami_range": "range",
+           "ami_median": "median", "ami_mean": "mean", "ami_std": "std",
+           "nunique": "nunique", "mode": "mode", "modef": "modef",
+           "conv4": "conv4", "nlocmax": "nlocmax"}
+    for u, v in series:
+        o = compare_min_ami(np.array(v, dtype=np.float64), "even",
+                            list(range(2, 11)))
+        for col, k in ren.items():
+            w = o[k]
+            got = df.loc[u][col]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
