@@ -4715,3 +4715,90 @@ FROM stats st
 JOIN md ON md.user_id = st.user_id AND md.rk = 1
 LEFT JOIN nloc nl ON nl.user_id = st.user_id
 """)
+
+
+# --- EN_DistributionEntropy 'ks' (Entropy.py:87-165) ------------------------
+# Differential entropy of the Scott-rule gaussian KDE on a 512-point
+# grid spanning [min - 3 sigma, max + 3 sigma], as an explicit exp-sum
+# join: H = -sum f ln f dx over positive density.
+QUERIES["user_distent_ks"] = _q("""
+, i512 AS (
+  SELECT a.rn * 23 + b.rn AS gi
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+        (SELECT min(user_id) FROM series)) a
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+        (SELECT min(user_id) FROM series)) b
+  WHERE a.rn * 23 + b.rn < 512
+),
+kp AS (
+  SELECT user_id, min(v) - 3.0 * stddev_samp(v) AS lo,
+         max(v) + 3.0 * stddev_samp(v) AS hi,
+         power(CAST(count(*) AS DOUBLE), -0.2) * stddev_samp(v) AS bw,
+         CAST(count(*) AS DOUBLE) AS m
+  FROM series GROUP BY user_id
+),
+gpts AS (
+  SELECT k.user_id, g.gi,
+         k.lo + g.gi * (k.hi - k.lo) / 511.0 AS p,
+         (k.hi - k.lo) / 511.0 AS dx, k.bw, k.m
+  FROM kp k CROSS JOIN i512 g
+),
+dens AS (
+  SELECT g.user_id, g.gi, max(g.dx) AS dx,
+         sum(exp(-0.5 * pow((g.p - s.v) / g.bw, 2)))
+           / (max(g.m) * max(g.bw) * sqrt(2.0 * pi())) AS f
+  FROM gpts g JOIN series s ON s.user_id = g.user_id
+  GROUP BY g.user_id, g.gi
+)
+SELECT user_id,
+       round(-sum(CASE WHEN f > 0 THEN f * ln(f) ELSE CAST(0.0 AS DOUBLE) END)
+             * max(dx), 6) AS distent_ks
+FROM dens GROUP BY user_id
+""")
+
+# --- HT_HypothesisTest 'signtest' on the diff series ------------------------
+# (HypothesisTests.py:82-134): exact two-sided binomial p via
+# log-factorial running sums over an integer table (doubled smaller
+# tail, capped at 1). Applied to diff(y), where the sign split is
+# informative.
+QUERIES["user_signtest_diff"] = _q("""
+, dser AS (
+  SELECT user_id, v1 - v AS d FROM win WHERE v1 IS NOT NULL
+),
+cn AS (
+  SELECT user_id,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN d <> CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END) AS nn2
+  FROM dser GROUP BY user_id
+),
+iall AS (
+  SELECT a.rn * 10 + b.rn AS k
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 10 AND user_id =
+        (SELECT min(user_id) FROM series)) a
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 10 AND user_id =
+        (SELECT min(user_id) FROM series)) b
+),
+lf AS (
+  SELECT k,
+         sum(CASE WHEN k2.k2v > 0 THEN ln(CAST(k2.k2v AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END) AS v
+  FROM iall
+  LEFT JOIN (SELECT k AS k2v FROM iall) k2 ON k2.k2v <= iall.k AND k2.k2v >= 1
+  GROUP BY k
+),
+tails AS (
+  SELECT c.user_id,
+         sum(exp(lfn.v - lfi.v - lfni.v
+                 - c.nn2 * ln(CAST(2.0 AS DOUBLE)))) AS tail
+  FROM cn c
+  JOIN iall i ON i.k <= least(c.pos, c.nn2 - c.pos)
+  JOIN lf lfn ON lfn.k = c.nn2
+  JOIN lf lfi ON lfi.k = i.k
+  JOIN lf lfni ON lfni.k = c.nn2 - i.k
+  GROUP BY c.user_id
+)
+SELECT c.user_id,
+       round(least(CAST(1.0 AS DOUBLE), 2.0 * coalesce(t.tail, CAST(0.0 AS DOUBLE))), 6)
+         AS signtest_p
+FROM cn c LEFT JOIN tails t ON t.user_id = c.user_id
+""")

@@ -854,3 +854,42 @@ def test_r2r_compare_minami_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r2s_ksentropy_signtest_mirror_kernels():
+    """EN_DistributionEntropy 'ks' (Scott KDE differential entropy) and
+    HT_HypothesisTest signtest on the diff series vs the kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.entropy import distribution_entropy
+    from pyhctsa_spark.functions.model import hypothesis_test
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    checks = {
+        "user_distent_ks": lambda y: {
+            "distent_ks": distribution_entropy(y, "ks", 0)},
+        "user_signtest_diff": lambda y: {
+            "signtest_p": hypothesis_test(np.diff(y), "signtest")},
+    }
+    for name, fn in checks.items():
+        df = con.execute(QUERIES[name]["duck"]).fetchdf()
+        df.columns = [c.lower() for c in df.columns]
+        df = df.set_index("user_id")
+        for u, v in series:
+            for col, w in fn(np.array(v, dtype=np.float64)).items():
+                got = df.loc[u][col.lower()]
+                if not np.isfinite(w):
+                    assert got is None or np.isnan(got), (name, u, col)
+                else:
+                    assert np.isclose(got, round(w, 6), atol=2e-6), (
+                        name, u, col, got, w)
