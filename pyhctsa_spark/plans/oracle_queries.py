@@ -4802,3 +4802,75 @@ SELECT c.user_id,
          AS signtest_p
 FROM cn c LEFT JOIN tails t ON t.user_id = c.user_id
 """)
+
+
+# --- rm_information tau=1 (Information.py:490-688, RM_histogram2) -----------
+# Moddemeijer histogram MI with the automatic descriptor: ncell =
+# ceil(n^(1/3)), half-delta-expanded linspace bounds per marginal,
+# plug-in MI plus the unbiased occupied-cell correction.
+QUERIES["user_rm_info1"] = _q("""
+, pairs AS (
+  SELECT user_id, rn, v AS x, v1 AS z FROM win WHERE v1 IS NOT NULL
+),
+desc0 AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(ceil(pow(CAST(count(*) AS DOUBLE), 1.0 / 3.0)) AS BIGINT) AS nc,
+         min(x) AS mnx, max(x) AS mxx, min(z) AS mnz, max(z) AS mxz,
+         (max(x) - min(x)) / (count(*) - 1.0) AS dx,
+         (max(z) - min(z)) / (count(*) - 1.0) AS dz
+  FROM pairs GROUP BY user_id
+),
+iedge AS (
+  SELECT DISTINCT rn AS i FROM series
+  WHERE rn <= 10 AND user_id = (SELECT min(user_id) FROM series)
+),
+edges AS (
+  SELECT d.user_id, i.i,
+         (d.mnx - d.dx / 2.0)
+           + i.i * ((d.mxx + d.dx / 2.0) - (d.mnx - d.dx / 2.0)) / d.nc AS ex,
+         (d.mnz - d.dz / 2.0)
+           + i.i * ((d.mxz + d.dz / 2.0) - (d.mnz - d.dz / 2.0)) / d.nc AS ez
+  FROM desc0 d JOIN iedge i ON i.i <= d.nc
+),
+dig AS (
+  SELECT p.user_id, p.rn,
+         least(count(*) FILTER (WHERE e.ex <= p.x) - 1, max(d.nc) - 1) AS bi,
+         least(count(*) FILTER (WHERE e.ez <= p.z) - 1, max(d.nc) - 1) AS bj
+  FROM pairs p
+  JOIN edges e ON e.user_id = p.user_id
+  JOIN desc0 d ON d.user_id = p.user_id
+  GROUP BY p.user_id, p.rn, p.x, p.z
+),
+cells AS (
+  SELECT user_id, bi, bj, CAST(count(*) AS DOUBLE) AS h
+  FROM dig GROUP BY user_id, bi, bj
+),
+marg AS (
+  SELECT user_id, bi, sum(h) AS hx FROM cells GROUP BY user_id, bi
+),
+marg2 AS (
+  SELECT user_id, bj, sum(h) AS hy FROM cells GROUP BY user_id, bj
+),
+agg AS (
+  SELECT c.user_id,
+         sum(c.h * ln(c.h)) AS shh,
+         CAST(count(*) AS DOUBLE) AS mxy,
+         sum(c.h) AS cnt
+  FROM cells c GROUP BY c.user_id
+),
+aggx AS (
+  SELECT user_id, sum(hx * ln(hx)) AS shx, CAST(count(*) AS DOUBLE) AS mx
+  FROM marg GROUP BY user_id
+),
+aggy AS (
+  SELECT user_id, sum(hy * ln(hy)) AS shy, CAST(count(*) AS DOUBLE) AS my
+  FROM marg2 GROUP BY user_id
+)
+SELECT a.user_id,
+       round((a.shh - ax.shx - ay.shy) / a.cnt + ln(a.cnt)
+             - (a.mxy - ax.mx - ay.my + 1.0) / (2.0 * a.cnt), 6) AS rm_info1
+FROM agg a
+JOIN aggx ax ON ax.user_id = a.user_id
+JOIN aggy ay ON ay.user_id = a.user_id
+""")

@@ -893,3 +893,29 @@ def test_r2s_ksentropy_signtest_mirror_kernels():
                 else:
                     assert np.isclose(got, round(w, 6), atol=2e-6), (
                         name, u, col, got, w)
+
+
+def test_r2t_rm_information_mirror_kernel():
+    """rm_information tau=1: Moddemeijer histogram MI with the automatic
+    descriptor and unbiased correction vs the kernel."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.info import rm_information
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_rm_info1"]["duck"]).fetchdf().set_index(
+        "user_id"
+    )
+    for u, v in series:
+        w = round(rm_information(np.array(v, dtype=np.float64), 1), 6)
+        assert np.isclose(df.loc[u]["rm_info1"], w, atol=2e-6), (u,)
