@@ -4874,3 +4874,365 @@ FROM agg a
 JOIN aggx ax ON ax.user_id = a.user_id
 JOIN aggy ay ON ay.user_id = a.user_id
 """)
+
+
+# --- CO_StickAngles (Correlation.py:530-750), on the centered series --------
+# The raw event values are single-signed, so the catalog applies the
+# operator to y - mean(y) (documented parametrization; the kernel is
+# sign-split by construction). Line-of-sight angles above/below zero:
+# raw moment stats, double-z-scored hazen quantiles, StatAv 2-5 blocks,
+# ACF timescales at lags 1-2 + interpolated zero crossing, per-sign
+# positive/negative mean ratios, and the Scott-KDE symmetry and
+# p-vs-n difference measures.
+QUERIES["user_stickangles"] = _q("""
+, sgn AS (
+  SELECT user_id, rn, vc,
+         CASE WHEN vc >= 0 THEN 0 ELSE 1 END AS sg
+  FROM cent
+),
+lnk AS (
+  SELECT user_id, sg, rn, vc,
+         lead(vc) OVER (PARTITION BY user_id, sg ORDER BY rn) AS vn,
+         lead(rn) OVER (PARTITION BY user_id, sg ORDER BY rn) AS rnn,
+         row_number() OVER (PARTITION BY user_id, sg ORDER BY rn) - 1 AS j
+  FROM sgn
+),
+ang0 AS (
+  SELECT user_id, sg, j, atan((vn - vc) / (rnn - rn)) AS a
+  FROM lnk WHERE vn IS NOT NULL
+),
+angs AS (
+  SELECT user_id, sg AS suf, j, a FROM ang0
+  UNION ALL
+  SELECT user_id, 2 AS suf, sg * 1000000 + j AS j, a FROM ang0
+),
+pos0 AS (
+  SELECT user_id, suf, a,
+         row_number() OVER (PARTITION BY user_id, suf ORDER BY j) - 1 AS p,
+         count(*) OVER (PARTITION BY user_id, suf) AS m
+  FROM angs
+),
+z1 AS (
+  SELECT user_id, suf, p, m, a,
+         (a - avg(a) OVER (PARTITION BY user_id, suf))
+           / nullif(stddev_samp(a) OVER (PARTITION BY user_id, suf),
+                    CAST(0.0 AS DOUBLE)) AS x
+  FROM pos0
+),
+zz AS (
+  SELECT user_id, suf, p, m, a,
+         (x - avg(x) OVER (PARTITION BY user_id, suf))
+           / nullif(stddev_samp(x) OVER (PARTITION BY user_id, suf),
+                    CAST(0.0 AS DOUBLE)) AS z
+  FROM z1
+),
+rawst AS (
+  SELECT user_id, suf,
+         CASE WHEN count(*) > 1 THEN stddev_samp(a) END AS sd,
+         CASE WHEN count(*) > 1 THEN avg(a) END AS mu,
+         CASE WHEN count(*) > 1 THEN median(a) END AS med,
+         CASE WHEN count(*) > 1 AND avg((a - am) * (a - am)) > 0
+              THEN avg((a - am) * (a - am) * (a - am))
+                   / pow(avg((a - am) * (a - am)), 1.5) END AS skw,
+         CASE WHEN count(*) > 1 AND avg((a - am) * (a - am)) > 0
+              THEN avg((a - am) * (a - am) * (a - am) * (a - am))
+                   / pow(avg((a - am) * (a - am)), 2.0) END AS kur,
+         avg(a) FILTER (WHERE a > 0) AS posmu,
+         avg(a) FILTER (WHERE a < 0) AS negmu,
+         var_pop(a) AS vp, max(abs(a)) AS maxdev,
+         CAST(count(*) AS DOUBLE) AS m
+  FROM (SELECT user_id, suf, a,
+               avg(a) OVER (PARTITION BY user_id, suf) AS am
+        FROM pos0) t
+  GROUP BY user_id, suf
+),
+zc AS (
+  SELECT user_id, suf, p, m,
+         z - avg(z) OVER (PARTITION BY user_id, suf) AS c
+  FROM zz WHERE z IS NOT NULL
+),
+zacv AS (
+  SELECT a.user_id, a.suf, b.p - a.p AS tau, sum(a.c * b.c) AS s
+  FROM zc a JOIN zc b ON b.user_id = a.user_id AND b.suf = a.suf
+                     AND b.p >= a.p
+  GROUP BY a.user_id, a.suf, b.p - a.p
+),
+zacf AS (
+  SELECT x.user_id, x.suf, x.tau,
+         x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM zacv x
+  JOIN (SELECT user_id, suf, s FROM zacv WHERE tau = 0) s0
+    ON s0.user_id = x.user_id AND s0.suf = x.suf
+),
+zfz AS (
+  SELECT user_id, suf, min(tau) AS i FROM zacf
+  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id, suf
+),
+ztau AS (
+  SELECT mm.user_id, mm.suf,
+         CASE WHEN mm.m <= 2 THEN NULL
+              WHEN zfz.i IS NULL THEN CAST(mm.m - 1 AS DOUBLE)
+              ELSE (zfz.i - 1) + (CAST(0.0 AS DOUBLE) - pv.r)
+                   / nullif(cv.r - pv.r, CAST(0.0 AS DOUBLE)) END AS tau,
+         CASE WHEN mm.m > 2 THEN r1.r END AS ac1,
+         CASE WHEN mm.m > 2 THEN r2.r END AS ac2
+  FROM (SELECT user_id, suf, max(m) AS m FROM zc GROUP BY user_id, suf) mm
+  LEFT JOIN zfz ON zfz.user_id = mm.user_id AND zfz.suf = mm.suf
+  LEFT JOIN zacf pv ON pv.user_id = mm.user_id AND pv.suf = mm.suf
+                    AND pv.tau = zfz.i - 1
+  LEFT JOIN zacf cv ON cv.user_id = mm.user_id AND cv.suf = mm.suf
+                    AND cv.tau = zfz.i
+  LEFT JOIN zacf r1 ON r1.user_id = mm.user_id AND r1.suf = mm.suf
+                    AND r1.tau = 1
+  LEFT JOIN zacf r2 ON r2.user_id = mm.user_id AND r2.suf = mm.suf
+                    AND r2.tau = 2
+),
+sav AS (
+  SELECT q.user_id, q.suf, q.ns,
+         CASE WHEN max(q.plen) >= 2 AND max(q.sdz) > 0
+              THEN stddev_samp(q.sm) / max(q.sdz) END AS av_m,
+         CASE WHEN max(q.plen) >= 2 AND max(q.sdz) > 0
+              THEN stddev_samp(q.ss) / max(q.sdz) END AS av_s
+  FROM (
+    SELECT z.user_id, z.suf, t.ns,
+           CAST(floor(z.p / floor(z.m / CAST(t.ns AS DOUBLE))) AS BIGINT) AS si,
+           avg(z.z) AS sm, stddev_samp(z.z) AS ss, count(*) AS c,
+           max(floor(z.m / CAST(t.ns AS DOUBLE))) AS plen,
+           max(zsd.sd) AS sdz
+    FROM zz z
+    JOIN (SELECT user_id, suf, stddev_samp(z) AS sd FROM zz
+          GROUP BY user_id, suf) zsd
+      ON zsd.user_id = z.user_id AND zsd.suf = z.suf
+    CROSS JOIN (SELECT 2 AS ns UNION ALL SELECT 3 UNION ALL SELECT 4
+                UNION ALL SELECT 5) t
+    WHERE z.z IS NOT NULL AND floor(z.m / CAST(t.ns AS DOUBLE)) >= 1
+      AND z.p < t.ns * CAST(floor(z.m / CAST(t.ns AS DOUBLE)) AS BIGINT)
+    GROUP BY z.user_id, z.suf, t.ns,
+             CAST(floor(z.p / floor(z.m / CAST(t.ns AS DOUBLE))) AS BIGINT)
+  ) q
+  WHERE q.c = q.plen
+  GROUP BY q.user_id, q.suf, q.ns
+),
+zhq AS (
+  SELECT user_id, suf, z,
+         row_number() OVER (PARTITION BY user_id, suf ORDER BY z) AS rk,
+         count(*) OVER (PARTITION BY user_id, suf) AS n
+  FROM zz WHERE z IS NOT NULL
+),
+zqv AS (
+  SELECT b.user_id, b.suf, b.i,
+         lo.z + (b.posc - floor(b.posc)) * (hi.z - lo.z) AS q
+  FROM (
+    SELECT h.user_id, h.suf, pq.i, h.n,
+           least(greatest(pq.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, suf, n FROM zhq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.01 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.1 AS DOUBLE)
+                UNION ALL SELECT 3, CAST(0.9 AS DOUBLE)
+                UNION ALL SELECT 4, CAST(0.99 AS DOUBLE)) pq
+  ) b
+  JOIN zhq lo ON lo.user_id = b.user_id AND lo.suf = b.suf
+             AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN zhq hi ON hi.user_id = b.user_id AND hi.suf = b.suf
+             AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+i201 AS (
+  SELECT a.rn * 15 + b.rn AS gi
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 15 AND user_id =
+        (SELECT min(user_id) FROM series)) a
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 15 AND user_id =
+        (SELECT min(user_id) FROM series)) b
+  WHERE a.rn * 15 + b.rn < 201
+),
+kbw AS (
+  SELECT user_id, suf,
+         power(CAST(count(*) AS DOUBLE), -0.2) * stddev_samp(a) AS bw,
+         CAST(count(*) AS DOUBLE) AS m
+  FROM pos0 GROUP BY user_id, suf
+),
+symgrid AS (
+  SELECT r.user_id, r.suf, g.gi,
+         -r.maxdev + g.gi * (2.0 * r.maxdev) / 200.0 AS gp
+  FROM rawst r JOIN i201 g ON g.gi < 201
+  WHERE r.suf IN (0, 1) AND r.m > 1 AND r.vp > 1e-10
+),
+symden AS (
+  SELECT sgd.user_id, sgd.suf, sgd.gi,
+         sum(exp(-0.5 * pow((sgd.gp - p0.a) / kb.bw, 2)))
+           / (kb.m * kb.bw * sqrt(2.0 * pi())) AS f
+  FROM symgrid sgd
+  JOIN pos0 p0 ON p0.user_id = sgd.user_id AND p0.suf = sgd.suf
+  JOIN kbw kb ON kb.user_id = sgd.user_id AND kb.suf = sgd.suf
+  GROUP BY sgd.user_id, sgd.suf, sgd.gi, kb.m, kb.bw
+),
+symks AS (
+  SELECT l.user_id, l.suf, sum(abs(l.f - r.f)) AS v
+  FROM symden l
+  JOIN symden r ON r.user_id = l.user_id AND r.suf = l.suf
+              AND r.gi = 200 - l.gi
+  WHERE l.gi < 100
+  GROUP BY l.user_id, l.suf
+),
+pngrid AS (
+  SELECT r.user_id, g.gi,
+         r.mna + g.gi * (r.mxa - r.mna) / 199.0 AS gp
+  FROM (SELECT user_id, min(a) AS mna, max(a) AS mxa
+        FROM pos0 WHERE suf = 2 GROUP BY user_id) r
+  JOIN i201 g ON g.gi < 200
+),
+pnden AS (
+  SELECT pg.user_id, p0.suf, pg.gi,
+         sum(exp(-0.5 * pow((pg.gp - p0.a) / kb.bw, 2)))
+           / (kb.m * kb.bw * sqrt(2.0 * pi())) AS f
+  FROM pngrid pg
+  JOIN pos0 p0 ON p0.user_id = pg.user_id AND p0.suf IN (0, 1)
+  JOIN kbw kb ON kb.user_id = pg.user_id AND kb.suf = p0.suf
+  GROUP BY pg.user_id, p0.suf, pg.gi, kb.m, kb.bw
+),
+pnsum AS (
+  SELECT a.user_id, sum(abs(a.f - b.f)) AS v
+  FROM pnden a
+  JOIN pnden b ON b.user_id = a.user_id AND b.gi = a.gi AND b.suf = 1
+  WHERE a.suf = 0
+  GROUP BY a.user_id
+),
+rawp AS (
+  SELECT user_id,
+         max(CASE WHEN suf = 0 THEN sd END) AS sd_p,
+         max(CASE WHEN suf = 0 THEN mu END) AS mu_p,
+         max(CASE WHEN suf = 0 THEN med END) AS med_p,
+         max(CASE WHEN suf = 0 THEN skw END) AS skw_p,
+         max(CASE WHEN suf = 0 THEN kur END) AS kur_p,
+         max(CASE WHEN suf = 0 THEN posmu END) AS posmu_p,
+         max(CASE WHEN suf = 0 THEN negmu END) AS negmu_p,
+         max(CASE WHEN suf = 0 THEN vp END) AS vp_p,
+         max(CASE WHEN suf = 0 THEN m END) AS m_p,
+         max(CASE WHEN suf = 1 THEN sd END) AS sd_n,
+         max(CASE WHEN suf = 1 THEN mu END) AS mu_n,
+         max(CASE WHEN suf = 1 THEN med END) AS med_n,
+         max(CASE WHEN suf = 1 THEN skw END) AS skw_n,
+         max(CASE WHEN suf = 1 THEN kur END) AS kur_n,
+         max(CASE WHEN suf = 1 THEN posmu END) AS posmu_n,
+         max(CASE WHEN suf = 1 THEN negmu END) AS negmu_n,
+         max(CASE WHEN suf = 1 THEN vp END) AS vp_n,
+         max(CASE WHEN suf = 1 THEN m END) AS m_n,
+         max(CASE WHEN suf = 2 THEN sd END) AS sd_a,
+         max(CASE WHEN suf = 2 THEN mu END) AS mu_a,
+         max(CASE WHEN suf = 2 THEN med END) AS med_a,
+         max(CASE WHEN suf = 2 THEN skw END) AS skw_a,
+         max(CASE WHEN suf = 2 THEN kur END) AS kur_a
+  FROM rawst GROUP BY user_id
+),
+savp AS (
+  SELECT user_id,
+         max(CASE WHEN suf = 0 AND ns = 2 THEN av_m END) AS s2pm,
+         max(CASE WHEN suf = 0 AND ns = 2 THEN av_s END) AS s2ps,
+         max(CASE WHEN suf = 0 AND ns = 3 THEN av_m END) AS s3pm,
+         max(CASE WHEN suf = 0 AND ns = 3 THEN av_s END) AS s3ps,
+         max(CASE WHEN suf = 0 AND ns = 4 THEN av_m END) AS s4pm,
+         max(CASE WHEN suf = 0 AND ns = 4 THEN av_s END) AS s4ps,
+         max(CASE WHEN suf = 0 AND ns = 5 THEN av_m END) AS s5pm,
+         max(CASE WHEN suf = 0 AND ns = 5 THEN av_s END) AS s5ps,
+         max(CASE WHEN suf = 1 AND ns = 2 THEN av_m END) AS s2nm,
+         max(CASE WHEN suf = 1 AND ns = 2 THEN av_s END) AS s2ns,
+         max(CASE WHEN suf = 1 AND ns = 3 THEN av_m END) AS s3nm,
+         max(CASE WHEN suf = 1 AND ns = 3 THEN av_s END) AS s3ns,
+         max(CASE WHEN suf = 1 AND ns = 4 THEN av_m END) AS s4nm,
+         max(CASE WHEN suf = 1 AND ns = 4 THEN av_s END) AS s4ns,
+         max(CASE WHEN suf = 1 AND ns = 5 THEN av_m END) AS s5nm,
+         max(CASE WHEN suf = 1 AND ns = 5 THEN av_s END) AS s5ns,
+         max(CASE WHEN suf = 2 AND ns = 2 THEN av_m END) AS s2am,
+         max(CASE WHEN suf = 2 AND ns = 2 THEN av_s END) AS s2as,
+         max(CASE WHEN suf = 2 AND ns = 3 THEN av_m END) AS s3am,
+         max(CASE WHEN suf = 2 AND ns = 3 THEN av_s END) AS s3as,
+         max(CASE WHEN suf = 2 AND ns = 4 THEN av_m END) AS s4am,
+         max(CASE WHEN suf = 2 AND ns = 4 THEN av_s END) AS s4as,
+         max(CASE WHEN suf = 2 AND ns = 5 THEN av_m END) AS s5am,
+         max(CASE WHEN suf = 2 AND ns = 5 THEN av_s END) AS s5as
+  FROM sav GROUP BY user_id
+),
+ztaup AS (
+  SELECT user_id,
+         max(CASE WHEN suf = 0 THEN tau END) AS tau_p,
+         max(CASE WHEN suf = 0 THEN ac1 END) AS ac1_p,
+         max(CASE WHEN suf = 0 THEN ac2 END) AS ac2_p,
+         max(CASE WHEN suf = 1 THEN tau END) AS tau_n,
+         max(CASE WHEN suf = 1 THEN ac1 END) AS ac1_n,
+         max(CASE WHEN suf = 1 THEN ac2 END) AS ac2_n,
+         max(CASE WHEN suf = 2 THEN tau END) AS tau_a,
+         max(CASE WHEN suf = 2 THEN ac1 END) AS ac1_a,
+         max(CASE WHEN suf = 2 THEN ac2 END) AS ac2_a
+  FROM ztau GROUP BY user_id
+),
+zqvp AS (
+  SELECT user_id,
+         max(CASE WHEN suf = 0 AND i = 1 THEN q END) AS q1_p,
+         max(CASE WHEN suf = 0 AND i = 2 THEN q END) AS q10_p,
+         max(CASE WHEN suf = 0 AND i = 3 THEN q END) AS q90_p,
+         max(CASE WHEN suf = 0 AND i = 4 THEN q END) AS q99_p,
+         max(CASE WHEN suf = 1 AND i = 1 THEN q END) AS q1_n,
+         max(CASE WHEN suf = 1 AND i = 2 THEN q END) AS q10_n,
+         max(CASE WHEN suf = 1 AND i = 3 THEN q END) AS q90_n,
+         max(CASE WHEN suf = 1 AND i = 4 THEN q END) AS q99_n,
+         max(CASE WHEN suf = 2 AND i = 1 THEN q END) AS q1_a,
+         max(CASE WHEN suf = 2 AND i = 2 THEN q END) AS q10_a,
+         max(CASE WHEN suf = 2 AND i = 3 THEN q END) AS q90_a,
+         max(CASE WHEN suf = 2 AND i = 4 THEN q END) AS q99_a
+  FROM zqv GROUP BY user_id
+),
+symp AS (
+  SELECT user_id,
+         max(CASE WHEN suf = 0 THEN v END) AS symks_p,
+         max(CASE WHEN suf = 1 THEN v END) AS symks_n
+  FROM symks GROUP BY user_id
+)
+SELECT r.user_id,
+       round(r.sd_p, 6) AS std_p, round(r.mu_p, 6) AS mean_p,
+       round(r.med_p, 6) AS median_p,
+       round(r.sd_n, 6) AS std_n, round(r.mu_n, 6) AS mean_n,
+       round(r.med_n, 6) AS median_n,
+       round(r.sd_a, 6) AS std, round(r.mu_a, 6) AS mean,
+       round(r.med_a, 6) AS median,
+       round(CASE WHEN r.m_p > 1 AND r.m_n > 1 AND r.vp_p > 1e-10
+                       AND r.vp_n > 1e-10 THEN pn.v END, 6) AS pnsumabsdiff,
+       round(CASE WHEN r.m_p > 1 AND r.vp_p > 1e-10 THEN sy.symks_p END, 6) AS symks_p,
+       round(CASE WHEN r.m_n > 1 AND r.vp_n > 1e-10 THEN sy.symks_n END, 6) AS symks_n,
+       round(CASE WHEN r.m_p > 1 AND r.vp_p > 1e-10
+                  THEN r.posmu_p / nullif(r.negmu_p, CAST(0.0 AS DOUBLE)) END, 6) AS ratmean_p,
+       round(CASE WHEN r.m_n > 1 AND r.vp_n > 1e-10
+                  THEN r.posmu_n / nullif(r.negmu_n, CAST(0.0 AS DOUBLE)) END, 6) AS ratmean_n,
+       round(sv.s2pm, 6) AS statav2_p_m, round(sv.s2ps, 6) AS statav2_p_s,
+       round(sv.s3pm, 6) AS statav3_p_m, round(sv.s3ps, 6) AS statav3_p_s,
+       round(sv.s4pm, 6) AS statav4_p_m, round(sv.s4ps, 6) AS statav4_p_s,
+       round(sv.s5pm, 6) AS statav5_p_m, round(sv.s5ps, 6) AS statav5_p_s,
+       round(sv.s2nm, 6) AS statav2_n_m, round(sv.s2ns, 6) AS statav2_n_s,
+       round(sv.s3nm, 6) AS statav3_n_m, round(sv.s3ns, 6) AS statav3_n_s,
+       round(sv.s4nm, 6) AS statav4_n_m, round(sv.s4ns, 6) AS statav4_n_s,
+       round(sv.s5nm, 6) AS statav5_n_m, round(sv.s5ns, 6) AS statav5_n_s,
+       round(sv.s2am, 6) AS statav2_all_m, round(sv.s2as, 6) AS statav2_all_s,
+       round(sv.s3am, 6) AS statav3_all_m, round(sv.s3as, 6) AS statav3_all_s,
+       round(sv.s4am, 6) AS statav4_all_m, round(sv.s4as, 6) AS statav4_all_s,
+       round(sv.s5am, 6) AS statav5_all_m, round(sv.s5as, 6) AS statav5_all_s,
+       round(zt.tau_p, 6) AS tau_p, round(zt.ac1_p, 6) AS ac1_p,
+       round(zt.ac2_p, 6) AS ac2_p,
+       round(zt.tau_n, 6) AS tau_n, round(zt.ac1_n, 6) AS ac1_n,
+       round(zt.ac2_n, 6) AS ac2_n,
+       round(zt.tau_a, 6) AS tau_all, round(zt.ac1_a, 6) AS ac1_all,
+       round(zt.ac2_a, 6) AS ac2_all,
+       round(zq.q1_p, 6) AS q1_p, round(zq.q10_p, 6) AS q10_p,
+       round(zq.q90_p, 6) AS q90_p, round(zq.q99_p, 6) AS q99_p,
+       round(zq.q1_n, 6) AS q1_n, round(zq.q10_n, 6) AS q10_n,
+       round(zq.q90_n, 6) AS q90_n, round(zq.q99_n, 6) AS q99_n,
+       round(zq.q1_a, 6) AS q1_all, round(zq.q10_a, 6) AS q10_all,
+       round(zq.q90_a, 6) AS q90_all, round(zq.q99_a, 6) AS q99_all,
+       round(r.skw_p, 6) AS skewness_p, round(r.kur_p, 6) AS kurtosis_p,
+       round(r.skw_n, 6) AS skewness_n, round(r.kur_n, 6) AS kurtosis_n,
+       round(r.skw_a, 6) AS skewness_all, round(r.kur_a, 6) AS kurtosis_all
+FROM rawp r
+LEFT JOIN savp sv ON sv.user_id = r.user_id
+LEFT JOIN ztaup zt ON zt.user_id = r.user_id
+LEFT JOIN zqvp zq ON zq.user_id = r.user_id
+LEFT JOIN symp sy ON sy.user_id = r.user_id
+LEFT JOIN pnsum pn ON pn.user_id = r.user_id
+""")

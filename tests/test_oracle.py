@@ -919,3 +919,35 @@ def test_r2t_rm_information_mirror_kernel():
     for u, v in series:
         w = round(rm_information(np.array(v, dtype=np.float64), 1), 6)
         assert np.isclose(df.loc[u]["rm_info1"], w, atol=2e-6), (u,)
+
+
+def test_r2u_stickangles_mirror_kernel():
+    """CO_StickAngles on the centered series: the full 65-output surface
+    vs the kernel."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.embedding import stick_angles
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_stickangles"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    for u, v in series:
+        y = np.array(v, dtype=np.float64)
+        o = stick_angles(y - y.mean())
+        for col, w in o.items():
+            got = df.loc[u][col.lower()]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
