@@ -5236,3 +5236,49 @@ LEFT JOIN zqvp zq ON zq.user_id = r.user_id
 LEFT JOIN symp sy ON sy.user_id = r.user_id
 LEFT JOIN pnsum pn ON pn.user_id = r.user_id
 """)
+
+
+# --- WL_coeffs 'db1' level 1 (Wavelet.py:192-249) ---------------------------
+# The Haar level-1 reconstructed detail magnitudes are |x_2k - x_2k+1|/2
+# repeated per pair (one trailing zero for odd N from the symmetric
+# extension), so the sorted-decay statistics are plain aggregations:
+# mean/max/median of |D| and the first-below-p*max positions over N.
+QUERIES["user_wl_haar1"] = _qa("""
+, pd2 AS (
+  SELECT user_id, abs(v - v1) / 2.0 AS d
+  FROM win WHERE rn % 2 = 0 AND v1 IS NOT NULL
+),
+dets AS (
+  SELECT user_id, d FROM pd2
+  UNION ALL SELECT user_id, d FROM pd2
+  UNION ALL SELECT user_id, CAST(0.0 AS DOUBLE) AS d
+  FROM nn WHERE n % 2 = 1
+),
+agg AS (
+  SELECT user_id, avg(d) AS mu, max(d) AS mx, median(d) AS med,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM dets GROUP BY user_id
+),
+wb AS (
+  SELECT d.user_id,
+         sum(CASE WHEN d.d >= 0.99 * a.mx THEN 1 ELSE 0 END) / a.n AS wb99m,
+         sum(CASE WHEN d.d >= 0.90 * a.mx THEN 1 ELSE 0 END) / a.n AS wb90m,
+         sum(CASE WHEN d.d >= 0.75 * a.mx THEN 1 ELSE 0 END) / a.n AS wb75m,
+         sum(CASE WHEN d.d >= 0.50 * a.mx THEN 1 ELSE 0 END) / a.n AS wb50m,
+         sum(CASE WHEN d.d >= 0.25 * a.mx THEN 1 ELSE 0 END) / a.n AS wb25m,
+         sum(CASE WHEN d.d >= 0.10 * a.mx THEN 1 ELSE 0 END) / a.n AS wb10m,
+         sum(CASE WHEN d.d >= 0.01 * a.mx THEN 1 ELSE 0 END) / a.n AS wb1m,
+         sum(CASE WHEN d.d < 0.01 * a.mx THEN 1 ELSE 0 END) AS below1
+  FROM dets d JOIN agg a ON a.user_id = d.user_id
+  GROUP BY d.user_id, a.n
+)
+SELECT a.user_id,
+       round(a.mu, 6) AS mean_coeff,
+       round(a.mx, 6) AS max_coeff,
+       round(a.med, 6) AS med_coeff,
+       round(w.wb99m, 6) AS wb99m, round(w.wb90m, 6) AS wb90m,
+       round(w.wb75m, 6) AS wb75m, round(w.wb50m, 6) AS wb50m,
+       round(w.wb25m, 6) AS wb25m, round(w.wb10m, 6) AS wb10m,
+       round(CASE WHEN w.below1 > 0 THEN w.wb1m END, 6) AS wb1m
+FROM agg a JOIN wb w ON w.user_id = a.user_id
+""")
