@@ -38,6 +38,14 @@ def parse_args(argv):
                    help="salt buckets = units of restartable work")
     p.add_argument("--gapped", action="store_true",
                    help="input is sparse (offsets, values) — gap-fill first")
+    p.add_argument("--stream-chunks", action="store_true",
+                   help="input is a growing directory of CHUNKED sequences "
+                        "(doc_id, source, chunk_idx, tokens_bin): run the "
+                        "stateful Structured-Streaming tier-0 rollup "
+                        "(applyInPandasWithState) instead of the batch job")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (required with "
+                        "--stream-chunks; state + exactly-once progress)")
     return p.parse_args(argv)
 
 
@@ -49,6 +57,19 @@ def main(argv=None) -> int:
     # leave the master to spark-submit / the cluster manager; under an
     # already-running session (tests) getOrCreate reuses it
     spark = get_spark("rollup-job", master="from-submit")
+    if args.stream_chunks:
+        if not args.checkpoint:
+            print("--stream-chunks requires --checkpoint", file=sys.stderr)
+            return 2
+        from pyhctsa_spark.streaming.rollup_stream import stream_rollup_chunks
+
+        q = stream_rollup_chunks(
+            spark, args.input, args.store, args.checkpoint,
+            window=args.window,
+            lags=[int(v) for v in args.lags.split(",")],
+        )
+        q.awaitTermination()
+        return 0
     seq = spark.read.parquet(args.input)
     job = RollupJob(
         store_path=args.store,
