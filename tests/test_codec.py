@@ -23,6 +23,7 @@ def test_gorilla_roundtrip_basic():
         rng.standard_normal(1000) * 1e6,
         np.arange(500, dtype=np.float64),
         np.array([0.0, -0.0, np.inf, -np.inf, 1e-308, 1e308]),
+        np.array([1.5, np.nan, np.nan, np.inf, -2.25, np.nan]),
     ]:
         out = gorilla_decode(gorilla_encode(v))
         np.testing.assert_array_equal(
