@@ -5282,3 +5282,243 @@ SELECT a.user_id,
        round(CASE WHEN w.below1 > 0 THEN w.wb1m END, 6) AS wb1m
 FROM agg a JOIN wb w ON w.user_id = a.user_id
 """)
+
+
+# --- FC_Surprise 'dist' memory=0.2 (Symbolic.py:11-137) ---------------------
+# The reference's seeded scan positions (np.random.seed(0) +
+# permutation) depend only on the series LENGTH, so they are a
+# per-N mathematical constant — precomputed to
+# tests/golden/surprise_rs.parquet (scripts/gen_surprise_golden.py) and
+# joined by n. Everything else is computed from the data: hazen-tertile
+# symbols, the 20%-memory window match probability per sampled t,
+# -ln(p) with the p=0 -> 1 quirk, and the statistics over the FULL
+# 500-slot store (unused slots contribute zeros, bug-for-bug).
+QUERIES["user_surprise"] = _q2("""
+WITH series AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+nn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),
+hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+th AS (
+  SELECT b.user_id, b.i,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(1.0 AS DOUBLE) / 3.0 AS p
+                UNION ALL SELECT 2, CAST(2.0 AS DOUBLE) / 3.0) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+sym AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.v <= t1.q THEN 0 WHEN s.v <= t2.q THEN 1 ELSE 2 END AS sy
+  FROM series s
+  JOIN th t1 ON t1.user_id = s.user_id AND t1.i = 1
+  JOIN th t2 ON t2.user_id = s.user_id AND t2.i = 2
+),
+rsl AS (
+  SELECT nn.user_id, L.t,
+         CAST(round(nn.n * CAST(0.2 AS DOUBLE)) AS BIGINT) AS mem
+  FROM nn JOIN parquet.`/root/repo/tests/golden/surprise_rs.parquet` L
+    ON L.n = nn.n
+),
+pv AS (
+  SELECT r.user_id, r.t,
+         avg(CASE WHEN m.sy = st.sy THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) AS p
+  FROM rsl r
+  JOIN sym st ON st.user_id = r.user_id AND st.rn = r.t
+  JOIN sym m ON m.user_id = r.user_id
+            AND m.rn >= r.t - r.mem AND m.rn < r.t
+  GROUP BY r.user_id, r.t
+),
+rcnt AS (
+  SELECT user_id, count(*) AS c FROM rsl GROUP BY user_id
+),
+store AS (
+  SELECT user_id,
+         CASE WHEN p = 0 THEN CAST(0.0 AS DOUBLE) ELSE -ln(p) END AS s
+  FROM pv
+  UNION ALL
+  SELECT rcnt.user_id, CAST(0.0 AS DOUBLE) AS s
+  FROM rcnt
+  JOIN (SELECT a.rn * 23 + b.rn AS k
+        FROM (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+              (SELECT min(user_id) FROM series)) a
+        CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+              (SELECT min(user_id) FROM series)) b
+        WHERE a.rn * 23 + b.rn < 500) z
+    ON z.k < 500 - rcnt.c
+),
+shq AS (
+  SELECT user_id, s,
+         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM store
+),
+sqv AS (
+  SELECT b.user_id, b.i,
+         lo.s + (b.posc - floor(b.posc)) * (hi.s - lo.s) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM shq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.25 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)) p
+  ) b
+  JOIN shq lo ON lo.user_id = b.user_id
+             AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN shq hi ON hi.user_id = b.user_id
+             AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+)
+SELECT st.user_id,
+       round(st.mn_pos, 6) AS min,
+       round(st.mx, 6) AS max,
+       round(st.mu, 6) AS mean,
+       round(st.tot, 6) AS sum,
+       round(st.med, 6) AS median,
+       round(q25.q, 6) AS lq,
+       round(q75.q, 6) AS uq,
+       round(st.sd, 6) AS std,
+       round(CASE WHEN st.sd <> 0
+                  THEN abs((st.mu - 1.0) / (st.sd / sqrt(CAST(500.0 AS DOUBLE)))) END, 6) AS tstat
+FROM (
+  SELECT user_id,
+         min(s) FILTER (WHERE s > 0) AS mn_pos,
+         max(s) AS mx, avg(s) AS mu, sum(s) AS tot,
+         median(s) AS med, stddev_samp(s) AS sd
+  FROM store GROUP BY user_id
+) st
+JOIN sqv q25 ON q25.user_id = st.user_id AND q25.i = 1
+JOIN sqv q75 ON q75.user_id = st.user_id AND q75.i = 2
+""".replace("parquet.`/root/repo/tests/golden/surprise_rs.parquet`",
+            "parquet.`/root/repo/tests/golden/surprise_rs.parquet`"),
+"""
+WITH series AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+nn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),
+hq AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM series
+),
+th AS (
+  SELECT b.user_id, b.i,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM hq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(1.0 AS DOUBLE) / 3.0 AS p
+                UNION ALL SELECT 2, CAST(2.0 AS DOUBLE) / 3.0) p
+  ) b
+  JOIN hq lo ON lo.user_id = b.user_id
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.user_id = b.user_id
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+),
+sym AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.v <= t1.q THEN 0 WHEN s.v <= t2.q THEN 1 ELSE 2 END AS sy
+  FROM series s
+  JOIN th t1 ON t1.user_id = s.user_id AND t1.i = 1
+  JOIN th t2 ON t2.user_id = s.user_id AND t2.i = 2
+),
+rsl AS (
+  SELECT nn.user_id, L.t,
+         CAST(round(nn.n * CAST(0.2 AS DOUBLE)) AS BIGINT) AS mem
+  FROM nn JOIN read_parquet('/root/repo/tests/golden/surprise_rs.parquet') L
+    ON L.n = nn.n
+),
+pv AS (
+  SELECT r.user_id, r.t,
+         avg(CASE WHEN m.sy = st.sy THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) AS p
+  FROM rsl r
+  JOIN sym st ON st.user_id = r.user_id AND st.rn = r.t
+  JOIN sym m ON m.user_id = r.user_id
+            AND m.rn >= r.t - r.mem AND m.rn < r.t
+  GROUP BY r.user_id, r.t
+),
+rcnt AS (
+  SELECT user_id, count(*) AS c FROM rsl GROUP BY user_id
+),
+store AS (
+  SELECT user_id,
+         CASE WHEN p = 0 THEN CAST(0.0 AS DOUBLE) ELSE -ln(p) END AS s
+  FROM pv
+  UNION ALL
+  SELECT rcnt.user_id, CAST(0.0 AS DOUBLE) AS s
+  FROM rcnt
+  JOIN (SELECT a.rn * 23 + b.rn AS k
+        FROM (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+              (SELECT min(user_id) FROM series)) a
+        CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+              (SELECT min(user_id) FROM series)) b
+        WHERE a.rn * 23 + b.rn < 500) z
+    ON z.k < 500 - rcnt.c
+),
+shq AS (
+  SELECT user_id, s,
+         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM store
+),
+sqv AS (
+  SELECT b.user_id, b.i,
+         lo.s + (b.posc - floor(b.posc)) * (hi.s - lo.s) AS q
+  FROM (
+    SELECT h.user_id, p.i, h.n,
+           least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),
+                 CAST(h.n AS DOUBLE)) AS posc
+    FROM (SELECT DISTINCT user_id, n FROM shq) h
+    CROSS JOIN (SELECT 1 AS i, CAST(0.25 AS DOUBLE) AS p
+                UNION ALL SELECT 2, CAST(0.75 AS DOUBLE)) p
+  ) b
+  JOIN shq lo ON lo.user_id = b.user_id
+             AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN shq hi ON hi.user_id = b.user_id
+             AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)
+)
+SELECT st.user_id,
+       round(st.mn_pos, 6) AS min,
+       round(st.mx, 6) AS max,
+       round(st.mu, 6) AS mean,
+       round(st.tot, 6) AS sum,
+       round(st.med, 6) AS median,
+       round(q25.q, 6) AS lq,
+       round(q75.q, 6) AS uq,
+       round(st.sd, 6) AS std,
+       round(CASE WHEN st.sd <> 0
+                  THEN abs((st.mu - 1.0) / (st.sd / sqrt(CAST(500.0 AS DOUBLE)))) END, 6) AS tstat
+FROM (
+  SELECT user_id,
+         min(s) FILTER (WHERE s > 0) AS mn_pos,
+         max(s) AS mx, avg(s) AS mu, sum(s) AS tot,
+         median(s) AS med, stddev_samp(s) AS sd
+  FROM store GROUP BY user_id
+) st
+JOIN sqv q25 ON q25.user_id = st.user_id AND q25.i = 1
+JOIN sqv q75 ON q75.user_id = st.user_id AND q75.i = 2
+""")

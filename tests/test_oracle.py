@@ -982,3 +982,34 @@ def test_r2v_wl_haar_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r2w_surprise_mirror_kernel():
+    """FC_Surprise 'dist': the seeded scan positions depend only on N
+    (precomputed lookup); everything else recomputed from data."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.symbolic import surprise
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_surprise"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    for u, v in series:
+        o = surprise(np.array(v, dtype=np.float64))
+        for col, w in o.items():
+            got = df.loc[u][col.lower()]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
