@@ -5522,3 +5522,172 @@ FROM (
 JOIN sqv q25 ON q25.user_id = st.user_id AND q25.i = 1
 JOIN sqv q75 ON q75.user_id = st.user_id AND q75.i = 2
 """)
+
+
+# --- PD_PeriodicityWang (c22 PD_PeriodicityWang.c via Correlation.py:326) ---
+# The splinefit3 detrend's projection matrix depends only on the series
+# length (knots at 0, floor(N/2)-1, N-1), precomputed to
+# tests/golden/spline_hat.parquet (scripts/gen_spline_hat_golden.py);
+# the oracle replays the detrend as a matvec join, then the raw
+# autocovariance to ceil(N/3), the strict slope-sign peak/trough scan,
+# and the seven-threshold first-qualifying-peak rule (default 1).
+QUERIES["user_periodicity_wang"] = _q2("""
+WITH series AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+nn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),
+hres AS (
+  SELECT s.user_id, s.rn AS i, s.v - sum(H.h * b.v) AS r
+  FROM series s
+  JOIN nn ON nn.user_id = s.user_id
+  JOIN parquet.`/root/repo/tests/golden/spline_hat.parquet` H
+    ON H.n = nn.n AND H.i = s.rn
+  JOIN series b ON b.user_id = s.user_id AND b.rn = H.j
+  GROUP BY s.user_id, s.rn, s.v
+),
+acv AS (
+  SELECT a.user_id, b.i - a.i AS tau,
+         sum(a.r * b.r) / (max(nn.n) - (b.i - a.i)) AS acf
+  FROM hres a
+  JOIN hres b ON b.user_id = a.user_id AND b.i > a.i
+  JOIN nn ON nn.user_id = a.user_id
+  WHERE b.i - a.i <= CAST(ceil(CAST(nn.n AS DOUBLE) / 3.0) AS BIGINT)
+  GROUP BY a.user_id, b.i - a.i
+),
+sl AS (
+  SELECT user_id, tau, acf,
+         acf - lag(acf) OVER (PARTITION BY user_id ORDER BY tau) AS si,
+         lead(acf) OVER (PARTITION BY user_id ORDER BY tau) - acf AS so
+  FROM acv
+),
+pk AS (
+  SELECT user_id, tau AS p, acf AS acfp FROM sl
+  WHERE si > 0 AND so < 0
+),
+tr AS (
+  SELECT user_id, tau AS q, acf AS acfq FROM sl
+  WHERE si < 0 AND so > 0
+),
+cand AS (
+  SELECT p.user_id, p.p, p.acfp, tq.acfq
+  FROM pk p
+  JOIN (SELECT p2.user_id, p2.p, max(t2.q) AS lastq
+        FROM pk p2 JOIN tr t2 ON t2.user_id = p2.user_id AND t2.q < p2.p
+        GROUP BY p2.user_id, p2.p) lt
+    ON lt.user_id = p.user_id AND lt.p = p.p
+  JOIN tr tq ON tq.user_id = p.user_id AND tq.q = lt.lastq
+  WHERE p.acfp >= 0
+),
+ths AS (
+  SELECT nn.user_id, k.k,
+         CASE k.k WHEN 1 THEN CAST(0.0 AS DOUBLE)
+                  WHEN 2 THEN CAST(0.01 AS DOUBLE)
+                  WHEN 3 THEN CAST(0.1 AS DOUBLE)
+                  WHEN 4 THEN CAST(0.2 AS DOUBLE)
+                  WHEN 5 THEN 1.0 / sqrt(CAST(nn.n AS DOUBLE))
+                  WHEN 6 THEN 5.0 / sqrt(CAST(nn.n AS DOUBLE))
+                  ELSE 10.0 / sqrt(CAST(nn.n AS DOUBLE)) END AS th
+  FROM nn
+  CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+              UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+              UNION ALL SELECT 7) k
+),
+wins AS (
+  SELECT t.user_id, t.k, min(c.p) AS p
+  FROM ths t
+  LEFT JOIN cand c ON c.user_id = t.user_id AND c.acfp - c.acfq >= t.th
+  GROUP BY t.user_id, t.k
+)
+SELECT user_id,
+       round(coalesce(max(CASE WHEN k = 1 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th1,
+       round(coalesce(max(CASE WHEN k = 2 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th2,
+       round(coalesce(max(CASE WHEN k = 3 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th3,
+       round(coalesce(max(CASE WHEN k = 4 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th4,
+       round(coalesce(max(CASE WHEN k = 5 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th5,
+       round(coalesce(max(CASE WHEN k = 6 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th6,
+       round(coalesce(max(CASE WHEN k = 7 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th7
+FROM wins GROUP BY user_id
+""",
+"""
+WITH series AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+nn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),
+hres AS (
+  SELECT s.user_id, s.rn AS i, s.v - sum(H.h * b.v) AS r
+  FROM series s
+  JOIN nn ON nn.user_id = s.user_id
+  JOIN read_parquet('/root/repo/tests/golden/spline_hat.parquet') H
+    ON H.n = nn.n AND H.i = s.rn
+  JOIN series b ON b.user_id = s.user_id AND b.rn = H.j
+  GROUP BY s.user_id, s.rn, s.v
+),
+acv AS (
+  SELECT a.user_id, b.i - a.i AS tau,
+         sum(a.r * b.r) / (max(nn.n) - (b.i - a.i)) AS acf
+  FROM hres a
+  JOIN hres b ON b.user_id = a.user_id AND b.i > a.i
+  JOIN nn ON nn.user_id = a.user_id
+  WHERE b.i - a.i <= CAST(ceil(CAST(nn.n AS DOUBLE) / 3.0) AS BIGINT)
+  GROUP BY a.user_id, b.i - a.i
+),
+sl AS (
+  SELECT user_id, tau, acf,
+         acf - lag(acf) OVER (PARTITION BY user_id ORDER BY tau) AS si,
+         lead(acf) OVER (PARTITION BY user_id ORDER BY tau) - acf AS so
+  FROM acv
+),
+pk AS (
+  SELECT user_id, tau AS p, acf AS acfp FROM sl
+  WHERE si > 0 AND so < 0
+),
+tr AS (
+  SELECT user_id, tau AS q, acf AS acfq FROM sl
+  WHERE si < 0 AND so > 0
+),
+cand AS (
+  SELECT p.user_id, p.p, p.acfp, tq.acfq
+  FROM pk p
+  JOIN (SELECT p2.user_id, p2.p, max(t2.q) AS lastq
+        FROM pk p2 JOIN tr t2 ON t2.user_id = p2.user_id AND t2.q < p2.p
+        GROUP BY p2.user_id, p2.p) lt
+    ON lt.user_id = p.user_id AND lt.p = p.p
+  JOIN tr tq ON tq.user_id = p.user_id AND tq.q = lt.lastq
+  WHERE p.acfp >= 0
+),
+ths AS (
+  SELECT nn.user_id, k.k,
+         CASE k.k WHEN 1 THEN CAST(0.0 AS DOUBLE)
+                  WHEN 2 THEN CAST(0.01 AS DOUBLE)
+                  WHEN 3 THEN CAST(0.1 AS DOUBLE)
+                  WHEN 4 THEN CAST(0.2 AS DOUBLE)
+                  WHEN 5 THEN 1.0 / sqrt(CAST(nn.n AS DOUBLE))
+                  WHEN 6 THEN 5.0 / sqrt(CAST(nn.n AS DOUBLE))
+                  ELSE 10.0 / sqrt(CAST(nn.n AS DOUBLE)) END AS th
+  FROM nn
+  CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+              UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+              UNION ALL SELECT 7) k
+),
+wins AS (
+  SELECT t.user_id, t.k, min(c.p) AS p
+  FROM ths t
+  LEFT JOIN cand c ON c.user_id = t.user_id AND c.acfp - c.acfq >= t.th
+  GROUP BY t.user_id, t.k
+)
+SELECT user_id,
+       round(coalesce(max(CASE WHEN k = 1 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th1,
+       round(coalesce(max(CASE WHEN k = 2 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th2,
+       round(coalesce(max(CASE WHEN k = 3 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th3,
+       round(coalesce(max(CASE WHEN k = 4 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th4,
+       round(coalesce(max(CASE WHEN k = 5 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th5,
+       round(coalesce(max(CASE WHEN k = 6 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th6,
+       round(coalesce(max(CASE WHEN k = 7 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th7
+FROM wins GROUP BY user_id
+""")

@@ -1013,3 +1013,30 @@ def test_r2w_surprise_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r2x_periodicity_wang_mirror_kernel():
+    """PD_PeriodicityWang: spline detrend via the per-N hat-matrix
+    lookup; all seven threshold outputs vs the kernel."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.embedding import periodicity_wang
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_periodicity_wang"]["duck"]).fetchdf()
+    df = df.set_index("user_id")
+    for u, v in series:
+        o = periodicity_wang(np.array(v, dtype=np.float64))
+        for col, w in o.items():
+            assert np.isclose(df.loc[u][col], round(w, 6), atol=2e-6), (
+                u, col)
