@@ -5691,3 +5691,15 @@ SELECT user_id,
        round(coalesce(max(CASE WHEN k = 7 THEN CAST(p AS DOUBLE) END), CAST(1.0 AS DOUBLE)), 6) AS th7
 FROM wins GROUP BY user_id
 """)
+
+
+# --- WL_DetailCoeffs 'db3' (Wavelet.py:109-191), complete -------------------
+# The level-l reconstructed detail is a LINEAR operator on y whose
+# matrix depends only on (N, level) — precomputed by pushing the
+# identity through the engine's pywt-semantics cascade
+# (scripts/gen_wavelet_golden.py -> tests/golden/wavelet_detail.parquet,
+# zeros dropped). The oracle replays every level as a matvec join and
+# computes the per-level |detail| mean/median/max plus the cross-level
+# statistics (argmax, largest/second ratio, sum-ratio selector, std,
+# max-vs-median correlation) from the data.
+QUERIES["user_wl_detailcoeffs"] = _q2('\nWITH series AS (\n  SELECT user_id,\n         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nnn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),\ndets AS (\n  SELECT s.user_id, D.level, s.rn AS i, abs(sum(D.d * b.v)) AS ad\n  FROM series s\n  JOIN nn ON nn.user_id = s.user_id\n  JOIN parquet.`/root/repo/tests/golden/wavelet_detail.parquet` D ON D.n = nn.n AND D.i = s.rn\n  JOIN series b ON b.user_id = s.user_id AND b.rn = D.j\n  GROUP BY s.user_id, D.level, s.rn\n),\nfull_dets AS (\n  SELECT s.user_id, lv.level, s.rn AS i,\n         coalesce(d.ad, CAST(0.0 AS DOUBLE)) AS ad\n  FROM series s\n  JOIN nn ON nn.user_id = s.user_id\n  JOIN (SELECT DISTINCT n, level FROM parquet.`/root/repo/tests/golden/wavelet_detail.parquet`) lv ON lv.n = nn.n\n  LEFT JOIN dets d ON d.user_id = s.user_id AND d.level = lv.level\n                  AND d.i = s.rn\n),\npl AS (\n  SELECT user_id, level,\n         avg(ad) AS m_mean, median(ad) AS m_med, max(ad) AS m_max\n  FROM full_dets GROUP BY user_id, level\n),\nplw AS (\n  SELECT user_id, level, m_mean, m_med, m_max,\n         max(m_mean) OVER (PARTITION BY user_id) AS g_mean,\n         max(m_med)  OVER (PARTITION BY user_id) AS g_med,\n         max(m_max)  OVER (PARTITION BY user_id) AS g_max,\n         row_number() OVER (PARTITION BY user_id ORDER BY m_mean DESC, level) AS r_mean,\n         row_number() OVER (PARTITION BY user_id ORDER BY m_med DESC, level) AS r_med,\n         row_number() OVER (PARTITION BY user_id ORDER BY m_max DESC, level) AS r_max\n  FROM pl\n),\npv AS (\n  SELECT user_id, count(*) AS k,\n         max(CASE WHEN level = 1 THEN m_mean END) AS mean1,\n         max(CASE WHEN level = 2 THEN m_mean END) AS mean2,\n         max(CASE WHEN level = 3 THEN m_mean END) AS mean3,\n         max(CASE WHEN level = 4 THEN m_mean END) AS mean4,\n         max(CASE WHEN level = 1 THEN m_med END) AS med1,\n         max(CASE WHEN level = 2 THEN m_med END) AS med2,\n         max(CASE WHEN level = 3 THEN m_med END) AS med3,\n         max(CASE WHEN level = 4 THEN m_med END) AS med4,\n         max(m_mean) AS mx_mean, stddev_samp(m_mean) AS sd_mean,\n         max(m_med) AS mx_med, stddev_samp(m_med) AS sd_med,\n         max(m_max) AS mx_max, stddev_samp(m_max) AS sd_max,\n         min(CASE WHEN m_mean = g_mean THEN level END) - 1 AS wm_mean,\n         min(CASE WHEN m_med = g_med THEN level END) - 1 AS wm_med,\n         min(CASE WHEN m_max = g_max THEN level END) - 1 AS wm_max,\n         max(CASE WHEN r_mean = 2 THEN m_mean END) AS second_mean,\n         max(CASE WHEN r_med = 2 THEN m_med END) AS second_med,\n         max(CASE WHEN r_max = 2 THEN m_max END) AS second_max,\n         corr(m_max, m_med) AS ccf\n  FROM plw GROUP BY user_id\n)\nSELECT user_id,\n       round(mx_mean, 6) AS max_mean,\n       round(sd_mean, 6) AS std_mean,\n       round(CAST(wm_mean AS DOUBLE), 6) AS wheremax_mean,\n       round(mx_mean / nullif(second_mean, CAST(0.0 AS DOUBLE)), 6) AS max1on2_mean,\n       round(CASE WHEN k <= 3 THEN CAST(1.0 AS DOUBLE)\n                  WHEN abs(mean1 / nullif(mean3 + mean4, CAST(0.0 AS DOUBLE)) - 1.0)\n                       <= abs((mean1 + mean2) / nullif(mean4, CAST(0.0 AS DOUBLE)) - 1.0)\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END, 6) AS wslesr_mean,\n       round(mx_med, 6) AS max_median,\n       round(sd_med, 6) AS std_median,\n       round(CAST(wm_med AS DOUBLE), 6) AS wheremax_median,\n       round(mx_med / nullif(second_med, CAST(0.0 AS DOUBLE)), 6) AS max1on2_median,\n       round(CASE WHEN k <= 3 THEN CAST(1.0 AS DOUBLE)\n                  WHEN abs(med1 / nullif(med3 + med4, CAST(0.0 AS DOUBLE)) - 1.0)\n                       <= abs((med1 + med2) / nullif(med4, CAST(0.0 AS DOUBLE)) - 1.0)\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END, 6) AS wslesr_median,\n       round(mx_max, 6) AS max_max,\n       round(sd_max, 6) AS std_max,\n       round(CAST(wm_max AS DOUBLE), 6) AS wheremax_max,\n       round(mx_max / nullif(second_max, CAST(0.0 AS DOUBLE)), 6) AS max1on2_max,\n       round(CASE WHEN k <= 3 THEN CAST(1.0 AS DOUBLE)\n                  WHEN abs(g1.max1 / nullif(g1.max3 + g1.max4, CAST(0.0 AS DOUBLE)) - 1.0)\n                       <= abs((g1.max1 + g1.max2) / nullif(g1.max4, CAST(0.0 AS DOUBLE)) - 1.0)\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END, 6) AS wslesr_max,\n       round(ccf, 6) AS corrcoef_max_medians\nFROM pv\nJOIN (SELECT user_id AS uid2,\n             max(CASE WHEN level = 1 THEN m_max END) AS max1,\n             max(CASE WHEN level = 2 THEN m_max END) AS max2,\n             max(CASE WHEN level = 3 THEN m_max END) AS max3,\n             max(CASE WHEN level = 4 THEN m_max END) AS max4\n      FROM pl GROUP BY user_id) g1 ON g1.uid2 = pv.user_id\n', "\nWITH series AS (\n  SELECT user_id,\n         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nnn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),\ndets AS (\n  SELECT s.user_id, D.level, s.rn AS i, abs(sum(D.d * b.v)) AS ad\n  FROM series s\n  JOIN nn ON nn.user_id = s.user_id\n  JOIN read_parquet('/root/repo/tests/golden/wavelet_detail.parquet') D ON D.n = nn.n AND D.i = s.rn\n  JOIN series b ON b.user_id = s.user_id AND b.rn = D.j\n  GROUP BY s.user_id, D.level, s.rn\n),\nfull_dets AS (\n  SELECT s.user_id, lv.level, s.rn AS i,\n         coalesce(d.ad, CAST(0.0 AS DOUBLE)) AS ad\n  FROM series s\n  JOIN nn ON nn.user_id = s.user_id\n  JOIN (SELECT DISTINCT n, level FROM read_parquet('/root/repo/tests/golden/wavelet_detail.parquet')) lv ON lv.n = nn.n\n  LEFT JOIN dets d ON d.user_id = s.user_id AND d.level = lv.level\n                  AND d.i = s.rn\n),\npl AS (\n  SELECT user_id, level,\n         avg(ad) AS m_mean, median(ad) AS m_med, max(ad) AS m_max\n  FROM full_dets GROUP BY user_id, level\n),\nplw AS (\n  SELECT user_id, level, m_mean, m_med, m_max,\n         max(m_mean) OVER (PARTITION BY user_id) AS g_mean,\n         max(m_med)  OVER (PARTITION BY user_id) AS g_med,\n         max(m_max)  OVER (PARTITION BY user_id) AS g_max,\n         row_number() OVER (PARTITION BY user_id ORDER BY m_mean DESC, level) AS r_mean,\n         row_number() OVER (PARTITION BY user_id ORDER BY m_med DESC, level) AS r_med,\n         row_number() OVER (PARTITION BY user_id ORDER BY m_max DESC, level) AS r_max\n  FROM pl\n),\npv AS (\n  SELECT user_id, count(*) AS k,\n         max(CASE WHEN level = 1 THEN m_mean END) AS mean1,\n         max(CASE WHEN level = 2 THEN m_mean END) AS mean2,\n         max(CASE WHEN level = 3 THEN m_mean END) AS mean3,\n         max(CASE WHEN level = 4 THEN m_mean END) AS mean4,\n         max(CASE WHEN level = 1 THEN m_med END) AS med1,\n         max(CASE WHEN level = 2 THEN m_med END) AS med2,\n         max(CASE WHEN level = 3 THEN m_med END) AS med3,\n         max(CASE WHEN level = 4 THEN m_med END) AS med4,\n         max(m_mean) AS mx_mean, stddev_samp(m_mean) AS sd_mean,\n         max(m_med) AS mx_med, stddev_samp(m_med) AS sd_med,\n         max(m_max) AS mx_max, stddev_samp(m_max) AS sd_max,\n         min(CASE WHEN m_mean = g_mean THEN level END) - 1 AS wm_mean,\n         min(CASE WHEN m_med = g_med THEN level END) - 1 AS wm_med,\n         min(CASE WHEN m_max = g_max THEN level END) - 1 AS wm_max,\n         max(CASE WHEN r_mean = 2 THEN m_mean END) AS second_mean,\n         max(CASE WHEN r_med = 2 THEN m_med END) AS second_med,\n         max(CASE WHEN r_max = 2 THEN m_max END) AS second_max,\n         corr(m_max, m_med) AS ccf\n  FROM plw GROUP BY user_id\n)\nSELECT user_id,\n       round(mx_mean, 6) AS max_mean,\n       round(sd_mean, 6) AS std_mean,\n       round(CAST(wm_mean AS DOUBLE), 6) AS wheremax_mean,\n       round(mx_mean / nullif(second_mean, CAST(0.0 AS DOUBLE)), 6) AS max1on2_mean,\n       round(CASE WHEN k <= 3 THEN CAST(1.0 AS DOUBLE)\n                  WHEN abs(mean1 / nullif(mean3 + mean4, CAST(0.0 AS DOUBLE)) - 1.0)\n                       <= abs((mean1 + mean2) / nullif(mean4, CAST(0.0 AS DOUBLE)) - 1.0)\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END, 6) AS wslesr_mean,\n       round(mx_med, 6) AS max_median,\n       round(sd_med, 6) AS std_median,\n       round(CAST(wm_med AS DOUBLE), 6) AS wheremax_median,\n       round(mx_med / nullif(second_med, CAST(0.0 AS DOUBLE)), 6) AS max1on2_median,\n       round(CASE WHEN k <= 3 THEN CAST(1.0 AS DOUBLE)\n                  WHEN abs(med1 / nullif(med3 + med4, CAST(0.0 AS DOUBLE)) - 1.0)\n                       <= abs((med1 + med2) / nullif(med4, CAST(0.0 AS DOUBLE)) - 1.0)\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END, 6) AS wslesr_median,\n       round(mx_max, 6) AS max_max,\n       round(sd_max, 6) AS std_max,\n       round(CAST(wm_max AS DOUBLE), 6) AS wheremax_max,\n       round(mx_max / nullif(second_max, CAST(0.0 AS DOUBLE)), 6) AS max1on2_max,\n       round(CASE WHEN k <= 3 THEN CAST(1.0 AS DOUBLE)\n                  WHEN abs(g1.max1 / nullif(g1.max3 + g1.max4, CAST(0.0 AS DOUBLE)) - 1.0)\n                       <= abs((g1.max1 + g1.max2) / nullif(g1.max4, CAST(0.0 AS DOUBLE)) - 1.0)\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END, 6) AS wslesr_max,\n       round(ccf, 6) AS corrcoef_max_medians\nFROM pv\nJOIN (SELECT user_id AS uid2,\n             max(CASE WHEN level = 1 THEN m_max END) AS max1,\n             max(CASE WHEN level = 2 THEN m_max END) AS max2,\n             max(CASE WHEN level = 3 THEN m_max END) AS max3,\n             max(CASE WHEN level = 4 THEN m_max END) AS max4\n      FROM pl GROUP BY user_id) g1 ON g1.uid2 = pv.user_id\n")

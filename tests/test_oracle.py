@@ -1040,3 +1040,34 @@ def test_r2x_periodicity_wang_mirror_kernel():
         for col, w in o.items():
             assert np.isclose(df.loc[u][col], round(w, 6), atol=2e-6), (
                 u, col)
+
+
+def test_r2y_wl_detailcoeffs_mirror_kernel():
+    """WL_DetailCoeffs 'db3': per-(N, level) linear detail operators from
+    the golden lookup; the full 16-output surface vs the kernel."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.wavelet import detail_coeffs
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_wl_detailcoeffs"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    for u, v in series:
+        o = detail_coeffs(np.array(v, dtype=np.float64))
+        for col, w in o.items():
+            got = df.loc[u][col.lower()]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
