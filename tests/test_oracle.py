@@ -1071,3 +1071,35 @@ def test_r2y_wl_detailcoeffs_mirror_kernel():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r2z_cwt_features_mirror_kernel():
+    """WL_cwt 'db3': per-scale convolution filters from the golden
+    lookup; the full 33-output surface vs the kernel."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.wavelet import cwt_features
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_cwt_features"]["duck"]).fetchdf()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.set_index("user_id")
+    for u, v in series:
+        o = cwt_features(np.array(v, dtype=np.float64))
+        for col, w in o.items():
+            got = df.loc[u][col.lower()]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6, rtol=1e-6), (
+                    u, col, got, w)
