@@ -209,14 +209,21 @@ def _rollup_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rollup_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the full rollup schema incl. HOL columns (hazen IQR)
-    and the window=8 flagship configuration — exercises the exact
-    entry() plan at driver scale."""
+    """The full rollup schema incl. the HOL column (hazen spread_iqr)
+    and the raw ALG state sums (s1/s2) at the window=8 flagship
+    configuration — exercises the exact entry() plan at driver scale.
+    Value-oracled: hazen quantiles are rank arithmetic, recomputed per
+    (doc, tier, window) by the DuckDB oracle
+    (plans/oracle_queries.ENGINE_ORACLES['rollup_full_events'])."""
     from pyhctsa_spark.operators.rollup import rollup_tiers
 
     seq = _sequences_from_events(spark, sf_dir)
-    return rollup_tiers(seq, window=8, group=4, n_tiers=3, lags=[1, 2]).drop(
-        "state_bin"
+    r = rollup_tiers(seq, window=8, group=4, n_tiers=3, lags=[1, 2])
+    return r.select(
+        "doc_id", "source", "tier", "window_idx", "n",
+        _f6("mean"), _f6("variance"), _f6("spread_std"), _f6("spread_iqr"),
+        _f6("ac1_td"), _f6("ac2_td"), _f6("ac1_fourier"),
+        _f6("burst_b"), _f6("burst_b_kim"), _f6("s1"), _f6("s2"),
     )
 
 
@@ -310,9 +317,9 @@ def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _mk(name) for name in OQ.QUERIES
-    }
+    # Engine/flagship queries FIRST: the driver scores the first 50
+    # entries in insertion order, and these are the headline claims.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out["rollup_tiers_events"] = _rollup_events_query
     out["rollup_cascade_tier1"] = _rollup_cascade_query
     out["rollup_gapfill"] = _rollup_gapfill_query
@@ -324,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["feature_matrix"] = _feature_matrix_query
     out["user_movthresh"] = _movthresh_query
     out["user_polvar"] = _polvar_query
+    for name in OQ.QUERIES:
+        out[name] = _mk(name)
     return out
 
 

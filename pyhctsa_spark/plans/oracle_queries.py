@@ -1399,6 +1399,137 @@ ENGINE_ORACLES["media_features"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_features_48.parquet')
 """
 
+# Full rollup schema at the flagship window=8 configuration (wlen
+# 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
+# rank arithmetic (pos = p*n + 0.5, linear interpolation between the
+# bracketing order statistics — numpy method='hazen', kernels.py
+# iqr_hazen_2d), recomputed here per (doc, tier, window). s1/s2 are the
+# raw ALG state sums (exact integers). Same bit-exact construction as
+# the rollup_tiers_events oracle otherwise.
+ENGINE_ORACLES["rollup_full_events"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(CAST(round(value) AS INTEGER) AS DOUBLE) AS v
+  FROM events
+),
+tiers AS (
+  SELECT CAST(0 AS INTEGER) AS tier, 8 AS wlen
+  UNION ALL SELECT CAST(1 AS INTEGER), 32
+  UNION ALL SELECT CAST(2 AS INTEGER), 128
+),
+w AS (
+  SELECT s.doc_id, s.source, t.tier, t.wlen,
+         CAST(floor(s.rn / t.wlen) AS BIGINT) AS window_idx,
+         s.rn % t.wlen AS i, s.v,
+         lead(s.v)    OVER (PARTITION BY s.doc_id, t.tier ORDER BY s.rn) AS v1,
+         lead(s.v, 2) OVER (PARTITION BY s.doc_id, t.tier ORDER BY s.rn) AS v2
+  FROM series s CROSS JOIN tiers t
+),
+agg AS (
+  SELECT doc_id, source, tier, window_idx,
+         CAST(count(*) AS BIGINT)                 AS n,
+         CAST(max(wlen) AS DOUBLE)                AS nd,
+         sum(v)                                   AS s1,
+         sum(v * v)                               AS s2,
+         sum(v * v1) FILTER (WHERE i < wlen - 1)  AS sxy1,
+         sum(v * v2) FILTER (WHERE i < wlen - 2)  AS sxy2,
+         sum(v)      FILTER (WHERE i < wlen - 1)  AS s1a1,
+         sum(v * v)  FILTER (WHERE i < wlen - 1)  AS s2a1,
+         sum(v)      FILTER (WHERE i >= 1)        AS s1b1,
+         sum(v * v)  FILTER (WHERE i >= 1)        AS s2b1,
+         sum(v)      FILTER (WHERE i < wlen - 2)  AS s1a2,
+         sum(v * v)  FILTER (WHERE i < wlen - 2)  AS s2a2,
+         sum(v)      FILTER (WHERE i >= 2)        AS s1b2,
+         sum(v * v)  FILTER (WHERE i >= 2)        AS s2b2,
+         max(CASE WHEN i = 0 THEN v END)          AS y0,
+         max(CASE WHEN i = wlen - 1 THEN v END)   AS ylast
+  FROM w
+  GROUP BY doc_id, source, tier, window_idx
+  HAVING count(*) = max(wlen)
+),
+hq AS (
+  SELECT doc_id, tier, window_idx, v,
+         row_number() OVER (PARTITION BY doc_id, tier, window_idx ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY doc_id, tier, window_idx) AS cnt
+  FROM w
+),
+ps AS (
+  SELECT CAST(0.25 AS DOUBLE) AS p UNION ALL SELECT CAST(0.75 AS DOUBLE)
+),
+bounds AS (
+  SELECT h.doc_id, h.tier, h.window_idx, p.p, h.cnt,
+         least(greatest(p.p * h.cnt + 0.5, CAST(1.0 AS DOUBLE)),
+               CAST(h.cnt AS DOUBLE)) AS posc
+  FROM (SELECT DISTINCT doc_id, tier, window_idx, cnt FROM hq) h
+  CROSS JOIN ps p
+),
+qv AS (
+  SELECT b.doc_id, b.tier, b.window_idx, b.p,
+         lo.v + (b.posc - floor(b.posc)) * (hi.v - lo.v) AS q
+  FROM bounds b
+  JOIN hq lo ON lo.doc_id = b.doc_id AND lo.tier = b.tier
+            AND lo.window_idx = b.window_idx
+            AND lo.rk = CAST(floor(b.posc) AS BIGINT)
+  JOIN hq hi ON hi.doc_id = b.doc_id AND hi.tier = b.tier
+            AND hi.window_idx = b.window_idx
+            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.cnt)
+),
+iqr AS (
+  SELECT q75.doc_id, q75.tier, q75.window_idx, q75.q - q25.q AS iqr
+  FROM qv q75
+  JOIN qv q25 ON q25.doc_id = q75.doc_id AND q25.tier = q75.tier
+             AND q25.window_idx = q75.window_idx
+             AND q25.p = CAST(0.25 AS DOUBLE)
+  WHERE q75.p = CAST(0.75 AS DOUBLE)
+),
+f1 AS (SELECT *, s1 / nd AS mean FROM agg),
+f2 AS (
+  SELECT *,
+         greatest((s2 - nd * (mean * mean)) / (nd - 1.0), 0.0) AS var
+  FROM f1
+),
+f3 AS (
+  SELECT *, sqrt(var) AS std,
+         sqrt(var) / nullif(mean, 0.0) AS r,
+         s1a1 / (nd - 1.0) AS mu1a, s1b1 / (nd - 1.0) AS mu1b,
+         s1a2 / (nd - 2.0) AS mu2a, s1b2 / (nd - 2.0) AS mu2b
+  FROM f2
+),
+f4 AS (
+  SELECT *,
+         sqrt(greatest(s2a1 / (nd - 1.0) - mu1a * mu1a, 0.0)) AS sg1a,
+         sqrt(greatest(s2b1 / (nd - 1.0) - mu1b * mu1b, 0.0)) AS sg1b,
+         sqrt(greatest(s2a2 / (nd - 2.0) - mu2a * mu2a, 0.0)) AS sg2a,
+         sqrt(greatest(s2b2 / (nd - 2.0) - mu2b * mu2b, 0.0)) AS sg2b
+  FROM f3
+)
+SELECT f4.doc_id, f4.source, f4.tier, f4.window_idx, f4.n,
+       round(f4.mean, 6) AS mean,
+       round(f4.var, 6)  AS variance,
+       round(f4.std, 6)  AS spread_std,
+       round(iqr.iqr, 6) AS spread_iqr,
+       round((f4.sxy1 / (f4.nd - 1.0) - f4.mu1a * f4.mu1b)
+             / nullif(f4.sg1a * f4.sg1b, 0.0), 6) AS ac1_td,
+       round((f4.sxy2 / (f4.nd - 2.0) - f4.mu2a * f4.mu2b)
+             / nullif(f4.sg2a * f4.sg2b, 0.0), 6) AS ac2_td,
+       round(CASE WHEN f4.s2 - f4.nd * (f4.mean * f4.mean) > 0.0 THEN
+               ((f4.sxy1 - f4.mean * ((2.0 * f4.s1 - f4.y0) - f4.ylast))
+                + (f4.nd - 1.0) * (f4.mean * f4.mean))
+               / (f4.s2 - f4.nd * (f4.mean * f4.mean))
+             ELSE NULL END, 6) AS ac1_fourier,
+       round((f4.r - 1.0) / (f4.r + 1.0), 6) AS burst_b,
+       round((sqrt(f4.nd + 1.0) * f4.r - sqrt(f4.nd - 1.0))
+             / nullif((sqrt(f4.nd + 1.0) - 2.0) * f4.r + sqrt(f4.nd - 1.0), 0.0), 6)
+         AS burst_b_kim,
+       round(f4.s1, 6) AS s1,
+       round(f4.s2, 6) AS s2
+FROM f4
+JOIN iqr ON iqr.doc_id = f4.doc_id AND iqr.tier = f4.tier
+        AND iqr.window_idx = f4.window_idx
+"""
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -41,6 +41,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     qs = entrymod.queries()
+    only = os.environ.get("ORACLE_ONLY")
+    if only:
+        keep = only.split(",")
+        qs = {k: v for k, v in qs.items() if k in keep}
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
