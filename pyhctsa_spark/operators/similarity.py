@@ -114,15 +114,28 @@ def ivf_build(
         [(j, [float(x) for x in C[j]]) for j in range(k)],
         "cid int, centroid array<double>",
     ).withColumn("centnorm", _norm(F.col("centroid")))
-    joined = base.crossJoin(F.broadcast(cents))
-    cos = _dot(F.col("cv"), F.col("centroid")) / (F.col("cnorm") * F.col("centnorm"))
-    w = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("cid"))
-    assigned = (
-        joined.select("nid", "cv", "cnorm", "cid", cos.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") == 1)
-        .select("nid", "cv", "cnorm", "cid")
-    )
+
+    # Map-side assignment: centroids are unit vectors, so the nearest
+    # centroid by cosine is argmax(cv @ C^T) — the per-row norm is a
+    # positive scalar that cannot change the argmax. One Arrow-batched
+    # matmul per batch, ZERO shuffle of the corpus (the previous shape —
+    # crossJoin + row_number() OVER (PARTITION BY nid) — hash-shuffled
+    # corpus x k rows, a non-starter at 10^12 vectors). Ties resolve to
+    # the smallest cid (np.argmax first occurrence), matching the old
+    # (desc sim, asc cid) ranking.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nearest(cv):
+        M = np.stack(cv.to_numpy())
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf cannot resolve
+    _nearest.__annotations__ = {"cv": pd.Series, "return": pd.Series}
+    _nearest_cid = pandas_udf(_nearest, "int")
+
+    assigned = base.withColumn("cid", _nearest_cid(F.col("cv")))
     return cents, assigned
 
 

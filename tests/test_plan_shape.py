@@ -61,9 +61,13 @@ def test_pipeline_join_strategies(spark):
         "simhash": (simhash_near_pairs_2x32(simhash_md5(docs)), 0),
         "emb_lsh": (embedding_near_dup_pairs(emb, min_cosine=0.3), 0),
         "knn_bf": (knn_bruteforce(emb, qs, k=3), 1),
-        "knn_ivf": (knn_ivf(emb, qs, k=3), 2),
+        "knn_ivf": (knn_ivf(emb, qs, k=3), 1),
     }
     for name, (df, max_bnl) in cases.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoop") <= max_bnl, name
+    # IVF inverted-list assignment must be map-side (argmax over the
+    # broadcast centroid matrix) — the corpus is never hash-shuffled
+    ivf_plan = cases["knn_ivf"][0]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(nid" not in ivf_plan
