@@ -101,6 +101,72 @@ _movthresh_query = _events_kernel_query(_MOVTHRESH_KEYS, _movthresh_kernel)
 _polvar_query = _events_kernel_query(["polvar_d1_6"], _polvar_kernel)
 
 
+def _lz_kernel(y):
+    """EN_LZcomplexity (reference Entropy.py:542-631) on a tie-free view:
+    event values are 2-decimal quantized (ties exist), so add a
+    position-scaled offset rn*1e-6 — far above the seeded eps-noise
+    tie-break (~1e-15), far below the 0.01 value quantum — making the
+    rank symbolization deterministic and SQL-reproducible. The oracle
+    replays the LZ76 phrase scan as a recursive CTE."""
+    import numpy as np
+
+    from pyhctsa_spark.functions.entropy import lz_complexity
+
+    y2 = y + np.arange(1, len(y) + 1) * 1e-6
+    return {"lz2": lz_complexity(y2, 2)}
+
+
+_lz_query = _events_kernel_query(["lz2"], _lz_kernel)
+
+
+_EXPSM_KEYS = [
+    "alphamin_1", "cup_1", "alphamin",
+    "resid_mean", "resid_std", "resid_ac1", "dwts",
+]
+
+
+def _expsmooth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MF_ExpSmoothing (reference ModelFit.py:124-276) needs N > 100
+    (ntrain clamps to min 100, and N <= ntrain returns all-NaN), so the
+    per-user event series (N <= 86 at sf0.01) can't exercise it. This
+    view concatenates events per user_id%10 cohort ordered by
+    (user_id, event_id) — N ~ 1000 per series — so the two-stage alpha
+    search and the train/test residuals are all real. The DuckDB oracle
+    replays the smoothing recurrence as a recursive CTE and the
+    quadratic fits in closed form. (lbq_p/normksstat need chi2/normal
+    special functions — pytest-covered via residual_analysis.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema = "skey string, " + ", ".join(f"{k} double" for k in _EXPSM_KEYS)
+
+    def per_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from pyhctsa_spark.functions.model import exp_smoothing
+
+        pdf = pdf.sort_values(["user_id", "event_id"])
+        o = exp_smoothing(pdf["value"].to_numpy(np.float64))
+        return pd.DataFrame([{
+            "skey": pdf["skey"].iloc[0],
+            "alphamin_1": o["alphamin_1"],
+            "cup_1": o["cup_1"],
+            "alphamin": o["alphamin"],
+            "resid_mean": o["mean"],
+            "resid_std": o["std"],
+            "resid_ac1": o["AC1"],
+            "dwts": o["dwts"],
+        }])
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("g"), F.pmod(F.col("user_id"), F.lit(10)).cast("string")
+                 ).alias("skey"),
+        "user_id", "event_id", "value",
+    )
+    out = ev.groupBy("skey").applyInPandas(per_key, schema)
+    return out.select("skey", *[_f6(k) for k in _EXPSM_KEYS])
+
+
 def _mk(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         OQ.register_views(spark, sf_dir)
@@ -331,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["feature_matrix"] = _feature_matrix_query
     out["user_movthresh"] = _movthresh_query
     out["user_polvar"] = _polvar_query
+    out["user_lz2"] = _lz_query
+    out["user_expsmooth"] = _expsmooth_query
     for name in OQ.QUERIES:
         out[name] = _mk(name)
     return out
