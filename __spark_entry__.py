@@ -399,8 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_polvar"] = _polvar_query
     out["user_lz2"] = _lz_query
     out["user_expsmooth"] = _expsmooth_query
-    for name in OQ.QUERIES:
+    # round-3 catalog additions, promoted into the scored window
+    for name in ("user_embed2_angletau", "user_embed2_shapes"):
         out[name] = _mk(name)
+    for name in OQ.QUERIES:
+        if name not in out:
+            out[name] = _mk(name)
     return out
 
 

@@ -5872,3 +5872,23 @@ QUERIES["user_wl_detailcoeffs"] = _q2('\nWITH series AS (\n  SELECT user_id,\n  
 # reference's pover98 key-98/threshold-0.88 quirk, the 2-D entropy,
 # scale-summed crossings, and np.array_split half/fifth stationarity.
 QUERIES["user_cwt_features"] = _q2('\nWITH series AS (\n  SELECT user_id,\n         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nnn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),\nfmeta AS (\n  SELECT scale, count(*) AS lf,\n         CAST(floor((count(*) - 1) / 2.0) AS BIGINT) AS lo\n  FROM parquet.`/root/repo/tests/golden/cwt_filters.parquet` GROUP BY scale\n),\ncoef AS (\n  SELECT tgt.user_id, fm.scale, tgt.rn AS t,\n         sum(fl.f * coalesce(b.v, CAST(0.0 AS DOUBLE))) AS c\n  FROM series tgt\n  CROSS JOIN fmeta fm\n  JOIN parquet.`/root/repo/tests/golden/cwt_filters.parquet` fl ON fl.scale = fm.scale\n  LEFT JOIN series b ON b.user_id = tgt.user_id\n                    AND b.rn = tgt.rn + fm.lo - fl.k\n  GROUP BY tgt.user_id, fm.scale, tgt.rn\n),\nsc AS (\n  SELECT user_id, scale, t, c,\n         100.0 * (c * c) / sum(c * c) OVER (PARTITION BY user_id) AS s\n  FROM coef\n),\ngl AS (\n  SELECT user_id,\n         avg(c) AS meanc, avg(abs(c)) AS meanabsc,\n         median(abs(c)) AS medianabsc, max(abs(c)) AS maxabsc,\n         max(s) AS mxsc, avg(s) AS musc,\n         stddev_samp(s) AS sdsc, stddev_pop(s) AS sdsc0,\n         sum(s) AS sumsc,\n         CAST(count(*) AS DOUBLE) AS ne\n  FROM sc GROUP BY user_id\n),\npov AS (\n  SELECT s.user_id,\n         sum(s.s) FILTER (WHERE s.s > 0.99 * g.mxsc) / g.ne AS p99,\n         sum(s.s) FILTER (WHERE s.s > 0.88 * g.mxsc) / g.ne AS p98,\n         sum(s.s) FILTER (WHERE s.s > 0.95 * g.mxsc) / g.ne AS p95,\n         sum(s.s) FILTER (WHERE s.s > 0.90 * g.mxsc) / g.ne AS p90,\n         sum(s.s) FILTER (WHERE s.s > 0.80 * g.mxsc) / g.ne AS p80,\n         -sum((s.s / g.sumsc) * ln(s.s / g.sumsc))\n           FILTER (WHERE s.s > 0) AS sch\n  FROM sc s JOIN gl g ON g.user_id = s.user_id\n  GROUP BY s.user_id, g.ne, g.mxsc, g.sumsc\n),\nssc AS (\n  SELECT user_id, t, sum(s) AS v\n  FROM sc GROUP BY user_id, t\n),\nsscl AS (\n  SELECT user_id, t, v,\n         lead(v) OVER (PARTITION BY user_id ORDER BY t) AS v1,\n         max(v) OVER (PARTITION BY user_id) AS mx\n  FROM ssc\n),\nsscs AS (\n  SELECT s2.user_id,\n         max(s2.v) AS mx, min(s2.v) AS mn, median(s2.v) AS med,\n         stddev_pop(s2.v) AS sd0,\n         sum(CASE WHEN (s2.v - 0.5 * s2.mx) * (s2.v1 - 0.5 * s2.mx) < 0\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)\n           FILTER (WHERE s2.v1 IS NOT NULL) AS ncross,\n         CAST(count(*) AS DOUBLE) AS n\n  FROM sscl s2 GROUP BY s2.user_id\n),\nfcuts AS (\n  SELECT user_id,\n         CAST(floor(n / 5.0) AS BIGINT) AS q,\n         n - 5 * CAST(floor(n / 5.0) AS BIGINT) AS r\n  FROM nn\n),\nsegd AS (\n  SELECT s.user_id, s.s,\n         CASE WHEN s.t < CAST(floor(nn.n / 2.0) AS BIGINT) THEN 0 ELSE 1 END AS half,\n         CASE WHEN s.t < fc.q + least(fc.r, 1) THEN 0\n              WHEN s.t < 2 * fc.q + least(fc.r, 2) THEN 1\n              WHEN s.t < 3 * fc.q + least(fc.r, 3) THEN 2\n              WHEN s.t < 4 * fc.q + least(fc.r, 4) THEN 3\n              ELSE 4 END AS fifth\n  FROM sc s\n  JOIN nn ON nn.user_id = s.user_id\n  JOIN fcuts fc ON fc.user_id = s.user_id\n),\nhstats AS (\n  SELECT user_id,\n         avg(CASE WHEN half = 0 THEN s END) AS m1,\n         avg(CASE WHEN half = 1 THEN s END) AS m2,\n         stddev_samp(CASE WHEN half = 0 THEN s END) AS sd1,\n         stddev_samp(CASE WHEN half = 1 THEN s END) AS sd2\n  FROM segd GROUP BY user_id\n),\nfstats AS (\n  SELECT user_id, fifth, avg(s) AS m, stddev_samp(s) AS sd\n  FROM segd GROUP BY user_id, fifth\n),\nfagg AS (\n  SELECT user_id,\n         max(CASE WHEN fifth = 0 THEN m END) AS m51,\n         max(CASE WHEN fifth = 1 THEN m END) AS m52,\n         max(CASE WHEN fifth = 2 THEN m END) AS m53,\n         max(CASE WHEN fifth = 3 THEN m END) AS m54,\n         max(CASE WHEN fifth = 4 THEN m END) AS m55,\n         max(CASE WHEN fifth = 0 THEN sd END) AS s51,\n         max(CASE WHEN fifth = 1 THEN sd END) AS s52,\n         max(CASE WHEN fifth = 2 THEN sd END) AS s53,\n         max(CASE WHEN fifth = 3 THEN sd END) AS s54,\n         max(CASE WHEN fifth = 4 THEN sd END) AS s55,\n         avg(sd) AS msd, stddev_samp(m) AS sdm, stddev_samp(sd) AS sdsd\n  FROM fstats GROUP BY user_id\n)\nSELECT g.user_id,\n       round(g.meanc, 6) AS meanC,\n       round(g.meanabsc, 6) AS meanabsC,\n       round(g.medianabsc, 6) AS medianabsC,\n       round(g.maxabsc, 6) AS maxabsC,\n       round(g.maxabsc / nullif(g.meanabsc, CAST(0.0 AS DOUBLE)), 6) AS maxonmeanC,\n       round(g.mxsc / nullif(g.musc, CAST(0.0 AS DOUBLE)), 6) AS maxonmeanSC,\n       round(p.p99, 6) AS pover99, round(p.p98, 6) AS pover98,\n       round(p.p95, 6) AS pover95, round(p.p90, 6) AS pover90,\n       round(p.p80, 6) AS pover80,\n       round(p.sch, 6) AS SC_h,\n       round(ss.mx, 6) AS max_ssc, round(ss.mn, 6) AS min_ssc,\n       round(ss.mx / nullif(ss.med, CAST(0.0 AS DOUBLE)), 6) AS maxonmed_ssc,\n       round(ss.ncross / (ss.n - 1.0), 6) AS pcross_maxssc50,\n       round(ss.sd0, 6) AS std_ssc,\n       round((h.sd1 + h.sd2) / 2.0 / nullif(g.musc, CAST(0.0 AS DOUBLE)), 6) AS stat_2_m_s,\n       round(abs(h.m1 - h.m2) / sqrt(2.0)\n             / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_2_s_m,\n       round(abs(h.sd1 - h.sd2) / sqrt(2.0)\n             / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_2_s_s,\n       round(f.m51, 6) AS mean5_1, round(f.m52, 6) AS mean5_2,\n       round(f.m53, 6) AS mean5_3, round(f.m54, 6) AS mean5_4,\n       round(f.m55, 6) AS mean5_5,\n       round(f.s51, 6) AS std5_1, round(f.s52, 6) AS std5_2,\n       round(f.s53, 6) AS std5_3, round(f.s54, 6) AS std5_4,\n       round(f.s55, 6) AS std5_5,\n       round(f.msd / nullif(g.musc, CAST(0.0 AS DOUBLE)), 6) AS stat_5_m_s,\n       round(f.sdm / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_5_s_m,\n       round(f.sdsd / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_5_s_s\nFROM gl g\nJOIN pov p ON p.user_id = g.user_id\nJOIN sscs ss ON ss.user_id = g.user_id\nJOIN hstats h ON h.user_id = g.user_id\nJOIN fagg f ON f.user_id = g.user_id\n', "\nWITH series AS (\n  SELECT user_id,\n         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nnn AS (SELECT user_id, count(*) AS n FROM series GROUP BY user_id),\nfmeta AS (\n  SELECT scale, count(*) AS lf,\n         CAST(floor((count(*) - 1) / 2.0) AS BIGINT) AS lo\n  FROM read_parquet('/root/repo/tests/golden/cwt_filters.parquet') GROUP BY scale\n),\ncoef AS (\n  SELECT tgt.user_id, fm.scale, tgt.rn AS t,\n         sum(fl.f * coalesce(b.v, CAST(0.0 AS DOUBLE))) AS c\n  FROM series tgt\n  CROSS JOIN fmeta fm\n  JOIN read_parquet('/root/repo/tests/golden/cwt_filters.parquet') fl ON fl.scale = fm.scale\n  LEFT JOIN series b ON b.user_id = tgt.user_id\n                    AND b.rn = tgt.rn + fm.lo - fl.k\n  GROUP BY tgt.user_id, fm.scale, tgt.rn\n),\nsc AS (\n  SELECT user_id, scale, t, c,\n         100.0 * (c * c) / sum(c * c) OVER (PARTITION BY user_id) AS s\n  FROM coef\n),\ngl AS (\n  SELECT user_id,\n         avg(c) AS meanc, avg(abs(c)) AS meanabsc,\n         median(abs(c)) AS medianabsc, max(abs(c)) AS maxabsc,\n         max(s) AS mxsc, avg(s) AS musc,\n         stddev_samp(s) AS sdsc, stddev_pop(s) AS sdsc0,\n         sum(s) AS sumsc,\n         CAST(count(*) AS DOUBLE) AS ne\n  FROM sc GROUP BY user_id\n),\npov AS (\n  SELECT s.user_id,\n         sum(s.s) FILTER (WHERE s.s > 0.99 * g.mxsc) / g.ne AS p99,\n         sum(s.s) FILTER (WHERE s.s > 0.88 * g.mxsc) / g.ne AS p98,\n         sum(s.s) FILTER (WHERE s.s > 0.95 * g.mxsc) / g.ne AS p95,\n         sum(s.s) FILTER (WHERE s.s > 0.90 * g.mxsc) / g.ne AS p90,\n         sum(s.s) FILTER (WHERE s.s > 0.80 * g.mxsc) / g.ne AS p80,\n         -sum((s.s / g.sumsc) * ln(s.s / g.sumsc))\n           FILTER (WHERE s.s > 0) AS sch\n  FROM sc s JOIN gl g ON g.user_id = s.user_id\n  GROUP BY s.user_id, g.ne, g.mxsc, g.sumsc\n),\nssc AS (\n  SELECT user_id, t, sum(s) AS v\n  FROM sc GROUP BY user_id, t\n),\nsscl AS (\n  SELECT user_id, t, v,\n         lead(v) OVER (PARTITION BY user_id ORDER BY t) AS v1,\n         max(v) OVER (PARTITION BY user_id) AS mx\n  FROM ssc\n),\nsscs AS (\n  SELECT s2.user_id,\n         max(s2.v) AS mx, min(s2.v) AS mn, median(s2.v) AS med,\n         stddev_pop(s2.v) AS sd0,\n         sum(CASE WHEN (s2.v - 0.5 * s2.mx) * (s2.v1 - 0.5 * s2.mx) < 0\n                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)\n           FILTER (WHERE s2.v1 IS NOT NULL) AS ncross,\n         CAST(count(*) AS DOUBLE) AS n\n  FROM sscl s2 GROUP BY s2.user_id\n),\nfcuts AS (\n  SELECT user_id,\n         CAST(floor(n / 5.0) AS BIGINT) AS q,\n         n - 5 * CAST(floor(n / 5.0) AS BIGINT) AS r\n  FROM nn\n),\nsegd AS (\n  SELECT s.user_id, s.s,\n         CASE WHEN s.t < CAST(floor(nn.n / 2.0) AS BIGINT) THEN 0 ELSE 1 END AS half,\n         CASE WHEN s.t < fc.q + least(fc.r, 1) THEN 0\n              WHEN s.t < 2 * fc.q + least(fc.r, 2) THEN 1\n              WHEN s.t < 3 * fc.q + least(fc.r, 3) THEN 2\n              WHEN s.t < 4 * fc.q + least(fc.r, 4) THEN 3\n              ELSE 4 END AS fifth\n  FROM sc s\n  JOIN nn ON nn.user_id = s.user_id\n  JOIN fcuts fc ON fc.user_id = s.user_id\n),\nhstats AS (\n  SELECT user_id,\n         avg(CASE WHEN half = 0 THEN s END) AS m1,\n         avg(CASE WHEN half = 1 THEN s END) AS m2,\n         stddev_samp(CASE WHEN half = 0 THEN s END) AS sd1,\n         stddev_samp(CASE WHEN half = 1 THEN s END) AS sd2\n  FROM segd GROUP BY user_id\n),\nfstats AS (\n  SELECT user_id, fifth, avg(s) AS m, stddev_samp(s) AS sd\n  FROM segd GROUP BY user_id, fifth\n),\nfagg AS (\n  SELECT user_id,\n         max(CASE WHEN fifth = 0 THEN m END) AS m51,\n         max(CASE WHEN fifth = 1 THEN m END) AS m52,\n         max(CASE WHEN fifth = 2 THEN m END) AS m53,\n         max(CASE WHEN fifth = 3 THEN m END) AS m54,\n         max(CASE WHEN fifth = 4 THEN m END) AS m55,\n         max(CASE WHEN fifth = 0 THEN sd END) AS s51,\n         max(CASE WHEN fifth = 1 THEN sd END) AS s52,\n         max(CASE WHEN fifth = 2 THEN sd END) AS s53,\n         max(CASE WHEN fifth = 3 THEN sd END) AS s54,\n         max(CASE WHEN fifth = 4 THEN sd END) AS s55,\n         avg(sd) AS msd, stddev_samp(m) AS sdm, stddev_samp(sd) AS sdsd\n  FROM fstats GROUP BY user_id\n)\nSELECT g.user_id,\n       round(g.meanc, 6) AS meanC,\n       round(g.meanabsc, 6) AS meanabsC,\n       round(g.medianabsc, 6) AS medianabsC,\n       round(g.maxabsc, 6) AS maxabsC,\n       round(g.maxabsc / nullif(g.meanabsc, CAST(0.0 AS DOUBLE)), 6) AS maxonmeanC,\n       round(g.mxsc / nullif(g.musc, CAST(0.0 AS DOUBLE)), 6) AS maxonmeanSC,\n       round(p.p99, 6) AS pover99, round(p.p98, 6) AS pover98,\n       round(p.p95, 6) AS pover95, round(p.p90, 6) AS pover90,\n       round(p.p80, 6) AS pover80,\n       round(p.sch, 6) AS SC_h,\n       round(ss.mx, 6) AS max_ssc, round(ss.mn, 6) AS min_ssc,\n       round(ss.mx / nullif(ss.med, CAST(0.0 AS DOUBLE)), 6) AS maxonmed_ssc,\n       round(ss.ncross / (ss.n - 1.0), 6) AS pcross_maxssc50,\n       round(ss.sd0, 6) AS std_ssc,\n       round((h.sd1 + h.sd2) / 2.0 / nullif(g.musc, CAST(0.0 AS DOUBLE)), 6) AS stat_2_m_s,\n       round(abs(h.m1 - h.m2) / sqrt(2.0)\n             / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_2_s_m,\n       round(abs(h.sd1 - h.sd2) / sqrt(2.0)\n             / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_2_s_s,\n       round(f.m51, 6) AS mean5_1, round(f.m52, 6) AS mean5_2,\n       round(f.m53, 6) AS mean5_3, round(f.m54, 6) AS mean5_4,\n       round(f.m55, 6) AS mean5_5,\n       round(f.s51, 6) AS std5_1, round(f.s52, 6) AS std5_2,\n       round(f.s53, 6) AS std5_3, round(f.s54, 6) AS std5_4,\n       round(f.s55, 6) AS std5_5,\n       round(f.msd / nullif(g.musc, CAST(0.0 AS DOUBLE)), 6) AS stat_5_m_s,\n       round(f.sdm / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_5_s_m,\n       round(f.sdsd / nullif(g.sdsc, CAST(0.0 AS DOUBLE)), 6) AS stat_5_s_s\nFROM gl g\nJOIN pov p ON p.user_id = g.user_id\nJOIN sscs ss ON ss.user_id = g.user_id\nJOIN hstats h ON h.user_id = g.user_id\nJOIN fagg f ON f.user_id = g.user_id\n")
+
+
+# --- CO_Embed2_AngleTau max_tau=10 (Correlation.py:133-195) -----------------
+# theta_t(tau) = atan(dy_{t+tau} / dy_t) over consecutive diffs dy; a1/a2
+# are the Fourier-ACF (linear autocovariance) of each theta series at
+# lags 1/2, and the outputs are stats over the 10-long a1/a2 vectors.
+# Zero-denominator diffs follow numpy exactly: atan(+-inf) = +-pi/2,
+# 0/0 = NaN (poisons that tau's ACs; per-vector NaN flags map the
+# poisoned outputs to NULL like the engine's NaN->NULL encoding).
+# Verified bit-exact vs embedding.embed2_angle_tau on all 150 users.
+QUERIES["user_embed2_angletau"] = _q("\n, dvv AS (\n  SELECT user_id, rn, dy FROM (\n    SELECT user_id, rn,\n           lead(v) OVER (PARTITION BY user_id ORDER BY rn) - v AS dy\n    FROM series\n  ) WHERE dy IS NOT NULL\n),\ntaus AS (\n  SELECT CAST(1 AS BIGINT) AS tau UNION ALL SELECT 2 UNION ALL SELECT 3\n  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6\n  UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9\n  UNION ALL SELECT 10\n),\nthp AS (\n  SELECT a.user_id, tt.tau, a.rn,\n         CASE WHEN a.dy = CAST(0.0 AS DOUBLE) THEN\n                CASE WHEN b.dy > 0 THEN pi() / 2.0\n                     WHEN b.dy < 0 THEN -pi() / 2.0\n                     ELSE CAST('NaN' AS DOUBLE) END\n              ELSE atan(b.dy / a.dy) END AS theta\n  FROM dvv a\n  CROSS JOIN taus tt\n  JOIN dvv b ON b.user_id = a.user_id AND b.rn = a.rn + tt.tau\n),\nthc AS (\n  SELECT user_id, tau, rn,\n         theta - avg(theta) OVER (PARTITION BY user_id, tau) AS tc\n  FROM thp\n),\nthc2 AS (\n  SELECT user_id, tau, tc,\n         lead(tc)    OVER (PARTITION BY user_id, tau ORDER BY rn) AS tc1,\n         lead(tc, 2) OVER (PARTITION BY user_id, tau ORDER BY rn) AS tc2\n  FROM thc\n),\naa AS (\n  SELECT user_id, tau,\n         CASE WHEN sum(tc * tc) = CAST(0.0 AS DOUBLE)\n              THEN CAST('NaN' AS DOUBLE)\n              ELSE sum(tc * tc1) / sum(tc * tc) END AS a1,\n         CASE WHEN sum(tc * tc) = CAST(0.0 AS DOUBLE)\n              THEN CAST('NaN' AS DOUBLE)\n              ELSE sum(tc * tc2) / sum(tc * tc) END AS a2\n  FROM thc2 GROUP BY user_id, tau\n),\nav AS (\n  SELECT user_id, tau, a1, a2,\n         a1 - avg(a1) OVER (PARTITION BY user_id) AS c1,\n         a2 - avg(a2) OVER (PARTITION BY user_id) AS c2\n  FROM aa\n),\nav2 AS (\n  SELECT user_id, tau, a1, a2, c1, c2,\n         lead(c1) OVER (PARTITION BY user_id ORDER BY tau) AS c1n,\n         lead(c2) OVER (PARTITION BY user_id ORDER BY tau) AS c2n\n  FROM av\n),\nfin AS (\n  SELECT user_id,\n         max(CASE WHEN isnan(a1) THEN 1 ELSE 0 END) AS bad1,\n         max(CASE WHEN isnan(a2) THEN 1 ELSE 0 END) AS bad2,\n         CASE WHEN sum(c1 * c1) = CAST(0.0 AS DOUBLE)\n              THEN CAST('NaN' AS DOUBLE)\n              ELSE sum(c1 * c1n) / sum(c1 * c1) END AS ac1_a1,\n         CASE WHEN sum(c2 * c2) = CAST(0.0 AS DOUBLE)\n              THEN CAST('NaN' AS DOUBLE)\n              ELSE sum(c2 * c2n) / sum(c2 * c2) END AS ac1_a2,\n         avg(a1) AS mean1, max(a1) AS max1, min(a1) AS min1,\n         avg(a2) AS mean2, max(a2) AS max2, min(a2) AS min2,\n         sum(abs(a2 - a1)) AS sdiff\n  FROM av2 GROUP BY user_id\n)\nSELECT user_id,\n  CASE WHEN bad1 = 1 THEN NULL ELSE round(ac1_a1, 6) END AS ac1_thetaac1,\n  CASE WHEN bad2 = 1 THEN NULL ELSE round(ac1_a2, 6) END AS ac1_thetaac2,\n  CASE WHEN bad1 = 1 THEN NULL ELSE round(mean1, 6) END AS mean_thetaac1,\n  CASE WHEN bad1 = 1 THEN NULL ELSE round(max1, 6) END AS max_thetaac1,\n  CASE WHEN bad1 = 1 THEN NULL ELSE round(min1, 6) END AS min_thetaac1,\n  CASE WHEN bad2 = 1 THEN NULL ELSE round(mean2, 6) END AS mean_thetaac2,\n  CASE WHEN bad2 = 1 THEN NULL ELSE round(max2, 6) END AS max_thetaac2,\n  CASE WHEN bad2 = 1 THEN NULL ELSE round(min2, 6) END AS min_thetaac2,\n  CASE WHEN bad1 = 1 OR bad2 = 1 THEN NULL\n       ELSE round(mean1 / nullif(mean2, CAST(0.0 AS DOUBLE)), 6) END\n    AS meanrat_thetaac12,\n  CASE WHEN bad1 = 1 OR bad2 = 1 THEN NULL ELSE round(sdiff, 6) END\n    AS diff_thetaac12\nFROM fin\n")
+
+# --- CO_Embed2_Shapes shape='circle' r=1, tau=1 (Correlation.py:1011-1100) --
+# Z-scored series embedded as (z_t, z_{t+1}); per-point circle-neighbor
+# counts via an in-user pair join (the engine kernel is the O(N^2)
+# distance matrix); then ACF stats of the count series (self-join
+# autocovariance), the interpolated ACF zero-crossing ('tau'), hazen
+# IQR by rank arithmetic, and StatAv5 segment ratios. Verified
+# bit-exact vs embedding.embed2_shapes(z, tau=1, r=1) on all 150 users.
+QUERIES["user_embed2_shapes"] = _q('\n, zs AS (\n  SELECT s.user_id, s.rn, (s.v - st.mu) / nullif(st.sd, CAST(0.0 AS DOUBLE)) AS z\n  FROM series s\n  JOIN (SELECT user_id, avg(v) AS mu, stddev_samp(v) AS sd\n        FROM series GROUP BY user_id) st ON st.user_id = s.user_id\n),\npts AS (\n  SELECT user_id, rn, z AS x, y2 FROM (\n    SELECT user_id, rn, z,\n           lead(z) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM zs\n  ) WHERE y2 IS NOT NULL\n),\ncnt AS (\n  SELECT a.user_id, a.rn,\n         CAST(count(*) FILTER (WHERE\n           (a.x - b.x) * (a.x - b.x) + (a.y2 - b.y2) * (a.y2 - b.y2)\n             <= CAST(1.0 AS DOUBLE)) AS DOUBLE) - 1.0 AS c\n  FROM pts a JOIN pts b ON b.user_id = a.user_id\n  GROUP BY a.user_id, a.rn\n),\nnn2 AS (SELECT user_id, count(*) AS m FROM cnt GROUP BY user_id),\ncc AS (\n  SELECT user_id, rn, c,\n         c - avg(c) OVER (PARTITION BY user_id) AS cc\n  FROM cnt\n),\ncacov AS (\n  SELECT a.user_id, b.rn - a.rn AS tau, sum(a.cc * b.cc) AS s\n  FROM cc a JOIN cc b ON b.user_id = a.user_id AND b.rn >= a.rn\n  GROUP BY a.user_id, b.rn - a.rn\n),\ncacf AS (\n  SELECT x.user_id, x.tau, x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r\n  FROM cacov x\n  JOIN (SELECT user_id, s FROM cacov WHERE tau = 0) s0\n    ON s0.user_id = x.user_id\n),\nfz AS (\n  SELECT user_id, min(tau) AS i FROM cacf\n  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id\n),\ntauv AS (\n  SELECT n2.user_id,\n         CASE WHEN fz.i IS NULL THEN CAST(n2.m - 1 AS DOUBLE)\n              ELSE (fz.i - 1) + (CAST(0.0 AS DOUBLE) - p.r)\n                   / nullif(c2.r - p.r, CAST(0.0 AS DOUBLE)) END AS tauout\n  FROM nn2 n2\n  LEFT JOIN fz ON fz.user_id = n2.user_id\n  LEFT JOIN cacf p ON p.user_id = n2.user_id AND p.tau = fz.i - 1\n  LEFT JOIN cacf c2 ON c2.user_id = n2.user_id AND c2.tau = fz.i\n),\nacs AS (\n  SELECT user_id,\n         max(CASE WHEN tau = 1 THEN r END) AS ac1,\n         max(CASE WHEN tau = 2 THEN r END) AS ac2,\n         max(CASE WHEN tau = 3 THEN r END) AS ac3\n  FROM cacf GROUP BY user_id\n),\nhq AS (\n  SELECT user_id, c,\n         row_number() OVER (PARTITION BY user_id ORDER BY c) AS rk,\n         count(*) OVER (PARTITION BY user_id) AS n\n  FROM cnt\n),\nps AS (\n  SELECT CAST(0.25 AS DOUBLE) AS p UNION ALL SELECT CAST(0.75 AS DOUBLE)\n),\nbounds AS (\n  SELECT h.user_id, p.p, h.n,\n         least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),\n               CAST(h.n AS DOUBLE)) AS posc\n  FROM (SELECT DISTINCT user_id, n FROM hq) h CROSS JOIN ps p\n),\nqv AS (\n  SELECT b.user_id, b.p,\n         lo.c + (b.posc - floor(b.posc)) * (hi.c - lo.c) AS q\n  FROM bounds b\n  JOIN hq lo ON lo.user_id = b.user_id\n            AND lo.rk = CAST(floor(b.posc) AS BIGINT)\n  JOIN hq hi ON hi.user_id = b.user_id\n            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)\n),\niqrs AS (\n  SELECT q75.user_id, q75.q - q25.q AS iqr\n  FROM qv q75\n  JOIN qv q25 ON q25.user_id = q75.user_id AND q25.p = CAST(0.25 AS DOUBLE)\n  WHERE q75.p = CAST(0.75 AS DOUBLE)\n),\nsegs AS (\n  SELECT c.user_id, CAST(floor(c.rn / f.afifth) AS BIGINT) AS seg,\n         avg(c.c) AS sm, stddev_samp(c.c) AS ss\n  FROM cnt c\n  JOIN (SELECT user_id, CAST(floor(m / 5) AS BIGINT) AS afifth FROM nn2) f\n    ON f.user_id = c.user_id\n  WHERE c.rn < 5 * f.afifth\n  GROUP BY c.user_id, CAST(floor(c.rn / f.afifth) AS BIGINT)\n),\nsstat AS (\n  SELECT user_id, stddev_samp(sm) AS sam, stddev_samp(ss) AS sas\n  FROM segs GROUP BY user_id\n),\nbstat AS (\n  SELECT user_id, avg(c) AS cmean, stddev_samp(c) AS cstd,\n         max(c) AS cmax, median(c) AS cmed,\n         max(c) - min(c) AS crange\n  FROM cnt GROUP BY user_id\n)\nSELECT b.user_id,\n       round(a.ac1, 6) AS ac1, round(a.ac2, 6) AS ac2, round(a.ac3, 6) AS ac3,\n       round(t.tauout, 6) AS tau,\n       round(b.cmax, 6) AS max, round(b.cstd, 6) AS std,\n       round(b.cmed, 6) AS median, round(b.cmean, 6) AS mean,\n       round(i.iqr, 6) AS iqr,\n       round(i.iqr / nullif(b.crange, CAST(0.0 AS DOUBLE)), 6) AS iqronrange,\n       round(s.sam / nullif(b.cstd, CAST(0.0 AS DOUBLE)), 6) AS statav5_m,\n       round(s.sas / nullif(b.cstd, CAST(0.0 AS DOUBLE)), 6) AS statav5_s\nFROM bstat b\nJOIN acs a ON a.user_id = b.user_id\nJOIN tauv t ON t.user_id = b.user_id\nJOIN iqrs i ON i.user_id = b.user_id\nJOIN sstat s ON s.user_id = b.user_id\n')

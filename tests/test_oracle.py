@@ -32,9 +32,9 @@ def test_queries_oracle_keys_consistent():
 
     q = em.queries()
     o = em.oracle_sql()
-    assert set(o) <= set(q)
-    # the only oracle-less query is the full-schema rollup (HOL columns)
-    assert set(q) - set(o) == {"rollup_full_events"}
+    # every driver query has a value-level oracle (round 3: the last
+    # rows-only entry, rollup_full_events, gained a hazen-IQR oracle)
+    assert set(o) == set(q)
 
 
 def test_new_user_queries_mirror_kernels():
@@ -1103,3 +1103,50 @@ def test_r2z_cwt_features_mirror_kernel():
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6, rtol=1e-6), (
                     u, col, got, w)
+
+
+def test_r3_embed2_angletau_shapes_mirror_kernels():
+    """Round-3 catalog queries: CO_Embed2_AngleTau (angle-ACF vs tau)
+    and CO_Embed2_Shapes (circle-neighbor counts, tau=1 r=1 on the
+    z-scored series) vs their numpy kernels."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.embedding import (
+        embed2_angle_tau,
+        embed2_shapes,
+    )
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    at = con.execute(
+        QUERIES["user_embed2_angletau"]["duck"]
+    ).fetchdf().set_index("user_id")
+    sh = con.execute(
+        QUERIES["user_embed2_shapes"]["duck"]
+    ).fetchdf().set_index("user_id")
+    for u, v in series:
+        y = np.array(v, dtype=np.float64)
+        oa = embed2_angle_tau(y)
+        for col, w in oa.items():
+            got = at.loc[u][col]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+        z = (y - y.mean()) / y.std(ddof=1)
+        os_ = embed2_shapes(z, tau=1, r=1.0)
+        for col, w in os_.items():
+            got = sh.loc[u][col]
+            if not np.isfinite(w):
+                assert got is None or np.isnan(got), (u, col)
+            else:
+                assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
