@@ -304,13 +304,15 @@ def _minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """md5-bit SimHash + 8x8-bit pigeonhole blocking (full recall at
-    hamming<=6); the oracle recomputes identical fingerprints from md5
-    nibbles and does the exhaustive hamming join."""
+    """md5-bit SimHash + 4x16-bit pigeonhole blocking — the scale-safe
+    default tier (65,536 buckets per chunk, full recall at hamming<=3;
+    the 8x8 variant stays available as the high-recall tier). The oracle
+    recomputes identical fingerprints from md5 nibbles and does the
+    exhaustive hamming join."""
     from pyhctsa_spark.operators.dedup import simhash_md5, simhash_near_pairs_2x32
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs_2x32(simhash_md5(docs), max_hamming=6)
+    return simhash_near_pairs_2x32(simhash_md5(docs), max_hamming=3)
 
 
 def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,6 +140,42 @@ def bench_feature_matrix(spark, seq_path: str, n_docs_cap: int = 600) -> dict:
     }
 
 
+def bench_simhash_blocking(spark, n: int = 1_000_000) -> dict:
+    """Bucket-fan-out evidence for the SimHash blocking tiers at 1M
+    docs: exact candidate-pair counts (sum k*(k-1)/2 over buckets, no
+    join) for 4x16-bit vs 8x8-bit chunks, plus the wall-clock of the
+    production 4x16 near-pair join on synthetic fingerprints."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.dedup import (
+        simhash_candidate_count,
+        simhash_near_pairs_2x32,
+    )
+
+    m32 = (1 << 32) - 1
+    fps = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(m32)).alias("fp_lo"),
+        F.xxhash64("id", F.lit(2)).bitwiseAND(F.lit(m32)).alias("fp_hi"),
+    )
+    fps = fps.persist()
+    fps.count()
+    cand4 = simhash_candidate_count(fps, n_chunks=4)
+    cand8 = simhash_candidate_count(fps, n_chunks=8)
+    t0 = time.perf_counter()
+    simhash_near_pairs_2x32(fps, max_hamming=3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = time.perf_counter() - t0
+    fps.unpersist()
+    return {
+        "simhash1m_docs": n,
+        "simhash1m_cand_4x16": cand4,
+        "simhash1m_cand_8x8": cand8,
+        "simhash1m_join_4x16_sec": round(wall, 3),
+    }
+
+
 def bench_queries(spark) -> dict:
     OQ.register_views(spark, SF_DIR)
     # doc_ngram_jaccard is deliberately excluded: it is the exhaustive
@@ -201,6 +237,7 @@ def main() -> None:
     roll = bench_rollup(spark, seq_path)
     featmat = bench_feature_matrix(spark, seq_path)
     queries = bench_queries(spark)
+    simblock = bench_simhash_blocking(spark)
     result = {
         "metric": "3-tier rollup wall-clock (synthetic token sequences)",
         "value": roll["rollup_sec"],
@@ -210,6 +247,7 @@ def main() -> None:
         "n_docs": n_docs,
         **roll,
         **featmat,
+        **simblock,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()

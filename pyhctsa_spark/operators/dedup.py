@@ -270,29 +270,76 @@ def simhash_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def simhash_near_pairs_2x32(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 6,
+def simhash_blocked(
+    sim_df: DataFrame, id_col: str = "doc_id", n_chunks: int = 4,
 ) -> DataFrame:
-    """Near-duplicate pairs over (fp_hi, fp_lo) split fingerprints,
-    blocked on 8x8-bit chunks (pigeonhole: full recall to hamming 7)."""
+    """Explode (fp_hi, fp_lo) fingerprints into ``n_chunks`` pigeonhole
+    blocking keys: one row per (doc, chunk_id) with the chunk's bit
+    value. Shared by the near-pair join and the bucket-fan-out
+    diagnostics (bench)."""
+    width = 64 // n_chunks
+    per_half = n_chunks // 2
+    mask = (1 << width) - 1
     chunk_structs = []
-    for c in range(8):
-        src = F.col("fp_lo") if c < 4 else F.col("fp_hi")
+    for c in range(n_chunks):
+        src = F.col("fp_lo") if c < per_half else F.col("fp_hi")
         chunk_structs.append(
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.shiftright(src, (c % 4) * 8)
-                .bitwiseAND(F.lit(255))
+                F.shiftright(src, (c % per_half) * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("chunk_val"),
             )
         )
-    blocked = sim_df.select(
+    return sim_df.select(
         id_col, "fp_hi", "fp_lo", F.explode(F.array(*chunk_structs)).alias("c")
     ).select(id_col, "fp_hi", "fp_lo", "c.chunk_id", "c.chunk_val")
+
+
+def simhash_candidate_count(
+    sim_df: DataFrame, id_col: str = "doc_id", n_chunks: int = 4,
+) -> int:
+    """Exact number of candidate pairs the blocked self-join would
+    examine (sum of k*(k-1)/2 over buckets) — computed from bucket sizes
+    alone, one aggregation, no join. The scale diagnostic for choosing
+    the blocking tier."""
+    sizes = (
+        simhash_blocked(sim_df, id_col, n_chunks)
+        .groupBy("chunk_id", "chunk_val")
+        .count()
+    )
+    row = sizes.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand")
+    ).first()
+    return int(row["cand"] or 0)
+
+
+def simhash_near_pairs_2x32(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs over (fp_hi, fp_lo) split fingerprints,
+    blocked on ``n_chunks`` equal bit-chunks (pigeonhole: full recall to
+    hamming n_chunks - 1).
+
+    Scale note: bucket fan-out is the quadratic constant. With 8x8-bit
+    chunks each chunk_id has only 256 buckets, so candidate pairs grow
+    ~8*(N/256)^2 — a skew bomb at billions of docs. The default 4x16-bit
+    blocking (65,536 buckets per chunk_id, full recall to hamming 3)
+    shrinks the in-bucket quadratic constant 256x; keep n_chunks=8 as
+    the high-recall tier (hamming <= 7) for corpora small enough to
+    afford it (Manku et al., WWW'07 — the 64-bit chunk-permutation
+    scheme).
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole blocking with {n_chunks} chunks only guarantees "
+            f"full recall to hamming {n_chunks - 1}, got {max_hamming}"
+        )
     # materialize before the self-join: both aliases would otherwise
     # recompute the fingerprint aggregation (the persisted-fingerprint
     # table shape at warehouse scale)
-    blocked = blocked.persist()
+    blocked = simhash_blocked(sim_df, id_col, n_chunks).persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = (
         F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))

@@ -1348,10 +1348,11 @@ FROM fin
 ENGINE_ORACLES["minhash_dedup_pairs"] = QUERIES["doc_ngram_jaccard"]["duck"]
 
 # SimHash near-dup pairs: the engine computes md5-bit SimHash fingerprints
-# (operators/dedup.simhash_md5) with 8x8-bit pigeonhole blocking (exact
-# full recall at hamming <= 7); this oracle recomputes the identical
-# fingerprints from md5 nibbles and takes the exhaustive all-pairs
-# hamming join — candidate blocking must lose nothing.
+# (operators/dedup.simhash_md5) with 4x16-bit pigeonhole blocking — the
+# scale-safe default tier (65,536 buckets per chunk, exact full recall at
+# hamming <= 3); this oracle recomputes the identical fingerprints from
+# md5 nibbles and takes the exhaustive all-pairs hamming join — candidate
+# blocking must lose nothing at the configured recall tier.
 ENGINE_ORACLES["simhash_near_pairs"] = """
 WITH words AS (
   SELECT DISTINCT doc_id, word
@@ -1379,7 +1380,7 @@ SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
        CAST(bit_count(xor(a.fp_lo, b2.fp_lo))
             + bit_count(xor(a.fp_hi, b2.fp_hi)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
-WHERE bit_count(xor(a.fp_lo, b2.fp_lo)) + bit_count(xor(a.fp_hi, b2.fp_hi)) <= 6
+WHERE bit_count(xor(a.fp_lo, b2.fp_lo)) + bit_count(xor(a.fp_hi, b2.fp_hi)) <= 3
 """
 
 # IVF ANN at full probe (nprobe = nlist) must reproduce the exact

@@ -316,3 +316,30 @@ def test_streaming_chunked_rollup_stateful(spark, tmp_path_factory):
     )
     pd.testing.assert_frame_equal(got, want)
     chunks.unpersist()
+
+
+def test_simhash_blocking_tiers(spark, docs):
+    """The scale-safe 4x16 default tier and the high-recall 8x8 tier
+    must agree at the shared recall level (hamming <= 3), the 8x8 tier
+    must examine strictly more candidates, and over-claimed recall is
+    rejected."""
+    import pytest as _pytest
+
+    from pyhctsa_spark.operators.dedup import (
+        simhash_candidate_count,
+        simhash_md5,
+        simhash_near_pairs_2x32,
+    )
+
+    fps = simhash_md5(docs).persist()
+    p4 = simhash_near_pairs_2x32(fps, max_hamming=3, n_chunks=4).toPandas()
+    p8 = simhash_near_pairs_2x32(fps, max_hamming=3, n_chunks=8).toPandas()
+    k4 = set(zip(p4.id_a, p4.id_b))
+    k8 = set(zip(p8.id_a, p8.id_b))
+    assert k4 == k8  # both tiers have full recall at hamming <= 3
+    assert simhash_candidate_count(fps, n_chunks=8) >= simhash_candidate_count(
+        fps, n_chunks=4
+    )
+    with _pytest.raises(ValueError):
+        simhash_near_pairs_2x32(fps, max_hamming=4, n_chunks=4)
+    fps.unpersist()
