@@ -4,9 +4,10 @@ the histogram-AMI ops in Operations/Correlation.py).
 The reference's kraskov/kernel estimators call Java JIDT through JPype
 (Information.py:411-487) — a JVM-in-Python-worker dependency this engine
 deliberately avoids. Policy (SURVEY.md §2.6): the 'gaussian' estimator
-is exact (-0.5 ln(1 - rho^2)); 'kraskov1' is a native numpy KSG-1 port;
-'kernel' is a native box-kernel estimator with JIDT's default 0.5-sigma
-width (best-effort parity; the reference itself needs a JVM to run it).
+is exact (-0.5 ln(1 - rho^2)); 'kraskov1'/'kraskov2' are native numpy
+KSG-1/KSG-2 ports; 'kernel' is a native box-kernel estimator with
+JIDT's default 0.5-sigma width (best-effort parity; the reference
+itself needs a JVM to run it).
 """
 
 from __future__ import annotations
@@ -86,7 +87,38 @@ def _mi_ksg1(x: np.ndarray, y: np.ndarray, k: int = 3) -> float:
     )
 
 
-_ESTIMATORS = {"gaussian": _mi_gaussian, "kernel": _mi_kernel, "kraskov1": _mi_ksg1}
+def _mi_ksg2(x: np.ndarray, y: np.ndarray, k: int = 3) -> float:
+    """Kraskov-Stoegbauer-Grassberger estimator 2 (max-norm), numpy
+    O(N^2). Per KSG eq. 9: eps_x/eps_y are the marginal extents of the
+    k joint-space nearest neighbors, counts use <= (closed ball), and
+    the bias terms are psi(k) - 1/k and psi(n_x)/psi(n_y) without +1
+    (the reference exposes this as IN_AutoMutualInfo 'kraskov2',
+    Information.py:411-487, via JIDT)."""
+    n = len(x)
+    dx = np.abs(x[:, None] - x[None, :])
+    dy = np.abs(y[:, None] - y[None, :])
+    dz = np.maximum(dx, dy)
+    np.fill_diagonal(dz, np.inf)
+    idx = np.argpartition(dz, k - 1, axis=1)[:, :k]  # k joint-space NNs
+    rows = np.arange(n)[:, None]
+    eps_x = dx[rows, idx].max(axis=1)
+    eps_y = dy[rows, idx].max(axis=1)
+    nx = (dx <= eps_x[:, None]).sum(axis=1) - 1
+    ny = (dy <= eps_y[:, None]).sum(axis=1) - 1
+    return float(
+        digamma(k)
+        - 1.0 / k
+        + digamma(n)
+        - np.mean([digamma(a) + digamma(b) for a, b in zip(nx, ny)])
+    )
+
+
+_ESTIMATORS = {
+    "gaussian": _mi_gaussian,
+    "kernel": _mi_kernel,
+    "kraskov1": _mi_ksg1,
+    "kraskov2": _mi_ksg2,
+}
 
 
 def mutual_info(x: np.ndarray, y: np.ndarray, est_method: str = "gaussian",
@@ -95,8 +127,8 @@ def mutual_info(x: np.ndarray, y: np.ndarray, est_method: str = "gaussian",
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     fn = _ESTIMATORS[est_method]
-    if est_method == "kraskov1" and extra_param:
-        return _mi_ksg1(x, y, k=int(extra_param))
+    if est_method in ("kraskov1", "kraskov2") and extra_param:
+        return fn(x, y, k=int(extra_param))
     return fn(x, y)
 
 

@@ -103,3 +103,45 @@ def test_kernel_estimator_sane():
     y = rho * x + math.sqrt(1 - rho**2) * rng.standard_normal(n)
     mi = I.mutual_info(x, y, "kernel")
     assert 0.2 < mi < 1.5  # box-kernel estimate in a plausible band
+
+
+def test_ksg2_estimator_near_analytic_and_brute_force():
+    """KSG-2 (reference 'kraskov2' via JIDT, Information.py:411-487):
+    near-analytic MI on correlated gaussians / AR(1), ~0 on independent
+    data, and exact agreement with a straightforward per-point loop."""
+    n = 1500
+    rho = 0.7
+    x = rng.standard_normal(n)
+    y = rho * x + math.sqrt(1 - rho**2) * rng.standard_normal(n)
+    mi = I.mutual_info(x, y, "kraskov2", extra_param=4)
+    assert mi == pytest.approx(-0.5 * math.log(1 - rho**2), abs=0.1)
+    assert I.mutual_info(x, rng.standard_normal(n), "kraskov2") == pytest.approx(
+        0.0, abs=0.1
+    )
+    # AR(1) time-delayed AMI: lag-1 MI of a gaussian AR(1) is the
+    # gaussian MI at correlation phi
+    phi = 0.8
+    ar = np.empty(2000)
+    ar[0] = rng.standard_normal()
+    for t in range(1, len(ar)):
+        ar[t] = phi * ar[t - 1] + math.sqrt(1 - phi**2) * rng.standard_normal()
+    ami = I.auto_mutual_info(ar, 1, "kraskov2")
+    assert ami == pytest.approx(-0.5 * math.log(1 - phi**2), abs=0.12)
+    # brute-force per-point loop on a small sample must agree exactly
+    k = 3
+    xs, ys = x[:80], y[:80]
+    m = len(xs)
+    tot = 0.0
+    for i in range(m):
+        dxi = np.abs(xs - xs[i])
+        dyi = np.abs(ys - ys[i])
+        dzi = np.maximum(dxi, dyi)
+        dzi[i] = np.inf
+        nn = np.argsort(dzi)[:k]
+        ex, ey = dxi[nn].max(), dyi[nn].max()
+        nx = int((dxi <= ex).sum()) - 1
+        ny = int((dyi <= ey).sum()) - 1
+        tot += I.digamma(nx) + I.digamma(ny)
+    want = I.digamma(k) - 1.0 / k + I.digamma(m) - tot / m
+    got = I.mutual_info(xs, ys, "kraskov2", extra_param=k)
+    assert got == pytest.approx(want, abs=1e-12)
