@@ -176,6 +176,65 @@ def bench_simhash_blocking(spark, n: int = 1_000_000) -> dict:
     }
 
 
+def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
+    """10x-scale rows so round-over-round comparisons aren't
+    fixed-overhead-dominated: the flagship rollup at 10x the sequence
+    count, and minhash/simhash dedup on a 10x documents corpus (each
+    doc replicated 10x — 9 exact copies per original, the realistic
+    shape of a crawl dedup workload)."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.dedup import (
+        minhash_verified_pairs,
+        simhash_md5,
+        simhash_near_pairs_2x32,
+    )
+    from pyhctsa_spark.operators.rollup import rollup_tiers
+
+    out: dict = {}
+    # rollup at 10x docs (sf1-equivalent point count)
+    n10 = seq10_docs or max(400, int(sf_of(SF_DIR) * DOCS_PER_SF) * 10)
+    seq10 = ensure_sequences(spark, n10)
+    df = spark.read.parquet(seq10)
+    pts = df.selectExpr("sum(n_tok)").first()[0]
+    t0 = time.perf_counter()
+    rollup_tiers(df).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    out["rollup10_sec"] = round(wall, 3)
+    out["rollup10_points"] = int(pts)
+    out["rollup10_points_per_sec"] = round(pts / wall, 1)
+
+    # 10x documents corpus (cached)
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"docs10_{os.path.basename(SF_DIR.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        big = (
+            docs.crossJoin(spark.range(10).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.col("doc_id") * 100 + F.col("rep"))
+            .drop("rep")
+        )
+        big.write.mode("overwrite").parquet(cache)
+    big = spark.read.parquet(cache)
+    n_docs10 = big.count()
+    out["dedup10_docs"] = int(n_docs10)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    minhash_verified_pairs(big, threshold=0.3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["minhash10_sec"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    simhash_near_pairs_2x32(simhash_md5(big), max_hamming=3).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["simhash10_sec"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def bench_queries(spark) -> dict:
     OQ.register_views(spark, SF_DIR)
     # doc_ngram_jaccard is deliberately excluded: it is the exhaustive
@@ -238,6 +297,7 @@ def main() -> None:
     featmat = bench_feature_matrix(spark, seq_path)
     queries = bench_queries(spark)
     simblock = bench_simhash_blocking(spark)
+    scale10 = bench_scale10(spark)
     result = {
         "metric": "3-tier rollup wall-clock (synthetic token sequences)",
         "value": roll["rollup_sec"],
@@ -248,6 +308,7 @@ def main() -> None:
         **roll,
         **featmat,
         **simblock,
+        **scale10,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()
