@@ -5893,3 +5893,17 @@ QUERIES["user_embed2_angletau"] = _q("\n, dvv AS (\n  SELECT user_id, rn, dy FRO
 # IQR by rank arithmetic, and StatAv5 segment ratios. Verified
 # bit-exact vs embedding.embed2_shapes(z, tau=1, r=1) on all 150 users.
 QUERIES["user_embed2_shapes"] = _q('\n, zs AS (\n  SELECT s.user_id, s.rn, (s.v - st.mu) / nullif(st.sd, CAST(0.0 AS DOUBLE)) AS z\n  FROM series s\n  JOIN (SELECT user_id, avg(v) AS mu, stddev_samp(v) AS sd\n        FROM series GROUP BY user_id) st ON st.user_id = s.user_id\n),\npts AS (\n  SELECT user_id, rn, z AS x, y2 FROM (\n    SELECT user_id, rn, z,\n           lead(z) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM zs\n  ) WHERE y2 IS NOT NULL\n),\ncnt AS (\n  SELECT a.user_id, a.rn,\n         CAST(count(*) FILTER (WHERE\n           (a.x - b.x) * (a.x - b.x) + (a.y2 - b.y2) * (a.y2 - b.y2)\n             <= CAST(1.0 AS DOUBLE)) AS DOUBLE) - 1.0 AS c\n  FROM pts a JOIN pts b ON b.user_id = a.user_id\n  GROUP BY a.user_id, a.rn\n),\nnn2 AS (SELECT user_id, count(*) AS m FROM cnt GROUP BY user_id),\ncc AS (\n  SELECT user_id, rn, c,\n         c - avg(c) OVER (PARTITION BY user_id) AS cc\n  FROM cnt\n),\ncacov AS (\n  SELECT a.user_id, b.rn - a.rn AS tau, sum(a.cc * b.cc) AS s\n  FROM cc a JOIN cc b ON b.user_id = a.user_id AND b.rn >= a.rn\n  GROUP BY a.user_id, b.rn - a.rn\n),\ncacf AS (\n  SELECT x.user_id, x.tau, x.s / nullif(s0.s, CAST(0.0 AS DOUBLE)) AS r\n  FROM cacov x\n  JOIN (SELECT user_id, s FROM cacov WHERE tau = 0) s0\n    ON s0.user_id = x.user_id\n),\nfz AS (\n  SELECT user_id, min(tau) AS i FROM cacf\n  WHERE r < CAST(0.0 AS DOUBLE) GROUP BY user_id\n),\ntauv AS (\n  SELECT n2.user_id,\n         CASE WHEN fz.i IS NULL THEN CAST(n2.m - 1 AS DOUBLE)\n              ELSE (fz.i - 1) + (CAST(0.0 AS DOUBLE) - p.r)\n                   / nullif(c2.r - p.r, CAST(0.0 AS DOUBLE)) END AS tauout\n  FROM nn2 n2\n  LEFT JOIN fz ON fz.user_id = n2.user_id\n  LEFT JOIN cacf p ON p.user_id = n2.user_id AND p.tau = fz.i - 1\n  LEFT JOIN cacf c2 ON c2.user_id = n2.user_id AND c2.tau = fz.i\n),\nacs AS (\n  SELECT user_id,\n         max(CASE WHEN tau = 1 THEN r END) AS ac1,\n         max(CASE WHEN tau = 2 THEN r END) AS ac2,\n         max(CASE WHEN tau = 3 THEN r END) AS ac3\n  FROM cacf GROUP BY user_id\n),\nhq AS (\n  SELECT user_id, c,\n         row_number() OVER (PARTITION BY user_id ORDER BY c) AS rk,\n         count(*) OVER (PARTITION BY user_id) AS n\n  FROM cnt\n),\nps AS (\n  SELECT CAST(0.25 AS DOUBLE) AS p UNION ALL SELECT CAST(0.75 AS DOUBLE)\n),\nbounds AS (\n  SELECT h.user_id, p.p, h.n,\n         least(greatest(p.p * h.n + 0.5, CAST(1.0 AS DOUBLE)),\n               CAST(h.n AS DOUBLE)) AS posc\n  FROM (SELECT DISTINCT user_id, n FROM hq) h CROSS JOIN ps p\n),\nqv AS (\n  SELECT b.user_id, b.p,\n         lo.c + (b.posc - floor(b.posc)) * (hi.c - lo.c) AS q\n  FROM bounds b\n  JOIN hq lo ON lo.user_id = b.user_id\n            AND lo.rk = CAST(floor(b.posc) AS BIGINT)\n  JOIN hq hi ON hi.user_id = b.user_id\n            AND hi.rk = least(CAST(floor(b.posc) AS BIGINT) + 1, b.n)\n),\niqrs AS (\n  SELECT q75.user_id, q75.q - q25.q AS iqr\n  FROM qv q75\n  JOIN qv q25 ON q25.user_id = q75.user_id AND q25.p = CAST(0.25 AS DOUBLE)\n  WHERE q75.p = CAST(0.75 AS DOUBLE)\n),\nsegs AS (\n  SELECT c.user_id, CAST(floor(c.rn / f.afifth) AS BIGINT) AS seg,\n         avg(c.c) AS sm, stddev_samp(c.c) AS ss\n  FROM cnt c\n  JOIN (SELECT user_id, CAST(floor(m / 5) AS BIGINT) AS afifth FROM nn2) f\n    ON f.user_id = c.user_id\n  WHERE c.rn < 5 * f.afifth\n  GROUP BY c.user_id, CAST(floor(c.rn / f.afifth) AS BIGINT)\n),\nsstat AS (\n  SELECT user_id, stddev_samp(sm) AS sam, stddev_samp(ss) AS sas\n  FROM segs GROUP BY user_id\n),\nbstat AS (\n  SELECT user_id, avg(c) AS cmean, stddev_samp(c) AS cstd,\n         max(c) AS cmax, median(c) AS cmed,\n         max(c) - min(c) AS crange\n  FROM cnt GROUP BY user_id\n)\nSELECT b.user_id,\n       round(a.ac1, 6) AS ac1, round(a.ac2, 6) AS ac2, round(a.ac3, 6) AS ac3,\n       round(t.tauout, 6) AS tau,\n       round(b.cmax, 6) AS max, round(b.cstd, 6) AS std,\n       round(b.cmed, 6) AS median, round(b.cmean, 6) AS mean,\n       round(i.iqr, 6) AS iqr,\n       round(i.iqr / nullif(b.crange, CAST(0.0 AS DOUBLE)), 6) AS iqronrange,\n       round(s.sam / nullif(b.cstd, CAST(0.0 AS DOUBLE)), 6) AS statav5_m,\n       round(s.sas / nullif(b.cstd, CAST(0.0 AS DOUBLE)), 6) AS statav5_s\nFROM bstat b\nJOIN acs a ON a.user_id = b.user_id\nJOIN tauv t ON t.user_id = b.user_id\nJOIN iqrs i ON i.user_id = b.user_id\nJOIN sstat s ON s.user_id = b.user_id\n')
+
+
+# --- IN_AutoMutualInfo 'kraskov1' lag 1, k=3 (Information.py:411-487) -------
+# KSG estimator 1 as a pair join: joint max-norm distances per embedded
+# pair (y_t, y_{t+1}), the k-th NN radius by rank (tie-safe: only the
+# rank-3 VALUE matters), strict-inequality marginal counts, and integer
+# -argument digamma values as harmonic numbers (psi(m) = H_{m-1} -
+# gamma, running-window sum over an integer table — engine digamma
+# matches to <1e-12, far under round(6)). Verified bit-exact vs
+# info._mi_ksg1 on all 150 sf0.01 users. (kraskov2 stays pytest-only:
+# its marginal extents depend on WHICH k neighbors argpartition picks
+# under joint-distance ties, which quantized data makes non-reproducible
+# across engines.)
+QUERIES["user_ami_ksg1"] = _q('\n, pts AS (\n  SELECT user_id, rn AS i, v AS x, y2 FROM (\n    SELECT user_id, rn, v,\n           lead(v) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM series\n  ) q WHERE y2 IS NOT NULL\n),\nmm AS (SELECT user_id, count(*) AS m FROM pts GROUP BY user_id),\npd AS (\n  SELECT a.user_id, a.i, abs(a.x - b.x) AS dx, abs(a.y2 - b.y2) AS dy,\n         greatest(abs(a.x - b.x), abs(a.y2 - b.y2)) AS dz\n  FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.i <> a.i\n),\neps AS (\n  SELECT user_id, i, dz AS e FROM (\n    SELECT user_id, i, dz,\n           row_number() OVER (PARTITION BY user_id, i ORDER BY dz) AS rk\n    FROM pd\n  ) q WHERE rk = 3\n),\ncnts AS (\n  SELECT p.user_id, p.i,\n         sum(CASE WHEN p.dx < e.e THEN 1 ELSE 0 END) AS nx,\n         sum(CASE WHEN p.dy < e.e THEN 1 ELSE 0 END) AS ny\n  FROM pd p JOIN eps e ON e.user_id = p.user_id AND e.i = p.i\n  GROUP BY p.user_id, p.i\n),\nints AS (SELECT DISTINCT rn + 1 AS mth FROM series),\ndgt AS (\n  SELECT mth,\n         CAST(-0.5772156649015329 AS DOUBLE)\n         + coalesce(sum(1.0 / CAST(mth AS DOUBLE)) OVER (\n             ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),\n           CAST(0.0 AS DOUBLE)) AS dg\n  FROM ints\n),\nterm AS (\n  SELECT c.user_id, dx.dg + dy.dg AS dsum\n  FROM cnts c\n  JOIN dgt dx ON dx.mth = c.nx + 1\n  JOIN dgt dy ON dy.mth = c.ny + 1\n)\nSELECT t.user_id,\n       round(d3.dg + dn.dg - avg(t.dsum), 6) AS ami_ksg1\nFROM term t\nJOIN mm ON mm.user_id = t.user_id\nJOIN dgt d3 ON d3.mth = 3\nJOIN dgt dn ON dn.mth = mm.m\nGROUP BY t.user_id, d3.dg, dn.dg\n')

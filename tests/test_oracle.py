@@ -1150,3 +1150,31 @@ def test_r3_embed2_angletau_shapes_mirror_kernels():
                 assert got is None or np.isnan(got), (u, col)
             else:
                 assert np.isclose(got, round(w, 6), atol=2e-6), (u, col, got, w)
+
+
+def test_r3_ami_ksg1_mirror_kernel():
+    """user_ami_ksg1 (KSG-1 lag-1 AMI, k=3) vs the numpy estimator."""
+    import duckdb
+    import numpy as np
+
+    from pyhctsa_spark.functions.info import mutual_info
+    from pyhctsa_spark.plans.oracle_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    series = con.execute(
+        "SELECT user_id, list(value ORDER BY event_id) FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ).fetchall()
+    df = con.execute(QUERIES["user_ami_ksg1"]["duck"]).fetchdf().set_index(
+        "user_id"
+    )
+    for u, v in series:
+        y = np.array(v, dtype=np.float64)
+        want = mutual_info(y[:-1], y[1:], "kraskov1")
+        assert np.isclose(
+            df.loc[u]["ami_ksg1"], round(want, 6), atol=2e-6, equal_nan=True
+        ), u
