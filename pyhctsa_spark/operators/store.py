@@ -71,6 +71,36 @@ def write_compressed_store(tier_df: DataFrame, path: str) -> None:
     )
 
 
+def write_tier_bucketed(
+    tier_df: DataFrame, table: str, path: str, num_buckets: int = 256,
+) -> None:
+    """Materialize a rollup tier bucketed by doc_id.
+
+    HashPartitioning(doc_id) satisfies the clustered distribution of
+    every downstream per-doc operation, so reads from this table feed
+    ``cascade_from_store`` (groupBy doc_id, parent_idx) and any per-doc
+    rollup/aggregation with ZERO shuffle — the Exchange disappears from
+    the plan (pytest-enforced). This is the continuous-aggregate layout
+    at warehouse scale: each retention cascade is a bucket-local
+    map-side aggregation; size num_buckets to the cluster (e.g. 2-4x
+    executor count).
+    """
+    (
+        tier_df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def read_tier_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed tier table (bucket metadata preserved, so
+    downstream per-doc groupings stay exchange-free)."""
+    return spark.table(table)
+
+
 _DECODED_SCHEMA = (
     "doc_id string, source string, tier int, window_idx long, n long, "
     + ", ".join(f"{f} double" for f in FEATURES)

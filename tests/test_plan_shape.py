@@ -71,3 +71,35 @@ def test_pipeline_join_strategies(spark):
     # broadcast centroid matrix) — the corpus is never hash-shuffled
     ivf_plan = cases["knn_ivf"][0]._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(nid" not in ivf_plan
+
+
+def test_bucketed_store_cascade_has_no_exchange(spark, tmp_path_factory):
+    """Tier-0 materialized with write_tier_bucketed (bucketBy doc_id)
+    feeds the retention cascade with ZERO shuffle: HashPartitioning
+    (doc_id) satisfies the (doc_id, parent_idx) clustered distribution.
+    Values must equal the plain-store cascade bit-for-bit."""
+    from pyhctsa_spark.operators.store import read_tier_table, write_tier_bucketed
+
+    path = str(tmp_path_factory.mktemp("bstore") / "t0")
+    df = sequences_df(spark, 12, partitions=3, binary=True)
+    t0 = rollup_tiers(df, n_tiers=1)
+    spark.sql("DROP TABLE IF EXISTS _t0_bucketed_test")
+    write_tier_bucketed(t0, "_t0_bucketed_test", path, num_buckets=4)
+    back = read_tier_table(spark, "_t0_bucketed_test")
+    plan = _plan(cascade_from_store(back))
+    assert "Exchange" not in plan
+    # equality vs the plain (shuffled) path
+    a = (
+        cascade_from_store(back)
+        .orderBy("doc_id", "window_idx")
+        .select("doc_id", "window_idx", "n", "mean", "variance", "ac1_td")
+        .toPandas()
+    )
+    b = (
+        cascade_from_store(t0)
+        .orderBy("doc_id", "window_idx")
+        .select("doc_id", "window_idx", "n", "mean", "variance", "ac1_td")
+        .toPandas()
+    )
+    assert a.equals(b)
+    spark.sql("DROP TABLE IF EXISTS _t0_bucketed_test")
