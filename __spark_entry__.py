@@ -147,15 +147,16 @@ def _expsmooth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values(["user_id", "event_id"])
         o = exp_smoothing(pdf["value"].to_numpy(np.float64))
+        nan = float("nan")  # N < ntrain -> reference returns only alphamin=NaN
         return pd.DataFrame([{
             "skey": pdf["skey"].iloc[0],
-            "alphamin_1": o["alphamin_1"],
-            "cup_1": o["cup_1"],
-            "alphamin": o["alphamin"],
-            "resid_mean": o["mean"],
-            "resid_std": o["std"],
-            "resid_ac1": o["AC1"],
-            "dwts": o["dwts"],
+            "alphamin_1": o.get("alphamin_1", nan),
+            "cup_1": o.get("cup_1", nan),
+            "alphamin": o.get("alphamin", nan),
+            "resid_mean": o.get("mean", nan),
+            "resid_std": o.get("std", nan),
+            "resid_ac1": o.get("AC1", nan),
+            "dwts": o.get("dwts", nan),
         }])
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -402,7 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_lz2"] = _lz_query
     out["user_expsmooth"] = _expsmooth_query
     # round-3 catalog additions, promoted into the scored window
-    for name in ("user_embed2_angletau", "user_embed2_shapes", "user_ami_ksg1"):
+    for name in ("user_embed2_angletau", "user_embed2_shapes", "user_ami_ksg1",
+                 "doc_repetition"):
         out[name] = _mk(name)
     for name in OQ.QUERIES:
         if name not in out:

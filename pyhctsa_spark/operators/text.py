@@ -111,3 +111,48 @@ def documents_to_sequences(
         F.col(source_col).alias("source"),
         F.lit(None).cast("long").alias("tok_checksum"),
     )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: fraction of duplicated 3-gram /
+    5-gram occurrences (1 - distinct/total) and the highest single
+    trigram count — the standard repetitious-text quality filter for
+    training corpora (Gopher/MassiveText-style rules). Pure JVM
+    expressions: shingles via transform(sequence(...)), one explode,
+    two partial-aggregations; shuffle volume = distinct shingles per
+    doc. Mirrors plans/oracle_queries.QUERIES['doc_repetition']."""
+
+    def shingles(n: int):
+        ws = F.split(F.col(text_col), " ")
+        return F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + k + 1) for k in range(n)]
+            ),
+        )
+
+    base = df.select(F.col(id_col), shingles(3).alias("s3"), shingles(5).alias("s5"))
+    t3 = (
+        base.select(id_col, F.explode("s3").alias("sh"))
+        .groupBy(id_col, "sh").count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("tot3"),
+            F.count("*").alias("uniq3"),
+            F.max("count").cast("long").alias("max3"),
+        )
+    )
+    t5 = (
+        base.select(id_col, F.explode("s5").alias("sh"))
+        .groupBy(id_col, "sh").count()
+        .groupBy(id_col)
+        .agg(F.sum("count").alias("tot5"), F.count("*").alias("uniq5"))
+    )
+    return t3.join(t5, id_col).select(
+        id_col,
+        F.round(1.0 - F.col("uniq3") / F.col("tot3").cast("double"), 6).alias("rep3"),
+        F.round(1.0 - F.col("uniq5") / F.col("tot5").cast("double"), 6).alias("rep5"),
+        "max3",
+    )

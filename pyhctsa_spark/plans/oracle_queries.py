@@ -1555,7 +1555,7 @@ ENGINE_ORACLES["user_lz2"] = "\nWITH RECURSIVE series AS (\n  SELECT user_id,\n 
 # aggregates. Verified bit-exact after round(6) on all 10 cohorts.
 # (lbq_p / normksstat need chi2 / normal special functions — excluded,
 # pytest-covered via residual_analysis.)
-ENGINE_ORACLES["user_expsmooth"] = "\nWITH RECURSIVE series AS (\n  SELECT 'g' || CAST(user_id % 10 AS VARCHAR) AS skey, user_id, event_id,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nord AS (\n  SELECT skey,\n         CAST(row_number() OVER (PARTITION BY skey ORDER BY user_id, event_id) AS BIGINT) AS t,\n         count(*) OVER (PARTITION BY skey) AS n,\n         v\n  FROM series\n),\ntr AS (\n  SELECT skey, t, n, v AS x,\n         lead(v)    OVER (PARTITION BY skey ORDER BY t) AS x1,\n         lead(v, 2) OVER (PARTITION BY skey ORDER BY t) AS x2\n  FROM ord\n),\nalphas1(ai, a) AS (\n  SELECT 0, CAST(0.1 AS DOUBLE) UNION ALL\n  SELECT 1, CAST(0.30000000000000004 AS DOUBLE) UNION ALL\n  SELECT 2, CAST(0.5 AS DOUBLE) UNION ALL\n  SELECT 3, CAST(0.7000000000000001 AS DOUBLE) UNION ALL\n  SELECT 4, CAST(0.9 AS DOUBLE)\n),\nrec1(skey, ai, a, b, i, cs, T, decay, sse) AS (\n  SELECT s.skey, al.ai, al.a, 1.0 - al.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM (SELECT DISTINCT skey FROM ord) s CROSS JOIN alphas1 al\n  UNION ALL\n  SELECT r.skey, r.ai, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec1 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse1 AS (\n  SELECT skey, ai, a, sqrt(sse / 98.0) AS rmse FROM rec1 WHERE i = 98\n),\nb3 AS (\n  SELECT skey, ai, a, rmse,\n         row_number() OVER (PARTITION BY skey ORDER BY rmse, ai) AS rnk\n  FROM rmse1\n),\np3 AS (\n  SELECT skey,\n    max(CASE WHEN rnk=1 THEN a END) AS xa, max(CASE WHEN rnk=1 THEN rmse END) AS ya,\n    max(CASE WHEN rnk=2 THEN a END) AS xb, max(CASE WHEN rnk=2 THEN rmse END) AS yb,\n    max(CASE WHEN rnk=3 THEN a END) AS xc, max(CASE WHEN rnk=3 THEN rmse END) AS yc\n  FROM b3 WHERE rnk <= 3 GROUP BY skey\n),\nfit1 AS (\n  SELECT skey,\n    ya/((xa-xb)*(xa-xc)) + yb/((xb-xa)*(xb-xc)) + yc/((xc-xa)*(xc-xb)) AS p0,\n    -(ya*(xb+xc)/((xa-xb)*(xa-xc)) + yb*(xa+xc)/((xb-xa)*(xb-xc))\n      + yc*(xa+xb)/((xc-xa)*(xc-xb))) AS p1,\n    ya*xb*xc/((xa-xb)*(xa-xc)) + yb*xa*xc/((xb-xa)*(xb-xc))\n      + yc*xa*xb/((xc-xa)*(xc-xb)) AS p2\n  FROM p3\n),\nst1 AS (\n  SELECT skey, p0, p1, p2,\n         -p1/(2*p0) AS am1,\n         CASE WHEN p0 > 0 THEN CAST(1 AS DOUBLE)\n              WHEN p0 < 0 THEN CAST(-1 AS DOUBLE)\n              ELSE CAST(0 AS DOUBLE) END AS cup\n  FROM fit1\n),\nlohi AS (\n  SELECT skey, am1,\n    CASE WHEN am1 - 0.1 <= 0 THEN CAST(0.01 AS DOUBLE)\n         WHEN am1 + 0.1 >= 1 THEN least(am1, CAST(1.0 AS DOUBLE)) - 0.1\n         ELSE am1 - 0.1 END AS lo,\n    CASE WHEN am1 - 0.1 <= 0 THEN greatest(am1, CAST(0.0 AS DOUBLE)) + 0.1\n         WHEN am1 + 0.1 >= 1 THEN CAST(1.0 AS DOUBLE)\n         ELSE am1 + 0.1 END AS hi\n  FROM st1 WHERE p0 >= 0\n),\ngrid2 AS (\n  SELECT l.skey, g.gi,\n         CASE WHEN g.gi = 4 THEN l.hi\n              ELSE g.gi * ((l.hi - l.lo) / 4.0) + l.lo END AS a\n  FROM lohi l CROSS JOIN (\n    SELECT CAST(0 AS BIGINT) AS gi UNION ALL SELECT 1 UNION ALL SELECT 2\n    UNION ALL SELECT 3 UNION ALL SELECT 4) g\n),\nrec2(skey, gi, a, b, i, cs, T, decay, sse) AS (\n  SELECT g.skey, g.gi, g.a, 1.0 - g.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM grid2 g\n  UNION ALL\n  SELECT r.skey, r.gi, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec2 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse2 AS (\n  SELECT skey, gi, a, sqrt(sse / 98.0) AS rmse FROM rec2 WHERE i = 98\n),\nm2 AS (\n  SELECT skey,\n         sum(a*a*a*a) AS s4, sum(a*a*a) AS s3, sum(a*a) AS s2, sum(a) AS s1,\n         sum(a*a*rmse) AS t2, sum(a*rmse) AS t1, sum(rmse) AS t0\n  FROM rmse2 GROUP BY skey\n),\nfit2 AS (\n  SELECT skey,\n    (s4*(s2*5 - s1*s1) - s3*(s3*5 - s1*s2) + s2*(s3*s1 - s2*s2)) AS det,\n    (t2*(s2*5 - s1*s1) - s3*(t1*5 - t0*s1) + s2*(t1*s1 - t0*s2)) AS n0,\n    (s4*(t1*5 - t0*s1) - t2*(s3*5 - s1*s2) + s2*(s3*t0 - t1*s2)) AS n1\n  FROM m2\n),\ngmin AS (\n  SELECT skey, a AS amin_grid\n  FROM (SELECT skey, a, row_number() OVER (PARTITION BY skey ORDER BY rmse, gi) AS rr\n        FROM rmse2) WHERE rr = 1\n),\nst2 AS (\n  SELECT f.skey,\n         CASE WHEN f.n0 / f.det < 0 THEN g.amin_grid\n              ELSE -(f.n1 / f.det) / (2 * (f.n0 / f.det)) END AS araw\n  FROM fit2 f JOIN gmin g ON g.skey = f.skey\n),\nalphasel AS (\n  SELECT st1.skey, st1.am1 AS alphamin_1, st1.cup AS cup_1,\n         CASE WHEN st1.p0 < 0 THEN\n                (CASE WHEN (st1.p0 * 0.01 + st1.p1) * 0.01 + st1.p2\n                           <= st1.p0 + st1.p1 + st1.p2\n                      THEN CAST(0.01 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)\n              ELSE st2.araw END AS araw\n  FROM st1 LEFT JOIN st2 ON st2.skey = st1.skey\n),\nafin AS (\n  SELECT skey, alphamin_1, cup_1,\n         greatest(CAST(0.01 AS DOUBLE), least(CAST(1.0 AS DOUBLE), araw)) AS alpha\n  FROM alphasel\n),\nrec3(skey, a, b, i, cs, T, decay) AS (\n  SELECT f.skey, f.alpha, 1.0 - f.alpha, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)\n  FROM afin f\n  UNION ALL\n  SELECT r.skey, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END\n  FROM rec3 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < tr.n - 2\n),\nxfs AS (\n  SELECT skey, i + 2 AS t, decay * (cs / i) + T AS xf\n  FROM rec3 WHERE i >= 1\n),\nresid AS (\n  SELECT x.skey, x.t, x.xf - o.v AS e\n  FROM xfs x JOIN ord o ON o.skey = x.skey AND o.t = x.t\n),\nrc AS (\n  SELECT skey, t, e, avg(e) OVER (PARTITION BY skey) AS mu FROM resid\n),\nrc2 AS (\n  SELECT skey, t, e, e - mu AS ec,\n         lead(e - mu) OVER (PARTITION BY skey ORDER BY t) AS ec1,\n         lead(e)      OVER (PARTITION BY skey ORDER BY t) AS e1\n  FROM rc\n),\nrstat AS (\n  SELECT skey,\n         avg(e) AS rmean, stddev_samp(e) AS rstd,\n         sum(ec * ec1) / nullif(sum(ec * ec), 0.0) AS ac1,\n         CASE WHEN sum(e * e) > 0.0\n              THEN sum((e1 - e) * (e1 - e)) / sum(e * e)\n              ELSE NULL END AS dwts\n  FROM rc2 GROUP BY skey\n)\nSELECT a.skey,\n       round(a.alphamin_1, 6) AS alphamin_1,\n       round(a.cup_1, 6)      AS cup_1,\n       round(a.alpha, 6)      AS alphamin,\n       round(r.rmean, 6)      AS resid_mean,\n       round(r.rstd, 6)       AS resid_std,\n       round(r.ac1, 6)        AS resid_ac1,\n       round(r.dwts, 6)       AS dwts\nFROM afin a JOIN rstat r ON r.skey = a.skey\n"
+ENGINE_ORACLES["user_expsmooth"] = "\nWITH RECURSIVE series AS (\n  SELECT 'g' || CAST(user_id % 10 AS VARCHAR) AS skey, user_id, event_id,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nord AS (\n  SELECT skey,\n         CAST(row_number() OVER (PARTITION BY skey ORDER BY user_id, event_id) AS BIGINT) AS t,\n         count(*) OVER (PARTITION BY skey) AS n,\n         v\n  FROM series\n),\ntr AS (\n  SELECT skey, t, n, v AS x,\n         lead(v)    OVER (PARTITION BY skey ORDER BY t) AS x1,\n         lead(v, 2) OVER (PARTITION BY skey ORDER BY t) AS x2\n  FROM ord\n),\nalphas1(ai, a) AS (\n  SELECT 0, CAST(0.1 AS DOUBLE) UNION ALL\n  SELECT 1, CAST(0.30000000000000004 AS DOUBLE) UNION ALL\n  SELECT 2, CAST(0.5 AS DOUBLE) UNION ALL\n  SELECT 3, CAST(0.7000000000000001 AS DOUBLE) UNION ALL\n  SELECT 4, CAST(0.9 AS DOUBLE)\n),\nrec1(skey, ai, a, b, i, cs, T, decay, sse) AS (\n  SELECT s.skey, al.ai, al.a, 1.0 - al.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM (SELECT DISTINCT skey FROM ord) s CROSS JOIN alphas1 al\n  UNION ALL\n  SELECT r.skey, r.ai, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec1 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse1 AS (\n  SELECT skey, ai, a, sqrt(sse / 98.0) AS rmse FROM rec1 WHERE i = 98\n),\nb3 AS (\n  SELECT skey, ai, a, rmse,\n         row_number() OVER (PARTITION BY skey ORDER BY rmse, ai) AS rnk\n  FROM rmse1\n),\np3 AS (\n  SELECT skey,\n    max(CASE WHEN rnk=1 THEN a END) AS xa, max(CASE WHEN rnk=1 THEN rmse END) AS ya,\n    max(CASE WHEN rnk=2 THEN a END) AS xb, max(CASE WHEN rnk=2 THEN rmse END) AS yb,\n    max(CASE WHEN rnk=3 THEN a END) AS xc, max(CASE WHEN rnk=3 THEN rmse END) AS yc\n  FROM b3 WHERE rnk <= 3 GROUP BY skey\n),\nfit1 AS (\n  SELECT skey,\n    ya/((xa-xb)*(xa-xc)) + yb/((xb-xa)*(xb-xc)) + yc/((xc-xa)*(xc-xb)) AS p0,\n    -(ya*(xb+xc)/((xa-xb)*(xa-xc)) + yb*(xa+xc)/((xb-xa)*(xb-xc))\n      + yc*(xa+xb)/((xc-xa)*(xc-xb))) AS p1,\n    ya*xb*xc/((xa-xb)*(xa-xc)) + yb*xa*xc/((xb-xa)*(xb-xc))\n      + yc*xa*xb/((xc-xa)*(xc-xb)) AS p2\n  FROM p3\n),\nst1 AS (\n  SELECT skey, p0, p1, p2,\n         -p1/(2*p0) AS am1,\n         CASE WHEN p0 > 0 THEN CAST(1 AS DOUBLE)\n              WHEN p0 < 0 THEN CAST(-1 AS DOUBLE)\n              ELSE CAST(0 AS DOUBLE) END AS cup\n  FROM fit1\n),\nlohi AS (\n  SELECT skey, am1,\n    CASE WHEN am1 - 0.1 <= 0 THEN CAST(0.01 AS DOUBLE)\n         WHEN am1 + 0.1 >= 1 THEN least(am1, CAST(1.0 AS DOUBLE)) - 0.1\n         ELSE am1 - 0.1 END AS lo,\n    CASE WHEN am1 - 0.1 <= 0 THEN greatest(am1, CAST(0.0 AS DOUBLE)) + 0.1\n         WHEN am1 + 0.1 >= 1 THEN CAST(1.0 AS DOUBLE)\n         ELSE am1 + 0.1 END AS hi\n  FROM st1 WHERE p0 >= 0\n),\ngrid2 AS (\n  SELECT l.skey, g.gi,\n         CASE WHEN g.gi = 4 THEN l.hi\n              ELSE g.gi * ((l.hi - l.lo) / 4.0) + l.lo END AS a\n  FROM lohi l CROSS JOIN (\n    SELECT CAST(0 AS BIGINT) AS gi UNION ALL SELECT 1 UNION ALL SELECT 2\n    UNION ALL SELECT 3 UNION ALL SELECT 4) g\n),\nrec2(skey, gi, a, b, i, cs, T, decay, sse) AS (\n  SELECT g.skey, g.gi, g.a, 1.0 - g.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM grid2 g\n  UNION ALL\n  SELECT r.skey, r.gi, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec2 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse2 AS (\n  SELECT skey, gi, a, sqrt(sse / 98.0) AS rmse FROM rec2 WHERE i = 98\n),\nm2 AS (\n  SELECT skey,\n         sum(a*a*a*a) AS s4, sum(a*a*a) AS s3, sum(a*a) AS s2, sum(a) AS s1,\n         sum(a*a*rmse) AS t2, sum(a*rmse) AS t1, sum(rmse) AS t0\n  FROM rmse2 GROUP BY skey\n),\nfit2 AS (\n  SELECT skey,\n    (s4*(s2*5 - s1*s1) - s3*(s3*5 - s1*s2) + s2*(s3*s1 - s2*s2)) AS det,\n    (t2*(s2*5 - s1*s1) - s3*(t1*5 - t0*s1) + s2*(t1*s1 - t0*s2)) AS n0,\n    (s4*(t1*5 - t0*s1) - t2*(s3*5 - s1*s2) + s2*(s3*t0 - t1*s2)) AS n1\n  FROM m2\n),\ngmin AS (\n  SELECT skey, a AS amin_grid\n  FROM (SELECT skey, a, row_number() OVER (PARTITION BY skey ORDER BY rmse, gi) AS rr\n        FROM rmse2) WHERE rr = 1\n),\nst2 AS (\n  SELECT f.skey,\n         CASE WHEN f.n0 / f.det < 0 THEN g.amin_grid\n              ELSE -(f.n1 / f.det) / (2 * (f.n0 / f.det)) END AS araw\n  FROM fit2 f JOIN gmin g ON g.skey = f.skey\n),\nalphasel AS (\n  SELECT st1.skey, st1.am1 AS alphamin_1, st1.cup AS cup_1,\n         CASE WHEN st1.p0 < 0 THEN\n                (CASE WHEN (st1.p0 * 0.01 + st1.p1) * 0.01 + st1.p2\n                           <= st1.p0 + st1.p1 + st1.p2\n                      THEN CAST(0.01 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)\n              ELSE st2.araw END AS araw\n  FROM st1 LEFT JOIN st2 ON st2.skey = st1.skey\n),\nafin AS (\n  SELECT skey, alphamin_1, cup_1,\n         greatest(CAST(0.01 AS DOUBLE), least(CAST(1.0 AS DOUBLE), araw)) AS alpha\n  FROM alphasel\n),\nrec3(skey, a, b, i, cs, T, decay) AS (\n  SELECT f.skey, f.alpha, 1.0 - f.alpha, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)\n  FROM afin f\n  UNION ALL\n  SELECT r.skey, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END\n  FROM rec3 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < tr.n - 2\n),\nxfs AS (\n  SELECT skey, i + 2 AS t, decay * (cs / i) + T AS xf\n  FROM rec3 WHERE i >= 1\n),\nresid AS (\n  SELECT x.skey, x.t, x.xf - o.v AS e\n  FROM xfs x JOIN ord o ON o.skey = x.skey AND o.t = x.t\n),\nrc AS (\n  SELECT skey, t, e, avg(e) OVER (PARTITION BY skey) AS mu FROM resid\n),\nrc2 AS (\n  SELECT skey, t, e, e - mu AS ec,\n         lead(e - mu) OVER (PARTITION BY skey ORDER BY t) AS ec1,\n         lead(e)      OVER (PARTITION BY skey ORDER BY t) AS e1\n  FROM rc\n),\nrstat AS (\n  SELECT skey,\n         avg(e) AS rmean, stddev_samp(e) AS rstd,\n         sum(ec * ec1) / nullif(sum(ec * ec), 0.0) AS ac1,\n         CASE WHEN sum(e * e) > 0.0\n              THEN sum((e1 - e) * (e1 - e)) / sum(e * e)\n              ELSE NULL END AS dwts\n  FROM rc2 GROUP BY skey\n)\nSELECT s.skey,\n       round(a.alphamin_1, 6) AS alphamin_1,\n       round(a.cup_1, 6)      AS cup_1,\n       round(a.alpha, 6)      AS alphamin,\n       round(r.rmean, 6)      AS resid_mean,\n       round(r.rstd, 6)       AS resid_std,\n       round(r.ac1, 6)        AS resid_ac1,\n       round(r.dwts, 6)       AS dwts\nFROM (SELECT DISTINCT skey FROM ord) s\nLEFT JOIN afin a ON a.skey = s.skey\nLEFT JOIN rstat r ON r.skey = s.skey\n"
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -5907,3 +5907,77 @@ QUERIES["user_embed2_shapes"] = _q('\n, zs AS (\n  SELECT s.user_id, s.rn, (s.v 
 # under joint-distance ties, which quantized data makes non-reproducible
 # across engines.)
 QUERIES["user_ami_ksg1"] = _q('\n, pts AS (\n  SELECT user_id, rn AS i, v AS x, y2 FROM (\n    SELECT user_id, rn, v,\n           lead(v) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM series\n  ) q WHERE y2 IS NOT NULL\n),\nmm AS (SELECT user_id, count(*) AS m FROM pts GROUP BY user_id),\npd AS (\n  SELECT a.user_id, a.i, abs(a.x - b.x) AS dx, abs(a.y2 - b.y2) AS dy,\n         greatest(abs(a.x - b.x), abs(a.y2 - b.y2)) AS dz\n  FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.i <> a.i\n),\neps AS (\n  SELECT user_id, i, dz AS e FROM (\n    SELECT user_id, i, dz,\n           row_number() OVER (PARTITION BY user_id, i ORDER BY dz) AS rk\n    FROM pd\n  ) q WHERE rk = 3\n),\ncnts AS (\n  SELECT p.user_id, p.i,\n         sum(CASE WHEN p.dx < e.e THEN 1 ELSE 0 END) AS nx,\n         sum(CASE WHEN p.dy < e.e THEN 1 ELSE 0 END) AS ny\n  FROM pd p JOIN eps e ON e.user_id = p.user_id AND e.i = p.i\n  GROUP BY p.user_id, p.i\n),\nints AS (SELECT DISTINCT rn + 1 AS mth FROM series),\ndgt AS (\n  SELECT mth,\n         CAST(-0.5772156649015329 AS DOUBLE)\n         + coalesce(sum(1.0 / CAST(mth AS DOUBLE)) OVER (\n             ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),\n           CAST(0.0 AS DOUBLE)) AS dg\n  FROM ints\n),\nterm AS (\n  SELECT c.user_id, dx.dg + dy.dg AS dsum\n  FROM cnts c\n  JOIN dgt dx ON dx.mth = c.nx + 1\n  JOIN dgt dy ON dy.mth = c.ny + 1\n)\nSELECT t.user_id,\n       round(d3.dg + dn.dg - avg(t.dsum), 6) AS ami_ksg1\nFROM term t\nJOIN mm ON mm.user_id = t.user_id\nJOIN dgt d3 ON d3.mth = 3\nJOIN dgt dn ON dn.mth = mm.m\nGROUP BY t.user_id, d3.dg, dn.dg\n')
+
+
+# --- Within-document repetition scoring (training-data quality signal) ------
+# Fraction of duplicated 3-gram / 5-gram occurrences per document
+# (1 - distinct/total) plus the highest single-trigram occurrence
+# count — the standard "repetitious text" filter in large-corpus
+# pipelines (e.g. Gopher/ MassiveText quality rules). Pure JVM
+# expressions on the Spark side; same aggregation in DuckDB.
+QUERIES["doc_repetition"] = _q2(
+    """
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+),
+tri AS (
+  SELECT doc_id, sh
+  FROM words
+  LATERAL VIEW explode(
+    transform(sequence(0, size(ws) - 3),
+              idx -> concat_ws(' ', ws[idx], ws[idx + 1], ws[idx + 2]))
+  ) t AS sh
+  WHERE size(ws) >= 3
+),
+five AS (
+  SELECT doc_id, sh
+  FROM words
+  LATERAL VIEW explode(
+    transform(sequence(0, size(ws) - 5),
+              idx -> concat_ws(' ', ws[idx], ws[idx + 1], ws[idx + 2],
+                               ws[idx + 3], ws[idx + 4]))
+  ) t AS sh
+  WHERE size(ws) >= 5
+),
+t3c AS (SELECT doc_id, sh, count(*) AS c FROM tri GROUP BY doc_id, sh),
+t3 AS (SELECT doc_id, sum(c) AS tot, count(*) AS uniq,
+              CAST(max(c) AS BIGINT) AS maxc
+       FROM t3c GROUP BY doc_id),
+t5c AS (SELECT doc_id, sh, count(*) AS c FROM five GROUP BY doc_id, sh),
+t5 AS (SELECT doc_id, sum(c) AS tot, count(*) AS uniq FROM t5c GROUP BY doc_id)
+SELECT t3.doc_id,
+       round(1.0 - t3.uniq / CAST(t3.tot AS DOUBLE), 6) AS rep3,
+       round(1.0 - t5.uniq / CAST(t5.tot AS DOUBLE), 6) AS rep5,
+       t3.maxc AS max3
+FROM t3 JOIN t5 ON t5.doc_id = t3.doc_id
+""",
+    """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2])) AS sh
+  FROM words WHERE len(ws) >= 3
+),
+five AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 4),
+                idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2]
+                       || ' ' || ws[idx + 3] || ' ' || ws[idx + 4])) AS sh
+  FROM words WHERE len(ws) >= 5
+),
+t3c AS (SELECT doc_id, sh, count(*) AS c FROM tri GROUP BY doc_id, sh),
+t3 AS (SELECT doc_id, sum(c) AS tot, count(*) AS uniq,
+              CAST(max(c) AS BIGINT) AS maxc
+       FROM t3c GROUP BY doc_id),
+t5c AS (SELECT doc_id, sh, count(*) AS c FROM five GROUP BY doc_id, sh),
+t5 AS (SELECT doc_id, sum(c) AS tot, count(*) AS uniq FROM t5c GROUP BY doc_id)
+SELECT t3.doc_id,
+       round(1.0 - t3.uniq / CAST(t3.tot AS DOUBLE), 6) AS rep3,
+       round(1.0 - t5.uniq / CAST(t5.tot AS DOUBLE), 6) AS rep5,
+       t3.maxc AS max3
+FROM t3 JOIN t5 ON t5.doc_id = t3.doc_id
+""",
+)

@@ -343,3 +343,78 @@ def test_simhash_blocking_tiers(spark, docs):
     with _pytest.raises(ValueError):
         simhash_near_pairs_2x32(fps, max_hamming=4, n_chunks=4)
     fps.unpersist()
+
+
+def test_repetition_score_matches_sql(spark, docs):
+    """The DataFrame-API repetition operator must equal the
+    doc_repetition catalog SQL (which the DuckDB oracle hash-checks)."""
+    from pyhctsa_spark.operators.text import repetition_score
+    from pyhctsa_spark.plans import oracle_queries as OQ
+
+    docs.createOrReplaceTempView("documents")
+    got = (
+        repetition_score(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.sql(OQ.spark_sql_for("doc_repetition"))
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got[["doc_id", "rep3", "rep5", "max3"]].equals(
+        want[["doc_id", "rep3", "rep5", "max3"]]
+    )
+    # a pathological repeated doc scores high
+    rep = spark.createDataFrame(
+        [(1, "spam ham " * 50)], "doc_id long, text string"
+    )
+    r = repetition_score(rep).first()
+    assert r["rep3"] > 0.9 and r["max3"] >= 40
+
+
+def test_streaming_exact_dedup_across_triggers(spark, tmp_path_factory):
+    """Stateful streaming dedup: duplicates within the watermark are
+    dropped across micro-batches AND across restarts (checkpointed
+    hash state); the survivor set equals batch exact-dedup."""
+    import datetime as dt
+
+    from pyhctsa_spark.streaming.dedup_stream import stream_exact_dedup
+
+    base = tmp_path_factory.mktemp("sdedup")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(ids_texts, minutes):
+        return [
+            (i, t, f"src{i % 2}", t0 + dt.timedelta(minutes=minutes))
+            for i, t in ids_texts
+        ]
+
+    schema = "doc_id long, text string, source string, event_time timestamp"
+    batch1 = spark.createDataFrame(
+        rows([(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], 0),
+        schema,
+    )
+    batch1.write.mode("overwrite").parquet(src)
+    q = stream_exact_dedup(spark, src, sink, ckpt, watermark="1 hour")
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink).toPandas()
+    assert sorted(first["text"].unique()) == ["alpha beta", "gamma delta"]
+    assert len(first) == 2  # in-batch duplicate dropped
+
+    # second ingestion: one duplicate of batch1 (within watermark) and
+    # one genuinely new doc — restart from checkpoint
+    batch2 = spark.createDataFrame(
+        rows([(4, "alpha beta"), (5, "epsilon zeta")], 10), schema
+    )
+    batch2.write.mode("append").parquet(src)
+    q2 = stream_exact_dedup(spark, src, sink, ckpt, watermark="1 hour")
+    q2.awaitTermination(120)
+    final = spark.read.parquet(sink).toPandas()
+    assert len(final) == 3  # cross-trigger duplicate dropped by state
+    assert sorted(final["text"].unique()) == [
+        "alpha beta", "epsilon zeta", "gamma delta",
+    ]
