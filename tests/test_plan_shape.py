@@ -103,3 +103,25 @@ def test_bucketed_store_cascade_has_no_exchange(spark, tmp_path_factory):
     )
     assert a.equals(b)
     spark.sql("DROP TABLE IF EXISTS _t0_bucketed_test")
+
+
+def test_salted_repartition_balances_zipf_skew(spark):
+    """A 90%-one-source Zipf input must land balanced: salting on
+    hash(doc_id) gives every partition an iid sample regardless of the
+    source hotspot (max/mean partition size < 1.5)."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.partitioning import salted_repartition
+
+    df = spark.range(0, 20000, 1, 4).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("cold"), F.col("id") % 7)
+        ).alias("source"),
+    )
+    sizes = (
+        salted_repartition(df, num_partitions=8)
+        .rdd.glom().map(len).collect()
+    )
+    assert len(sizes) == 8 and min(sizes) > 0
+    assert max(sizes) / (sum(sizes) / len(sizes)) < 1.5
