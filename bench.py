@@ -235,6 +235,36 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     return out
 
 
+def bench_ann(spark, k: int = 3, n_queries: int = 20) -> dict:
+    """IVF recall/cost curve vs exact brute force on the sf embeddings:
+    the nprobe knob is the scale path (scan ~nprobe/nlist of the
+    corpus), so record recall@k and wall at several probe levels."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < n_queries)
+    exact = knn_bruteforce(emb, qs, k=k).toPandas()
+    truth = {
+        qid: set(g.nid) for qid, g in exact.groupby("qid")
+    }
+    out: dict = {}
+    for nprobe in (1, 4, 16):
+        t0 = time.perf_counter()
+        approx = knn_ivf(
+            emb, qs, k=k, num_centroids=16, nprobe=nprobe
+        ).toPandas()
+        wall = time.perf_counter() - t0
+        rec = sum(
+            len(truth[qid] & set(g.nid)) / k
+            for qid, g in approx.groupby("qid")
+        ) / max(1, len(truth))
+        out[f"ann_nprobe{nprobe}_recall"] = round(rec, 3)
+        out[f"ann_nprobe{nprobe}_sec"] = round(wall, 3)
+    return out
+
+
 def bench_queries(spark) -> dict:
     OQ.register_views(spark, SF_DIR)
     # doc_ngram_jaccard is deliberately excluded: it is the exhaustive
@@ -297,6 +327,7 @@ def main() -> None:
     featmat = bench_feature_matrix(spark, seq_path)
     queries = bench_queries(spark)
     simblock = bench_simhash_blocking(spark)
+    ann = bench_ann(spark)
     scale10 = bench_scale10(spark)
     result = {
         "metric": "3-tier rollup wall-clock (synthetic token sequences)",
@@ -308,6 +339,7 @@ def main() -> None:
         **roll,
         **featmat,
         **simblock,
+        **ann,
         **scale10,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
