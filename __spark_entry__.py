@@ -356,6 +356,20 @@ def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup clustering with LINEAR output: exact-collapse
+    by content hash, MinHash-LSH + exact-Jaccard verify over
+    representatives, min-label connected components, rep->cluster map
+    broadcast back over all docs. cluster_id = min doc_id in the
+    cluster (deterministic). The DuckDB oracle recomputes the exact
+    groups, the exhaustive Jaccard pair graph over representatives, and
+    the components by recursive-CTE transitive closure."""
+    from pyhctsa_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(docs, threshold=0.3)
+
+
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hctsa-style feature-matrix extraction through the registry path
     (plans/registry.FeatureSet -> operators/features.extract_features)
@@ -395,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_full_events"] = _rollup_full_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query
+    out["doc_neardup_clusters"] = _neardup_clusters_query
     out["knn_ivf"] = _knn_ivf_query
     out["media_features"] = _media_features_query
     out["feature_matrix"] = _feature_matrix_query

@@ -232,6 +232,16 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
         "noop"
     ).mode("overwrite").save()
     out["simhash10_sec"] = round(time.perf_counter() - t0, 3)
+    # production clustering path: exact-collapse first, so the 10x
+    # duplicate multiplicity never becomes quadratic pair output
+    from pyhctsa_spark.operators.dedup import near_dup_clusters
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    near_dup_clusters(big, threshold=0.3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["neardup_clusters10_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -457,6 +457,11 @@ def dedup_components(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
+    # materialize the edge table once: every propagation round joins it,
+    # and without this each round re-executes the entire upstream pair
+    # pipeline (measured: the 10x-corpus clustering spent most of its
+    # wall re-deriving minhash edges per iteration)
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -579,4 +584,58 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("cosine") >= min_cosine)
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the production dedup
+    deliverable with LINEAR output size (one (doc_id, cluster_id) row
+    per document, cluster_id = min doc id in the cluster).
+
+    Pipeline shape for a duplicate-heavy crawl corpus:
+      1. exact collapse: group identical content by hash, elect the
+         min-id representative — the quadratic pair blowup of exact
+         copies (k copies -> k(k-1)/2 pairs) never happens;
+      2. MinHash-LSH + exact-Jaccard verify over REPRESENTATIVES only;
+      3. min-label connected components over the verified pair graph;
+      4. broadcast the rep -> cluster map back onto all documents.
+    Shuffle volume: content hashes (step 1), band tuples (step 2),
+    component labels (step 3) — never document pair products.
+    """
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+    )
+    groups = exact_dedup(df, text_col, id_col).select(
+        F.col("content_hash").alias("_h"), "canonical_id"
+    )
+    rep_map = hashed.join(groups, "_h").select(
+        id_col, F.col("canonical_id").alias("rep_id")
+    )
+    reps = dedup_keep_first(df, text_col, id_col)
+    pairs = minhash_verified_pairs(
+        reps, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    )
+    comp = dedup_components(
+        pairs.select(
+            F.col("d1").alias("id_a"), F.col("d2").alias("id_b")
+        )
+    )
+    return (
+        rep_map.join(
+            comp.withColumnRenamed("doc_id", "_rep"),
+            rep_map.rep_id == F.col("_rep"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("component_id"), F.col("rep_id")).alias(
+                "cluster_id"
+            ),
+        )
     )

@@ -418,3 +418,19 @@ def test_streaming_exact_dedup_across_triggers(spark, tmp_path_factory):
     assert sorted(final["text"].unique()) == [
         "alpha beta", "epsilon zeta", "gamma delta",
     ]
+
+
+def test_near_dup_clusters_linear_output(spark, docs):
+    """Exact copies + near-dups collapse into min-id clusters; output is
+    one row per doc regardless of duplicate multiplicity."""
+    from pyhctsa_spark.operators.dedup import near_dup_clusters
+
+    # replicate a few docs exactly (ids offset) to form known clusters
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(dup)
+    out = near_dup_clusters(both, threshold=0.3).toPandas()
+    assert len(out) == both.count()  # linear: one row per doc
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    for i in range(5):
+        assert cl[i + 1_000_000] == cl[i]  # exact copy joins its original
+        assert cl[i] <= i  # cluster label = min reachable id
