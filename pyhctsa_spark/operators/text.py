@@ -156,3 +156,54 @@ def repetition_score(
         F.round(1.0 - F.col("uniq5") / F.col("tot5").cast("double"), 6).alias("rep5"),
         "max3",
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``ngram_n``-word n-gram with an evaluation set (the standard
+    train/test contamination screen for LLM corpora).
+
+    Scale shape: the eval n-gram set is small (benchmarks are KBs-MBs)
+    and is broadcast; the corpus side is one explode + broadcast-hash
+    semi-join + per-doc count — the corpus is never shuffled by content,
+    only by doc_id for the count aggregation. Output: one row per
+    corpus doc with the distinct-hit count and a 0/1 contaminated flag.
+    """
+
+    def ngrams(df: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - ngram_n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + k + 1) for k in range(ngram_n)]
+                ),
+            )
+        )
+        return (
+            df.where(F.size(words) >= ngram_n)
+            .select(F.col(id_col), F.explode(sh).alias("ng"))
+        )
+
+    ev = F.broadcast(ngrams(eval_df).select("ng").distinct())
+    hits = (
+        ngrams(corpus)
+        .join(ev, "ng")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.when(F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("contaminated"),
+    )

@@ -5990,3 +5990,69 @@ SELECT t3.doc_id,
 FROM t3 JOIN t5 ON t5.doc_id = t3.doc_id
 """,
 )
+
+
+# --- Benchmark decontamination (train/eval n-gram collision screen) ---------
+# Eval set = the first 20 documents (deterministic driver view); a
+# corpus doc is contaminated when it shares any distinct 8-word n-gram
+# with the eval set. The engine operator broadcasts the eval n-gram set
+# and semi-joins the corpus explode (operators/text.contamination_check);
+# the eval docs themselves self-collide by construction, which the
+# oracle reproduces.
+QUERIES["doc_contamination"] = _q2(
+    """
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, sh
+  FROM words
+  LATERAL VIEW explode(
+    transform(sequence(0, size(ws) - 8),
+              idx -> concat_ws(' ', ws[idx], ws[idx + 1], ws[idx + 2],
+                               ws[idx + 3], ws[idx + 4], ws[idx + 5],
+                               ws[idx + 6], ws[idx + 7]))
+  ) t AS sh
+  WHERE size(ws) >= 8
+),
+ev AS (SELECT DISTINCT sh FROM ng WHERE doc_id < 20),
+hits AS (
+  SELECT ng.doc_id, count(*) AS n_hits
+  FROM ng JOIN ev ON ev.sh = ng.sh
+  GROUP BY ng.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+    """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 7),
+                  idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2]
+                         || ' ' || ws[idx + 3] || ' ' || ws[idx + 4]
+                         || ' ' || ws[idx + 5] || ' ' || ws[idx + 6]
+                         || ' ' || ws[idx + 7])) AS sh
+    FROM words WHERE len(ws) >= 8
+  ) t
+),
+ev AS (SELECT DISTINCT sh FROM ng WHERE doc_id < 20),
+hits AS (
+  SELECT ng.doc_id, count(*) AS n_hits
+  FROM ng JOIN ev ON ev.sh = ng.sh
+  GROUP BY ng.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+)

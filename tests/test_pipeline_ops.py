@@ -434,3 +434,24 @@ def test_near_dup_clusters_linear_output(spark, docs):
     for i in range(5):
         assert cl[i + 1_000_000] == cl[i]  # exact copy joins its original
         assert cl[i] <= i  # cluster label = min reachable id
+
+
+def test_contamination_check_matches_sql(spark, docs):
+    """The broadcast semi-join operator must equal the doc_contamination
+    catalog SQL; eval docs self-collide, disjoint docs don't."""
+    from pyhctsa_spark.operators.text import contamination_check
+    from pyhctsa_spark.plans import oracle_queries as OQ
+
+    docs.createOrReplaceTempView("documents")
+    got = (
+        contamination_check(docs, docs.where(F.col("doc_id") < 20))
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    want = (
+        spark.sql(OQ.spark_sql_for("doc_contamination"))
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # every eval doc (>= 8 words) is flagged by self-collision
+    ev = got[got.doc_id < 20]
+    assert (ev.contaminated == 1).all()
