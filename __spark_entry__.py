@@ -419,7 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_expsmooth"] = _expsmooth_query
     # round-3 catalog additions, promoted into the scored window
     for name in ("user_embed2_angletau", "user_embed2_shapes", "user_ami_ksg1",
-                 "doc_repetition", "doc_contamination"):
+                 "doc_repetition", "doc_contamination", "doc_quality_filter"):
         out[name] = _mk(name)
     for name in OQ.QUERIES:
         if name not in out:

@@ -6056,3 +6056,41 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """,
 )
+
+
+# --- Composite corpus filter (keep/drop + reason) ---------------------------
+# The standard quality-filter decision composed from already-oracled
+# components: length (doc_quality), stopword ratio (doc_quality),
+# within-doc repetition (doc_repetition), language id
+# (doc_language_id). Precedence: too_short -> low_stopword ->
+# repetitious -> lang_und -> keep. Each component subquery is the
+# exact SQL the driver already hash-checks, so the filter inherits
+# their verification.
+_QF_RULE = """
+SELECT q.doc_id,
+       CAST(CASE WHEN q.n_words < 20 THEN 0
+                 WHEN q.stopword_ratio < CAST(0.05 AS DOUBLE) THEN 0
+                 WHEN r.rep3 > CAST(0.05 AS DOUBLE) THEN 0
+                 WHEN l.pred_lang = 'und' THEN 0
+                 ELSE 1 END AS INT) AS keep,
+       CASE WHEN q.n_words < 20 THEN 'too_short'
+            WHEN q.stopword_ratio < CAST(0.05 AS DOUBLE) THEN 'low_stopword'
+            WHEN r.rep3 > CAST(0.05 AS DOUBLE) THEN 'repetitious'
+            WHEN l.pred_lang = 'und' THEN 'lang_und'
+            ELSE 'keep' END AS reason
+FROM ({Q}) q
+JOIN ({R}) r ON r.doc_id = q.doc_id
+JOIN ({L}) l ON l.doc_id = q.doc_id
+"""
+QUERIES["doc_quality_filter"] = _q2(
+    _QF_RULE.format(
+        Q=QUERIES["doc_quality"]["spark"],
+        R=QUERIES["doc_repetition"]["spark"],
+        L=QUERIES["doc_language_id"]["spark"],
+    ),
+    _QF_RULE.format(
+        Q=QUERIES["doc_quality"]["duck"],
+        R=QUERIES["doc_repetition"]["duck"],
+        L=QUERIES["doc_language_id"]["duck"],
+    ),
+)
