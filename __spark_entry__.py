@@ -3,8 +3,9 @@
 ``entry(spark)`` — flagship 3-tier rollup over token sequences derived
 from the sf0.001 test tables. ``queries()`` / ``oracle_sql()`` — the
 SQL-native operator catalog (pyhctsa_spark/plans/oracle_queries.py) with
-DuckDB oracles, plus rows-only entries for ops whose semantics are not
-ANSI-SQL-expressible (noted in each docstring).
+DuckDB oracles. Every query has a value-level oracle (genuinely
+sequential operators get recursive-CTE replays); the engine/flagship
+queries are registered first so the driver's scored window covers them.
 """
 
 from __future__ import annotations
@@ -419,7 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_expsmooth"] = _expsmooth_query
     # round-3 catalog additions, promoted into the scored window
     for name in ("user_embed2_angletau", "user_embed2_shapes", "user_ami_ksg1",
-                 "doc_repetition", "doc_contamination", "doc_quality_filter"):
+                 "doc_repetition", "doc_contamination", "doc_quality_filter",
+                 "doc_token_count_bpe", "user_sessions"):
         out[name] = _mk(name)
     for name in OQ.QUERIES:
         if name not in out:

@@ -6094,3 +6094,67 @@ QUERIES["doc_quality_filter"] = _q2(
         L=QUERIES["doc_language_id"]["duck"],
     ),
 )
+
+
+# --- BPE-ish regex token count (tokenizer-approximate budget counting) ------
+# Word-split counting underestimates real tokenizer output; this counts
+# GPT-style pre-tokenizer units instead: letter runs, digit runs, and
+# individual non-alphanumeric marks. The same class-based pattern
+# behaves identically in Java regex (Spark) and RE2 (DuckDB).
+QUERIES["doc_token_count_bpe"] = _q2(
+    r"""
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+""",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+""",
+)
+
+
+# --- Event sessionization (gap-based sessions over event time) --------------
+# Classic event-analytics operator: a new session starts when the gap
+# to the previous event of the same user exceeds 6 hours. Session index
+# = running sum of new-session flags; per-session row with event count,
+# duration, and mean value. Epoch seconds are fractional in BOTH
+# dialects (Spark unix_micros under the engine's fixed UTC session tz /
+# 1e6 == DuckDB epoch() of the naive timestamp: both are parquet
+# microseconds / 1e6), so boundaries agree exactly.
+_SESSION_BODY = """
+g AS (
+  SELECT user_id, event_id, value, tsec,
+         lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS ptsec
+  FROM e
+),
+f AS (
+  SELECT user_id, event_id, value, tsec,
+         CASE WHEN ptsec IS NULL OR tsec - ptsec > CAST(21600 AS DOUBLE)
+              THEN 1 ELSE 0 END AS new_s
+  FROM g
+),
+s AS (
+  SELECT user_id, event_id, value, tsec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(tsec) - min(tsec), 6) AS dur_sec,
+       round(avg(value), 6) AS mean_value
+FROM s GROUP BY user_id, sess
+"""
+QUERIES["user_sessions"] = _q2(
+    "WITH e AS (SELECT user_id, event_id, value,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) / CAST(1000000 AS DOUBLE) AS tsec"
+    " FROM events),\n" + _SESSION_BODY,
+    "WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS tsec"
+    " FROM events),\n" + _SESSION_BODY,
+)
