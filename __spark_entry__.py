@@ -120,6 +120,24 @@ def _lz_kernel(y):
 _lz_query = _events_kernel_query(["lz2"], _lz_kernel)
 
 
+def _ksg2_kernel(y):
+    """KSG-2 lag-1 AMI (k=3) on the tie-free view value + rn*1e-6: the
+    estimator's neighbor SET depends on which k joint-space neighbors
+    are selected, which is only deterministic when joint distances have
+    no ties — the detie offset guarantees that (same construction as
+    user_lz2). The oracle recomputes eps extents, closed-ball counts,
+    and harmonic-number digammas by pair-join SQL."""
+    import numpy as np
+
+    from pyhctsa_spark.functions.info import mutual_info
+
+    y2 = y + np.arange(1, len(y) + 1) * 1e-6
+    return {"ami_ksg2": mutual_info(y2[:-1], y2[1:], "kraskov2")}
+
+
+_ksg2_query = _events_kernel_query(["ami_ksg2"], _ksg2_kernel)
+
+
 _EXPSM_KEYS = [
     "alphamin_1", "cup_1", "alphamin",
     "resid_mean", "resid_std", "resid_ac1", "dwts",
@@ -417,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_movthresh"] = _movthresh_query
     out["user_polvar"] = _polvar_query
     out["user_lz2"] = _lz_query
+    out["user_ami_ksg2"] = _ksg2_query
     out["user_expsmooth"] = _expsmooth_query
     # round-3 catalog additions, promoted into the scored window
     for name in ("user_embed2_angletau", "user_embed2_shapes", "user_ami_ksg1",
