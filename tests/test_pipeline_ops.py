@@ -455,3 +455,31 @@ def test_contamination_check_matches_sql(spark, docs):
     # every eval doc (>= 8 words) is flagged by self-collision
     ev = got[got.doc_id < 20]
     assert (ev.contaminated == 1).all()
+
+
+def test_simhash_candidate_count_matches_join(spark):
+    """The no-join bucket diagnostic (sum k(k-1)/2) must equal the
+    actual pre-dedup candidate row count of the blocked self-join."""
+    from pyhctsa_spark.operators.dedup import (
+        simhash_blocked,
+        simhash_candidate_count,
+    )
+
+    m32 = (1 << 32) - 1
+    fps = spark.range(0, 3000, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(m32)).alias("fp_lo"),
+        F.xxhash64("id", F.lit(2)).bitwiseAND(F.lit(m32)).alias("fp_hi"),
+    ).persist()
+    for n_chunks in (4, 8):
+        blocked = simhash_blocked(fps, n_chunks=n_chunks).persist()
+        a, b = blocked.alias("a"), blocked.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+        assert simhash_candidate_count(fps, n_chunks=n_chunks) == joined
+        blocked.unpersist()
+    fps.unpersist()
