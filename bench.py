@@ -245,6 +245,29 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     return out
 
 
+def bench_streaming_rollup(spark, seq_path: str) -> dict:
+    """Structured-Streaming rollup throughput (availableNow drain of the
+    same sequences the batch flagship reads) — quantifies the streaming
+    tax vs the batch plan each round."""
+    import tempfile
+
+    from pyhctsa_spark.operators.rollup import rollup_tiers  # noqa: F401
+    from pyhctsa_spark.streaming.rollup_stream import stream_rollup
+
+    base = tempfile.mkdtemp(prefix="stream_bench_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    pts = spark.read.parquet(seq_path).selectExpr("sum(n_tok)").first()[0]
+    t0 = time.perf_counter()
+    q = stream_rollup(spark, seq_path, sink, ckpt, available_now=True)
+    q.awaitTermination(1800)
+    wall = time.perf_counter() - t0
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "stream_rollup_sec": round(wall, 3),
+        "stream_points_per_sec": round(pts / wall, 1),
+    }
+
+
 def bench_ann(spark, k: int = 3, n_queries: int = 20) -> dict:
     """IVF recall/cost curve vs exact brute force on the sf embeddings:
     the nprobe knob is the scale path (scan ~nprobe/nlist of the
@@ -338,6 +361,7 @@ def main() -> None:
     queries = bench_queries(spark)
     simblock = bench_simhash_blocking(spark)
     ann = bench_ann(spark)
+    streamroll = bench_streaming_rollup(spark, seq_path)
     scale10 = bench_scale10(spark)
     result = {
         "metric": "3-tier rollup wall-clock (synthetic token sequences)",
@@ -350,6 +374,7 @@ def main() -> None:
         **featmat,
         **simblock,
         **ann,
+        **streamroll,
         **scale10,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
