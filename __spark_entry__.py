@@ -389,6 +389,23 @@ def _neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, threshold=0.3)
 
 
+def _media_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (every_k=4 over the seeded fake
+    decoder): per-frame mean/std, oracled against a golden parquet
+    generated INDEPENDENTLY from the spec by scripts/gen_media_golden.py
+    (pure numpy from the seeds — no shared code path with the
+    operator)."""
+    from pyhctsa_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_media_df,
+    )
+
+    frames = sample_video_frames(synth_media_df(spark, 48), every_k=4)
+    return frames.select(
+        "media_id", "frame_idx", _f6("f_mean"), _f6("f_std")
+    )
+
+
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hctsa-style feature-matrix extraction through the registry path
     (plans/registry.FeatureSet -> operators/features.extract_features)
@@ -431,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_neardup_clusters"] = _neardup_clusters_query
     out["knn_ivf"] = _knn_ivf_query
     out["media_features"] = _media_features_query
+    out["media_frames"] = _media_frames_query
     out["feature_matrix"] = _feature_matrix_query
     out["user_movthresh"] = _movthresh_query
     out["user_polvar"] = _polvar_query

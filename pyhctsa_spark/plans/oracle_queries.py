@@ -1400,6 +1400,13 @@ ENGINE_ORACLES["media_features"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_features_48.parquet')
 """
 
+# Video frame sampling (operators/multimodal.sample_video_frames): the
+# golden is generated from the spec by scripts/gen_media_golden.py with
+# plain numpy (no shared code path with the operator).
+ENGINE_ORACLES["media_frames"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_frames_48.parquet')
+"""
+
 # Full rollup schema at the flagship window=8 configuration (wlen
 # 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
 # rank arithmetic (pos = p*n + 0.5, linear interpolation between the

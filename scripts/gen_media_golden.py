@@ -92,16 +92,59 @@ def expected_rows() -> pd.DataFrame:
     return pdf
 
 
+FRAMES_OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "media_frames_48.parquet",
+)
+FRAME_EVERY_K = 4
+
+
+def expected_frames() -> pd.DataFrame:
+    """Per-frame stats for video items, sampled every FRAME_EVERY_K
+    frames (operators/multimodal.sample_video_frames spec: population
+    std over the float64 frame)."""
+    rows = []
+    for i in range(N_ITEMS):
+        if i % 3 != 2:  # only 'video' modality
+            continue
+        rng = np.random.default_rng(i)
+        payload = rng.integers(0, 256, 64 + (i % 5) * 32, dtype=np.uint8)
+        seed = int(
+            np.frombuffer(payload.tobytes()[:8].ljust(8, b"\0"), dtype="<u8")[0]
+            % 2**32
+        )
+        arr = np.random.default_rng(seed).integers(0, 256, (12, 8, 8)).astype(
+            np.uint8
+        )
+        for fi in range(0, arr.shape[0], FRAME_EVERY_K):
+            frame = arr[fi].astype(np.float64)
+            rows.append({
+                "media_id": f"m{i:06d}",
+                "frame_idx": fi,
+                "f_mean": spark_round6(float(frame.mean())),
+                "f_std": spark_round6(float(frame.std())),
+            })
+    pdf = pd.DataFrame(rows)
+    pdf["frame_idx"] = pdf["frame_idx"].astype("int32")
+    return pdf
+
+
 def main() -> int:
     pdf = expected_rows()
+    fdf = expected_frames()
     if "--check" in sys.argv:
         old = pd.read_parquet(OUT)
         same = old[pdf.columns].equals(pdf)
-        print(f"golden match vs committed: {same}")
-        return 0 if same else 1
+        same_f = True
+        if os.path.exists(FRAMES_OUT):
+            same_f = pd.read_parquet(FRAMES_OUT)[fdf.columns].equals(fdf)
+        print(f"golden match vs committed: features={same} frames={same_f}")
+        return 0 if (same and same_f) else 1
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     pdf.to_parquet(OUT, index=False)
-    print(f"wrote {len(pdf)} rows -> {OUT}")
+    fdf.to_parquet(FRAMES_OUT, index=False)
+    print(f"wrote {len(pdf)} feature rows -> {OUT}")
+    print(f"wrote {len(fdf)} frame rows -> {FRAMES_OUT}")
     return 0
 
 
