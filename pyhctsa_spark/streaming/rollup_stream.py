@@ -161,3 +161,34 @@ def stream_rollup_chunks(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_features(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    feature_set,
+    window: int | None = None,
+    binary: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """hctsa-style feature extraction under Structured Streaming: new
+    sequence files flowing into ``source_dir`` get their feature rows
+    appended exactly-once — the registry kernel is stateless per row,
+    so the batch extractor runs unchanged (same argument as
+    stream_rollup). Returns the StreamingQuery handle."""
+    from pyhctsa_spark.operators.features import extract_features
+
+    schema = SEQ_BIN_SCHEMA if binary else SEQ_SCHEMA
+    seq = spark.readStream.schema(schema).parquet(source_dir)
+    feats = extract_features(seq, feature_set, window=window)
+    writer = (
+        feats.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

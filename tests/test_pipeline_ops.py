@@ -483,3 +483,36 @@ def test_simhash_candidate_count_matches_join(spark):
         assert simhash_candidate_count(fps, n_chunks=n_chunks) == joined
         blocked.unpersist()
     fps.unpersist()
+
+
+def test_streaming_features_match_batch(spark, tmp_path_factory):
+    """Streaming feature extraction must equal the batch extractor
+    row-for-row (stateless kernel under availableNow drain)."""
+    from pyhctsa_spark.functions import kernels as K
+    from pyhctsa_spark.operators.features import extract_features
+    from pyhctsa_spark.plans.registry import FeatureSet, Operation, expand
+    from pyhctsa_spark.sources.synthetic import sequences_df
+    from pyhctsa_spark.streaming.rollup_stream import stream_features
+
+    fs = FeatureSet(expand([
+        Operation(K.mean_, "DN_Mean"),
+        Operation(K.spread_std, "DN_Spread_std"),
+        Operation(K.autocorr_timedomain, "ACtd", ["tau"], [{"tau": [1]}]),
+    ]))
+    base = tmp_path_factory.mktemp("sfeat")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    sequences_df(spark, 15, partitions=2, binary=True).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = stream_features(spark, src, sink, ckpt, fs, window=64,
+                        available_now=True)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    )
+    want = (
+        extract_features(spark.read.parquet(src), fs, window=64).toPandas()
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
