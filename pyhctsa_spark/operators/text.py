@@ -222,3 +222,47 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe_tokens",
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long"),
     )
+
+
+QF_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for"]
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    min_stopword_ratio: float = 0.05,
+    max_rep3: float = 0.05,
+) -> DataFrame:
+    """Composite keep/drop corpus filter with a reason code — the
+    DataFrame-API twin of the driver-oracled doc_quality_filter query.
+    Precedence: too_short -> low_stopword -> repetitious -> lang_und ->
+    keep. Each component is the same expression the oracled component
+    queries use (9-word stopword ratio, 3-gram repetition, stopword-vote
+    language id)."""
+    words = F.split(F.col(text_col), " ")
+    q = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(
+            F.size(F.filter(words, lambda w: w.isin(QF_STOPWORDS)))
+            / F.size(words).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    r = repetition_score(df, text_col, id_col).select(id_col, "rep3")
+    lang = language_id(df, text_col).select(id_col, "pred_lang")
+    j = q.join(r, id_col).join(lang, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword"))
+        .when(F.col("rep3") > max_rep3, F.lit("repetitious"))
+        .when(F.col("pred_lang") == "und", F.lit("lang_und"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        id_col,
+        F.when(reason == "keep", 1).otherwise(0).cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

@@ -516,3 +516,22 @@ def test_streaming_features_match_batch(spark, tmp_path_factory):
         .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_quality_filter_matches_sql(spark, docs):
+    """The DataFrame-API composite filter must equal the oracled
+    doc_quality_filter SQL row-for-row."""
+    from pyhctsa_spark.operators.text import quality_filter
+    from pyhctsa_spark.plans import oracle_queries as OQ
+
+    docs.createOrReplaceTempView("documents")
+    got = (
+        quality_filter(docs).orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    want = (
+        spark.sql(OQ.spark_sql_for("doc_quality_filter"))
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    assert got[["doc_id", "keep", "reason"]].equals(
+        want[["doc_id", "keep", "reason"]]
+    )
