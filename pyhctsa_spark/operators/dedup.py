@@ -60,6 +60,10 @@ def _shingle_df(
     multiply-referenced alias is a projection barrier Catalyst keeps.
     """
     words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    # docs shorter than k words have no k-shingles — filter BEFORE the
+    # transform: sequence(0, negative) descends and element_at then
+    # reads indices <= 0, an ArrayIndexOutOfBounds under ANSI mode
+    words = words.where(F.size("_w") >= k)
     idx = F.sequence(F.lit(0), F.size("_w") - k)
     sh = F.array_distinct(
         F.transform(
@@ -277,6 +281,13 @@ def simhash_blocked(
     blocking keys: one row per (doc, chunk_id) with the chunk's bit
     value. Shared by the near-pair join and the bucket-fan-out
     diagnostics (bench)."""
+    if n_chunks not in (2, 4, 8, 16, 32):
+        # chunks must tile both 32-bit halves evenly; an odd/ragged
+        # count silently duplicates low bits and never blocks on the
+        # high ones, voiding the pigeonhole recall contract
+        raise ValueError(
+            f"n_chunks must be one of 2/4/8/16/32, got {n_chunks}"
+        )
     width = 64 // n_chunks
     per_half = n_chunks // 2
     mask = (1 << width) - 1
@@ -441,7 +452,7 @@ def simhash_near_pairs(
 
 
 def dedup_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: returns
     (doc_id, component_id) with component_id = the minimum doc id
@@ -486,7 +497,7 @@ def dedup_components(
         )
         # convergence check every few rounds (an action; cheap on the
         # label table which is tiny relative to the corpus)
-        if i % 4 == 3:
+        if i % 4 == 3 or i == max_iterations - 1:
             changed = (
                 updated.alias("u")
                 .join(labels.alias("l"), "doc_id")
@@ -496,10 +507,16 @@ def dedup_components(
             )
             labels = updated.localCheckpoint(eager=True)
             if changed == 0:
-                break
+                return labels
         else:
             labels = updated
-    return labels
+    # never return silently-partial labels: a component whose diameter
+    # exceeds the round budget would get a wrong, split component_id
+    raise RuntimeError(
+        f"connected components did not converge within {max_iterations} "
+        "min-label rounds — raise max_iterations (graph diameter exceeds "
+        "the budget)"
+    )
 
 
 def embedding_near_dup_pairs(
@@ -608,16 +625,13 @@ def near_dup_clusters(
     Shuffle volume: content hashes (step 1), band tuples (step 2),
     component labels (step 3) — never document pair products.
     """
-    hashed = df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("_h")
-    )
-    groups = exact_dedup(df, text_col, id_col).select(
-        F.col("content_hash").alias("_h"), "canonical_id"
-    )
-    rep_map = hashed.join(groups, "_h").select(
-        id_col, F.col("canonical_id").alias("rep_id")
-    )
-    reps = dedup_keep_first(df, text_col, id_col)
+    # ONE window pass over md5(text) yields both the doc -> rep map and
+    # the representative rows (three separate content-hash scans + a
+    # hash join would re-hash the full corpus text 3x)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    with_rep = df.withColumn("_rep", F.min(id_col).over(w)).persist()
+    rep_map = with_rep.select(id_col, F.col("_rep").alias("rep_id"))
+    reps = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
     pairs = minhash_verified_pairs(
         reps, text_col, id_col, shingle_k=shingle_k, threshold=threshold
     )

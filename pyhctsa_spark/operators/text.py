@@ -124,18 +124,25 @@ def repetition_score(
     two partial-aggregations; shuffle volume = distinct shingles per
     doc. Mirrors plans/oracle_queries.QUERIES['doc_repetition']."""
 
-    def shingles(n: int):
-        ws = F.split(F.col(text_col), " ")
-        return F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + k + 1) for k in range(n)]
-            ),
+    ws = F.split(F.col(text_col), " ")
+
+    def shingled(n: int):
+        # guard BEFORE the transform: sequence(0, negative) descends and
+        # element_at reads out-of-bounds indices under ANSI mode
+        return df.where(F.size(ws) >= n).select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(ws, i + k + 1) for k in range(n)]
+                    ),
+                )
+            ).alias("sh"),
         )
 
-    base = df.select(F.col(id_col), shingles(3).alias("s3"), shingles(5).alias("s5"))
     t3 = (
-        base.select(id_col, F.explode("s3").alias("sh"))
+        shingled(3)
         .groupBy(id_col, "sh").count()
         .groupBy(id_col)
         .agg(
@@ -145,7 +152,7 @@ def repetition_score(
         )
     )
     t5 = (
-        base.select(id_col, F.explode("s5").alias("sh"))
+        shingled(5)
         .groupBy(id_col, "sh").count()
         .groupBy(id_col)
         .agg(F.sum("count").alias("tot5"), F.count("*").alias("uniq5"))
@@ -251,9 +258,12 @@ def quality_filter(
             6,
         ).alias("stopword_ratio"),
     )
+    # LEFT joins from the complete doc set: a doc too short to have
+    # 5-grams still gets its 'too_short' row (NULL rep3 never matches
+    # the repetitious branch; any doc over the word floor has 5-grams)
     r = repetition_score(df, text_col, id_col).select(id_col, "rep3")
     lang = language_id(df, text_col).select(id_col, "pred_lang")
-    j = q.join(r, id_col).join(lang, id_col)
+    j = q.join(r, id_col, "left").join(lang, id_col, "left")
     reason = (
         F.when(F.col("n_words") < min_words, F.lit("too_short"))
         .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword"))

@@ -6095,8 +6095,8 @@ SELECT q.doc_id,
             WHEN l.pred_lang = 'und' THEN 'lang_und'
             ELSE 'keep' END AS reason
 FROM ({Q}) q
-JOIN ({R}) r ON r.doc_id = q.doc_id
-JOIN ({L}) l ON l.doc_id = q.doc_id
+LEFT JOIN ({R}) r ON r.doc_id = q.doc_id
+LEFT JOIN ({L}) l ON l.doc_id = q.doc_id
 """
 QUERIES["doc_quality_filter"] = _q2(
     _QF_RULE.format(

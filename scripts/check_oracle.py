@@ -44,6 +44,11 @@ def main() -> int:
     only = os.environ.get("ORACLE_ONLY")
     if only:
         keep = only.split(",")
+        unknown = [k for k in keep if k not in qs]
+        if unknown:
+            # a typo must not shrink the gate to a vacuous pass
+            print(f"FATAL: unknown ORACLE_ONLY names: {unknown}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in keep}
     oracles = entrymod.oracle_sql()
     n_fail = 0

@@ -535,3 +535,55 @@ def test_quality_filter_matches_sql(spark, docs):
     assert got[["doc_id", "keep", "reason"]].equals(
         want[["doc_id", "keep", "reason"]]
     )
+
+
+def test_short_doc_robustness(spark):
+    """Docs shorter than the shingle/n-gram width must not crash any
+    text/dedup operator (ANSI element_at out-of-bounds regression), and
+    the quality filter must CLASSIFY them as too_short, not drop them."""
+    from pyhctsa_spark.operators.dedup import near_dup_clusters
+    from pyhctsa_spark.operators.text import (
+        contamination_check,
+        quality_filter,
+        repetition_score,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, "x"), (2, "only two"), (3, "three words here"),
+         (4, "four words are here"),
+         (5, "the quick brown fox jumps over a lazy dog to win and is on "
+             "track for many unique tokens apple banana cherry date elder "
+             "fig grape honey iris juniper")],
+        "doc_id long, text string",
+    )
+    # repetition: emits only docs with >= 5 words (the oracled contract)
+    rep = repetition_score(tiny).toPandas()
+    assert set(rep.doc_id) == {5}
+    # clustering: every doc gets a cluster row, short ones as singletons
+    cl = near_dup_clusters(tiny, threshold=0.3).toPandas()
+    assert len(cl) == 5 and set(cl.doc_id) == {1, 2, 3, 4, 5}
+    # contamination: short docs have no 8-grams -> 0 hits, no crash
+    cont = contamination_check(tiny, tiny.where("doc_id = 5")).toPandas()
+    assert len(cont) == 5 and cont.set_index("doc_id").n_hits[1] == 0
+    # quality filter: short docs present with reason 'too_short'
+    qf = quality_filter(tiny).toPandas().set_index("doc_id")
+    assert len(qf) == 5
+    for d in (1, 2, 3, 4):
+        assert qf.loc[d, "reason"] == "too_short" and qf.loc[d, "keep"] == 0
+    assert qf.loc[5, "reason"] == "keep"
+
+
+def test_dedup_components_raises_on_diameter_overflow(spark):
+    """A chain longer than the round budget must fail loudly, never
+    return silently-split labels."""
+    import pytest as _pytest
+
+    from pyhctsa_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_iterations=3)
+    ok = dedup_components(chain, max_iterations=30).toPandas()
+    assert (ok.component_id == 0).all()
