@@ -6174,3 +6174,17 @@ QUERIES["user_sessions"] = _q2(
     "WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS tsec"
     " FROM events),\n" + _SESSION_BODY,
 )
+
+
+# --- Exact-dedup survivor set (keep-first semantics) ------------------------
+# The surviving doc ids after exact content dedup: smallest doc_id per
+# md5(text) group — the deterministic-winner contract of
+# operators/dedup.dedup_keep_first. Identical SQL in both dialects.
+_KEEP_FIRST_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) t WHERE rn = 1
+"""
+QUERIES["doc_dedup_keep_first"] = _q2(_KEEP_FIRST_SQL, _KEEP_FIRST_SQL)
