@@ -121,18 +121,20 @@ _lz_query = _events_kernel_query(["lz2"], _lz_kernel)
 
 
 def _ksg2_kernel(y):
-    """KSG-2 lag-1 AMI (k=3) on the tie-free view value + rn*1e-6: the
-    estimator's neighbor SET depends on which k joint-space neighbors
-    are selected, which is only deterministic when joint distances have
-    no ties — the detie offset guarantees that (same construction as
-    user_lz2). The oracle recomputes eps extents, closed-ball counts,
-    and harmonic-number digammas by pair-join SQL."""
+    """KSG-2 lag-1 AMI (k=3) on the detied view value + rn*1e-6 with
+    DETERMINISTIC neighbor tie-break: the detie offsets make VALUES
+    distinct, but pair DISTANCES still collide (same value-diff + same
+    index-gap), and the estimator's marginal extents depend on which k
+    neighbors are chosen when distances tie at the k-th rank (observed
+    at sf0.1: 1,500 users surfaced such a boundary tie). The
+    deterministic variant orders ties by neighbor index — exactly the
+    oracle's row_number() OVER (ORDER BY dz, j)."""
     import numpy as np
 
-    from pyhctsa_spark.functions.info import mutual_info
+    from pyhctsa_spark.functions.info import _mi_ksg2
 
     y2 = y + np.arange(1, len(y) + 1) * 1e-6
-    return {"ami_ksg2": mutual_info(y2[:-1], y2[1:], "kraskov2")}
+    return {"ami_ksg2": _mi_ksg2(y2[:-1], y2[1:], 3, deterministic=True)}
 
 
 _ksg2_query = _events_kernel_query(["ami_ksg2"], _ksg2_kernel)

@@ -87,19 +87,30 @@ def _mi_ksg1(x: np.ndarray, y: np.ndarray, k: int = 3) -> float:
     )
 
 
-def _mi_ksg2(x: np.ndarray, y: np.ndarray, k: int = 3) -> float:
+def _mi_ksg2(x: np.ndarray, y: np.ndarray, k: int = 3,
+             deterministic: bool = False) -> float:
     """Kraskov-Stoegbauer-Grassberger estimator 2 (max-norm), numpy
     O(N^2). Per KSG eq. 9: eps_x/eps_y are the marginal extents of the
     k joint-space nearest neighbors, counts use <= (closed ball), and
     the bias terms are psi(k) - 1/k and psi(n_x)/psi(n_y) without +1
     (the reference exposes this as IN_AutoMutualInfo 'kraskov2',
-    Information.py:411-487, via JIDT)."""
+    Information.py:411-487, via JIDT).
+
+    ``deterministic=True`` breaks joint-distance ties by neighbor index
+    (stable sort) instead of argpartition's arbitrary pick — the
+    estimator's marginal extents depend on WHICH k neighbors are chosen
+    when distances tie at the k-th rank (pair-difference collisions are
+    common on quantized data), so this variant is reproducible across
+    implementations (the SQL oracle orders by (distance, index))."""
     n = len(x)
     dx = np.abs(x[:, None] - x[None, :])
     dy = np.abs(y[:, None] - y[None, :])
     dz = np.maximum(dx, dy)
     np.fill_diagonal(dz, np.inf)
-    idx = np.argpartition(dz, k - 1, axis=1)[:, :k]  # k joint-space NNs
+    if deterministic:
+        idx = np.argsort(dz, axis=1, kind="stable")[:, :k]
+    else:
+        idx = np.argpartition(dz, k - 1, axis=1)[:, :k]  # k joint-space NNs
     rows = np.arange(n)[:, None]
     eps_x = dx[rows, idx].max(axis=1)
     eps_y = dy[rows, idx].max(axis=1)

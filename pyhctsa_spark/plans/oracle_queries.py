@@ -1573,14 +1573,15 @@ ENGINE_ORACLES["user_expsmooth"] = "\nWITH RECURSIVE series AS (\n  SELECT 'g' |
 # both engines.
 ENGINE_ORACLES["doc_neardup_clusters"] = "\nWITH RECURSIVE grp AS (\n  SELECT md5(text) AS h, min(doc_id) AS rep FROM documents GROUP BY md5(text)\n),\nrepmap AS (\n  SELECT d.doc_id, g.rep FROM documents d JOIN grp g ON g.h = md5(d.text)\n),\nreps AS (\n  SELECT d.doc_id, d.text FROM documents d JOIN grp g ON g.rep = d.doc_id\n),\nwords AS (\n  SELECT doc_id, string_split(text, ' ') AS ws FROM reps\n),\nshingles AS (\n  SELECT DISTINCT doc_id, sh\n  FROM (\n    SELECT doc_id,\n           unnest(list_transform(generate_series(1, len(ws) - 2),\n                  idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2])) AS sh\n    FROM words WHERE len(ws) >= 3\n  ) t\n),\ncard AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),\ninter AS (\n  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic\n  FROM shingles a JOIN shingles b\n    ON a.sh = b.sh AND a.doc_id < b.doc_id\n  GROUP BY a.doc_id, b.doc_id\n),\npairs AS (\n  SELECT i.d1, i.d2\n  FROM inter i\n  JOIN card ca ON ca.doc_id = i.d1\n  JOIN card cb ON cb.doc_id = i.d2\n  WHERE i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE) >= 0.3\n),\nedges AS (\n  SELECT d1 AS a, d2 AS b FROM pairs\n  UNION\n  SELECT d2, d1 FROM pairs\n),\nreach(a, b) AS (\n  SELECT a, b FROM edges\n  UNION\n  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b\n),\ncomp AS (\n  SELECT a AS rep, least(a, min(b)) AS cluster FROM reach GROUP BY a\n)\nSELECT m.doc_id, coalesce(c.cluster, m.rep) AS cluster_id\nFROM repmap m LEFT JOIN comp c ON c.rep = m.rep\n"
 
-# KSG-2 lag-1 AMI (k=3) on the tie-free detied view (value + rn*1e-6 —
-# see user_lz2): with no joint-distance ties the k-neighbor SET is
-# deterministic, so the estimator-2 marginal extents (eps_x/eps_y = max
-# marginal distance over the k joint-space NNs), closed-ball counts, and
-# psi(k) - 1/k bias are all pair-join SQL. The engine side runs the
-# actual numpy estimator (info._mi_ksg2) per user via applyInPandas.
-# Verified bit-exact on all 150 sf0.01 users.
-ENGINE_ORACLES["user_ami_ksg2"] = _PRE + '\n, det AS (\n  SELECT user_id, rn, v + (rn + 1) * 1e-6 AS v2 FROM series\n),\npts AS (\n  SELECT user_id, rn AS i, v2 AS x, y2 FROM (\n    SELECT user_id, rn, v2,\n           lead(v2) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM det\n  ) q WHERE y2 IS NOT NULL\n),\nmm AS (SELECT user_id, count(*) AS m FROM pts GROUP BY user_id),\npd AS (\n  SELECT a.user_id, a.i, abs(a.x - b.x) AS dx, abs(a.y2 - b.y2) AS dy,\n         greatest(abs(a.x - b.x), abs(a.y2 - b.y2)) AS dz\n  FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.i <> a.i\n),\nknn AS (\n  SELECT user_id, i, dx, dy FROM (\n    SELECT user_id, i, dx, dy,\n           row_number() OVER (PARTITION BY user_id, i ORDER BY dz) AS rk\n    FROM pd\n  ) q WHERE rk <= 3\n),\neps AS (\n  SELECT user_id, i, max(dx) AS ex, max(dy) AS ey\n  FROM knn GROUP BY user_id, i\n),\ncnts AS (\n  SELECT p.user_id, p.i,\n         sum(CASE WHEN p.dx <= e.ex THEN 1 ELSE 0 END) AS nx,\n         sum(CASE WHEN p.dy <= e.ey THEN 1 ELSE 0 END) AS ny\n  FROM pd p JOIN eps e ON e.user_id = p.user_id AND e.i = p.i\n  GROUP BY p.user_id, p.i\n),\nints AS (SELECT DISTINCT rn + 1 AS mth FROM series),\ndgt AS (\n  SELECT mth,\n         CAST(-0.5772156649015329 AS DOUBLE)\n         + coalesce(sum(1.0 / CAST(mth AS DOUBLE)) OVER (\n             ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),\n           CAST(0.0 AS DOUBLE)) AS dg\n  FROM ints\n),\nterm AS (\n  SELECT c.user_id, dx2.dg + dy2.dg AS dsum\n  FROM cnts c\n  JOIN dgt dx2 ON dx2.mth = c.nx\n  JOIN dgt dy2 ON dy2.mth = c.ny\n)\nSELECT t.user_id,\n       round(d3.dg - CAST(1.0 AS DOUBLE) / 3 + dn.dg - avg(t.dsum), 6)\n         AS ami_ksg2\nFROM term t\nJOIN mm ON mm.user_id = t.user_id\nJOIN dgt d3 ON d3.mth = 3\nJOIN dgt dn ON dn.mth = mm.m\nGROUP BY t.user_id, d3.dg, dn.dg\n'
+# KSG-2 lag-1 AMI (k=3) on the detied view (value + rn*1e-6 — see
+# user_lz2) with DETERMINISTIC neighbor tie-break: detied VALUES are
+# distinct but pair DISTANCES still collide (equal value-diff + equal
+# index-gap), and ties at the k-th rank change the estimator-2 marginal
+# extents — observed at sf0.1. Both sides therefore rank neighbors by
+# (joint distance, neighbor index): the engine runs info._mi_ksg2 with
+# deterministic=True (stable argsort), the SQL row_number() orders by
+# (dz, j). Verified bit-exact on all 150 sf0.01 AND 1,500 sf0.1 users.
+ENGINE_ORACLES["user_ami_ksg2"] = _PRE + '\n, det AS (\n  SELECT user_id, rn, v + (rn + 1) * 1e-6 AS v2 FROM series\n),\npts AS (\n  SELECT user_id, rn AS i, v2 AS x, y2 FROM (\n    SELECT user_id, rn, v2,\n           lead(v2) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM det\n  ) q WHERE y2 IS NOT NULL\n),\nmm AS (SELECT user_id, count(*) AS m FROM pts GROUP BY user_id),\npd AS (\n  SELECT a.user_id, a.i, b.i AS j, abs(a.x - b.x) AS dx, abs(a.y2 - b.y2) AS dy,\n         greatest(abs(a.x - b.x), abs(a.y2 - b.y2)) AS dz\n  FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.i <> a.i\n),\nknn AS (\n  SELECT user_id, i, dx, dy FROM (\n    SELECT user_id, i, dx, dy,\n           row_number() OVER (PARTITION BY user_id, i ORDER BY dz, j) AS rk\n    FROM pd\n  ) q WHERE rk <= 3\n),\neps AS (\n  SELECT user_id, i, max(dx) AS ex, max(dy) AS ey\n  FROM knn GROUP BY user_id, i\n),\ncnts AS (\n  SELECT p.user_id, p.i,\n         sum(CASE WHEN p.dx <= e.ex THEN 1 ELSE 0 END) AS nx,\n         sum(CASE WHEN p.dy <= e.ey THEN 1 ELSE 0 END) AS ny\n  FROM pd p JOIN eps e ON e.user_id = p.user_id AND e.i = p.i\n  GROUP BY p.user_id, p.i\n),\nints AS (SELECT DISTINCT rn + 1 AS mth FROM series),\ndgt AS (\n  SELECT mth,\n         CAST(-0.5772156649015329 AS DOUBLE)\n         + coalesce(sum(1.0 / CAST(mth AS DOUBLE)) OVER (\n             ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),\n           CAST(0.0 AS DOUBLE)) AS dg\n  FROM ints\n),\nterm AS (\n  SELECT c.user_id, dx2.dg + dy2.dg AS dsum\n  FROM cnts c\n  JOIN dgt dx2 ON dx2.mth = c.nx\n  JOIN dgt dy2 ON dy2.mth = c.ny\n)\nSELECT t.user_id,\n       round(d3.dg - CAST(1.0 AS DOUBLE) / 3 + dn.dg - avg(t.dsum), 6)\n         AS ami_ksg2\nFROM term t\nJOIN mm ON mm.user_id = t.user_id\nJOIN dgt d3 ON d3.mth = 3\nJOIN dgt dn ON dn.mth = mm.m\nGROUP BY t.user_id, d3.dg, dn.dg\n'
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
