@@ -335,7 +335,9 @@ def trev(y: np.ndarray, tau: int = 1) -> dict:
 
 def tc3(y: np.ndarray, tau: int = 1) -> dict:
     """Normalized third-order autocovariance. Parity: CO_tc3
-    (Correlation.py:1707-1772): <y·y_tau·y_2tau> / |<y·y_tau>|^(3/2)."""
+    (Correlation.py:1707-1772): <yn·yn1·yn2> / |<yn·yn1>|^(3/2) where
+    yn/yn1/yn2 are the TRUNCATED (length N-2tau) lag views — the
+    denominator uses the same truncated arrays as the numerator."""
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     if 2 * tau >= n:
@@ -344,7 +346,7 @@ def tc3(y: np.ndarray, tau: int = 1) -> dict:
     b = y[tau : n - tau]
     c = y[2 * tau :]
     num = float(np.mean(a * b * c))
-    denom = float(np.abs(np.mean(y[: n - tau] * y[tau:])) ** 1.5)
+    denom = float(np.abs(np.mean(a * b)) ** 1.5)
     return {
         "raw": num / denom if denom != 0 else float("nan"),
         "abs": abs(num) / denom if denom != 0 else float("nan"),
@@ -765,18 +767,25 @@ def fzcglscf(y: np.ndarray, alpha: float, beta: float, max_tau: int | None = Non
     return float(max_tau)
 
 
-def nonlinear_autocorr(y: np.ndarray, taus: list[int]) -> float:
-    """Higher-order lag-product autocorrelation <prod_j x_{i-tau_j}>.
-    Parity: CO_NonlinearAutocorr (Correlation.py:751-804)."""
+def nonlinear_autocorr(
+    y: np.ndarray, taus: list[int], do_abs: bool | None = None
+) -> float:
+    """Higher-order lag-product autocorrelation <x_i prod_j x_{i-tau_j}>.
+    Parity: CO_NonlinearAutocorr (Correlation.py:751-804): the product
+    starts from the implicit leading x_i factor (y[tmax:N]); do_abs=None
+    auto-resolves to True for even-length taus, False for odd (the
+    reference's parity rule), and takes |product| BEFORE the mean."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
     tmax = int(np.max(taus))
     if tmax >= N:
         return float("nan")
-    acc = np.ones(N - tmax, dtype=np.float64)
+    if do_abs is None:
+        do_abs = len(taus) % 2 == 0
+    acc = y[tmax:N].copy()
     for t in taus:
         acc = acc * y[tmax - t : N - t]
-    return float(np.mean(acc))
+    return float(np.mean(np.abs(acc))) if do_abs else float(np.mean(acc))
 
 
 def embed2_basic(y: np.ndarray, tau: int = 1) -> dict:
@@ -1037,12 +1046,13 @@ def rad(y: np.ndarray, tau: int = 2) -> float:
 
 
 def custom_skewness(y: np.ndarray, which: str = "pearson") -> float:
-    """Pearson ((3*mean - median)/std) or Bowley quartile skewness.
+    """Pearson ((3·mean − median)/std — the reference's formula, NOT the
+    textbook 3(mean−median)/std) or Bowley quartile skewness.
     Parity: DN_CustomSkewness (Distribution.py:362-397)."""
     y = np.asarray(y, dtype=np.float64)
     if which == "pearson":
         sd = y.std(ddof=1)
-        return float(3.0 * (y.mean() - np.median(y)) / sd) if sd != 0 else float("nan")
+        return float((3.0 * y.mean() - np.median(y)) / sd) if sd != 0 else float("nan")
     if which == "bowley":
         q1, q2, q3 = (quantile_hazen(y, p) for p in (0.25, 0.5, 0.75))
         denom = q3 - q1
@@ -1051,13 +1061,15 @@ def custom_skewness(y: np.ndarray, which: str = "pearson") -> float:
 
 
 def fit_polynomial(y: np.ndarray, k: int = 1) -> float:
-    """RMS error of a degree-k polynomial fit vs t = 1..N. Parity:
-    SY_FitPolynomial (Stationarity.py:702-731)."""
+    """MEAN SQUARED error of a degree-k polynomial fit vs t = 1..N
+    (the reference docstring says RMS but the code returns MSE —
+    bug-for-bug parity keeps MSE). Parity: SY_FitPolynomial
+    (Stationarity.py:702-731)."""
     y = np.asarray(y, dtype=np.float64)
     t = np.arange(1, len(y) + 1, dtype=np.float64)
     coef = np.polyfit(t, y, k)
     resid = y - np.polyval(coef, t)
-    return float(np.sqrt(np.mean(resid**2)))
+    return float(np.mean(resid**2))
 
 
 def local_global(y: np.ndarray, subset: str = "l", n: int | float | None = None) -> dict:
@@ -1164,27 +1176,32 @@ def range_evolve(y: np.ndarray) -> dict:
 
 def drifting_mean(y: np.ndarray, how: str = "fix", seg_len: int = 20) -> dict:
     """Segment-mean drift vs segment variance. Parity: SY_DriftingMean
-    (Stationarity.py:551-633): split into length-l ('fix') or num-l
-    ('num') segments; stats of segment means over mean segment variance."""
+    (Stationarity.py:551-633): split into length-l ('fix') or l-count
+    ('num') segments; max/min/mean of segment means over mean segment
+    variance, then meanmaxmin = (max+min)/2 and meanabsmaxmin =
+    (|max|+|min|)/2 of those ALREADY-normalized values."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
-    l = seg_len if how == "fix" else max(1, N // seg_len)
+    l = seg_len if how == "fix" else N // seg_len
+    nan_out = {"max": float("nan"), "min": float("nan"), "mean": float("nan"),
+               "meanmaxmin": float("nan"), "meanabsmaxmin": float("nan")}
+    if l <= 1 or l > N:
+        return nan_out
     nseg = N // l
-    if nseg < 2:
-        return {"max": float("nan"), "min": float("nan"), "mean": float("nan"), "meanmaxmin": float("nan"), "meanabsmaxmin": float("nan")}
     Z = y[: nseg * l].reshape(nseg, l)
     mus = Z.mean(axis=1)
     vars_ = Z.var(axis=1, ddof=1)
     vbar = vars_.mean()
     if vbar == 0:
-        return {"max": float("nan"), "min": float("nan"), "mean": float("nan"), "meanmaxmin": float("nan"), "meanabsmaxmin": float("nan")}
-    return {
+        return nan_out
+    out = {
         "max": float(mus.max() / vbar),
         "min": float(mus.min() / vbar),
         "mean": float(mus.mean() / vbar),
-        "meanmaxmin": float((mus.max() - mus.min()) / vbar),
-        "meanabsmaxmin": float((np.abs(mus.max()) - np.abs(mus.min())) / vbar),
     }
+    out["meanmaxmin"] = (out["max"] + out["min"]) / 2.0
+    out["meanabsmaxmin"] = (abs(out["max"]) + abs(out["min"])) / 2.0
+    return out
 
 
 def dyn_win_basic(y: np.ndarray, max_nseg: int = 10) -> float:

@@ -65,7 +65,7 @@ def default_operations() -> list[Operation]:
         Operation(K.fzcglscf, "CO_fzcglscf", ["alpha", "beta"],
                   [{"alpha": [1.0, 2.0], "beta": [1.0, 5.0], "zscore": True}]),
         Operation(K.nonlinear_autocorr, "AC_nl", ["taus"],
-                  [{"taus": [[0, 1, 1], [0, 1, 2], [1, 1, 2], [0, 0, 1]],
+                  [{"taus": [[1, 1], [1, 2], [1, 1, 2], [0, 0, 1]],
                     "zscore": True}]),
         Operation(K.trev, "CO_trev", ["tau"],
                   [{"tau": [1, 2, 3], "zscore": True}]),

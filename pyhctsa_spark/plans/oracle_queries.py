@@ -107,12 +107,15 @@ GROUP BY d.user_id, d.w
 """)
 
 # --- CO_tc3 (lag-1) per window --------------------------------------------
+# Reference Correlation.py:1751-1756: the denominator uses the SAME
+# truncated (length W-2*tau) views as the numerator, so both filters
+# are i < W-2 at tau=1.
 QUERIES["win_tc3_1"] = _q(f"""
 SELECT a.user_id, a.w, round(a.num / b.den, 6) AS tc3_1
 FROM (SELECT user_id, w, avg(v * v1 * v2) AS num
       FROM win WHERE i < {W - 2} GROUP BY user_id, w) a
 JOIN (SELECT user_id, w, power(abs(avg(v * v1)), 1.5) AS den
-      FROM win WHERE i < {W - 1} GROUP BY user_id, w) b USING (user_id, w)
+      FROM win WHERE i < {W - 2} GROUP BY user_id, w) b USING (user_id, w)
 JOIN fullwin USING (user_id, w)
 """)
 
@@ -391,9 +394,11 @@ GROUP BY s.user_id, t.sd
 """)
 
 # --- DN_CustomSkewness 'pearson' per user -----------------------------------
+# Reference Distribution.py:391: (3*mean - median)/std — NOT the textbook
+# 3*(mean - median)/std; bug-for-bug parity.
 QUERIES["user_skew_pearson"] = _q("""
 SELECT user_id,
-       round(3.0 * (avg(v) - median(v))
+       round((3.0 * avg(v) - median(v))
              / nullif(stddev_samp(v), CAST(0.0 AS DOUBLE)), 6) AS skew_pearson
 FROM series GROUP BY user_id
 """)
@@ -424,18 +429,23 @@ GROUP BY user_id
 """)
 
 # --- SY_DriftingMean 'fix' l=20 per user ------------------------------------
+# Reference Stationarity.py:628-629: meanmaxmin = (max + min)/2 and
+# meanabsmaxmin = (|max| + |min|)/2 of the ALREADY-vbar-normalized
+# max/min values (not a range over vbar).
 QUERIES["user_drift_mean20"] = _q("""
 SELECT user_id,
        round(max(m) / avg(s2), 6)            AS drift_max,
        round(min(m) / avg(s2), 6)            AS drift_min,
        round(avg(m) / avg(s2), 6)            AS drift_mean,
-       round((max(m) - min(m)) / avg(s2), 6) AS drift_meanmaxmin
+       round((max(m) / avg(s2) + min(m) / avg(s2)) / 2.0, 6) AS drift_meanmaxmin,
+       round((abs(max(m) / avg(s2)) + abs(min(m) / avg(s2))) / 2.0, 6)
+         AS drift_meanabsmaxmin
 FROM (
   SELECT user_id, seg, avg(v) AS m, var_samp(v) AS s2
   FROM (SELECT user_id, v, CAST(floor(rn / 20) AS BIGINT) AS seg FROM series) t
   GROUP BY user_id, seg HAVING count(*) = 20
 ) segs
-GROUP BY user_id HAVING count(*) >= 2 AND avg(s2) <> 0
+GROUP BY user_id HAVING count(*) >= 1 AND avg(s2) <> 0
 """)
 
 # --- SY_LocalGlobal 'l' n=50 per user ----------------------------------------
@@ -469,8 +479,19 @@ GROUP BY d.user_id
 """)
 
 # --- CO_NonlinearAutocorr taus=[0,1,2] per user ------------------------------
+# Reference Correlation.py:790-793: the product STARTS from the implicit
+# leading x_i factor (y[tmax:N]), so taus=[0,1,2] is <x_i^2 x_{i-1} x_{i-2}>
+# = v2*v2*v1*v in lead-view terms; odd tau count -> no abs.
 QUERIES["user_nlac_012"] = _q("""
-SELECT user_id, round(avg(v * v1 * v2), 6) AS nlac_012
+SELECT user_id, round(avg(v2 * v2 * v1 * v), 6) AS nlac_012
+FROM win WHERE v2 IS NOT NULL GROUP BY user_id
+""")
+
+# --- CO_NonlinearAutocorr taus=[1,2] per user --------------------------------
+# Even tau count -> reference auto-doAbs: mean of |x_i x_{i-1} x_{i-2}|
+# (abs BEFORE the mean, Correlation.py:795-796).
+QUERIES["user_nlac_12_abs"] = _q("""
+SELECT user_id, round(avg(abs(v2 * v1 * v)), 6) AS nlac_12_abs
 FROM win WHERE v2 IS NOT NULL GROUP BY user_id
 """)
 
@@ -1652,12 +1673,13 @@ FROM series GROUP BY user_id
 
 # --- SY_FitPolynomial k=1 per user (Stationarity.py:702-731) ----------------
 # OLS closed form: mean squared residual of the best-fit line is
-# var_pop(y) * (1 - corr(t, y)^2); rms is its square root.
+# var_pop(y) * (1 - corr(t, y)^2). The reference RETURNS the MSE
+# (its docstring says RMS, its code says mean((y-f)^2) — bug-for-bug).
 QUERIES["user_fitpoly1"] = _q("""
 SELECT user_id,
-       round(sqrt(var_pop(v) *
-                  (1.0 - corr(CAST(rn AS DOUBLE), v) * corr(CAST(rn AS DOUBLE), v))), 6)
-         AS fitpoly1_rms
+       round(var_pop(v) *
+             (1.0 - corr(CAST(rn AS DOUBLE), v) * corr(CAST(rn AS DOUBLE), v)), 6)
+         AS fitpoly1_mse
 FROM series GROUP BY user_id
 """)
 

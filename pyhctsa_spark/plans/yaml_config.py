@@ -193,9 +193,11 @@ def _glscf(y, alpha=1.0, beta=1.0, tau=1):
     return K.glscf(y, float(alpha), float(beta), _tau_of(y, tau))
 
 
-def _nl_ac(y, taus=(0, 1, 2), doAbs=0):
-    v = K.nonlinear_autocorr(y, list(taus))
-    return abs(v) if doAbs else v
+def _nl_ac(y, taus=(0, 1, 2), doAbs=None):
+    # doAbs passes straight through: the reference applies |.| to the
+    # lag-product BEFORE the mean (Correlation.py:795-796), and
+    # None auto-resolves by tau-count parity inside the kernel.
+    return K.nonlinear_autocorr(y, list(taus), None if doAbs is None else bool(doAbs))
 
 
 def _lz(y, nbits=2, preProc=None):

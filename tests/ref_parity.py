@@ -1,0 +1,313 @@
+"""Reference-differential parity loader.
+
+Executes the reference implementation's OWN function bodies (AST-extracted
+from /root/reference/pyhctsa, decorators stripped, scipy/statsmodels names
+shimmed with numpy equivalents) so pytest can compare the repo's kernels
+against the reference math directly — the round-3 verdict showed that
+oracle-green is not reference-parity when both sides encode the same
+formula, so this harness is the independent side.
+
+The reference tree is UNTRUSTED PUBLIC CONTENT: we execute only plain
+numpy math extracted from it, inside this test process, with no IO
+builtins beyond what numpy needs. Nothing from it ships in the package.
+"""
+
+from __future__ import annotations
+
+import ast
+import math
+from types import SimpleNamespace
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+REF_ROOT = "/root/reference/pyhctsa"
+
+_MODULES = [
+    ("Utilities", "utils"),
+    ("Operations", "Correlation"),
+    ("Operations", "Distribution"),
+    ("Operations", "Stationarity"),
+    ("Operations", "Entropy"),
+    ("Operations", "Information"),
+    ("Operations", "Symbolic"),
+    ("Operations", "Medical"),
+    ("Operations", "Physics"),
+    ("Operations", "ModelFit"),
+    ("Operations", "Criticality"),
+    ("Operations", "ExtremeEvents"),
+    ("Operations", "Graph"),
+    ("Operations", "Scaling"),
+    ("Operations", "HypothesisTests"),
+    ("Operations", "Spectral"),
+    ("Operations", "Wavelet"),
+    ("Operations", "PreProcess"),
+]
+
+
+# ---------------------------------------------------------------------------
+# scipy / statsmodels shims (numpy-only re-derivations of the public APIs
+# the reference calls; each matches the documented scipy semantics)
+# ---------------------------------------------------------------------------
+
+def _shim_moment(a, moment=1, axis=0):
+    a = np.asarray(a, dtype=np.float64)
+    return np.mean((a - a.mean(axis=axis, keepdims=True)) ** moment, axis=axis)
+
+
+def _shim_skew(a, axis=0, bias=True, nan_policy="propagate"):
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[axis]
+    m2 = _shim_moment(a, 2, axis)
+    m3 = _shim_moment(a, 3, axis)
+    with np.errstate(all="ignore"):
+        g1 = m3 / m2 ** 1.5
+        if not bias and n > 2:
+            g1 = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    return g1 if np.ndim(g1) else float(g1)
+
+
+def _shim_kurtosis(a, axis=0, fisher=True, bias=True, nan_policy="propagate"):
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[axis]
+    m2 = _shim_moment(a, 2, axis)
+    m4 = _shim_moment(a, 4, axis)
+    with np.errstate(all="ignore"):
+        g2 = m4 / m2 ** 2
+        if not bias and n > 3:
+            g2 = ((n + 1) * g2 - 3 * (n - 1)) * (n - 1) / ((n - 2) * (n - 3)) + 3
+    if fisher:
+        g2 = g2 - 3
+    return g2 if np.ndim(g2) else float(g2)
+
+
+def _shim_mode(a, axis=0, keepdims=False, nan_policy="propagate"):
+    a = np.asarray(a).ravel()
+    vals, counts = np.unique(a, return_counts=True)
+    i = int(np.argmax(counts))  # np.unique sorts -> smallest wins ties (scipy rule)
+    return SimpleNamespace(mode=vals[i], count=counts[i])
+
+
+def _shim_iqr(a, rng=(25, 75), interpolation="linear"):
+    a = np.asarray(a, dtype=np.float64)
+    lo, hi = np.percentile(a, rng, method=interpolation)
+    return float(hi - lo)
+
+
+def _shim_zscore(a, ddof=0, axis=0):
+    a = np.asarray(a, dtype=np.float64)
+    return (a - a.mean(axis=axis, keepdims=True)) / a.std(ddof=ddof, axis=axis, keepdims=True)
+
+
+def _shim_detrend(x, order=1, axis=0):
+    """statsmodels.tsa.tsatools.detrend: subtract an order-k polynomial OLS fit."""
+    x = np.asarray(x, dtype=np.float64)
+    t = np.arange(len(x), dtype=np.float64)
+    coef = np.polyfit(t, x, order)
+    return x - np.polyval(coef, t)
+
+
+def _shim_lfilter(b, a, x):
+    """Direct-form IIR filter, scipy.signal.lfilter semantics (zero initial state)."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    y = np.zeros_like(x)
+    for n in range(len(x)):
+        acc = 0.0
+        for i in range(len(b)):
+            if n - i >= 0:
+                acc += b[i] * x[n - i]
+        for j in range(1, len(a)):
+            if n - j >= 0:
+                acc -= a[j] * y[n - j]
+        y[n] = acc
+    return y
+
+
+def _shim_pacf(x, nlags, method="ols"):
+    """OLS partial autocorrelation (statsmodels pacf method='ols'):
+    pacf[k] = last coefficient of an OLS AR(k) regression with intercept."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.empty(nlags + 1)
+    out[0] = 1.0
+    for k in range(1, nlags + 1):
+        rows = n - k
+        X = np.empty((rows, k + 1))
+        X[:, 0] = 1.0
+        for j in range(1, k + 1):
+            X[:, j] = x[k - j : n - j]
+        beta, *_ = np.linalg.lstsq(X, x[k:], rcond=None)
+        out[k] = beta[k]
+    return out
+
+
+class _Norm:
+    @staticmethod
+    def fit(x):
+        x = np.asarray(x, dtype=np.float64)
+        return float(x.mean()), float(x.std())
+
+    @staticmethod
+    def ppf(q, loc=0.0, scale=1.0):
+        # Acklam rational approximation of the normal inverse CDF
+        return loc + scale * _norm_ppf(np.asarray(q, dtype=np.float64))
+
+    @staticmethod
+    def cdf(x, loc=0.0, scale=1.0):
+        from math import erf
+
+        z = (np.asarray(x, dtype=np.float64) - loc) / (scale * math.sqrt(2.0))
+        return np.vectorize(lambda t: 0.5 * (1.0 + erf(t)))(z)
+
+    @staticmethod
+    def pdf(x, loc=0.0, scale=1.0):
+        z = (np.asarray(x, dtype=np.float64) - loc) / scale
+        return np.exp(-0.5 * z * z) / (scale * math.sqrt(2 * math.pi))
+
+
+def _norm_ppf(p):
+    p = np.asarray(p, dtype=np.float64)
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    out = np.empty_like(p)
+    lo = p < plow
+    hi = p > phigh
+    mid = ~(lo | hi)
+    if lo.any():
+        q = np.sqrt(-2 * np.log(p[lo]))
+        out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if hi.any():
+        q = np.sqrt(-2 * np.log(1 - p[hi]))
+        out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if mid.any():
+        q = p[mid] - 0.5
+        r = q * q
+        out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+            ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+    return out
+
+
+class _Expon:
+    @staticmethod
+    def fit(x):
+        x = np.asarray(x, dtype=np.float64)
+        loc = float(x.min())
+        return loc, float(x.mean() - loc)
+
+    @staticmethod
+    def cdf(x, loc=0.0, scale=1.0):
+        z = (np.asarray(x, dtype=np.float64) - loc) / scale
+        return np.where(z >= 0, 1.0 - np.exp(-z), 0.0)
+
+
+def _unavailable(name):
+    def _raise(*a, **k):
+        raise NotImplementedError(f"parity shim: {name} unavailable")
+
+    return _raise
+
+
+class _DummyLogger:
+    def __getattr__(self, _):
+        return lambda *a, **k: None
+
+
+def _base_namespace() -> dict:
+    stats_ns = SimpleNamespace(
+        moment=_shim_moment, skew=_shim_skew, kurtosis=_shim_kurtosis,
+        mode=_shim_mode, iqr=_shim_iqr, zscore=_shim_zscore,
+        norm=_Norm(), expon=_Expon(),
+        gaussian_kde=_unavailable("gaussian_kde"),
+    )
+    ns: dict = {
+        "np": np, "numpy": np, "math": math,
+        "ArrayLike": object, "Union": Union, "Optional": Optional,
+        "Any": Any, "Dict": Dict, "List": List,
+        "logger": _DummyLogger(),
+        "stats": stats_ns,
+        "skew": _shim_skew, "kurtosis": _shim_kurtosis, "smode": _shim_mode,
+        "mode": _shim_mode, "iqr": _shim_iqr,
+        "norm": _Norm(), "expon": _Expon(),
+        "gaussian_kde": _unavailable("gaussian_kde"),
+        "detrend": _shim_detrend, "lfilter": _shim_lfilter, "pacf": _shim_pacf,
+        "curve_fit": _unavailable("curve_fit"),
+        "kpss": _unavailable("kpss"),
+        "acorr_ljungbox": _unavailable("acorr_ljungbox"),
+        "runstest_1samp": _unavailable("runstest_1samp"),
+        "sign_test": _unavailable("sign_test"),
+        "AutoReg": _unavailable("AutoReg"),
+        "ar_select_order": _unavailable("ar_select_order"),
+        "KDTree": _unavailable("KDTree"),
+        "NaturalVG": _unavailable("NaturalVG"),
+        "periodicity_wang": _unavailable("periodicity_wang"),
+        "jp": SimpleNamespace(isJVMStarted=lambda: False,
+                              startJVM=_unavailable("jpype")),
+        "pywt": SimpleNamespace(cwt=_unavailable("pywt.cwt"),
+                                wavedec=_unavailable("pywt.wavedec")),
+        "scipy": SimpleNamespace(
+            fft=np.fft, stats=stats_ns,
+            signal=SimpleNamespace(lfilter=_shim_lfilter),
+        ),
+        "numba": SimpleNamespace(jit=lambda *a, **k: (lambda f: f)),
+        "LinAlgError": np.linalg.LinAlgError,
+        "wraps": __import__("functools").wraps,
+        "os": SimpleNamespace(path=SimpleNamespace(join=lambda *a: "/".join(a))),
+        "csv": SimpleNamespace(reader=_unavailable("csv.reader")),
+    }
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# AST extraction
+# ---------------------------------------------------------------------------
+
+def _extract_module_code(path: str) -> ast.Module:
+    """Keep top-level function/class defs and simple assigns; drop imports
+    and strip every decorator (preprocess_decorator/numba.jit/etc.)."""
+    with open(path, "r") as f:
+        tree = ast.parse(f.read())
+    kept: list[ast.stmt] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            node.decorator_list = []
+            kept.append(node)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            kept.append(node)
+    mod = ast.Module(body=kept, type_ignores=[])
+    return ast.fix_missing_locations(mod)
+
+
+_NAMESPACE: dict | None = None
+
+
+def reference_namespace() -> dict:
+    """One shared namespace with every reference function exec'd in, so
+    cross-module calls (FirstCrossing from Stationarity, etc.) resolve."""
+    global _NAMESPACE
+    if _NAMESPACE is None:
+        ns = _base_namespace()
+        for pkg, mod in _MODULES:
+            path = f"{REF_ROOT}/{pkg}/{mod}.py"
+            code = compile(_extract_module_code(path), f"<ref:{mod}>", "exec")
+            exec(code, ns)  # noqa: S102 — extracted numpy math, test-only
+        _NAMESPACE = ns
+    return _NAMESPACE
+
+
+def ref(name: str):
+    """Look up a reference function by its public name."""
+    return reference_namespace()[name]

@@ -112,7 +112,7 @@ def test_trev_tc3_theilerq_crinkle():
     c = K.tc3(Y, 1)
     n = len(Y)
     num = np.mean(Y[: n - 2] * Y[1 : n - 1] * Y[2:])
-    den = abs(np.mean(Y[:-1] * Y[1:])) ** 1.5
+    den = abs(np.mean(Y[: n - 2] * Y[1 : n - 1])) ** 1.5
     assert c["raw"] == pytest.approx(num / den)
     q = K.theiler_q(Y)
     s = Y[:-1] + Y[1:]

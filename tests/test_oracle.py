@@ -64,6 +64,7 @@ def test_new_user_queries_mirror_kernels():
         "user_trimmed_mean10": lambda y: K.trimmed_mean(y, 10.0),
         "user_rad2": lambda y: K.rad(y, 2),
         "user_nlac_012": lambda y: K.nonlinear_autocorr(y, [0, 1, 2]),
+        "user_nlac_12_abs": lambda y: K.nonlinear_autocorr(y, [1, 2]),
         "user_stdnthder2": lambda y: K.std_nth_der(y, 2),
         "user_permen3": lambda y: K.perm_entropy(y, 3, 1),
         "user_distent10": lambda y: K.distribution_entropy_hist(y, 10),
@@ -109,7 +110,8 @@ def test_new_user_queries_mirror_kernels():
         "user_drift_mean20": (
             lambda y: K.drifting_mean(y, "fix", 20),
             [("drift_max", "max"), ("drift_min", "min"),
-             ("drift_mean", "mean"), ("drift_meanmaxmin", "meanmaxmin")],
+             ("drift_mean", "mean"), ("drift_meanmaxmin", "meanmaxmin"),
+             ("drift_meanabsmaxmin", "meanabsmaxmin")],
         ),
     }
     for name, (fn, pairs) in dict_checks.items():
@@ -159,7 +161,7 @@ def test_r2b_user_queries_mirror_kernels():
         "user_fitmle_gauss": lambda y: {
             "gauss_mean": fit_mle(y, "gaussian")["mean"],
             "gauss_std": fit_mle(y, "gaussian")["std"]},
-        "user_fitpoly1": lambda y: {"fitpoly1_rms": K.fit_polynomial(y, 1)},
+        "user_fitpoly1": lambda y: {"fitpoly1_mse": K.fit_polynomial(y, 1)},
         "user_firstcross_ac": lambda y: {
             "ac_firstcross": K.first_crossing_ac(y)["firstCrossing"],
             "ac_crosspoint": K.first_crossing_ac(y)["pointOfCrossing"]},
