@@ -377,12 +377,14 @@ def crinkle(y: np.ndarray) -> float:
 
 def timerev_kaplan(y: np.ndarray, tau: int = 1) -> float:
     """Kaplan time-reversal statistic. Parity: DK_timerev
-    (Correlation.py:84-132): <a^2 b - a b^2> over (a,b)=(y_t, y_{t+tau})
-    lag embedding."""
+    (Correlation.py:84-132): 3-point lag embedding (a,b,c) =
+    (y_{t+2tau}, y_{t+tau}, y_t); <a^2 b - b c^2>."""
     y = np.asarray(y, dtype=np.float64)
-    a = y[: len(y) - tau]
-    b = y[tau:]
-    return float(np.mean(a * a * b - a * b * b))
+    n = len(y)
+    a = y[2 * tau :]
+    b = y[tau : n - tau]
+    c = y[: n - 2 * tau]
+    return float(np.mean(a * a * b - b * c * c))
 
 
 def std_nth_der(y: np.ndarray, n: int = 1) -> float:
@@ -467,7 +469,9 @@ def trimmed_mean(y: np.ndarray, p_exclude: float = 0.0) -> float:
     keeping ceil-count semantics of the reference (sorted trim)."""
     y = np.sort(np.asarray(y, dtype=np.float64))
     n = len(y)
-    k = int(np.round(n * p_exclude / 100.0 / 2.0))
+    # reference trim count: lowercut = ceil(k - 0.5) of k = n*p/200
+    # (round-half-down, NOT banker's rounding)
+    k = int(np.ceil(n * p_exclude / 100.0 / 2.0 - 0.5))
     if 2 * k >= n:
         return float("nan")
     return float(y[k : n - k].mean())
@@ -756,13 +760,11 @@ def fzcglscf(y: np.ndarray, alpha: float, beta: float, max_tau: int | None = Non
     prev = None
     for tau in range(1, max_tau + 1):
         g = glscf(y, alpha, beta, tau)
-        if np.isnan(g):
-            break
-        if g <= 0:
-            if prev is None or g == prev:
-                return float(tau)
-            # interpolate between (tau-1, prev) and (tau, g)
-            return float(tau - 1 + prev / (prev - g))
+        if prev is not None and g * prev < 0:
+            # the reference's MIRRORED interpolation (Correlation.py:1148:
+            # i-1 + g_i/(g_i - g_{i-1}), not the true linear zero at
+            # i-1 + g_{i-1}/(g_{i-1} - g_i)) — bug-for-bug parity
+            return float(tau - 1 + g / (g - prev))
         prev = g
     return float(max_tau)
 
@@ -1026,23 +1028,28 @@ def binary_stats(y: np.ndarray, binarize_how: str = "diff") -> dict:
     return out
 
 
-def rad(y: np.ndarray, tau: int = 2) -> float:
+def rad(y: np.ndarray, tau: int = 2, centre: bool = True) -> float:
     """Rescaled auto-density criticality measure. Parity: CR_RAD
-    (Criticality.py:6-66): median-split of y, sigma of diffs above/below,
-    combined as std(diff)*(1/sd_above - 1/sd_below) — ported from the
-    published definition."""
+    (Criticality.py:6-66): centre (|y - median|), lag-embed at tau,
+    median-split the LAGGED VALUES x=|y|[:-tau] (sub: x < med); the
+    density difference is 1/std(x_super) - 1/std(x_sub) of the x VALUES
+    themselves, scaled by std of the tau-differences."""
     y = np.asarray(y, dtype=np.float64)
-    d = y[tau:] - y[:-tau]
-    med = np.median(y)
-    above = d[y[:-tau] > med]
-    below = d[y[:-tau] <= med]
-    if above.size < 2 or below.size < 2:
+    if centre:
+        y = np.abs(y - np.median(y))
+    x = y[:-tau]
+    d = y[tau:] - x
+    med = np.median(x)
+    sub = x < med
+    x_super = x[~sub]
+    x_sub = x[sub]
+    if x_super.size < 2 or x_sub.size < 2:
         return float("nan")
-    s_above = above.std(ddof=1)
-    s_below = below.std(ddof=1)
-    if s_above == 0 or s_below == 0:
+    s_super = x_super.std(ddof=1)
+    s_sub = x_sub.std(ddof=1)
+    if s_super == 0 or s_sub == 0:
         return float("nan")
-    return float(d.std(ddof=1) * (1.0 / s_above - 1.0 / s_below))
+    return float(d.std(ddof=1) * (1.0 / s_super - 1.0 / s_sub))
 
 
 def custom_skewness(y: np.ndarray, which: str = "pearson") -> float:
@@ -1215,38 +1222,69 @@ def dyn_win_basic(y: np.ndarray, max_nseg: int = 10) -> float:
 
 def moment_corr(
     y: np.ndarray,
-    window_frac: float = 0.02,
-    overlap_frac: float = 0.2,
+    window_length: float | int | None = None,
+    w_overlap: float | int | None = None,
     stat1: str = "mean",
     stat2: str = "std",
-) -> float:
-    """Correlation between two window statistics across sliding windows.
+    what_transform: str = "none",
+) -> dict:
+    """Correlation between two window statistics across buffered windows.
 
-    Parity: SY_MomentCorr (Stationarity.py:169-270): window length
-    2% of N, 1/5-window overlap, Pearson corr of (stat1, stat2) series.
+    Parity: SY_MomentCorr (Stationarity.py:169-270), complete:
+    windowLength = ceil(0.02*N) (fractional input scales by N),
+    wOverlap = floor(windowLength/5); windows from MATLAB
+    buffer(x, wl, p) semantics INCLUDING the p leading zeros in column
+    0 and the zero-padded tail column (dropped when the column count
+    exceeds N/(wl-p)); outputs absR and density = ptp(M1)*ptp(M2)/N.
+    Where the reference raises on 1-point windows the engine returns
+    NaNs (schema stability for the columnar path).
     """
-    y = np.asarray(y, dtype=np.float64)
-    N = len(y)
-    wlen = max(10, int(np.floor(window_frac * N)))
-    inc = max(1, int(np.floor(wlen * (1 - overlap_frac))))
-    starts = np.arange(0, N - wlen + 1, inc)
-    if len(starts) < 3:
-        return float("nan")
-    W = np.lib.stride_tricks.sliding_window_view(y, wlen)[starts]
+    from pyhctsa_spark.functions.spectral import matlab_buffer
+
+    x = np.asarray(y, dtype=np.float64)
+    N = len(x)
+    wl = 0.02 if window_length is None else window_length
+    if wl < 1:
+        wl = int(np.ceil(N * wl))
+    wl = int(wl)
+    ov = 1.0 / 5.0 if w_overlap is None else w_overlap
+    if ov < 1:
+        ov = int(np.floor(wl * ov))
+    ov = int(ov)
+    if what_transform == "abs":
+        x = np.abs(x)
+    elif what_transform == "sq":
+        x = x**2
+    elif what_transform == "sqrt":
+        x = np.sqrt(np.abs(x))
+    elif what_transform != "none":
+        raise ValueError(what_transform)
+    nan_out = {"absR": float("nan"), "density": float("nan")}
+    if wl <= ov or wl < 1:
+        return nan_out
+    buff = matlab_buffer(x, wl, ov)
+    num_windows = N / (wl - ov)
+    if buff.shape[1] > num_windows:
+        buff = buff[:, :-1]
+    if buff.shape[0] == 1 or buff.shape[1] < 2:
+        return nan_out  # reference raises "too short" here
 
     def _stat(name):
         if name == "mean":
-            return W.mean(axis=1)
+            return buff.mean(axis=0)
         if name == "std":
-            return W.std(axis=1, ddof=1)
+            return buff.std(axis=0, ddof=1)
         if name == "median":
-            return np.median(W, axis=1)
+            return np.median(buff, axis=0)
         if name == "iqr":
-            q = np.quantile(W, [0.25, 0.75], axis=1, method="hazen")
-            return q[1] - q[0]
+            q = np.percentile(buff, [75, 25], axis=0, method="hazen")
+            return q[0] - q[1]
         raise ValueError(name)
 
-    a, b = _stat(stat1), _stat(stat2)
-    if a.std(ddof=0) == 0 or b.std(ddof=0) == 0:
-        return float("nan")
-    return float(np.corrcoef(a, b)[0, 1])
+    m1, m2 = _stat(stat1), _stat(stat2)
+    with np.errstate(all="ignore"):
+        r = float(np.corrcoef(m1, m2)[0, 1])
+    return {
+        "absR": abs(r),
+        "density": float(np.ptp(m1) * np.ptp(m2) / N),
+    }

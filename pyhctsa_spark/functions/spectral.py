@@ -22,17 +22,40 @@ from pyhctsa_spark.functions.kernels import (
 __all__ = ["spectral_summaries", "matlab_buffer", "find_peaks_full"]
 
 
-def matlab_buffer(x: np.ndarray, n: int) -> np.ndarray:
-    """MATLAB buffer(x, n): n x ceil(N/n) column-major segments,
-    zero-padded tail (make_mat_buffer semantics, utils.py:322-379)."""
+def matlab_buffer(
+    x: np.ndarray, n: int, p: int = 0, opt: str | None = None
+) -> np.ndarray:
+    """MATLAB buffer(x, n, p): n x ncols column-major segments with
+    p-sample overlap, zero-padded tail (make_mat_buffer semantics,
+    utils.py:322-379, both the p=0 and overlap paths).
+
+    Default opt (None) prefixes p zeros (column 0 = [zeros(p), x[:n-p]]);
+    'nodelay' starts filling immediately (column 0 = x[:n]). Column j
+    then advances by step = n - p real samples, carrying the previous
+    column's last p values.
+    """
     x = np.asarray(x, dtype=np.float64)
-    ncol = int(math.ceil(len(x) / n))
-    out = np.zeros((n, ncol))
-    out.flat[: len(x)] = 0  # noop, keep shape clear
-    for c in range(ncol):
-        seg = x[c * n : (c + 1) * n]
-        out[: len(seg), c] = seg
-    return out
+    if opt not in (None, "nodelay"):
+        raise ValueError(f"{opt} not implemented")
+    N = len(x)
+    step = n - p
+    if step <= 0:
+        raise ValueError("overlap must be smaller than the window")
+    if opt == "nodelay":
+        if N <= n:  # single short column, no tail padding (reference loop)
+            return x[:, None].copy()
+        base = x
+        ncols = 1 + max(0, int(math.ceil((N - n) / step)))
+    else:
+        if N <= step:  # single short column: [zeros(p), x], unpadded
+            return np.concatenate([np.zeros(p), x])[:, None]
+        base = np.concatenate([np.zeros(p), x]) if p else x
+        ncols = max(1, int(math.ceil(N / step)))
+    total = (ncols - 1) * step + n
+    if total > len(base):
+        base = np.concatenate([base, np.zeros(total - len(base))])
+    idx = np.arange(n)[None, :] + step * np.arange(ncols)[:, None]
+    return base[idx].T
 
 
 def _local_maxima(S: np.ndarray) -> np.ndarray:

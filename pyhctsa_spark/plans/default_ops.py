@@ -104,8 +104,8 @@ def default_operations() -> list[Operation]:
         Operation(K.range_evolve, "SY_RangeEvolve", configs=[{"zscore": True}]),
         Operation(K.dyn_win_basic, "SY_DynWin", configs=[{"zscore": True}]),
         Operation(K.moment_corr, "SY_MomentCorr",
-                  ["window_frac", "overlap_frac", "stat1", "stat2"],
-                  [{"window_frac": 0.02, "overlap_frac": 0.2,
+                  ["window_length", "w_overlap", "stat1", "stat2"],
+                  [{"window_length": 0.02, "w_overlap": 0.2,
                     "stat1": ["mean", "median"], "stat2": ["std", "iqr"]}]),
         Operation(M.kpss_test, "SY_KPSStest", ["lags"],
                   [{"lags": [0, 1, 2]}]),

@@ -230,11 +230,60 @@ FROM series GROUP BY user_id
 """)
 
 # --- SY_MomentCorr (mean vs std across windows) per user ------------------
-QUERIES["user_moment_corr"] = _q(f"""
-SELECT user_id, round(corr(m, s), 6) AS moment_corr
-FROM (SELECT user_id, w, avg(v) AS m, stddev_samp(v) AS s
-      FROM win GROUP BY user_id, w HAVING count(*) = {W}) t
-GROUP BY user_id HAVING count(*) >= 3
+# Full reference replay (Stationarity.py:169-257): wl = ceil(0.02*n),
+# p = floor(wl/5); MATLAB-buffer columns j advance by step = wl - p over
+# the p-zero-prefixed series, the padded tail column is dropped when the
+# column count exceeds n/step, and the implicit zeros participate in the
+# per-window mean/std (handled via count arithmetic: missing elements
+# contribute 0 to sums). absR = |corr(M1, M2)|, density = ptp*ptp/n.
+# Users whose wl < 2 (n <= 50) raise in the reference -> no output row.
+QUERIES["user_moment_corr"] = _q("""
+, mc_pars AS (
+  SELECT user_id, count(*) AS n,
+         CAST(ceil(0.02 * count(*)) AS BIGINT) AS wl
+  FROM series GROUP BY user_id
+),
+mc_pars2 AS (
+  SELECT user_id, n, wl,
+         CAST(floor(wl / 5.0) AS BIGINT) AS p,
+         wl - CAST(floor(wl / 5.0) AS BIGINT) AS step
+  FROM mc_pars WHERE wl >= 2
+),
+mc_pars3 AS (
+  SELECT *,
+         CAST(ceil(CAST(n AS DOUBLE) / step) AS BIGINT)
+           - CASE WHEN CAST(ceil(CAST(n AS DOUBLE) / step) AS BIGINT) * step
+                       > n THEN 1 ELSE 0 END AS kwin
+  FROM mc_pars2
+),
+mc_wins AS (
+  SELECT s.user_id, s.rn AS j, pp.wl, pp.p, pp.step, pp.n
+  FROM series s JOIN mc_pars3 pp USING (user_id)
+  WHERE s.rn < pp.kwin
+),
+mc_stats AS (
+  SELECT w.user_id, w.j, w.wl,
+         sum(s.v)        AS s1,
+         sum(s.v * s.v)  AS s2
+  FROM mc_wins w
+  JOIN series s
+    ON s.user_id = w.user_id
+   AND s.rn >= w.j * w.step - w.p
+   AND s.rn <  w.j * w.step - w.p + w.wl
+  GROUP BY w.user_id, w.j, w.wl
+),
+mc_m AS (
+  SELECT user_id, j,
+         s1 / wl AS m,
+         sqrt(greatest((s2 - s1 * s1 / wl) / (wl - 1), CAST(0.0 AS DOUBLE))) AS sd
+  FROM mc_stats
+)
+SELECT mm.user_id,
+       round(abs(corr(mm.m, mm.sd)), 6) AS mc_absr,
+       round((max(mm.m) - min(mm.m)) * (max(mm.sd) - min(mm.sd))
+             / max(pp.n), 6) AS mc_density
+FROM mc_m mm JOIN mc_pars3 pp ON pp.user_id = mm.user_id
+GROUP BY mm.user_id HAVING count(*) >= 2
 """)
 
 # --- MD_pNN (threshold 20) per user ---------------------------------------
@@ -404,17 +453,13 @@ FROM series GROUP BY user_id
 """)
 
 # --- DN_TrimmedMean p=10 per user -------------------------------------------
-# k = round-half-even(n * 10 / 100 / 2) values trimmed from each sorted end
-# (banker's rounding spelled out so both engines match numpy.round).
+# Reference Distribution.py:671: lowercut = ceil(n*10/200 - 0.5) values
+# trimmed from each sorted end (round-half-DOWN, not banker's rounding).
 QUERIES["user_trimmed_mean10"] = _q("""
 SELECT user_id, round(avg(v), 6) AS trimmed_mean10
 FROM (
   SELECT r.user_id, r.v, r.rk, r.cnt,
-         CAST(floor(r.half) + CASE
-              WHEN r.half - floor(r.half) > 0.5 THEN 1
-              WHEN r.half - floor(r.half) = 0.5
-                   AND CAST(floor(r.half) AS BIGINT) % 2 = 1 THEN 1
-              ELSE 0 END AS BIGINT) AS k
+         CAST(ceil(r.half - 0.5) AS BIGINT) AS k
   FROM (
     SELECT user_id, v,
            row_number() OVER (PARTITION BY user_id ORDER BY v) AS rk,
@@ -462,20 +507,41 @@ GROUP BY user_id
 """)
 
 # --- CR_RAD tau=2 per user ---------------------------------------------------
+# Reference Criticality.py:6-66 with centre=True: work on c = |v - median(v)|,
+# lag-embed at tau=2 (x = c truncated, y2 = c lead-2), median-split the
+# x VALUES, and the density difference is over std of the x values
+# (super-median side minus sub-median side), scaled by std(y2 - x).
 QUERIES["user_rad2"] = _q("""
-SELECT d.user_id,
-       round(stddev_samp(d.dv)
-             * (1.0 / nullif(stddev_samp(d.dv) FILTER (WHERE d.v > d.med), CAST(0.0 AS DOUBLE))
-                - 1.0 / nullif(stddev_samp(d.dv) FILTER (WHERE d.v <= d.med), CAST(0.0 AS DOUBLE))),
+SELECT t.user_id,
+       round(stddev_samp(t.y2 - t.x)
+             * (1.0 / nullif(stddev_samp(t.x) FILTER (WHERE t.x >= mx.medx), CAST(0.0 AS DOUBLE))
+                - 1.0 / nullif(stddev_samp(t.x) FILTER (WHERE t.x < mx.medx), CAST(0.0 AS DOUBLE))),
              6) AS rad2
 FROM (
-  SELECT w2.user_id, w2.v, w2.v2 - w2.v AS dv, t.med
-  FROM win w2
-  JOIN (SELECT user_id, median(v) AS med FROM series GROUP BY user_id) t
-    USING (user_id)
-  WHERE w2.v2 IS NOT NULL
-) d
-GROUP BY d.user_id
+  SELECT c.user_id, c.x,
+         lead(c.x, 2) OVER (PARTITION BY c.user_id ORDER BY c.rn) AS y2
+  FROM (
+    SELECT s.user_id, s.rn, abs(s.v - m.med0) AS x
+    FROM series s
+    JOIN (SELECT user_id, median(v) AS med0 FROM series GROUP BY user_id) m
+      USING (user_id)
+  ) c
+) t
+JOIN (
+  SELECT user_id, median(x) AS medx
+  FROM (
+    SELECT c2.user_id, c2.x,
+           lead(c2.x, 2) OVER (PARTITION BY c2.user_id ORDER BY c2.rn) AS y2
+    FROM (
+      SELECT s2.user_id, s2.rn, abs(s2.v - m2.med0) AS x
+      FROM series s2
+      JOIN (SELECT user_id, median(v) AS med0 FROM series GROUP BY user_id) m2
+        USING (user_id)
+    ) c2
+  ) d2 WHERE d2.y2 IS NOT NULL GROUP BY user_id
+) mx ON mx.user_id = t.user_id
+WHERE t.y2 IS NOT NULL
+GROUP BY t.user_id
 """)
 
 # --- CO_NonlinearAutocorr taus=[0,1,2] per user ------------------------------
@@ -1659,9 +1725,11 @@ def _qa(sql: str) -> dict:
 
 
 # --- DK_timerev tau=1 per user (Correlation.py:84-132) ----------------------
+# 3-point embedding (a,b,c) = (y_{t+2}, y_{t+1}, y_t): <a^2 b - b c^2>
+# = avg(v2*v2*v1 - v1*v*v) in lead-view terms.
 QUERIES["user_timerev1"] = _q("""
-SELECT user_id, round(avg(v * v * v1 - v * v1 * v1), 6) AS timerev1
-FROM win WHERE v1 IS NOT NULL GROUP BY user_id
+SELECT user_id, round(avg(v2 * v2 * v1 - v1 * v * v), 6) AS timerev1
+FROM win WHERE v2 IS NOT NULL GROUP BY user_id
 """)
 
 # --- DN_Fit_mle 'gaussian' per user (Distribution.py:285-335) ---------------
@@ -2659,14 +2727,16 @@ QUERIES["user_fzcglscf11"] = _qa("""
   GROUP BY a.user_id, b.rn - a.rn
 ),
 fc AS (
-  SELECT user_id, min(tau) AS t FROM gl
-  WHERE g <= CAST(0.0 AS DOUBLE) GROUP BY user_id
+  SELECT user_id, min(tau) AS t FROM (
+    SELECT user_id, tau, g,
+           lag(g) OVER (PARTITION BY user_id ORDER BY tau) AS gp
+    FROM gl
+  ) sc
+  WHERE sc.g * sc.gp < CAST(0.0 AS DOUBLE) GROUP BY user_id
 )
 SELECT nn.user_id,
        round(CASE WHEN fc.t IS NULL THEN CAST(nn.n AS DOUBLE)
-                  WHEN fc.t = 1 THEN CAST(1.0 AS DOUBLE)
-                  WHEN p.g = c.g THEN CAST(fc.t AS DOUBLE)
-                  ELSE fc.t - 1 + p.g / (p.g - c.g) END, 6) AS fzcglscf11
+                  ELSE fc.t - 1 + c.g / (c.g - p.g) END, 6) AS fzcglscf11
 FROM nn
 LEFT JOIN fc ON fc.user_id = nn.user_id
 LEFT JOIN gl p ON p.user_id = nn.user_id AND p.tau = fc.t - 1

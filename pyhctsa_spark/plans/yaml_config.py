@@ -131,14 +131,7 @@ def _var_ratio(y, periods=2, IIDs=1):
 
 def _moment_corr(y, windowLength=None, wOverlap=None, mom1="mean", mom2="std",
                  whatTransform="none"):
-    x = np.asarray(y, dtype=np.float64)
-    if whatTransform == "abs":
-        x = np.abs(x)
-    elif whatTransform == "sqrt":
-        x = np.sqrt(np.abs(x))
-    wf = 0.02 if windowLength is None else windowLength
-    ov = 0.2 if wOverlap is None else wOverlap
-    return K.moment_corr(x, wf, ov, mom1, mom2)
+    return K.moment_corr(y, windowLength, wOverlap, mom1, mom2, whatTransform)
 
 
 def _loop_local_simple(y, forecastMeth="mean"):

@@ -214,6 +214,33 @@ class _Expon:
         return np.where(z >= 0, 1.0 - np.exp(-z), 0.0)
 
 
+class _KDTree:
+    """Brute-force stand-in for sklearn.neighbors.KDTree (small N only)."""
+
+    def __init__(self, data, metric="chebyshev", leaf_size=40):
+        self.data = np.atleast_2d(np.asarray(data, dtype=np.float64))
+        self.metric = metric
+
+    def _dists(self, X):
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+        diff = np.abs(X[:, None, :] - self.data[None, :, :])
+        if self.metric == "chebyshev":
+            return diff.max(axis=2)
+        return np.sqrt((diff**2).sum(axis=2))
+
+    def query_radius(self, X, r, count_only=False):
+        d = self._dists(X)
+        within = d <= r
+        if count_only:
+            return within.sum(axis=1)
+        return [np.nonzero(row)[0] for row in within]
+
+    def query(self, X, k=1):
+        d = self._dists(X)
+        idx = np.argsort(d, axis=1)[:, :k]
+        return np.take_along_axis(d, idx, axis=1), idx
+
+
 def _unavailable(name):
     def _raise(*a, **k):
         raise NotImplementedError(f"parity shim: {name} unavailable")
@@ -251,7 +278,7 @@ def _base_namespace() -> dict:
         "sign_test": _unavailable("sign_test"),
         "AutoReg": _unavailable("AutoReg"),
         "ar_select_order": _unavailable("ar_select_order"),
-        "KDTree": _unavailable("KDTree"),
+        "KDTree": _KDTree,
         "NaturalVG": _unavailable("NaturalVG"),
         "periodicity_wang": _unavailable("periodicity_wang"),
         "jp": SimpleNamespace(isJVMStarted=lambda: False,

@@ -1,0 +1,255 @@
+"""Reference-differential parity sweep.
+
+Every case runs the repo kernel AND the reference's own extracted code
+(tests/ref_parity.py) on the same seeded series and compares outputs.
+This is the independent check the round-3 verdict demanded: the DuckDB
+oracles encode the repo's formulas, so only a direct diff against the
+reference's executable math can prove parity.
+
+Documented deviations (sanctioned in COVERAGE.md) are listed per-case
+via `skip_keys` or excluded cases with a reason.
+"""
+
+from __future__ import annotations
+
+import sys
+from os.path import abspath, dirname
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, dirname(abspath(__file__)))
+sys.path.insert(0, dirname(dirname(abspath(__file__))))
+
+from ref_parity import ref, reference_namespace  # noqa: E402
+
+from pyhctsa_spark.functions import kernels as K  # noqa: E402
+
+
+def _series(seed: int, n: int = 500, kind: str = "normal") -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if kind == "normal":
+        return rng.standard_normal(n)
+    if kind == "ar1":
+        e = rng.standard_normal(n)
+        y = np.empty(n)
+        y[0] = e[0]
+        for i in range(1, n):
+            y[i] = 0.7 * y[i - 1] + e[i]
+        return y
+    if kind == "uniform":
+        return rng.uniform(-1, 1, n)
+    if kind == "trend":
+        return rng.standard_normal(n) + np.linspace(-2, 2, n)
+    raise ValueError(kind)
+
+
+SERIES = [
+    ("normal", _series(1, 500, "normal")),
+    ("ar1", _series(2, 500, "ar1")),
+    ("uniform", _series(3, 300, "uniform")),
+    ("trend", _series(4, 400, "trend")),
+]
+ZS = [(name, K.zscore(y)) for name, y in SERIES]
+
+
+def _cmp(repo_out, ref_out, case_id, series_id, rtol=1e-8, atol=1e-10,
+         key_map=None, skip_keys=()):
+    """Compare scalar or dict outputs; NaN==NaN counts as equal."""
+    if isinstance(ref_out, dict):
+        assert isinstance(repo_out, dict), (case_id, series_id, type(repo_out))
+        key_map = key_map or {}
+        for rk, rv in ref_out.items():
+            if rk in skip_keys:
+                continue
+            pk = key_map.get(rk, rk)
+            assert pk in repo_out, (case_id, series_id, f"missing key {rk}->{pk}")
+            pv = repo_out[pk]
+            _cmp_scalar(pv, rv, case_id, series_id, rk, rtol, atol)
+    else:
+        _cmp_scalar(repo_out, ref_out, case_id, series_id, "", rtol, atol)
+
+
+def _cmp_scalar(pv, rv, case_id, series_id, key, rtol, atol):
+    rv = float(rv) if rv is not None else float("nan")
+    pv = float(pv) if pv is not None else float("nan")
+    if np.isnan(rv):
+        assert np.isnan(pv), (case_id, series_id, key, pv, "ref is NaN")
+    else:
+        assert np.isclose(pv, rv, rtol=rtol, atol=atol), (
+            case_id, series_id, key, pv, rv)
+
+
+class Case:
+    def __init__(self, cid, repo, refname, refcall=None, zscore=False,
+                 key_map=None, skip_keys=(), rtol=1e-8, atol=1e-10,
+                 series=None):
+        self.cid = cid
+        self.repo = repo
+        self.refname = refname
+        self.refcall = refcall or (lambda f, y: f(y))
+        self.zscore = zscore
+        self.key_map = key_map
+        self.skip_keys = skip_keys
+        self.rtol = rtol
+        self.atol = atol
+        self.series = series  # restrict to specific series ids
+
+
+CASES = [
+    # --- Correlation -------------------------------------------------------
+    Case("trev_t1", lambda y: K.trev(y, 1), "TRev", lambda f, y: f(y, 1)),
+    Case("trev_t2", lambda y: K.trev(y, 2), "TRev", lambda f, y: f(y, 2)),
+    Case("tc3_t1", lambda y: K.tc3(y, 1), "TC3", lambda f, y: f(y, 1)),
+    Case("tc3_t3", lambda y: K.tc3(y, 3), "TC3", lambda f, y: f(y, 3)),
+    Case("theiler_q", K.theiler_q, "TheilerQ"),
+    Case("crinkle", K.crinkle, "Crinkle"),
+    Case("timerev_t1", lambda y: K.timerev_kaplan(y, 1), "TimeRevKaplan",
+         lambda f, y: f(y, 1)),
+    Case("ac_fourier", lambda y: K.autocorr_fourier(y, 3), "AutoCorr",
+         lambda f, y: f(y, 3, "Fourier"), rtol=1e-7),
+    Case("ac_timedomain", lambda y: K.autocorr_timedomain(y, 2), "AutoCorr",
+         lambda f, y: f(y, 2, "TimeDomain"), rtol=1e-7),
+    Case("first_crossing_ac_d", lambda y: K.first_crossing_ac(y)["firstCrossing"],
+         "FirstCrossing", lambda f, y: f(y, "ac", 0, "discrete"), rtol=1e-6),
+    Case("first_crossing_ac_c", lambda y: K.first_crossing_ac(y)["pointOfCrossing"],
+         "FirstCrossing", lambda f, y: f(y, "ac", 0, "continuous"), rtol=1e-6),
+    Case("glscf_112", lambda y: K.glscf(y, 1.0, 1.0, 2), "GLSCF",
+         lambda f, y: f(y, 1.0, 1.0, 2)),
+    Case("glscf_212", lambda y: K.glscf(y, 2.0, 1.0, 2), "GLSCF",
+         lambda f, y: f(y, 2.0, 1.0, 2)),
+    Case("fzcglscf_11", lambda y: K.fzcglscf(y, 1.0, 1.0), "FZCGLSCF",
+         lambda f, y: f(y, 1.0, 1.0)),
+    Case("nlac_12", lambda y: K.nonlinear_autocorr(y, [1, 2]),
+         "NonlinearAutoCorr", lambda f, y: f(y, [1, 2]), zscore=True),
+    Case("nlac_123", lambda y: K.nonlinear_autocorr(y, [1, 2, 3]),
+         "NonlinearAutoCorr", lambda f, y: f(y, [1, 2, 3]), zscore=True),
+    Case("nlac_001", lambda y: K.nonlinear_autocorr(y, [0, 0, 1]),
+         "NonlinearAutoCorr", lambda f, y: f(y, [0, 0, 1]), zscore=True),
+    Case("nlac_13_abs", lambda y: K.nonlinear_autocorr(y, [1, 3], True),
+         "NonlinearAutoCorr", lambda f, y: f(y, [1, 3], True), zscore=True),
+    Case("embed2_basic_t1", lambda y: K.embed2_basic(y, 1), "Embed2Basic",
+         lambda f, y: f(y, 1), zscore=True),
+    # --- Distribution ------------------------------------------------------
+    Case("withinp", lambda y: K.withinp(y, 1.0, "mean"), "Withinp",
+         lambda f, y: f(y, 1.0, "mean")),
+    Case("withinp2med", lambda y: K.withinp(y, 2.0, "median"), "Withinp",
+         lambda f, y: f(y, 2.0, "median")),
+    Case("unique", K.unique_fraction, "Unique"),
+    Case("spread_std", K.spread_std, "Spread", lambda f, y: f(y, "std")),
+    Case("spread_iqr", K.spread_iqr, "Spread", lambda f, y: f(y, "iqr")),
+    Case("spread_mad", K.spread_mad, "Spread", lambda f, y: f(y, "mad")),
+    Case("spread_mead", K.spread_mead, "Spread", lambda f, y: f(y, "mead")),
+    Case("quantile_60", lambda y: K.quantile_hazen(y, 0.6), "Quantile",
+         lambda f, y: f(y, 0.6)),
+    Case("prop_positive", lambda y: K.proportion_values(y, "positive"),
+         "ProportionValues", lambda f, y: f(y, "positive")),
+    Case("prop_geq", lambda y: K.proportion_values(y, "geq0"),
+         "ProportionValues", lambda f, y: f(y, "geq0")),
+    Case("high_low_mu", K.high_low_mu, "HighLowMu"),
+    Case("minmax_max", lambda y: K.minmax(y, "max"), "MinMax",
+         lambda f, y: f(y, "max")),
+    Case("cv1", lambda y: K.cv(y, 1), "CV", lambda f, y: f(y, 1)),
+    Case("cv2", lambda y: K.cv(y, 2), "CV", lambda f, y: f(y, 2)),
+    Case("moments5", lambda y: K.moments(y, 5), "Moments",
+         lambda f, y: f(y, 5)),
+    Case("burstiness", K.burstiness, "Burstiness",
+         key_map={"B": "B", "B_Kim": "B_Kim"}),
+    Case("custom_skew_pearson", lambda y: K.custom_skewness(y, "pearson"),
+         "CustomSkewness", lambda f, y: f(y, "pearson")),
+    Case("custom_skew_bowley", lambda y: K.custom_skewness(y, "bowley"),
+         "CustomSkewness", lambda f, y: f(y, "bowley")),
+    Case("trimmed_mean25", lambda y: K.trimmed_mean(y, 25.0), "TrimmedMean",
+         lambda f, y: f(y, 25)),
+    Case("histogram_mode10", lambda y: K.histogram_mode(y, 10),
+         "HistogramMode", lambda f, y: f(y, 10)),
+    Case("pleft_01", lambda y: __import__(
+        "pyhctsa_spark.functions.distribution_extra", fromlist=["pleft"]
+    ).pleft(y, 0.1), "PLeft", lambda f, y: f(y, 0.1)),
+    # --- Stationarity ------------------------------------------------------
+    Case("stat_av_seg5", lambda y: K.stat_av(y, "seg", 5), "StatAv",
+         lambda f, y: f(y, "seg", 5)),
+    Case("stat_av_len50", lambda y: K.stat_av(y, "len", 50), "StatAv",
+         lambda f, y: f(y, "len", 50)),
+    Case("sliding_mean_std", lambda y: K.sliding_window(y, "mean", "std", 5, 1),
+         "SlidingWindow", lambda f, y: f(y, "mean", "std", 5, 1)),
+    Case("sliding_mom3_std", lambda y: K.sliding_window(y, "mom3", "std", 5, 2),
+         "SlidingWindow", lambda f, y: f(y, "mom3", "std", 5, 2)),
+    Case("sliding_ac1_std", lambda y: K.sliding_window(y, "AC1", "std", 5, 1),
+         "SlidingWindow", lambda f, y: f(y, "AC1", "std", 5, 1), rtol=1e-6),
+    Case("sliding_mean_apen", lambda y: K.sliding_window(y, "mean", "apen", 4, 1),
+         "SlidingWindow", lambda f, y: f(y, "mean", "apen", 4, 1), rtol=1e-6),
+    Case("drifting_fix20", lambda y: K.drifting_mean(y, "fix", 20),
+         "DriftingMean", lambda f, y: f(y, "fix", 20)),
+    Case("drifting_num10", lambda y: K.drifting_mean(y, "num", 10),
+         "DriftingMean", lambda f, y: f(y, "num", 10)),
+    Case("fit_poly1", lambda y: K.fit_polynomial(y, 1), "FitPolynomial",
+         lambda f, y: f(y, 1)),
+    Case("fit_poly3", lambda y: K.fit_polynomial(y, 3), "FitPolynomial",
+         lambda f, y: f(y, 3), rtol=1e-6),
+    Case("std_nth_der2", lambda y: K.std_nth_der(y, 2), "StdNthDer",
+         lambda f, y: f(y, 2)),
+    Case("std_nth_der5", lambda y: K.std_nth_der(y, 5), "StdNthDer",
+         lambda f, y: f(y, 5)),
+    Case("trend", K.trend, "Trend", rtol=1e-6),
+    Case("local_global_l", lambda y: K.local_global(y, "l", 100),
+         "LocalGlobal", lambda f, y: f(y, "l", 100), rtol=1e-7),
+    Case("local_global_p", lambda y: K.local_global(y, "p", 0.1),
+         "LocalGlobal", lambda f, y: f(y, "p", 0.1), rtol=1e-7),
+    Case("local_global_unicg", lambda y: K.local_global(y, "unicg", 20),
+         "LocalGlobal", lambda f, y: f(y, "unicg", 20), rtol=1e-7),
+    # nuql500/nuql300/nuql400 keys: reference f-string typo emits
+    # nuql{N} instead of nuql{Nval} for N < Nval (Stationarity.py:536);
+    # the engine emits the intended fixed key (COVERAGE.md deviation).
+    Case("range_evolve", K.range_evolve, "RangeEvolve", zscore=True,
+         skip_keys=("nuql500", "nuql300", "nuql400")),
+    Case("simple_stats_zcross", lambda y: K.simple_stats(y, "zcross"),
+         "SimpleStats", lambda f, y: f(y, "zcross")),
+    Case("simple_stats_pmcross", lambda y: K.simple_stats(y, "pmcross"),
+         "SimpleStats", lambda f, y: f(y, "pmcross"), zscore=True),
+    Case("moment_corr", lambda y: K.moment_corr(y), "MomentCorr",
+         rtol=1e-6),
+    Case("moment_corr_med_iqr",
+         lambda y: K.moment_corr(y, None, None, "median", "iqr", "abs"),
+         "MomentCorr",
+         lambda f, y: f(y, None, None, "median", "iqr", "abs"), rtol=1e-6),
+    # --- Entropy / information --------------------------------------------
+    Case("cid_ce", K.cid_ce, "ComplexityInvariantDistance"),
+    Case("rad2", lambda y: K.rad(y, 2), "RAD", lambda f, y: f(y, 2)),
+    Case("rad3", lambda y: K.rad(y, 3), "RAD", lambda f, y: f(y, 3)),
+    # --- Symbolic ----------------------------------------------------------
+    Case("motif_two_diff", lambda y: K.motif_two(y, "diff"), "MotifTwo",
+         lambda f, y: f(y, "diff")),
+    Case("motif_two_mean", lambda y: K.motif_two(y, "mean"), "MotifTwo",
+         lambda f, y: f(y, "mean")),
+    Case("binary_stats_diff", lambda y: K.binary_stats(y, "diff"),
+         "BinaryStats", lambda f, y: f(y, "diff")),
+    Case("binary_stats_mean", lambda y: K.binary_stats(y, "mean"),
+         "BinaryStats", lambda f, y: f(y, "mean")),
+    # --- Medical -----------------------------------------------------------
+    # reference pNNx thresholds are |diff|*1000 > x, i.e. raw-unit x/1000
+    Case("pnn40", lambda y: K.pnn(y, 0.04), "PNN",
+         lambda f, y: f(y)["pnn40"], zscore=True),
+    Case("pnn5", lambda y: K.pnn(y, 0.005), "PNN",
+         lambda f, y: f(y)["pnn5"], zscore=True),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c.cid for c in CASES])
+def test_reference_parity(case):
+    fn = ref(case.refname)
+    pool = ZS if case.zscore else SERIES
+    for sid, y in pool:
+        if case.series and sid not in case.series:
+            continue
+        ref_out = case.refcall(fn, y.copy())
+        repo_out = case.repo(y.copy())
+        _cmp(repo_out, ref_out, case.cid, sid, rtol=case.rtol, atol=case.atol,
+             key_map=case.key_map, skip_keys=case.skip_keys)
+
+
+def test_namespace_loads_every_module():
+    ns = reference_namespace()
+    for name in ("TC3", "DriftingMean", "MotifTwo", "SampleEntropy",
+                 "Walker", "RAD", "SpectralSummaries", "PolVar"):
+        assert callable(ns[name]), name
