@@ -72,8 +72,10 @@ def embed2(y: np.ndarray, tau="tau") -> dict:
     for i in range(5):
         nmat[:, i], _ = np.histogram(theta[afifth * i : afifth * (i + 1)], bins=x4)
     nmat = nmat / afifth
+    # reference stdb{i+1} = std over the 4 BINS of segment i (n[:, i]),
+    # for the first four of the five segments (Correlation.py:265-268)
     for i in range(4):
-        out[f"stdb{i+1}"] = float(np.std(nmat[i, :], ddof=1))
+        out[f"stdb{i+1}"] = float(np.std(nmat[:, i], ddof=1))
     # distances from origin over fifths
     afifth = N // 5
     segs = [m[afifth * i : afifth * (i + 1)] for i in range(5)]
@@ -231,15 +233,18 @@ def stick_angles(y: np.ndarray) -> dict:
 
     def _sub_statav(x: np.ndarray, n: int) -> tuple[float, float]:
         p_ = len(x) // n
-        if p_ < 2:
+        if p_ < 1:
             return float("nan"), float("nan")
         seg = x[: p_ * n].reshape(n, p_)
         sd = x.std(ddof=1)
         if sd == 0:
             return float("nan"), float("nan")
+        # reference _SUB_statav (Correlation.py:747-748): the INNER
+        # per-segment std is np.std's default ddof=0; only the
+        # across-segment std uses ddof=1
         return (
             float(np.std(seg.mean(axis=1), ddof=1) / sd),
-            float(np.std(seg.std(axis=1, ddof=1), ddof=1) / sd),
+            float(np.std(seg.std(axis=1, ddof=0), ddof=1) / sd),
         )
 
     from pyhctsa_spark.functions.kernels import (
@@ -330,9 +335,13 @@ def translate_shape(y: np.ndarray, shape: str = "circle", d: int = 2,
             dyv = y[sl] - y[idx - 1]
             counts[i] = np.sum(dt * dt + dyv * dyv <= d * d)
     elif shape == "rectangle":
+        # reference Correlation.py:1413-1416, bug-for-bug: the threshold
+        # is |y[i]| with i the 0-based LOOP COUNTER (start of series),
+        # not the window centre y[idx-1], and it counts |window values|
+        # <= that threshold (no centring).
         for i, idx in enumerate(rng_idx):
             sl = slice(idx - w - 1, idx + w)
-            counts[i] = np.sum(np.abs(y[sl] - y[idx - 1]) <= d)
+            counts[i] = np.sum(np.abs(y[sl]) <= abs(y[i]))
     else:
         raise ValueError(shape)
     out = {

@@ -185,19 +185,42 @@ def distribution_entropy(y: np.ndarray, hist_or_ks: str = "hist",
             yhat, hist_or_ks, num_bins
         )
     if hist_or_ks == "hist":
-        edges = binpicker(float(y.min()), float(y.max()), int(num_bins))
-        px = histc(y, edges).astype(np.float64)
-        px = (px / px.sum())[:-1]
-        bw = edges[1] - edges[0]
-        p = px[px > 0]
-        return float(-(p * np.log(p / bw)).sum() * bw)
+        if isinstance(num_bins, str):
+            # reference Entropy.py:135-139: rule-named bins use numpy
+            # bin edges and normalize AFTER dropping the histc tail
+            edges = np.histogram_bin_edges(y, bins=num_bins)
+            px = histc(y, edges).astype(np.float64)[:-1]
+            px = px / px.sum()
+        else:
+            edges = binpicker(float(y.min()), float(y.max()), int(num_bins))
+            px = histc(y, edges).astype(np.float64)
+            px = (px / px.sum())[:-1]
+        bwz = np.diff(edges)
+        nz = px > 0
+        # reference Entropy.py:162-165: -sum(P * log(P / binWidth)),
+        # NO binWidth multiplier on the sum
+        return float(-(px[nz] * np.log(px[nz] / bwz[nz])).sum())
     if hist_or_ks == "ks":
-        lo, hi = y.min() - 3 * y.std(ddof=1), y.max() + 3 * y.std(ddof=1)
-        grid = np.linspace(lo, hi, 512)
-        f = gaussian_kde_eval(y, grid, bw=None if not num_bins else float(num_bins))
-        dx = grid[1] - grid[0]
-        mask = f > 0
-        return float(-(f[mask] * np.log(f[mask])).sum() * dx)
+        # reference Entropy.py:143-160, bug-for-bug: a float num_bins is
+        # the scipy kde FACTOR (scales the sample std into the bandwidth)
+        # but the grid padding treats it as an absolute width; default
+        # path uses the silverman factor and pads by 3*factor*std_pop.
+        n = len(y)
+        sd_samp = float(np.std(y, ddof=1))
+        if num_bins:
+            factor = float(num_bins)
+            pad = 3.0 * factor
+        else:
+            factor = (n * 3.0 / 4.0) ** (-0.2)  # silverman, 1-D
+            pad = 3.0 * factor * float(np.std(y))
+        h = factor * sd_samp
+        xr = np.linspace(y.min() - pad, y.max() + pad, 100)
+        z = (xr[:, None] - y[None, :]) / h
+        px = np.exp(-0.5 * z * z).sum(axis=1) / (n * h * math.sqrt(2 * math.pi))
+        dxr = xr[1] - xr[0]
+        nz = px > 0
+        # reference: -sum(px * log(px / dx)) over RAW density values
+        return float(-(px[nz] * np.log(px[nz] / dxr)).sum())
     raise ValueError(hist_or_ks)
 
 

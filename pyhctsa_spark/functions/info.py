@@ -346,11 +346,18 @@ def rm_information(y: np.ndarray, tau: int = 1) -> float:
     x, z = (y, y) if tau == 0 else (y[:-tau], y[tau:])
     n = len(x)
     ncell = int(math.ceil(n ** (1.0 / 3.0)))
+    # RM_histogram2 cell assignment (utils.py:551-553): banker's-rounded
+    # round(f*ncell + 1/2) with half-delta-expanded bounds; out-of-range
+    # points are DROPPED (possible with quantized data on cell edges)
     dx = (x.max() - x.min()) / (n - 1)
     dz = (z.max() - z.min()) / (n - 1)
-    ex = np.linspace(x.min() - dx / 2, x.max() + dx / 2, ncell + 1)
-    ez = np.linspace(z.min() - dz / 2, z.max() + dz / 2, ncell + 1)
-    h, _, _ = np.histogram2d(x, z, bins=(ex, ez))
+    lox, hix = x.min() - dx / 2, x.max() + dx / 2
+    loz, hiz = z.min() - dz / 2, z.max() + dz / 2
+    xx = np.around((x - lox) / (hix - lox) * ncell + 0.5).astype(int) - 1
+    zz = np.around((z - loz) / (hiz - loz) * ncell + 0.5).astype(int) - 1
+    ok = (xx >= 0) & (xx < ncell) & (zz >= 0) & (zz < ncell)
+    h = np.zeros((ncell, ncell))
+    np.add.at(h, (xx[ok], zz[ok]), 1.0)
     count = h.sum()
     hx = h.sum(axis=1)
     hy = h.sum(axis=0)
@@ -360,9 +367,7 @@ def rm_information(y: np.ndarray, tau: int = 1) -> float:
         - np.sum(hx[hx > 0] * np.log(hx[hx > 0]))
         - np.sum(hy[hy > 0] * np.log(hy[hy > 0]))
     ) / count + math.log(count)
-    # unbiased (Moddemeijer): subtract the N-bias from occupied cells
-    mx = int((hx > 0).sum())
-    my = int((hy > 0).sum())
-    mxy = int(nz.sum())
-    nbias = (mxy - mx - my + 1) / (2.0 * count)
+    # unbiased (Moddemeijer / reference Information.py:663): N-bias uses
+    # the TOTAL cell grid, (ncellx-1)(ncelly-1)/(2 count)
+    nbias = (ncell - 1) * (ncell - 1) / (2.0 * count)
     return float(est - nbias)

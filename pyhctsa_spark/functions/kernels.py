@@ -852,15 +852,13 @@ def perm_entropy(y: np.ndarray, m: int = 3, tau: int = 1) -> float:
 
 
 def distribution_entropy_hist(y: np.ndarray, num_bins: int = 10) -> float:
-    """Shannon entropy of an equal-width histogram density (matching the
-    'hist'/'numBins' branch of EN_DistributionEntropy, Entropy.py:87-165:
-    p*binwidth normalization, zero bins dropped)."""
-    y = np.asarray(y, dtype=np.float64)
-    counts, edges = np.histogram(y, bins=num_bins, density=True)
-    bw = edges[1] - edges[0]
-    p = counts * bw
-    p = p[p > 0]
-    return float(-np.sum(p * np.log(p)))
+    """EN_DistributionEntropy 'hist' with integer bins (Entropy.py:87-165):
+    binpicker 'nice' edges, exact-max catch bin dropped, differential
+    form -sum(P*ln(P/binWidth)). Delegates to the reference-faithful
+    entropy.distribution_entropy (local import avoids a module cycle)."""
+    from pyhctsa_spark.functions.entropy import distribution_entropy
+
+    return distribution_entropy(y, "hist", num_bins)
 
 
 def point_of_crossing(x: np.ndarray, threshold: float) -> tuple[float, float]:

@@ -428,23 +428,22 @@ def hypothesis_test(x: np.ndarray, the_test: str = "signtest") -> float:
 
 
 def partial_autocorr(y: np.ndarray, max_tau: int = 10) -> dict:
-    """PACF via Durbin-Levinson on the Fourier ACF. Parity:
-    CO_PartialAutoCorr (Correlation.py:805-850, statsmodels pacf
-    Yule-Walker method)."""
+    """PACF via per-lag OLS (statsmodels pacf method='ols': regress y_t
+    on an intercept + its first k lags; pac_k is the k-th lag
+    coefficient). Parity: CO_PartialAutoCorr (Correlation.py:805-850,
+    whatMethod='ols' default)."""
     y = np.asarray(y, dtype=np.float64)
-    rho = acf_fourier_full(y)[: max_tau + 1]
-    pacf = np.zeros(max_tau + 1)
-    pacf[0] = 1.0
-    phi_prev = np.zeros(0)
+    n = len(y)
+    out = {}
     for k in range(1, max_tau + 1):
-        if k == 1:
-            phi_kk = rho[1]
-            phi = np.array([phi_kk])
-        else:
-            num = rho[k] - float(phi_prev @ rho[k - 1 : 0 : -1])
-            den = 1.0 - float(phi_prev @ rho[1:k])
-            phi_kk = num / den if den != 0 else float("nan")
-            phi = np.concatenate([phi_prev - phi_kk * phi_prev[::-1], [phi_kk]])
-        pacf[k] = phi_kk
-        phi_prev = phi
-    return {f"pac_{k}": float(pacf[k]) for k in range(1, max_tau + 1)}
+        rows = n - k
+        if rows <= k + 1:
+            out[f"pac_{k}"] = float("nan")
+            continue
+        X = np.empty((rows, k + 1))
+        X[:, 0] = 1.0
+        for j in range(1, k + 1):
+            X[:, j] = y[k - j : n - j]
+        beta, *_ = np.linalg.lstsq(X, y[k:], rcond=None)
+        out[f"pac_{k}"] = float(beta[k])
+    return out

@@ -341,7 +341,8 @@ def visibility_graph(y: np.ndarray, meth: str = "horiz", max_l: int = 5000) -> d
     mid = k[(k >= q05) & (k <= q95)]
     out["ol90"] = float(mid.mean() / k.mean())
     out["olu90"] = float(np.mean(k[k >= q95] - k.mean()) / sd) if sd > 0 else float("nan")
-    out["entropy"] = distribution_entropy(k, "hist", int(math.sqrt(len(k))))
+    # reference Graph.py:111: DistributionEntropy(k, 'hist', 'sqrt')
+    out["entropy"] = distribution_entropy(k, "hist", "sqrt")
     mu, sig = k.mean(), k.std(ddof=1)
     out["gaussnlogL"] = float(
         np.sum(0.5 * ((k - mu) / sig) ** 2 + math.log(sig * math.sqrt(2 * math.pi)))

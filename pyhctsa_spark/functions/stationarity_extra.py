@@ -168,12 +168,14 @@ def local_extrema(y: np.ndarray, how_to_window: str = "l", n: int | None = None)
 
 
 def medfilt1(x: np.ndarray, k: int) -> np.ndarray:
-    """1-D median filter with zero-padded edges (MATLAB medfilt1 /
-    the reference's _medfilt1d, PreProcess.py:10-25)."""
+    """1-D median filter, odd k only, edges padded by REPLICATING the
+    first/last sample (the reference's _medfilt1d, PreProcess.py:10-25)."""
+    if k % 2 != 1:
+        raise ValueError("Median filter length must be odd.")
     x = np.asarray(x, dtype=np.float64)
-    pad = k // 2
-    ext = np.concatenate([np.zeros(pad), x, np.zeros(pad)])
-    windows = np.lib.stride_tricks.sliding_window_view(ext, k)[: len(x)]
+    pad = (k - 1) // 2
+    ext = np.concatenate([np.full(pad, x[0]), x, np.full(pad, x[-1])])
+    windows = np.lib.stride_tricks.sliding_window_view(ext, k)
     return np.median(windows, axis=1)
 
 

@@ -124,23 +124,21 @@ def fourier_resample(x: np.ndarray, num: int) -> np.ndarray:
     """FFT-domain resampling (scipy.signal.resample semantics: truncate /
     zero-pad the spectrum, halve the Nyquist bin when splitting)."""
     x = np.asarray(x, dtype=np.float64)
-    N = len(x)
+    Nx = len(x)
     X = np.fft.rfft(x)
-    n_new = num // 2 + 1
-    Y = np.zeros(n_new, dtype=complex)
-    nc = min(len(X), n_new)
-    Y[:nc] = X[:nc]
-    if num < N:
-        # downsampling: if the new Nyquist bin existed in the old
-        # spectrum's interior, fold it (scipy keeps the real part x2
-        # halving convention)
-        if num % 2 == 0 and nc == n_new and len(X) > nc:
-            Y[-1] = X[nc - 1].real
-    else:
-        if N % 2 == 0 and len(X) < n_new:
-            Y[len(X) - 1] *= 0.5
-            # mirror half to the old Nyquist position is already zero
-    return np.fft.irfft(Y, num) * (num / N)
+    M = min(num, Nx)
+    nyq = M // 2 + 1
+    Y = np.zeros(num // 2 + 1, dtype=complex)
+    Y[:nyq] = X[:nyq]
+    if M % 2 == 0:
+        if num < Nx:
+            # downsampling: the new Nyquist bin folds the +-M/2
+            # components together (X[M/2] + conj(X[M/2]) = 2 Re)
+            Y[M // 2] *= 2.0
+        elif num > Nx:
+            # upsampling: the old Nyquist energy splits across +-M/2
+            Y[M // 2] *= 0.5
+    return np.fft.irfft(Y, num) * (float(num) / float(Nx))
 
 
 def transition_matrix(y: np.ndarray, howtocg: str = "quantile",

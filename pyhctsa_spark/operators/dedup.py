@@ -82,6 +82,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over k-word shingles.
 
@@ -91,10 +92,15 @@ def minhash_signatures(
     formulation re-evaluated the shingle construction inside the 64-seed
     lambda — 64x the string work per row); the shuffle carries only 64
     partially-combined longs per doc, so this is the 100 TB shape too.
+
+    Pass ``shingles`` (a persisted ``_shingle_df`` output) to reuse an
+    already-tokenized corpus — at warehouse scale the tokenize+shingle
+    scan is the dominant cost and must run ONCE per pipeline.
     """
-    exploded = _shingle_df(df, text_col, id_col, shingle_k).select(
-        F.col(id_col), F.explode("sh").alias("sh")
+    sh = shingles if shingles is not None else _shingle_df(
+        df, text_col, id_col, shingle_k
     )
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("sh"))
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"_m{s}")
         for s in range(num_hashes)
@@ -187,12 +193,39 @@ def minhash_dedup_pairs(
     return cands.where(F.col("est_jaccard") >= threshold)
 
 
+def derive_lsh_banding(
+    num_hashes: int, threshold: float, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) so LSH candidate recall at the given
+    Jaccard threshold is >= target_recall.
+
+    recall(J) = 1 - (1 - J^r)^(n/r). Larger r prunes more candidates but
+    loses recall at low J; this chooses the LARGEST r that still meets
+    the target (fewest candidate pairs at the contracted recall). r=1
+    always satisfies the target (every shared minhash value collides),
+    so the function cannot fail — but a low threshold genuinely costs
+    candidate volume, and that cost is now explicit rather than a
+    silent recall hole.
+    """
+    best = None
+    r = 1
+    while r <= num_hashes:
+        if num_hashes % r == 0:
+            recall = 1.0 - (1.0 - threshold**r) ** (num_hashes // r)
+            if recall >= target_recall:
+                best = (num_hashes // r, r)
+        r *= 2
+    if best is None:
+        best = (num_hashes, 1)
+    return best
+
+
 def minhash_verified_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_k: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
@@ -201,15 +234,22 @@ def minhash_verified_pairs(
     This is the production near-dup shape: LSH banding prunes the pair
     space (shuffle volume = band tuples, never documents), then each
     surviving candidate pair is verified pair-locally against the true
-    Jaccard of its distinct k-shingle sets. Output (d1, d2, jaccard)
-    matches the exhaustive exact-Jaccard pair set whenever LSH recall at
-    the threshold is ~1 (true near-dups have J >= 0.9 in this corpus:
-    miss probability (1 - J^4)^16 < 3e-8) — which is what the DuckDB
-    oracle checks end-to-end.
+    Jaccard of its distinct k-shingle sets.
+
+    By default the banding is DERIVED from ``threshold`` so candidate
+    recall at the threshold is >= 0.95 (derive_lsh_banding) — a fixed
+    16x4 banding has only ~12%% recall at J=0.3, silently missing
+    moderate-similarity pairs. Pass ``bands`` explicitly to override
+    (recall is then the caller's contract).
     """
-    # the shingle table feeds both sides of the verify join — materialize
+    if bands is None:
+        bands, _ = derive_lsh_banding(num_hashes, threshold)
+    # the shingle table feeds the signature build AND both sides of the
+    # verify join — materialize once so the corpus is tokenized ONCE
     sh_df = _shingle_df(df, text_col, id_col, shingle_k).persist()
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingles=sh_df
+    )
     cands = minhash_lsh_candidates(
         sigs, id_col, bands, num_hashes // bands
     ).select("id_a", "id_b")
@@ -510,6 +550,21 @@ def dedup_components(
                 return labels
         else:
             labels = updated
+    # the final permitted round may have applied the LAST needed change:
+    # run one extra verification round before declaring failure
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.doc_id)
+        .groupBy("src")
+        .agg(F.min("component_id").alias("nbr_min"))
+    )
+    still_changing = (
+        labels.join(neighbor_min, labels.doc_id == neighbor_min.src)
+        .where(F.col("nbr_min") < F.col("component_id"))
+        .limit(1)
+        .count()
+    )
+    if still_changing == 0:
+        return labels
     # never return silently-partial labels: a component whose diameter
     # exceeds the round budget would get a wrong, split component_id
     raise RuntimeError(
@@ -624,6 +679,11 @@ def near_dup_clusters(
       4. broadcast the rep -> cluster map back onto all documents.
     Shuffle volume: content hashes (step 1), band tuples (step 2),
     component labels (step 3) — never document pair products.
+
+    Recall contract: the LSH banding is derived from ``threshold``
+    (derive_lsh_banding, candidate recall >= 0.95 at the threshold), so
+    clusters are complete down to the stated Jaccard level; lowering the
+    threshold buys that completeness with more candidate pairs.
     """
     # ONE window pass over md5(text) yields both the doc -> rep map and
     # the representative rows (three separate content-hash scans + a

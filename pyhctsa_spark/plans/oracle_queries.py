@@ -676,22 +676,55 @@ FROM (
 # Equal-width histogram over [min, max] (last bin inclusive); with the
 # density*binwidth normalization of the kernel, p_bin = cnt/total, so
 # H = -sum p ln p over occupied bins.
+# EN_DistributionEntropy 'hist' 10 bins: binpicker 'nice' edges
+# (utils.py:113-211, nbins branch: left edge snaps to a width-multiple,
+# width refined to p10*ceil(ll/p10)), histc drop-the-exact-max-bin,
+# normalized by TOTAL count, and the differential form
+# -sum(P*ln(P/binWidth)) where the LAST bin's width is re-le-9*bw.
 QUERIES["user_distent10"] = _q("""
-SELECT user_id,
-       round(-sum((cnt / tot) * ln(cnt / tot)), 6) AS distent10
-FROM (
-  SELECT b.user_id, b.bin, CAST(count(*) AS DOUBLE) AS cnt,
-         CAST(sum(count(*)) OVER (PARTITION BY b.user_id) AS DOUBLE) AS tot
+, de_stat AS (
+  SELECT user_id, min(v) AS mn, max(v) AS mx, CAST(count(*) AS DOUBLE) AS n
+  FROM series GROUP BY user_id HAVING max(v) > min(v)
+),
+de_p1 AS (
+  SELECT user_id, mn, mx, n,
+         least(bw0 * floor(mn / bw0), mn) AS le
   FROM (
-    SELECT s.user_id,
-           least(CAST(floor((s.v - st.mn) / nullif((st.mx - st.mn) / 10.0, CAST(0.0 AS DOUBLE))) AS BIGINT), 9) AS bin
-    FROM series s
-    JOIN (SELECT user_id, min(v) AS mn, max(v) AS mx
-          FROM series GROUP BY user_id) st USING (user_id)
-  ) b
-  GROUP BY b.user_id, b.bin
-) c
-GROUP BY user_id
+    SELECT user_id, mn, mx, n,
+           power(10.0, floor(log10((mx - mn) / 10.0)))
+             * floor(((mx - mn) / 10.0)
+                     / power(10.0, floor(log10((mx - mn) / 10.0)))) AS bw0
+    FROM de_stat
+  ) t0
+),
+de_p2 AS (
+  SELECT user_id, mn, mx, n, le,
+         p10 * ceil(((mx - le) / 10.0) / p10) AS bw
+  FROM (
+    SELECT user_id, mn, mx, n, le,
+           power(10.0, floor(log10((mx - le) / 9.0 - (mx - le) / 10.0))) AS p10
+    FROM de_p1
+  ) t1
+),
+de_p3 AS (
+  SELECT user_id, mn, mx, n, le, bw,
+         greatest(le + 10.0 * bw, mx) AS re
+  FROM de_p2
+),
+de_cnt AS (
+  SELECT s.user_id,
+         least(CAST(floor((s.v - p.le) / p.bw) AS BIGINT), 9) AS b,
+         CAST(count(*) AS DOUBLE) AS c,
+         max(p.n) AS n, max(p.le) AS le, max(p.bw) AS bw, max(p.re) AS re
+  FROM series s JOIN de_p3 p USING (user_id)
+  WHERE s.v <> p.re
+  GROUP BY s.user_id, least(CAST(floor((s.v - p.le) / p.bw) AS BIGINT), 9)
+)
+SELECT user_id,
+       round(-sum((c / n) * ln((c / n)
+             / (CASE WHEN b = 9 THEN re - le - 9.0 * bw ELSE bw END))), 6)
+         AS distent10
+FROM de_cnt GROUP BY user_id
 """)
 
 # --------------------------------------------------------------------------
@@ -1634,7 +1667,7 @@ JOIN iqr ON iqr.doc_id = f4.doc_id AND iqr.tier = f4.tier
 # the first ps symbols (phrase grows) or opens a new phrase (counter
 # increments) — exactly the reference's scan loop. Verified bit-exact
 # against the engine kernel on all 150 sf0.01 users.
-ENGINE_ORACLES["user_lz2"] = "\nWITH RECURSIVE series AS (\n  SELECT user_id,\n         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS t,\n         count(*) OVER (PARTITION BY user_id) AS n,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\ndetied AS (\n  SELECT user_id, t, n, v + t * 1e-6 AS v2 FROM series\n),\nranked AS (\n  SELECT user_id, t, n,\n         row_number() OVER (PARTITION BY user_id ORDER BY v2) AS rk\n  FROM detied\n),\nsym AS (\n  SELECT user_id, t, n,\n         CAST(floor(rk * (2.0 / (n + 1))) AS INTEGER) + 1 AS s\n  FROM ranked\n),\nstr AS (\n  SELECT user_id, CAST(max(n) AS INTEGER) AS n,\n         string_agg(CAST(s AS VARCHAR), '' ORDER BY t) AS sq\n  FROM sym GROUP BY user_id\n),\nlz(user_id, n, sq, k, ps, pl, c) AS (\n  SELECT user_id, n, sq, 2, 1, 1, 1 FROM str\n  UNION ALL\n  SELECT user_id, n, sq, k + 1,\n         CASE WHEN instr(substr(sq, 1, ps), substr(sq, ps + 1, pl)) > 0\n              THEN ps ELSE ps + pl END,\n         CASE WHEN instr(substr(sq, 1, ps), substr(sq, ps + 1, pl)) > 0\n              THEN pl + 1 ELSE 1 END,\n         CASE WHEN instr(substr(sq, 1, ps), substr(sq, ps + 1, pl)) > 0\n              THEN c ELSE c + 1 END\n  FROM lz WHERE k < n\n)\nSELECT user_id, round(c * ln(CAST(n AS DOUBLE)) / (n * ln(2.0)), 6) AS lz2\nFROM lz WHERE k = n\n"
+ENGINE_ORACLES["user_lz2"] = "\nWITH RECURSIVE series AS (\n  SELECT user_id,\n         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS t,\n         count(*) OVER (PARTITION BY user_id) AS n,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\ndetied AS (\n  -- mirror the engine's 4000-point cap (entropy.lz_complexity): truncate\n  -- BEFORE symbolization so ranks and n agree at any SF\n  SELECT user_id, t, least(n, CAST(4000 AS BIGINT)) AS n, v + t * 1e-6 AS v2\n  FROM series WHERE t <= 4000\n),\nranked AS (\n  SELECT user_id, t, n,\n         row_number() OVER (PARTITION BY user_id ORDER BY v2) AS rk\n  FROM detied\n),\nsym AS (\n  SELECT user_id, t, n,\n         CAST(floor(rk * (2.0 / (n + 1))) AS INTEGER) + 1 AS s\n  FROM ranked\n),\nstr AS (\n  SELECT user_id, CAST(max(n) AS INTEGER) AS n,\n         string_agg(CAST(s AS VARCHAR), '' ORDER BY t) AS sq\n  FROM sym GROUP BY user_id\n),\nlz(user_id, n, sq, k, ps, pl, c) AS (\n  SELECT user_id, n, sq, 2, 1, 1, 1 FROM str\n  UNION ALL\n  SELECT user_id, n, sq, k + 1,\n         CASE WHEN instr(substr(sq, 1, ps), substr(sq, ps + 1, pl)) > 0\n              THEN ps ELSE ps + pl END,\n         CASE WHEN instr(substr(sq, 1, ps), substr(sq, ps + 1, pl)) > 0\n              THEN pl + 1 ELSE 1 END,\n         CASE WHEN instr(substr(sq, 1, ps), substr(sq, ps + 1, pl)) > 0\n              THEN c ELSE c + 1 END\n  FROM lz WHERE k < n\n)\nSELECT user_id, round(c * ln(CAST(n AS DOUBLE)) / (n * ln(2.0)), 6) AS lz2\nFROM lz WHERE k = n\n"
 
 # MF_ExpSmoothing (reference ModelFit.py:124-276) over per-user_id%10
 # concatenated event series (N ~ 1000 > ntrain=100, so the training
@@ -1796,26 +1829,67 @@ FROM nn LEFT JOIN fm ON fm.user_id = nn.user_id
 #   pac_1 = r1; pac_2 = (r2 - r1^2)/(1 - r1^2);
 #   phi21 = r1 - pac_2 r1;
 #   pac_3 = (r3 - phi21 r2 - pac_2 r1) / (1 - phi21 r1 - pac_2 r2).
-QUERIES["user_pacf3"] = _qa("""
-, rr AS (
-  SELECT user_id,
-         max(CASE WHEN tau = 1 THEN r END) AS r1,
-         max(CASE WHEN tau = 2 THEN r END) AS r2,
-         max(CASE WHEN tau = 3 THEN r END) AS r3
-  FROM acfn GROUP BY user_id
+# statsmodels pacf method='ols' (the reference default): pac_k is the
+# k-th lag coefficient of an intercept-included OLS of y_t on its first
+# k lags; closed forms via centered cross-moments + Cramer's rule.
+QUERIES["user_pacf3"] = _q("""
+, l3 AS (
+  SELECT user_id, rn, v,
+         lead(v)    OVER (PARTITION BY user_id ORDER BY rn) AS a,
+         lead(v, 2) OVER (PARTITION BY user_id ORDER BY rn) AS b,
+         lead(v, 3) OVER (PARTITION BY user_id ORDER BY rn) AS c
+  FROM series
 ),
-p2 AS (
-  SELECT user_id, r1, r2, r3,
-         (r2 - r1 * r1) / nullif(1.0 - r1 * r1, CAST(0.0 AS DOUBLE)) AS phi22
-  FROM rr
+k1 AS (
+  SELECT user_id,
+         (sum(v * a) - sum(v) * sum(a) / count(*))
+           / nullif(sum(v * v) - sum(v) * sum(v) / count(*),
+                    CAST(0.0 AS DOUBLE)) AS pac1
+  FROM l3 WHERE a IS NOT NULL GROUP BY user_id
+),
+k2 AS (
+  SELECT user_id,
+         (c11 * c2y - c12 * c1y)
+           / nullif(c11 * c22 - c12 * c12, CAST(0.0 AS DOUBLE)) AS pac2
+  FROM (
+    SELECT user_id,
+           sum(a * a) - sum(a) * sum(a) / count(*) AS c11,
+           sum(a * v) - sum(a) * sum(v) / count(*) AS c12,
+           sum(v * v) - sum(v) * sum(v) / count(*) AS c22,
+           sum(a * b) - sum(a) * sum(b) / count(*) AS c1y,
+           sum(v * b) - sum(v) * sum(b) / count(*) AS c2y
+    FROM l3 WHERE b IS NOT NULL GROUP BY user_id
+  ) m2
+),
+k3 AS (
+  SELECT user_id,
+         (c11 * (c22 * c3y - c23 * c2y)
+          - c12 * (c12 * c3y - c2y * c13)
+          + c1y * (c12 * c23 - c22 * c13))
+           / nullif(c11 * (c22 * c33 - c23 * c23)
+                    - c12 * (c12 * c33 - c23 * c13)
+                    + c13 * (c12 * c23 - c22 * c13),
+                    CAST(0.0 AS DOUBLE)) AS pac3
+  FROM (
+    SELECT user_id,
+           sum(b * b) - sum(b) * sum(b) / count(*) AS c11,
+           sum(b * a) - sum(b) * sum(a) / count(*) AS c12,
+           sum(b * v) - sum(b) * sum(v) / count(*) AS c13,
+           sum(a * a) - sum(a) * sum(a) / count(*) AS c22,
+           sum(a * v) - sum(a) * sum(v) / count(*) AS c23,
+           sum(v * v) - sum(v) * sum(v) / count(*) AS c33,
+           sum(b * c) - sum(b) * sum(c) / count(*) AS c1y,
+           sum(a * c) - sum(a) * sum(c) / count(*) AS c2y,
+           sum(v * c) - sum(v) * sum(c) / count(*) AS c3y
+    FROM l3 WHERE c IS NOT NULL GROUP BY user_id
+  ) m3
 )
-SELECT user_id,
-       round(r1, 6) AS pac_1,
-       round(phi22, 6) AS pac_2,
-       round((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
-             / nullif(1.0 - (r1 - phi22 * r1) * r1 - phi22 * r2,
-                      CAST(0.0 AS DOUBLE)), 6) AS pac_3
-FROM p2
+SELECT k1.user_id,
+       round(k1.pac1, 6) AS pac_1,
+       round(k2.pac2, 6) AS pac_2,
+       round(k3.pac3, 6) AS pac_3
+FROM k1 JOIN k2 ON k2.user_id = k1.user_id
+JOIN k3 ON k3.user_id = k1.user_id
 """)
 
 # --- SY_VarRatioTest period=2 IID (HypothesisTests.py:10-81) ----------------
@@ -3671,7 +3745,10 @@ FROM kept GROUP BY user_id
 # both series double-z-scored; StatAv 'seg' 2-10, overlapping
 # sliding-window mean/std stationarity at (win, inc_move) combos, and
 # trimmed outlier-test ratios — every output a detrended/raw ratio.
-QUERIES["user_ppc_medianf4"] = _q("""
+# PP_Compare 'medianf3': the reference's _medfilt1d is odd-length only
+# with REPLICATED first/last samples at the edges (PreProcess.py:10-25),
+# replayed via a clamped-index join.
+QUERIES["user_ppc_medianf3"] = _q("""
 , z1 AS (
   SELECT user_id, rn,
          (v - avg(v) OVER (PARTITION BY user_id))
@@ -3686,15 +3763,19 @@ zraw AS (
                     CAST(0.0 AS DOUBLE)) AS x
   FROM z1
 ),
-off4 AS (
-  SELECT -2 AS o UNION ALL SELECT -1 UNION ALL SELECT 0 UNION ALL SELECT 1
+off3 AS (
+  SELECT -1 AS o UNION ALL SELECT 0 UNION ALL SELECT 1
+),
+nmax AS (
+  SELECT user_id, max(rn) AS mx FROM series GROUP BY user_id
 ),
 mf AS (
-  SELECT s.user_id, s.rn,
-         median(coalesce(b.v, CAST(0.0 AS DOUBLE))) AS d
+  SELECT s.user_id, s.rn, median(b.v) AS d
   FROM series s
-  CROSS JOIN off4 o
-  LEFT JOIN series b ON b.user_id = s.user_id AND b.rn = s.rn + o.o
+  JOIN nmax x ON x.user_id = s.user_id
+  CROSS JOIN off3 o
+  JOIN series b ON b.user_id = s.user_id
+   AND b.rn = greatest(CAST(0 AS BIGINT), least(x.mx, s.rn + o.o))
   GROUP BY s.user_id, s.rn
 ),
 zd1 AS (
@@ -4393,43 +4474,23 @@ ktau AS (
   LEFT JOIN kacfn p ON p.user_id = kc.user_id AND p.tau = kfz.i - 1
   LEFT JOIN kacfn c2 ON c2.user_id = kc.user_id AND c2.tau = kfz.i
 ),
-vbp0 AS (
-  SELECT t.user_id, t.nb, t.mn, t.mx,
-         power(10.0, floor(log10((t.mx - t.mn) / t.nb)))
-           * floor(((t.mx - t.mn) / t.nb)
-                   / power(10.0, floor(log10((t.mx - t.mn) / t.nb)))) AS bw0
-  FROM (SELECT user_id, min(k) AS mn, max(k) AS mx,
-               CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS nb
-        FROM degt GROUP BY user_id) t
-),
-vbp1 AS (
-  SELECT user_id, nb, mn, mx,
-         least(bw0 * floor(mn / bw0), mn) AS le
-  FROM vbp0
-),
-vbpf AS (
-  SELECT user_id, nb, mn, mx, le,
-         CASE WHEN nb > 1 THEN
-           power(10.0, floor(log10((mx - le) / (nb - 1.0) - (mx - le) / nb)))
-             * ceil(((mx - le) / nb)
-                    / power(10.0, floor(log10((mx - le) / (nb - 1.0)
-                                              - (mx - le) / nb))))
-         ELSE (mx - le) END AS bw
-  FROM vbp1
-),
 vbpr AS (
-  SELECT user_id, nb, le, bw, greatest(le + nb * bw, mx) AS re
-  FROM vbpf
+  -- reference Graph.py:111: DistributionEntropy(k, 'hist', 'sqrt') --
+  -- numpy 'sqrt' rule edges linspace(mn, mx, ceil(sqrt(n))+1); the
+  -- histc exact-max catch bin is dropped BEFORE normalizing
+  SELECT user_id, min(k) AS mn, max(k) AS mx,
+         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS nb,
+         (max(k) - min(k)) / ceil(sqrt(CAST(count(*) AS DOUBLE))) AS bw
+  FROM degt GROUP BY user_id
 ),
 ints21 AS (
   SELECT DISTINCT rn AS e FROM series
-  WHERE rn <= 20 AND user_id = (SELECT min(user_id) FROM series)
+  WHERE rn <= 30 AND user_id = (SELECT min(user_id) FROM series)
 ),
 vedges AS (
   SELECT b.user_id, ints21.e AS ei,
-         CASE WHEN ints21.e = 0 THEN b.le
-              WHEN ints21.e = b.nb THEN b.re
-              ELSE b.le + ints21.e * b.bw END AS ev
+         CASE WHEN ints21.e = b.nb THEN b.mx
+              ELSE b.mn + ints21.e * (b.mx - b.mn) / b.nb END AS ev
   FROM vbpr b JOIN ints21 ON ints21.e <= b.nb
 ),
 vdig AS (
@@ -4439,16 +4500,23 @@ vdig AS (
   JOIN vedges e ON e.user_id = d.user_id
   GROUP BY d.user_id, d.rn
 ),
+hcnt AS (
+  SELECT user_id, bin, CAST(count(*) AS DOUBLE) AS cnt
+  FROM vdig GROUP BY user_id, bin
+),
+htot AS (
+  SELECT h.user_id, sum(h.cnt) AS tot
+  FROM hcnt h JOIN vbpr r ON r.user_id = h.user_id
+  WHERE h.bin < r.nb GROUP BY h.user_id
+),
 hent AS (
-  SELECT c.user_id,
-         -sum(CASE WHEN c.bin < r.nb AND c.cnt > 0
-                   THEN (c.cnt / c.tot) * ln((c.cnt / c.tot) / r.bw)
-                   ELSE CAST(0.0 AS DOUBLE) END) * max(r.bw) AS h
-  FROM (SELECT user_id, bin, CAST(count(*) AS DOUBLE) AS cnt,
-               CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
-        FROM vdig GROUP BY user_id, bin) c
-  JOIN vbpr r ON r.user_id = c.user_id
-  GROUP BY c.user_id
+  SELECT h.user_id,
+         -sum((h.cnt / t.tot) * ln((h.cnt / t.tot) / r.bw)) AS h
+  FROM hcnt h
+  JOIN vbpr r ON r.user_id = h.user_id
+  JOIN htot t ON t.user_id = h.user_id
+  WHERE h.bin < r.nb AND h.cnt > 0
+  GROUP BY h.user_id
 ),
 kst AS (
   SELECT user_id, avg(k) AS mu, median(k) AS med, stddev_samp(k) AS sd,
@@ -4997,38 +5065,48 @@ LEFT JOIN nloc nl ON nl.user_id = st.user_id
 # Differential entropy of the Scott-rule gaussian KDE on a 512-point
 # grid spanning [min - 3 sigma, max + 3 sigma], as an explicit exp-sum
 # join: H = -sum f ln f dx over positive density.
+# EN_DistributionEntropy 'ks' default width (Entropy.py:149-160,
+# bug-for-bug): silverman FACTOR (0.75 n)^(-1/5); kde bandwidth =
+# factor * std_samp; 100-point grid padded by 3*factor*std_pop; entropy
+# -sum(px * ln(px / dx)) over the RAW density values (no dx multiplier).
 QUERIES["user_distent_ks"] = _q("""
-, i512 AS (
-  SELECT a.rn * 23 + b.rn AS gi
-  FROM (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+, i100 AS (
+  SELECT a.rn * 10 + b.rn AS gi
+  FROM (SELECT DISTINCT rn FROM series WHERE rn < 10 AND user_id =
         (SELECT min(user_id) FROM series)) a
-  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 23 AND user_id =
+  CROSS JOIN (SELECT DISTINCT rn FROM series WHERE rn < 10 AND user_id =
         (SELECT min(user_id) FROM series)) b
-  WHERE a.rn * 23 + b.rn < 512
 ),
 kp AS (
-  SELECT user_id, min(v) - 3.0 * stddev_samp(v) AS lo,
-         max(v) + 3.0 * stddev_samp(v) AS hi,
-         power(CAST(count(*) AS DOUBLE), -0.2) * stddev_samp(v) AS bw,
+  SELECT user_id,
+         power(CAST(count(*) AS DOUBLE) * 3.0 / 4.0, -0.2) AS fac,
+         stddev_samp(v) AS sds, stddev_pop(v) AS sdp,
+         min(v) AS mn, max(v) AS mx,
          CAST(count(*) AS DOUBLE) AS m
   FROM series GROUP BY user_id
 ),
+kp2 AS (
+  SELECT user_id, fac * sds AS h,
+         mn - 3.0 * fac * sdp AS lo,
+         mx + 3.0 * fac * sdp AS hi, m
+  FROM kp
+),
 gpts AS (
   SELECT k.user_id, g.gi,
-         k.lo + g.gi * (k.hi - k.lo) / 511.0 AS p,
-         (k.hi - k.lo) / 511.0 AS dx, k.bw, k.m
-  FROM kp k CROSS JOIN i512 g
+         k.lo + g.gi * (k.hi - k.lo) / 99.0 AS p,
+         (k.hi - k.lo) / 99.0 AS dx, k.h, k.m
+  FROM kp2 k CROSS JOIN i100 g
 ),
 dens AS (
   SELECT g.user_id, g.gi, max(g.dx) AS dx,
-         sum(exp(-0.5 * pow((g.p - s.v) / g.bw, 2)))
-           / (max(g.m) * max(g.bw) * sqrt(2.0 * pi())) AS f
+         sum(exp(-0.5 * pow((g.p - s.v) / g.h, 2)))
+           / (max(g.m) * max(g.h) * sqrt(2.0 * pi())) AS f
   FROM gpts g JOIN series s ON s.user_id = g.user_id
   GROUP BY g.user_id, g.gi
 )
 SELECT user_id,
-       round(-sum(CASE WHEN f > 0 THEN f * ln(f) ELSE CAST(0.0 AS DOUBLE) END)
-             * max(dx), 6) AS distent_ks
+       round(-sum(CASE WHEN f > 0 THEN f * ln(f / dx)
+                       ELSE CAST(0.0 AS DOUBLE) END), 6) AS distent_ks
 FROM dens GROUP BY user_id
 """)
 
@@ -5097,30 +5175,35 @@ desc0 AS (
          (max(z) - min(z)) / (count(*) - 1.0) AS dz
   FROM pairs GROUP BY user_id
 ),
-iedge AS (
-  SELECT DISTINCT rn AS i FROM series
-  WHERE rn <= 10 AND user_id = (SELECT min(user_id) FROM series)
-),
-edges AS (
-  SELECT d.user_id, i.i,
-         (d.mnx - d.dx / 2.0)
-           + i.i * ((d.mxx + d.dx / 2.0) - (d.mnx - d.dx / 2.0)) / d.nc AS ex,
-         (d.mnz - d.dz / 2.0)
-           + i.i * ((d.mxz + d.dz / 2.0) - (d.mnz - d.dz / 2.0)) / d.nc AS ez
-  FROM desc0 d JOIN iedge i ON i.i <= d.nc
+zf AS (
+  -- RM_histogram2 (utils.py:551-553): 1-based cell = banker's-rounded
+  -- round(f*ncell + 1/2); out-of-range points are DROPPED
+  SELECT p.user_id, p.rn, d.nc,
+         (p.x - (d.mnx - d.dx / 2.0))
+           / ((d.mxx + d.dx / 2.0) - (d.mnx - d.dx / 2.0)) * d.nc + 0.5 AS zx,
+         (p.z - (d.mnz - d.dz / 2.0))
+           / ((d.mxz + d.dz / 2.0) - (d.mnz - d.dz / 2.0)) * d.nc + 0.5 AS zz
+  FROM pairs p JOIN desc0 d ON d.user_id = p.user_id
 ),
 dig AS (
-  SELECT p.user_id, p.rn,
-         least(count(*) FILTER (WHERE e.ex <= p.x) - 1, max(d.nc) - 1) AS bi,
-         least(count(*) FILTER (WHERE e.ez <= p.z) - 1, max(d.nc) - 1) AS bj
-  FROM pairs p
-  JOIN edges e ON e.user_id = p.user_id
-  JOIN desc0 d ON d.user_id = p.user_id
-  GROUP BY p.user_id, p.rn, p.x, p.z
+  SELECT user_id, rn, nc,
+         CAST(floor(zx) AS BIGINT) + CASE
+           WHEN zx - floor(zx) > 0.5 THEN 1
+           WHEN zx - floor(zx) = 0.5
+                AND CAST(floor(zx) AS BIGINT) % 2 = 1 THEN 1
+           ELSE 0 END AS bi,
+         CAST(floor(zz) AS BIGINT) + CASE
+           WHEN zz - floor(zz) > 0.5 THEN 1
+           WHEN zz - floor(zz) = 0.5
+                AND CAST(floor(zz) AS BIGINT) % 2 = 1 THEN 1
+           ELSE 0 END AS bj
+  FROM zf
 ),
 cells AS (
   SELECT user_id, bi, bj, CAST(count(*) AS DOUBLE) AS h
-  FROM dig GROUP BY user_id, bi, bj
+  FROM dig
+  WHERE bi >= 1 AND bi <= nc AND bj >= 1 AND bj <= nc
+  GROUP BY user_id, bi, bj
 ),
 marg AS (
   SELECT user_id, bi, sum(h) AS hx FROM cells GROUP BY user_id, bi
@@ -5145,10 +5228,11 @@ aggy AS (
 )
 SELECT a.user_id,
        round((a.shh - ax.shx - ay.shy) / a.cnt + ln(a.cnt)
-             - (a.mxy - ax.mx - ay.my + 1.0) / (2.0 * a.cnt), 6) AS rm_info1
+             - (d.nc - 1.0) * (d.nc - 1.0) / (2.0 * a.cnt), 6) AS rm_info1
 FROM agg a
 JOIN aggx ax ON ax.user_id = a.user_id
 JOIN aggy ay ON ay.user_id = a.user_id
+JOIN desc0 d ON d.user_id = a.user_id
 """)
 
 
@@ -5265,14 +5349,14 @@ ztau AS (
 ),
 sav AS (
   SELECT q.user_id, q.suf, q.ns,
-         CASE WHEN max(q.plen) >= 2 AND max(q.sdz) > 0
+         CASE WHEN max(q.plen) >= 1 AND max(q.sdz) > 0
               THEN stddev_samp(q.sm) / max(q.sdz) END AS av_m,
-         CASE WHEN max(q.plen) >= 2 AND max(q.sdz) > 0
+         CASE WHEN max(q.plen) >= 1 AND max(q.sdz) > 0
               THEN stddev_samp(q.ss) / max(q.sdz) END AS av_s
   FROM (
     SELECT z.user_id, z.suf, t.ns,
            CAST(floor(z.p / floor(z.m / CAST(t.ns AS DOUBLE))) AS BIGINT) AS si,
-           avg(z.z) AS sm, stddev_samp(z.z) AS ss, count(*) AS c,
+           avg(z.z) AS sm, stddev_pop(z.z) AS ss, count(*) AS c,
            max(floor(z.m / CAST(t.ns AS DOUBLE))) AS plen,
            max(zsd.sd) AS sdz
     FROM zz z
@@ -6020,10 +6104,9 @@ QUERIES["user_embed2_shapes"] = _q('\n, zs AS (\n  SELECT s.user_id, s.rn, (s.v 
 # -argument digamma values as harmonic numbers (psi(m) = H_{m-1} -
 # gamma, running-window sum over an integer table — engine digamma
 # matches to <1e-12, far under round(6)). Verified bit-exact vs
-# info._mi_ksg1 on all 150 sf0.01 users. (kraskov2 stays pytest-only:
-# its marginal extents depend on WHICH k neighbors argpartition picks
-# under joint-distance ties, which quantized data makes non-reproducible
-# across engines.)
+# info._mi_ksg1 on all 150 sf0.01 users. (kraskov2 is oracled too —
+# user_ami_ksg2 uses the DETERMINISTIC neighbor tie-break variant,
+# ordering distance ties by neighbor index on both engines.)
 QUERIES["user_ami_ksg1"] = _q('\n, pts AS (\n  SELECT user_id, rn AS i, v AS x, y2 FROM (\n    SELECT user_id, rn, v,\n           lead(v) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM series\n  ) q WHERE y2 IS NOT NULL\n),\nmm AS (SELECT user_id, count(*) AS m FROM pts GROUP BY user_id),\npd AS (\n  SELECT a.user_id, a.i, abs(a.x - b.x) AS dx, abs(a.y2 - b.y2) AS dy,\n         greatest(abs(a.x - b.x), abs(a.y2 - b.y2)) AS dz\n  FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.i <> a.i\n),\neps AS (\n  SELECT user_id, i, dz AS e FROM (\n    SELECT user_id, i, dz,\n           row_number() OVER (PARTITION BY user_id, i ORDER BY dz) AS rk\n    FROM pd\n  ) q WHERE rk = 3\n),\ncnts AS (\n  SELECT p.user_id, p.i,\n         sum(CASE WHEN p.dx < e.e THEN 1 ELSE 0 END) AS nx,\n         sum(CASE WHEN p.dy < e.e THEN 1 ELSE 0 END) AS ny\n  FROM pd p JOIN eps e ON e.user_id = p.user_id AND e.i = p.i\n  GROUP BY p.user_id, p.i\n),\nints AS (SELECT DISTINCT rn + 1 AS mth FROM series),\ndgt AS (\n  SELECT mth,\n         CAST(-0.5772156649015329 AS DOUBLE)\n         + coalesce(sum(1.0 / CAST(mth AS DOUBLE)) OVER (\n             ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),\n           CAST(0.0 AS DOUBLE)) AS dg\n  FROM ints\n),\nterm AS (\n  SELECT c.user_id, dx.dg + dy.dg AS dsum\n  FROM cnts c\n  JOIN dgt dx ON dx.mth = c.nx + 1\n  JOIN dgt dy ON dy.mth = c.ny + 1\n)\nSELECT t.user_id,\n       round(d3.dg + dn.dg - avg(t.dsum), 6) AS ami_ksg1\nFROM term t\nJOIN mm ON mm.user_id = t.user_id\nJOIN dgt d3 ON d3.mth = 3\nJOIN dgt dn ON dn.mth = mm.m\nGROUP BY t.user_id, d3.dg, dn.dg\n')
 
 

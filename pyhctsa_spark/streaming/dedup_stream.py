@@ -37,13 +37,16 @@ def stream_exact_dedup(
 ) -> StreamingQuery:
     """Start the streaming dedup; returns the StreamingQuery handle.
 
-    One pass: hash the content (xxhash64, JVM-side), watermark on the
-    event-time column, and keep the first arrival per hash within the
-    watermark horizon. Output = the surviving (deduplicated) rows.
+    One pass: hash the content (md5, JVM-side — the SAME key as the
+    batch exact_dedup path and its oracle, so batch and streaming agree
+    on what counts as a duplicate; a 64-bit xxhash64 key would silently
+    drop a distinct document on collision), watermark on the event-time
+    column, and keep the first arrival per hash within the watermark
+    horizon. Output = the surviving (deduplicated) rows.
     """
     docs = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(source_dir)
     deduped = (
-        docs.withColumn("content_hash", F.xxhash64(F.col(text_col)))
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )

@@ -589,11 +589,11 @@ def test_r2k_ppcompare_mirror_kernel():
         "SELECT user_id, list(value ORDER BY event_id) FROM events "
         "GROUP BY user_id ORDER BY user_id"
     ).fetchall()
-    df = con.execute(QUERIES["user_ppc_medianf4"]["duck"]).fetchdf()
+    df = con.execute(QUERIES["user_ppc_medianf3"]["duck"]).fetchdf()
     df.columns = [c.lower() for c in df.columns]
     df = df.set_index("user_id")
     for u, v in series:
-        o = preproc_compare(np.array(v, dtype=np.float64), "medianf4")
+        o = preproc_compare(np.array(v, dtype=np.float64), "medianf3")
         for col, w in o.items():
             got = df.loc[u][col.lower()]
             if not np.isfinite(w):

@@ -235,6 +235,177 @@ CASES = [
 ]
 
 
+def _mod(name):
+    import importlib
+
+    return importlib.import_module(f"pyhctsa_spark.functions.{name}")
+
+
+def _batch2_cases():
+    D = _mod("distribution_extra")
+    SE = _mod("stationarity_extra")
+    EM = _mod("embedding")
+    I = _mod("info")
+    EN = _mod("entropy")
+    SY = _mod("symbolic")
+    MD = _mod("medical")
+    PH = _mod("physics")
+    MO = _mod("model")
+    return [
+        # --- Distribution extras ------------------------------------------
+        Case("mean_harm", lambda y: D.mean_types(np.abs(y), "harm"), "Mean",
+             lambda f, y: f(np.abs(y), "harm")),
+        Case("mean_rms", lambda y: D.mean_types(y, "rms"), "Mean",
+             lambda f, y: f(y, "rms")),
+        Case("mean_midhinge", lambda y: D.mean_types(y, "midhinge"), "Mean",
+             lambda f, y: f(y, "midhinge")),
+        Case("fit_mle_gauss", lambda y: D.fit_mle(y, "gaussian"), "FitMLE",
+             lambda f, y: f(y, "gaussian")),
+        Case("outlier_test2", lambda y: D.outlier_test(y, 2.0),
+             "OutlierTest", lambda f, y: f(y, 2)),
+        Case("remove_points_absfar",
+             lambda y: D.remove_points(y, "absfar", 0.1),
+             "RemovePoints", lambda f, y: f(y, "absfar", 0.1), zscore=True,
+             rtol=1e-6),
+        Case("hist_asym10", lambda y: D.histogram_asymmetry(y, 10, True),
+             "HistogramAsymmetry", lambda f, y: f(y, 10, True), zscore=True),
+        Case("pleft_02", lambda y: D.pleft(y, 0.2), "PLeft",
+             lambda f, y: f(y, 0.2)),
+        Case("outlier_include_abs",
+             lambda y: D.outlier_include(y, "abs", 0.01),
+             "OutlierInclude", lambda f, y: f(y, "abs", 0.01), zscore=True,
+             rtol=1e-6),
+        # --- Stationarity extras ------------------------------------------
+        Case("dyn_win10", lambda y: SE.dyn_win(y, 10), "DynWin",
+             lambda f, y: f(y, 10), rtol=1e-6),
+        Case("local_extrema_l50", lambda y: SE.local_extrema(y, "l", 50),
+             "LocalExtrema", lambda f, y: f(y, "l", 50)),
+        Case("local_extrema_n25", lambda y: SE.local_extrema(y, "n", 25),
+             "LocalExtrema", lambda f, y: f(y, "n", 25)),
+        Case("local_dists_par5", lambda y: SE.local_distributions(y, 5, "par"),
+             "LocalDistributions", lambda f, y: f(y, 5, "par"), rtol=1e-6),
+        Case("preproc_medianf3", lambda y: SE.preproc_compare(y, "medianf3"),
+             "PreProcCompare", lambda f, y: f(y, "medianf3"), rtol=1e-5),
+        Case("preproc_poly1", lambda y: SE.preproc_compare(y, "poly1"),
+             "PreProcCompare", lambda f, y: f(y, "poly1"), rtol=1e-5),
+        Case("preproc_diff1", lambda y: SE.preproc_compare(y, "diff1"),
+             "PreProcCompare", lambda f, y: f(y, "diff1"), rtol=1e-5),
+        Case("preproc_rav3", lambda y: SE.preproc_compare(y, "rav3"),
+             "PreProcCompare", lambda f, y: f(y, "rav3"), rtol=1e-5),
+        # --- Embedding family ---------------------------------------------
+        Case("embed2_t1", lambda y: EM.embed2(y, 1), "Embed2",
+             lambda f, y: f(y, 1), zscore=True, rtol=1e-6),
+        Case("embed2_angletau", lambda y: EM.embed2_angle_tau(y, 10),
+             "Embed2_AngleTau", lambda f, y: f(y, 10), zscore=True,
+             rtol=1e-6),
+        Case("embed2_dist_t1", lambda y: EM.embed2_dist(y, 1), "Embed2Dist",
+             lambda f, y: f(y, 1), zscore=True, rtol=1e-6),
+        Case("embed2_shapes", lambda y: EM.embed2_shapes(y, 2, "circle", 1.0),
+             "Embed2Shapes", lambda f, y: f(y, 2, "circle", 1.0),
+             zscore=True, rtol=1e-6),
+        Case("stick_angles", lambda y: EM.stick_angles(y), "StickAngles",
+             zscore=True, rtol=1e-5),
+        Case("translate_circle2",
+             lambda y: EM.translate_shape(y, "circle", 2, "pts"),
+             "TranslateShape", lambda f, y: f(y, "circle", 2, "pts"),
+             zscore=True),
+        Case("translate_rectangle2",
+             lambda y: EM.translate_shape(y, "rectangle", 2, "pts"),
+             "TranslateShape", lambda f, y: f(y, "rectangle", 2, "pts"),
+             zscore=True),
+        # --- Information ---------------------------------------------------
+        Case("histami_even2_10", lambda y: I.histogram_ami(y, 2, "even", 10),
+             "HistogramAMI", lambda f, y: f(y, 2, "even", 10), zscore=True,
+             rtol=1e-6),
+        Case("histami_quantile5", lambda y: I.histogram_ami(y, 1, "quantiles", 5),
+             "HistogramAMI", lambda f, y: f(y, 1, "quantiles", 5),
+             zscore=True, rtol=1e-6),
+        Case("first_min_ac", lambda y: I.first_min(y, "ac"), "FirstMin",
+             lambda f, y: f(y, "ac")),
+        Case("ami_gaussian_t2",
+             lambda y: I.auto_mutual_info(y, 2, "gaussian"),
+             "AutoMutualInfo", lambda f, y: f(y, 2, "gaussian"),
+             rtol=1e-7),
+        Case("rm_ami1", lambda y: I.rm_information(y, 1), "AMInformation",
+             lambda f, y: f(y, 1), rtol=1e-6),
+        Case("ami_stats_g", lambda y: I.ami_stats(y, 40, "gaussian"),
+             "AutoMutualInfoStats", lambda f, y: f(y, 40, "gaussian"),
+             rtol=1e-6),
+        # --- Entropy -------------------------------------------------------
+        Case("dist_ent_hist10",
+             lambda y: EN.distribution_entropy(y, "hist", 10),
+             "DistributionEntropy", lambda f, y: f(y, "hist", 10)),
+        Case("dist_ent_ks",
+             lambda y: EN.distribution_entropy(y, "ks", 0),
+             "DistributionEntropy", lambda f, y: f(y, "ks", "[]"),
+             rtol=1e-6),
+        Case("perm_en_32", lambda y: EN.perm_entropy_ref(y, 3, 2), "PermEn",
+             lambda f, y: f(y, 3, 2)),
+        Case("apen_2_02", lambda y: EN.approximate_entropy(y, 2, 0.2),
+             "ApproximateEntropy", lambda f, y: f(y, 2, 0.2), rtol=1e-7),
+        Case("lz_2bit", lambda y: EN.lz_complexity(y, 2), "LZComplexity",
+             lambda f, y: f(y, 2), series=("normal", "ar1")),
+        # --- Symbolic ------------------------------------------------------
+        Case("motif_three_q", lambda y: SY.motif_three(y, "quantile"),
+             "MotifThree", lambda f, y: f(y, "quantile")),
+        Case("motif_three_d", lambda y: SY.motif_three(y, "diffquant"),
+             "MotifThree", lambda f, y: f(y, "diffquant")),
+        Case("transmat_q21", lambda y: SY.transition_matrix(y, "quantile", 2, 1),
+             "TransitionMatrix", lambda f, y: f(y, "quantile", 2, 1),
+             zscore=True),
+        Case("transmat_q32", lambda y: SY.transition_matrix(y, "quantile", 3, 2),
+             "TransitionMatrix", lambda f, y: f(y, "quantile", 3, 2),
+             zscore=True, rtol=1e-6),
+        Case("binary_stretch_l1", lambda y: SY.binary_stretch(y, "lseq1"),
+             "BinaryStretch", lambda f, y: f(y, "lseq1"), zscore=True),
+        Case("binary_stretch_l0", lambda y: SY.binary_stretch(y, "lseq0"),
+             "BinaryStretch", lambda f, y: f(y, "lseq0"), zscore=True),
+        # --- Medical -------------------------------------------------------
+        Case("raw_hrv", lambda y: MD.raw_hrv_meas(y), "RawHRVMeas",
+             rtol=1e-6),
+        Case("pnn_full", lambda y: MD.pnn_set(y), "PNN", zscore=True),
+        Case("polvar_1_6", lambda y: MD.polvar(y, 1.0, 6), "PolVar",
+             lambda f, y: f(y, 1.0, 6)),
+        Case("hrv_classic", lambda y: MD.hrv_classic(y), "HRVClassic",
+             zscore=True, rtol=1e-5),
+        # --- Physics / extreme events -------------------------------------
+        # sw_ansarib_pval / res_runstest need scipy/statsmodels test
+        # distributions the shims return NaN for (repo implements them
+        # natively; they are pytest-golden-tested instead)
+        Case("walker_prop", lambda y: PH.walker(y, "prop", 0.5), "Walker",
+             lambda f, y: f(y, "prop", 0.5), zscore=True, rtol=1e-6,
+             skip_keys=("sw_ansarib_pval", "res_runstest")),
+        Case("walker_biasprop",
+             lambda y: PH.walker(y, "biasprop", [0.1, 0.2]), "Walker",
+             lambda f, y: f(y, "biasprop", [0.1, 0.2]), zscore=True,
+             rtol=1e-6, skip_keys=("sw_ansarib_pval", "res_runstest")),
+        Case("movthresh_1_01", lambda y: PH.moving_threshold(y, 1.0, 0.1),
+             "MovingThreshold", lambda f, y: f(y, 1.0, 0.1), zscore=True,
+             rtol=1e-6),
+        Case("vgraph_horiz", lambda y: PH.visibility_graph(y, "horiz"),
+             "VisibilityGraph", lambda f, y: f(y, "horiz"), rtol=1e-6),
+        # --- Model fits ----------------------------------------------------
+        Case("local_simple_mean3", lambda y: K.local_simple(y, "mean", 3),
+             "LocalSimple", lambda f, y: f(y, "mean", 3), zscore=True,
+             rtol=1e-6),
+        Case("local_simple_median5", lambda y: K.local_simple(y, "median", 5),
+             "LocalSimple", lambda f, y: f(y, "median", 5), zscore=True,
+             rtol=1e-6),
+        Case("arcov2", lambda y: MO.ar_cov(y, 2), "ARCov",
+             lambda f, y: f(y, 2), zscore=True, rtol=1e-6),
+        Case("vrt2_iid", lambda y: MO.variance_ratio_test(y, 2, True),
+             "VarianceRatioTest", lambda f, y: f(y, 2, 1), rtol=1e-6),
+        # pacf: both sides are OLS AR fits; tiny lstsq-conditioning
+        # differences (vs the shim's design matrix) justify a looser tol
+        Case("pacf5", lambda y: MO.partial_autocorr(y, 5),
+             "PartialAutoCorr", lambda f, y: f(y, 5, "ols"), rtol=1e-3,
+             atol=1e-5),
+    ]
+
+
+CASES = CASES + _batch2_cases()
+
+
 @pytest.mark.parametrize("case", CASES, ids=[c.cid for c in CASES])
 def test_reference_parity(case):
     fn = ref(case.refname)
