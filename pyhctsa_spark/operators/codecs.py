@@ -1,0 +1,257 @@
+"""Pure-numpy codecs for UNCOMPRESSED media containers.
+
+These are real, spec-derived parsers — RIFF/WAVE PCM audio, binary
+netpbm images (P5/P6), BI_RGB Windows bitmaps, and multi-image netpbm
+streams (the netpbm spec allows concatenated images in one file, which
+serves as an honest uncompressed "video" container). They make the
+multimodal pipeline genuinely end-to-end for uncompressed payloads; the
+NotImplementedError boundary now covers only COMPRESSED codecs
+(JPEG/PNG/MP3/H.264 — Pillow/soundfile/pyav territory on a real
+cluster).
+
+Format references (public specs):
+- WAVE: RIFF chunks 'fmt ' + 'data'; PCM int8(unsigned)/int16/int32 LE
+  and IEEE float32/float64 (audio normalized to [-1, 1] float32, the
+  soundfile convention).
+- netpbm P5/P6: ASCII header (magic, whitespace/comments, width,
+  height, maxval) then a single whitespace byte and raw samples,
+  1 or 2 bytes per sample (2-byte is big-endian per spec).
+- BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, biCompression=0 (BI_RGB),
+  24/32 bpp, 4-byte-aligned rows, bottom-up (positive height) or
+  top-down (negative); output rows top-down, channels RGB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM + IEEE float)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE file -> (samples float32 in [-1, 1] with shape
+    (n_frames,) mono or (n_frames, n_channels), sample_rate)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    (audio_fmt, n_ch, rate, _br, _ba, bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dt).astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"compressed WAVE format tag {audio_fmt} needs a real codec"
+        )
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch)
+    return x, int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] as 16-bit PCM RIFF/WAVE."""
+    x = np.asarray(samples, dtype=np.float64)
+    n_ch = 1 if x.ndim == 1 else x.shape[1]
+    ints = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    data = ints.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\0"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# ---------------------------------------------------------------------------
+# netpbm P5 (PGM) / P6 (PPM), single image and concatenated stream
+# ---------------------------------------------------------------------------
+
+def _pnm_header(payload: bytes, pos: int) -> tuple[bytes, int, int, int, int]:
+    """Parse one PNM header starting at pos: returns
+    (magic, width, height, maxval, data_start)."""
+    magic = payload[pos : pos + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM header at offset {pos}")
+    i = pos + 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly ONE whitespace byte after maxval (spec)
+    return magic, vals[0], vals[1], vals[2], i
+
+
+def _pnm_decode_one(payload: bytes, pos: int) -> tuple[np.ndarray, int]:
+    magic, w, h, maxval, start = _pnm_header(payload, pos)
+    ch = 3 if magic == b"P6" else 1
+    if maxval < 256:
+        count = w * h * ch
+        arr = np.frombuffer(payload, dtype=np.uint8, count=count, offset=start)
+        arr = arr.reshape(h, w, ch) if ch == 3 else arr.reshape(h, w)
+        return arr.copy(), start + count
+    count = w * h * ch
+    arr = np.frombuffer(payload, dtype=">u2", count=count, offset=start)
+    arr = arr.reshape(h, w, ch) if ch == 3 else arr.reshape(h, w)
+    return arr.copy(), start + 2 * count
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a single binary PPM (P6) -> uint8/uint16 (H, W, 3), or
+    PGM (P5) -> (H, W)."""
+    arr, _ = _pnm_decode_one(payload, 0)
+    return arr
+
+
+def decode_ppm_stream(payload: bytes) -> np.ndarray:
+    """Decode a multi-image netpbm stream (concatenated P6 frames, the
+    spec's multi-image file form) -> (n_frames, H, W, 3)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        arr, pos = _pnm_decode_one(payload, pos)
+        frames.append(arr)
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+    if not frames:
+        raise ValueError("empty netpbm stream")
+    return np.stack(frames)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode uint8 (H, W, 3) as binary PPM (P6) / (H, W) as PGM (P5)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    elif img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def encode_ppm_stream(frames: np.ndarray) -> bytes:
+    """Encode uint8 (n_frames, H, W, 3) as a concatenated-P6 stream."""
+    return b"".join(encode_ppm(f) for f in np.asarray(frames, dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# BMP (BI_RGB, 24/32 bpp)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) 24/32-bpp BMP -> uint8 (H, W, 3)
+    RGB, rows top-down."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (biCompression={compression}) needs a real codec"
+        )
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP unsupported")
+    h = abs(h_signed)
+    bytes_pp = bpp // 8
+    row_bytes = ((w * bytes_pp + 3) // 4) * 4  # 4-byte row alignment
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=data_offset)
+    rows = raw.reshape(h, row_bytes)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if h_signed > 0:  # bottom-up storage -> flip to top-down
+        rows = rows[::-1]
+    # BGR(A) -> RGB
+    return rows[:, :, 2::-1].copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode uint8 (H, W, 3) RGB as a 24-bpp bottom-up BI_RGB BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    pad = row_bytes - w * 3
+    bgr = img[:, :, ::-1]
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[r].tobytes()
+        body += b"\0" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def sniff_and_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Container-sniffing decode for uncompressed formats; raises
+    NotImplementedError for compressed containers (the real-codec
+    boundary)."""
+    head = payload[:4]
+    if modality == "audio":
+        if head[:4] == b"RIFF":
+            x, _rate = decode_wav(payload)
+            return x
+        raise NotImplementedError(
+            "compressed audio (mp3/ogg/flac...) needs soundfile/ffmpeg on a "
+            "real cluster"
+        )
+    if modality == "image":
+        if head[:2] in (b"P5", b"P6"):
+            return decode_ppm(payload)
+        if head[:2] == b"BM":
+            return decode_bmp(payload)
+        raise NotImplementedError(
+            "compressed images (jpeg/png/webp...) need Pillow on a real "
+            "cluster"
+        )
+    if modality == "video":
+        if head[:2] == b"P6":
+            return decode_ppm_stream(payload)
+        raise NotImplementedError(
+            "compressed video (h264/vp9...) needs pyav/ffmpeg on a real "
+            "cluster"
+        )
+    raise ValueError(f"unknown modality {modality}")

@@ -49,6 +49,47 @@ def synth_media_df(spark, n: int = 32, partitions: int = 4) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_real_media_df(spark, n: int = 32, partitions: int = 4) -> DataFrame:
+    """Deterministic media table with REAL encoded payloads: 16-bit PCM
+    WAV audio, binary PPM/BMP images, concatenated-P6 video streams —
+    every payload decodes through the pure-numpy spec parsers in
+    operators/codecs.py (use_real_codecs=True end-to-end)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyhctsa_spark.operators.codecs import (
+            encode_bmp,
+            encode_ppm,
+            encode_ppm_stream,
+            encode_wav,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                modality = ["image", "audio", "video"][i % 3]
+                if modality == "image":
+                    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                    payload = encode_bmp(img) if i % 2 else encode_ppm(img)
+                    meta = {"width": "8", "height": "8", "channels": "3"}
+                elif modality == "audio":
+                    x = np.sin(np.linspace(0, 20 + i, 256)) * 0.5
+                    x += rng.standard_normal(256) * 0.05
+                    payload = encode_wav(np.clip(x, -1, 1), 16000)
+                    meta = {"sample_rate": "16000", "n_samples": "256"}
+                else:
+                    frames = rng.integers(0, 256, (12, 8, 8, 3), dtype=np.uint8)
+                    payload = encode_ppm_stream(frames)
+                    meta = {"width": "8", "height": "8", "n_frames": "12"}
+                rows.append((f"r{i:06d}", modality, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-random content seeded by
     the payload bytes, shaped per metadata."""
@@ -66,10 +107,14 @@ def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
 
 
 def _real_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
-    raise NotImplementedError(
-        "real codecs (Pillow / soundfile / pyav) are not available in this "
-        "container; ship them via --py-files/conda-pack on a real cluster"
-    )
+    """Real decode for UNCOMPRESSED containers (pure-numpy, spec-derived:
+    RIFF/WAVE PCM, netpbm P5/P6, BI_RGB BMP, concatenated-P6 video
+    streams — operators/codecs.py). Compressed codecs still raise
+    NotImplementedError: that is the Pillow/soundfile/pyav boundary on a
+    real cluster."""
+    from pyhctsa_spark.operators.codecs import sniff_and_decode
+
+    return sniff_and_decode(payload, modality)
 
 
 FEATURE_SCHEMA = (

@@ -1527,6 +1527,14 @@ ENGINE_ORACLES["media_frames"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_frames_48.parquet')
 """
 
+# REAL-codec decode (WAV/PPM/BMP/P6-stream payloads through the
+# pure-numpy spec parsers, operators/codecs.py): golden derived from the
+# container SPECS by scripts/gen_media_real_golden.py — header lengths,
+# PCM quantization, and row padding recomputed with no engine import.
+ENGINE_ORACLES["media_real_decode"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_real_48.parquet')
+"""
+
 # Full rollup schema at the flagship window=8 configuration (wlen
 # 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
 # rank arithmetic (pos = p*n + 0.5, linear interpolation between the
