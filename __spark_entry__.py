@@ -461,6 +461,18 @@ def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("doc_id", "source", "window_idx", *[_f6(c) for c in feat_cols])
 
 
+def _bpe_real_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token budget under the committed merges table
+    (resources/bpe_merges.json, trained by scripts/gen_bpe_merges.py):
+    distinct-word Arrow-batched tokenization + broadcast join back —
+    Python work is O(|vocab|), not O(corpus). The DuckDB oracle replays
+    merge application as a recursive CTE."""
+    from pyhctsa_spark.operators.bpe import bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_count(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -476,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = _media_features_query
     out["media_frames"] = _media_frames_query
     out["media_real_decode"] = _media_real_query
+    out["doc_token_count_bpe_real"] = _bpe_real_query
     out["feature_matrix"] = _feature_matrix_query
     out["user_movthresh"] = _movthresh_query
     out["user_polvar"] = _polvar_query

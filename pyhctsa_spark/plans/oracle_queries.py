@@ -6319,6 +6319,62 @@ FROM documents
 )
 
 
+# --- REAL BPE token count under the committed merges table ------------------
+# Engine: operators/bpe.bpe_token_count (distinct-word Arrow UDF +
+# broadcast join). Oracle: DuckDB-side recursive replay — each word is
+# a chr(30)/chr(31)-wrapped token string; merges apply in rank order
+# (exact for pair BPE: a pair's rank always exceeds its components'
+# creation ranks) via delimiter-exact replace; token count = number of
+# open delimiters left. The merges VALUES are generated from the
+# committed resources/bpe_merges.json at import.
+
+
+def _bpe_merges_values() -> str:
+    from pyhctsa_spark.operators.bpe import load_merges
+
+    return ", ".join(
+        f"({i + 1}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(load_merges())
+    )
+
+
+ENGINE_ORACLES["doc_token_count_bpe_real"] = f"""
+WITH RECURSIVE merges(rk, a, b) AS (
+  SELECT * FROM (VALUES {{MERGES}}) m(rk, a, b)
+),
+wocc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY doc_id, w
+),
+vocab AS (SELECT DISTINCT w FROM wocc),
+init AS (
+  SELECT w,
+         array_to_string(
+           list_transform(string_split(w, ''),
+                          c -> chr(30) || c || chr(31)), '') AS s
+  FROM vocab
+),
+bpe(w, s, step) AS (
+  SELECT w, s, 0 FROM init
+  UNION ALL
+  SELECT b.w,
+         replace(b.s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
+                 chr(30) || m.a || m.b || chr(31)),
+         b.step + 1
+  FROM bpe b JOIN merges m ON m.rk = b.step + 1
+),
+wtok AS (
+  SELECT w,
+         CAST((length(s) - length(replace(s, chr(30), ''))) AS BIGINT) AS n
+  FROM bpe WHERE step = (SELECT max(rk) FROM merges)
+)
+SELECT o.doc_id, CAST(sum(o.c * t.n) AS BIGINT) AS n_bpe_tokens_real
+FROM wocc o JOIN wtok t ON t.w = o.w
+GROUP BY o.doc_id
+""".replace("{MERGES}", _bpe_merges_values())
+
+
 # --- Event sessionization (gap-based sessions over event time) --------------
 # Classic event-analytics operator: a new session starts when the gap
 # to the previous event of the same user exceeds 6 hours. Session index
