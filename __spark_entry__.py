@@ -174,9 +174,9 @@ def _expsmooth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alphamin_1": o.get("alphamin_1", nan),
             "cup_1": o.get("cup_1", nan),
             "alphamin": o.get("alphamin", nan),
-            "resid_mean": o.get("mean", nan),
-            "resid_std": o.get("std", nan),
-            "resid_ac1": o.get("AC1", nan),
+            "resid_mean": o.get("meane", nan),
+            "resid_std": o.get("stde", nan),
+            "resid_ac1": o.get("ac1", nan),
             "dwts": o.get("dwts", nan),
         }])
 

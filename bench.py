@@ -331,7 +331,8 @@ def bench_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("minhash_dedup_pairs", "simhash_near_pairs"):
+    for name in ("minhash_dedup_pairs", "simhash_near_pairs",
+                 "doc_token_count_bpe_real", "media_real_decode"):
         best = float("inf")
         for _ in range(2):
             # drop the operators' persisted intermediates so the retry

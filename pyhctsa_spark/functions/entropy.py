@@ -124,26 +124,35 @@ def multiscale_entropy(y: np.ndarray, scales: list[int] | None = None,
                        m: int = 2, r: float = 0.15) -> dict:
     """Multiscale entropy: coarse-grain by non-overlapping means (the
     same downsampling as the engine's tier cascade) then SampEn per
-    scale. Parity: EN_mse (Entropy.py:166-262)."""
+    scale. Parity: EN_mse / MultiScaleEntropy (Entropy.py:166-262),
+    bug-for-bug: r = 0.15 is the ABSOLUTE similarity threshold (the
+    reference never rescales it by the coarse-grained std), the minimum
+    usable series length is 20, and the summary block is the reference's
+    nan-aware max/min (+ their scales), mean, std, cv, and mean change.
+    """
     y = np.asarray(y, dtype=np.float64)
-    scales = scales or [1, 2, 3, 4, 5]
-    ents = {}
-    vals = []
-    for s in scales:
+    scales = list(scales) if scales is not None else list(range(1, 10))
+    ents: dict = {}
+    vals = np.full(len(scales), np.nan)
+    for i, s in enumerate(scales):
         cg = make_buffer(y, s).mean(axis=1) if s > 1 else y
-        if len(cg) < 10 * m:
-            ents[f"sampen_s{s}"] = float("nan")
-            continue
-        se = sample_entropy(cg, M=m, r=r * np.std(cg, ddof=1))[f"sampen{m}"]
-        ents[f"sampen_s{s}"] = se
-        if np.isfinite(se):
-            vals.append(se)
-    if vals:
-        ents["maxSampEn"] = float(np.max(vals))
-        ents["minSampEn"] = float(np.min(vals))
-        ents["meanSampEn"] = float(np.mean(vals))
-    else:
-        ents["maxSampEn"] = ents["minSampEn"] = ents["meanSampEn"] = float("nan")
+        if len(cg) >= 20:
+            vals[i] = sample_entropy(cg, M=m, r=r)[f"sampen{m}"]
+        ents[f"sampen_s{s}"] = float(vals[i])
+    if np.all(np.isnan(vals)):
+        for k in ("maxSampEn", "maxScale", "minSampEn", "minScale",
+                  "meanSampEn", "stdSampEn", "cvSampEn", "meanch"):
+            ents[k] = float("nan")
+        return ents
+    with np.errstate(invalid="ignore"):
+        ents["maxSampEn"] = float(np.nanmax(vals))
+        ents["maxScale"] = float(scales[int(np.nanargmax(vals))])
+        ents["minSampEn"] = float(np.nanmin(vals))
+        ents["minScale"] = float(scales[int(np.nanargmin(vals))])
+        ents["meanSampEn"] = float(np.nanmean(vals))
+        ents["stdSampEn"] = float(np.nanstd(vals, ddof=1))
+        ents["cvSampEn"] = float(ents["stdSampEn"] / ents["meanSampEn"])
+        ents["meanch"] = float(np.nanmean(np.diff(vals)))
     return ents
 
 

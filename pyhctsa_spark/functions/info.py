@@ -308,10 +308,35 @@ def compare_min_ami(y: np.ndarray, bin_method: str = "std1",
     return out
 
 
+def _mi_bin_range(x: np.ndarray, z: np.ndarray, num_bins: int = 10) -> float:
+    """Binned MI with 'range' partitioning (reference _mi_bin +
+    _give_me_edges, Information.py:92-153): equal-width edges over
+    [min, max + 1e-6], joint histogram2d, nats."""
+    n = len(x)
+    ee = 1e-6
+    ex = np.linspace(x.min(), x.max() + ee, num_bins + 1)
+    ez = np.linspace(z.min(), z.max() + ee, num_bins + 1)
+    ni, _ = np.histogram(x, ex)
+    nj, _ = np.histogram(z, ez)
+    pij, _, _ = np.histogram2d(x, z, [ex, ez])
+    pi = ni[:num_bins] / n
+    pj = nj[:num_bins] / n
+    pij = pij / n
+    pxp = np.outer(pi, pj)
+    mask = (pxp > 0) & (pij > 0)
+    if not np.any(mask):
+        return float("nan")
+    return float(np.sum(pij[mask] * np.log(pij[mask] / pxp[mask])))
+
+
 def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
-              est_method: str = "gaussian") -> float:
-    """Lag of the first local minimum of the ACF ('ac') or the AMI curve
-    ('mi'). Parity: CO_FirstMin (Information.py:11-89)."""
+              est_method: str = "gaussian", num_bins: int = 10) -> float:
+    """Lag of the first local minimum of the ACF ('ac'), the gaussian
+    AMI curve ('mi'/'mi-gaussian'), or the range-binned histogram AMI
+    ('mi-hist'). Parity: CO_FirstMin (Information.py:11-89), including
+    the NaN fallback when no minimum exists in the search horizon
+    (max_tau bounds the search for the engine's O(N tau) cost control;
+    None = the reference's full-series sweep)."""
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     mt = min(max_tau or n - 2, n - 2)
@@ -320,19 +345,25 @@ def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
         for t in range(1, mt + 1):
             if curve[t] < curve[t - 1] and curve[t] < curve[t + 1]:
                 return float(t)
-        return float(mt + 1)
-    if what != "mi":
+        return float("nan")
+    if what in ("mi", "mi-gaussian"):
+        def corrfn(tau: int) -> float:
+            return auto_mutual_info(y, tau, est_method)
+    elif what == "mi-hist":
+        def corrfn(tau: int) -> float:
+            return _mi_bin_range(y[:-tau], y[tau:], num_bins)
+    else:
         raise ValueError(what)
-    # lazy AMI with early exit: evaluate lags incrementally, stop at the
-    # first local minimum (the common case is tau < 20 even for long docs)
+    # lazy curve with early exit: evaluate lags incrementally, stop at
+    # the first local minimum (the common case is tau < 20)
     prev2 = np.inf
-    prev1 = auto_mutual_info(y, 1, est_method)
+    prev1 = corrfn(1)
     for t in range(1, mt + 1):
-        cur = auto_mutual_info(y, t + 1, est_method)
+        cur = corrfn(t + 1)
         if prev1 < prev2 and prev1 < cur:
             return float(t)
         prev2, prev1 = prev1, cur
-    return float(mt + 1)
+    return float("nan")
 
 
 def rm_information(y: np.ndarray, tau: int = 1) -> float:

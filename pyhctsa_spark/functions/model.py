@@ -186,6 +186,7 @@ def exp_smoothing(x: np.ndarray, ntrain=None, alpha="best") -> dict:
         order = np.argsort(rmses)[:3]
         p = np.polyfit(alphar[order], rmses[order], 2)
         out["alphamin_1"] = float(-p[1] / (2 * p[0]))
+        out["p1_1"] = float(abs(p[0]))
         out["cup_1"] = float(np.sign(p[0]))
         if p[0] < 0:
             yb = np.polyval(p, [0.01, 1.0])
@@ -210,28 +211,66 @@ def exp_smoothing(x: np.ndarray, ntrain=None, alpha="best") -> dict:
 
 
 def residual_analysis(e: np.ndarray) -> dict:
-    """Residual diagnostics. Parity: MF_ResidualAnalysis
-    (ModelFit.py:279-349): mean/std, ACF at low lags, Durbin-Watson,
-    Ljung-Box portmanteau p, KS distance vs fitted normal."""
+    """Residual diagnostics — the reference's complete 19-key surface.
+    Parity: MF_ResidualAnalysis (ModelFit.py:279-347): raw-residual
+    moments (meane/meanabs/rmse/stde/mms/maxonmean — note maxonmean
+    divides by |mean|, which explodes for centered residuals,
+    bug-for-bug), then 25-lag Fourier ACF of the Z-SCORED residuals
+    (ac1-3, sqrt(N)-normalized |ac|s, median/std of |acf|, proportion
+    and first time below the 2.6/sqrt(N) band), Durbin-Watson, and the
+    one-sample KS test against the STANDARD normal (statistic + the
+    asymptotic Kolmogorov p)."""
     e = np.asarray(e, dtype=np.float64)
-    out = {
-        "mean": float(e.mean()),
-        "std": float(e.std(ddof=1)),
-        "AC1": autocorr_fourier(e, 1),
-        "AC2": autocorr_fourier(e, 2),
-        "AC3": autocorr_fourier(e, 3),
+    n = len(e)
+    out: dict = {
+        "meane": float(e.mean()),
+        "meanabs": float(np.mean(np.abs(e))),
+        "rmse": float(np.sqrt(np.mean(e**2))),
+        "stde": float(e.std(ddof=1)),
     }
-    d = np.diff(e)
-    out["dwts"] = float((d @ d) / (e @ e)) if (e @ e) > 0 else float("nan")
-    out["lbq_p"] = hypothesis_test(e, "lbq")
-    # KS statistic vs N(mean, std)
-    es = np.sort((e - e.mean()) / e.std(ddof=1))
-    n = len(es)
+    out["mms"] = abs(out["meane"]) + abs(out["stde"])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["maxonmean"] = float(e.max() / abs(e.mean()))
+    ez = np.zeros(n) if out["stde"] == 0 else (e - e.mean()) / out["stde"]
+    max_lag = 25
+    acf = np.array([autocorr_fourier(ez, k) for k in range(1, max_lag + 1)])
+    sqrt_n = math.sqrt(n)
+    out["ac1"] = float(acf[0])
+    out["ac2"] = float(acf[1])
+    out["ac3"] = float(acf[2])
+    out["ac1n"] = abs(out["ac1"]) * sqrt_n
+    out["ac2n"] = abs(out["ac2"]) * sqrt_n
+    out["ac3n"] = abs(out["ac3"]) * sqrt_n
+    out["acmnd0"] = float(np.median(np.abs(acf)) * sqrt_n)
+    out["acsnd0"] = float(np.std(np.abs(acf), ddof=1) * sqrt_n)
+    below = np.flatnonzero(np.abs(acf) < 2.6 / sqrt_n)
+    out["propbth"] = float(below.size / max_lag)
+    out["ftbth"] = float(below[0] + 1) if below.size else float(max_lag + 1)
+    d = np.diff(ez)
+    out["dwts"] = float((d @ d) / (ez @ ez)) if (ez @ ez) > 0 else float("nan")
+    # one-sample KS vs the STANDARD normal on the z-scored residuals
+    es = np.sort(ez)
     cdf = norm_cdf(es)
     emp_hi = np.arange(1, n + 1) / n
     emp_lo = np.arange(0, n) / n
-    out["normksstat"] = float(max(np.max(emp_hi - cdf), np.max(cdf - emp_lo)))
+    ks = float(max(np.max(emp_hi - cdf), np.max(cdf - emp_lo)))
+    out["normksstat"] = ks
+    out["normp"] = _kolmogorov_sf(sqrt_n * ks)
     return out
+
+
+def _kolmogorov_sf(t: float) -> float:
+    """Kolmogorov survival Q(t) = 2 sum (-1)^{k-1} e^{-2 k^2 t^2}
+    (the asymptotic one-sample KS p-value)."""
+    if t <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * t * t)
+        s += term
+        if abs(term) < 1e-16:
+            break
+    return max(0.0, min(1.0, 2.0 * s))
 
 
 _KPSS_CT_TABLE = [(0.119, 0.10), (0.146, 0.05), (0.176, 0.025), (0.216, 0.01)]

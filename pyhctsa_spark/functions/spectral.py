@@ -59,27 +59,27 @@ def matlab_buffer(
 
 
 def _local_maxima(S: np.ndarray) -> np.ndarray:
-    d = np.diff(S)
-    idx = np.flatnonzero((d[:-1] > 0) & (d[1:] <= 0)) + 1
-    keep = S[idx] > S[idx - 1]
-    return idx[keep]
+    # reference Spectral.py:326-331: STRICT local maxima only
+    # (S[i] > S[i-1] and S[i] > S[i+1]; plateau edges excluded)
+    return np.flatnonzero(
+        (S[1:-1] > S[:-2]) & (S[1:-1] > S[2:])
+    ) + 1
 
 
 def _enforce_min_dist(idx: np.ndarray, height: np.ndarray, min_dist: int) -> np.ndarray:
-    """Greedy MATLAB findpeaks 'MinPeakDistance': keep highest first,
-    drop neighbors closer than min_dist."""
-    if min_dist <= 1 or idx.size == 0:
+    """Greedy MATLAB findpeaks 'MinPeakDistance' (reference
+    Spectral.py:340-369): process peaks by DESCENDING height and delete
+    every other surviving peak within distance <= min_dist (inclusive)."""
+    if min_dist <= 0 or idx.size == 0:
         return idx
     order = np.argsort(height)[::-1]
     keep = np.ones(len(idx), dtype=bool)
-    taken: list[int] = []
     for o in order:
         if not keep[o]:
             continue
         for o2 in range(len(idx)):
-            if o2 != o and keep[o2] and abs(idx[o2] - idx[o]) < min_dist:
-                if height[o2] <= height[o]:
-                    keep[o2] = False
+            if o2 != o and keep[o2] and abs(idx[o2] - idx[o]) <= min_dist:
+                keep[o2] = False
     return idx[keep]
 
 

@@ -1690,7 +1690,7 @@ ENGINE_ORACLES["user_lz2"] = "\nWITH RECURSIVE series AS (\n  SELECT user_id,\n 
 # aggregates. Verified bit-exact after round(6) on all 10 cohorts.
 # (lbq_p / normksstat need chi2 / normal special functions — excluded,
 # pytest-covered via residual_analysis.)
-ENGINE_ORACLES["user_expsmooth"] = "\nWITH RECURSIVE series AS (\n  SELECT 'g' || CAST(user_id % 10 AS VARCHAR) AS skey, user_id, event_id,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nord AS (\n  SELECT skey,\n         CAST(row_number() OVER (PARTITION BY skey ORDER BY user_id, event_id) AS BIGINT) AS t,\n         count(*) OVER (PARTITION BY skey) AS n,\n         v\n  FROM series\n),\ntr AS (\n  SELECT skey, t, n, v AS x,\n         lead(v)    OVER (PARTITION BY skey ORDER BY t) AS x1,\n         lead(v, 2) OVER (PARTITION BY skey ORDER BY t) AS x2\n  FROM ord\n),\nalphas1(ai, a) AS (\n  SELECT 0, CAST(0.1 AS DOUBLE) UNION ALL\n  SELECT 1, CAST(0.30000000000000004 AS DOUBLE) UNION ALL\n  SELECT 2, CAST(0.5 AS DOUBLE) UNION ALL\n  SELECT 3, CAST(0.7000000000000001 AS DOUBLE) UNION ALL\n  SELECT 4, CAST(0.9 AS DOUBLE)\n),\nrec1(skey, ai, a, b, i, cs, T, decay, sse) AS (\n  SELECT s.skey, al.ai, al.a, 1.0 - al.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM (SELECT DISTINCT skey FROM ord) s CROSS JOIN alphas1 al\n  UNION ALL\n  SELECT r.skey, r.ai, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec1 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse1 AS (\n  SELECT skey, ai, a, sqrt(sse / 98.0) AS rmse FROM rec1 WHERE i = 98\n),\nb3 AS (\n  SELECT skey, ai, a, rmse,\n         row_number() OVER (PARTITION BY skey ORDER BY rmse, ai) AS rnk\n  FROM rmse1\n),\np3 AS (\n  SELECT skey,\n    max(CASE WHEN rnk=1 THEN a END) AS xa, max(CASE WHEN rnk=1 THEN rmse END) AS ya,\n    max(CASE WHEN rnk=2 THEN a END) AS xb, max(CASE WHEN rnk=2 THEN rmse END) AS yb,\n    max(CASE WHEN rnk=3 THEN a END) AS xc, max(CASE WHEN rnk=3 THEN rmse END) AS yc\n  FROM b3 WHERE rnk <= 3 GROUP BY skey\n),\nfit1 AS (\n  SELECT skey,\n    ya/((xa-xb)*(xa-xc)) + yb/((xb-xa)*(xb-xc)) + yc/((xc-xa)*(xc-xb)) AS p0,\n    -(ya*(xb+xc)/((xa-xb)*(xa-xc)) + yb*(xa+xc)/((xb-xa)*(xb-xc))\n      + yc*(xa+xb)/((xc-xa)*(xc-xb))) AS p1,\n    ya*xb*xc/((xa-xb)*(xa-xc)) + yb*xa*xc/((xb-xa)*(xb-xc))\n      + yc*xa*xb/((xc-xa)*(xc-xb)) AS p2\n  FROM p3\n),\nst1 AS (\n  SELECT skey, p0, p1, p2,\n         -p1/(2*p0) AS am1,\n         CASE WHEN p0 > 0 THEN CAST(1 AS DOUBLE)\n              WHEN p0 < 0 THEN CAST(-1 AS DOUBLE)\n              ELSE CAST(0 AS DOUBLE) END AS cup\n  FROM fit1\n),\nlohi AS (\n  SELECT skey, am1,\n    CASE WHEN am1 - 0.1 <= 0 THEN CAST(0.01 AS DOUBLE)\n         WHEN am1 + 0.1 >= 1 THEN least(am1, CAST(1.0 AS DOUBLE)) - 0.1\n         ELSE am1 - 0.1 END AS lo,\n    CASE WHEN am1 - 0.1 <= 0 THEN greatest(am1, CAST(0.0 AS DOUBLE)) + 0.1\n         WHEN am1 + 0.1 >= 1 THEN CAST(1.0 AS DOUBLE)\n         ELSE am1 + 0.1 END AS hi\n  FROM st1 WHERE p0 >= 0\n),\ngrid2 AS (\n  SELECT l.skey, g.gi,\n         CASE WHEN g.gi = 4 THEN l.hi\n              ELSE g.gi * ((l.hi - l.lo) / 4.0) + l.lo END AS a\n  FROM lohi l CROSS JOIN (\n    SELECT CAST(0 AS BIGINT) AS gi UNION ALL SELECT 1 UNION ALL SELECT 2\n    UNION ALL SELECT 3 UNION ALL SELECT 4) g\n),\nrec2(skey, gi, a, b, i, cs, T, decay, sse) AS (\n  SELECT g.skey, g.gi, g.a, 1.0 - g.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM grid2 g\n  UNION ALL\n  SELECT r.skey, r.gi, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec2 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse2 AS (\n  SELECT skey, gi, a, sqrt(sse / 98.0) AS rmse FROM rec2 WHERE i = 98\n),\nm2 AS (\n  SELECT skey,\n         sum(a*a*a*a) AS s4, sum(a*a*a) AS s3, sum(a*a) AS s2, sum(a) AS s1,\n         sum(a*a*rmse) AS t2, sum(a*rmse) AS t1, sum(rmse) AS t0\n  FROM rmse2 GROUP BY skey\n),\nfit2 AS (\n  SELECT skey,\n    (s4*(s2*5 - s1*s1) - s3*(s3*5 - s1*s2) + s2*(s3*s1 - s2*s2)) AS det,\n    (t2*(s2*5 - s1*s1) - s3*(t1*5 - t0*s1) + s2*(t1*s1 - t0*s2)) AS n0,\n    (s4*(t1*5 - t0*s1) - t2*(s3*5 - s1*s2) + s2*(s3*t0 - t1*s2)) AS n1\n  FROM m2\n),\ngmin AS (\n  SELECT skey, a AS amin_grid\n  FROM (SELECT skey, a, row_number() OVER (PARTITION BY skey ORDER BY rmse, gi) AS rr\n        FROM rmse2) WHERE rr = 1\n),\nst2 AS (\n  SELECT f.skey,\n         CASE WHEN f.n0 / f.det < 0 THEN g.amin_grid\n              ELSE -(f.n1 / f.det) / (2 * (f.n0 / f.det)) END AS araw\n  FROM fit2 f JOIN gmin g ON g.skey = f.skey\n),\nalphasel AS (\n  SELECT st1.skey, st1.am1 AS alphamin_1, st1.cup AS cup_1,\n         CASE WHEN st1.p0 < 0 THEN\n                (CASE WHEN (st1.p0 * 0.01 + st1.p1) * 0.01 + st1.p2\n                           <= st1.p0 + st1.p1 + st1.p2\n                      THEN CAST(0.01 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)\n              ELSE st2.araw END AS araw\n  FROM st1 LEFT JOIN st2 ON st2.skey = st1.skey\n),\nafin AS (\n  SELECT skey, alphamin_1, cup_1,\n         greatest(CAST(0.01 AS DOUBLE), least(CAST(1.0 AS DOUBLE), araw)) AS alpha\n  FROM alphasel\n),\nrec3(skey, a, b, i, cs, T, decay) AS (\n  SELECT f.skey, f.alpha, 1.0 - f.alpha, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)\n  FROM afin f\n  UNION ALL\n  SELECT r.skey, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END\n  FROM rec3 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < tr.n - 2\n),\nxfs AS (\n  SELECT skey, i + 2 AS t, decay * (cs / i) + T AS xf\n  FROM rec3 WHERE i >= 1\n),\nresid AS (\n  SELECT x.skey, x.t, x.xf - o.v AS e\n  FROM xfs x JOIN ord o ON o.skey = x.skey AND o.t = x.t\n),\nrc AS (\n  SELECT skey, t, e, avg(e) OVER (PARTITION BY skey) AS mu FROM resid\n),\nrc2 AS (\n  SELECT skey, t, e, e - mu AS ec,\n         lead(e - mu) OVER (PARTITION BY skey ORDER BY t) AS ec1,\n         lead(e)      OVER (PARTITION BY skey ORDER BY t) AS e1\n  FROM rc\n),\nrstat AS (\n  SELECT skey,\n         avg(e) AS rmean, stddev_samp(e) AS rstd,\n         sum(ec * ec1) / nullif(sum(ec * ec), 0.0) AS ac1,\n         CASE WHEN sum(e * e) > 0.0\n              THEN sum((e1 - e) * (e1 - e)) / sum(e * e)\n              ELSE NULL END AS dwts\n  FROM rc2 GROUP BY skey\n)\nSELECT s.skey,\n       round(a.alphamin_1, 6) AS alphamin_1,\n       round(a.cup_1, 6)      AS cup_1,\n       round(a.alpha, 6)      AS alphamin,\n       round(r.rmean, 6)      AS resid_mean,\n       round(r.rstd, 6)       AS resid_std,\n       round(r.ac1, 6)        AS resid_ac1,\n       round(r.dwts, 6)       AS dwts\nFROM (SELECT DISTINCT skey FROM ord) s\nLEFT JOIN afin a ON a.skey = s.skey\nLEFT JOIN rstat r ON r.skey = s.skey\n"
+ENGINE_ORACLES["user_expsmooth"] = "\nWITH RECURSIVE series AS (\n  SELECT 'g' || CAST(user_id % 10 AS VARCHAR) AS skey, user_id, event_id,\n         CAST(value AS DOUBLE) AS v\n  FROM events\n),\nord AS (\n  SELECT skey,\n         CAST(row_number() OVER (PARTITION BY skey ORDER BY user_id, event_id) AS BIGINT) AS t,\n         count(*) OVER (PARTITION BY skey) AS n,\n         v\n  FROM series\n),\ntr AS (\n  SELECT skey, t, n, v AS x,\n         lead(v)    OVER (PARTITION BY skey ORDER BY t) AS x1,\n         lead(v, 2) OVER (PARTITION BY skey ORDER BY t) AS x2\n  FROM ord\n),\nalphas1(ai, a) AS (\n  SELECT 0, CAST(0.1 AS DOUBLE) UNION ALL\n  SELECT 1, CAST(0.30000000000000004 AS DOUBLE) UNION ALL\n  SELECT 2, CAST(0.5 AS DOUBLE) UNION ALL\n  SELECT 3, CAST(0.7000000000000001 AS DOUBLE) UNION ALL\n  SELECT 4, CAST(0.9 AS DOUBLE)\n),\nrec1(skey, ai, a, b, i, cs, T, decay, sse) AS (\n  SELECT s.skey, al.ai, al.a, 1.0 - al.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM (SELECT DISTINCT skey FROM ord) s CROSS JOIN alphas1 al\n  UNION ALL\n  SELECT r.skey, r.ai, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec1 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse1 AS (\n  SELECT skey, ai, a, sqrt(sse / 98.0) AS rmse FROM rec1 WHERE i = 98\n),\nb3 AS (\n  SELECT skey, ai, a, rmse,\n         row_number() OVER (PARTITION BY skey ORDER BY rmse, ai) AS rnk\n  FROM rmse1\n),\np3 AS (\n  SELECT skey,\n    max(CASE WHEN rnk=1 THEN a END) AS xa, max(CASE WHEN rnk=1 THEN rmse END) AS ya,\n    max(CASE WHEN rnk=2 THEN a END) AS xb, max(CASE WHEN rnk=2 THEN rmse END) AS yb,\n    max(CASE WHEN rnk=3 THEN a END) AS xc, max(CASE WHEN rnk=3 THEN rmse END) AS yc\n  FROM b3 WHERE rnk <= 3 GROUP BY skey\n),\nfit1 AS (\n  SELECT skey,\n    ya/((xa-xb)*(xa-xc)) + yb/((xb-xa)*(xb-xc)) + yc/((xc-xa)*(xc-xb)) AS p0,\n    -(ya*(xb+xc)/((xa-xb)*(xa-xc)) + yb*(xa+xc)/((xb-xa)*(xb-xc))\n      + yc*(xa+xb)/((xc-xa)*(xc-xb))) AS p1,\n    ya*xb*xc/((xa-xb)*(xa-xc)) + yb*xa*xc/((xb-xa)*(xb-xc))\n      + yc*xa*xb/((xc-xa)*(xc-xb)) AS p2\n  FROM p3\n),\nst1 AS (\n  SELECT skey, p0, p1, p2,\n         -p1/(2*p0) AS am1,\n         CASE WHEN p0 > 0 THEN CAST(1 AS DOUBLE)\n              WHEN p0 < 0 THEN CAST(-1 AS DOUBLE)\n              ELSE CAST(0 AS DOUBLE) END AS cup\n  FROM fit1\n),\nlohi AS (\n  SELECT skey, am1,\n    CASE WHEN am1 - 0.1 <= 0 THEN CAST(0.01 AS DOUBLE)\n         WHEN am1 + 0.1 >= 1 THEN least(am1, CAST(1.0 AS DOUBLE)) - 0.1\n         ELSE am1 - 0.1 END AS lo,\n    CASE WHEN am1 - 0.1 <= 0 THEN greatest(am1, CAST(0.0 AS DOUBLE)) + 0.1\n         WHEN am1 + 0.1 >= 1 THEN CAST(1.0 AS DOUBLE)\n         ELSE am1 + 0.1 END AS hi\n  FROM st1 WHERE p0 >= 0\n),\ngrid2 AS (\n  SELECT l.skey, g.gi,\n         CASE WHEN g.gi = 4 THEN l.hi\n              ELSE g.gi * ((l.hi - l.lo) / 4.0) + l.lo END AS a\n  FROM lohi l CROSS JOIN (\n    SELECT CAST(0 AS BIGINT) AS gi UNION ALL SELECT 1 UNION ALL SELECT 2\n    UNION ALL SELECT 3 UNION ALL SELECT 4) g\n),\nrec2(skey, gi, a, b, i, cs, T, decay, sse) AS (\n  SELECT g.skey, g.gi, g.a, 1.0 - g.a, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)\n  FROM grid2 g\n  UNION ALL\n  SELECT r.skey, r.gi, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END,\n         r.sse\n         + ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n         * ( (CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n                   ELSE r.decay * r.b END) * ((r.cs + tr.x) / (r.i + 1))\n             + (r.b * r.T + r.a * tr.x1) - tr.x2 )\n  FROM rec2 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < 98\n),\nrmse2 AS (\n  SELECT skey, gi, a, sqrt(sse / 98.0) AS rmse FROM rec2 WHERE i = 98\n),\nm2 AS (\n  SELECT skey,\n         sum(a*a*a*a) AS s4, sum(a*a*a) AS s3, sum(a*a) AS s2, sum(a) AS s1,\n         sum(a*a*rmse) AS t2, sum(a*rmse) AS t1, sum(rmse) AS t0\n  FROM rmse2 GROUP BY skey\n),\nfit2 AS (\n  SELECT skey,\n    (s4*(s2*5 - s1*s1) - s3*(s3*5 - s1*s2) + s2*(s3*s1 - s2*s2)) AS det,\n    (t2*(s2*5 - s1*s1) - s3*(t1*5 - t0*s1) + s2*(t1*s1 - t0*s2)) AS n0,\n    (s4*(t1*5 - t0*s1) - t2*(s3*5 - s1*s2) + s2*(s3*t0 - t1*s2)) AS n1\n  FROM m2\n),\ngmin AS (\n  SELECT skey, a AS amin_grid\n  FROM (SELECT skey, a, row_number() OVER (PARTITION BY skey ORDER BY rmse, gi) AS rr\n        FROM rmse2) WHERE rr = 1\n),\nst2 AS (\n  SELECT f.skey,\n         CASE WHEN f.n0 / f.det < 0 THEN g.amin_grid\n              ELSE -(f.n1 / f.det) / (2 * (f.n0 / f.det)) END AS araw\n  FROM fit2 f JOIN gmin g ON g.skey = f.skey\n),\nalphasel AS (\n  SELECT st1.skey, st1.am1 AS alphamin_1, st1.cup AS cup_1,\n         CASE WHEN st1.p0 < 0 THEN\n                (CASE WHEN (st1.p0 * 0.01 + st1.p1) * 0.01 + st1.p2\n                           <= st1.p0 + st1.p1 + st1.p2\n                      THEN CAST(0.01 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)\n              ELSE st2.araw END AS araw\n  FROM st1 LEFT JOIN st2 ON st2.skey = st1.skey\n),\nafin AS (\n  SELECT skey, alphamin_1, cup_1,\n         greatest(CAST(0.01 AS DOUBLE), least(CAST(1.0 AS DOUBLE), araw)) AS alpha\n  FROM alphasel\n),\nrec3(skey, a, b, i, cs, T, decay) AS (\n  SELECT f.skey, f.alpha, 1.0 - f.alpha, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),\n         CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)\n  FROM afin f\n  UNION ALL\n  SELECT r.skey, r.a, r.b, r.i + 1,\n         r.cs + tr.x,\n         r.b * r.T + r.a * tr.x1,\n         CASE WHEN r.decay * r.b < 1e-320 THEN CAST(0 AS DOUBLE)\n              ELSE r.decay * r.b END\n  FROM rec3 r JOIN tr ON tr.skey = r.skey AND tr.t = r.i + 1\n  WHERE r.i < tr.n - 2\n),\nxfs AS (\n  SELECT skey, i + 2 AS t, decay * (cs / i) + T AS xf\n  FROM rec3 WHERE i >= 1\n),\nresid AS (\n  SELECT x.skey, x.t, x.xf - o.v AS e\n  FROM xfs x JOIN ord o ON o.skey = x.skey AND o.t = x.t\n),\nrc AS (\n  SELECT skey, t, e, avg(e) OVER (PARTITION BY skey) AS mu FROM resid\n),\nrc2 AS (\n  SELECT skey, t, e, e - mu AS ec,\n         lead(e - mu) OVER (PARTITION BY skey ORDER BY t) AS ec1,\n         lead(e)      OVER (PARTITION BY skey ORDER BY t) AS e1\n  FROM rc\n),\nrstat AS (\n  SELECT skey,\n         avg(e) AS rmean, stddev_samp(e) AS rstd,\n         sum(ec * ec1) / nullif(sum(ec * ec), 0.0) AS ac1,\n         CASE WHEN sum(ec * ec) > 0.0\n              THEN sum((ec1 - ec) * (ec1 - ec)) / sum(ec * ec)\n              ELSE NULL END AS dwts\n  FROM rc2 GROUP BY skey\n)\nSELECT s.skey,\n       round(a.alphamin_1, 6) AS alphamin_1,\n       round(a.cup_1, 6)      AS cup_1,\n       round(a.alpha, 6)      AS alphamin,\n       round(r.rmean, 6)      AS resid_mean,\n       round(r.rstd, 6)       AS resid_std,\n       round(r.ac1, 6)        AS resid_ac1,\n       round(r.dwts, 6)       AS dwts\nFROM (SELECT DISTINCT skey FROM ord) s\nLEFT JOIN afin a ON a.skey = s.skey\nLEFT JOIN rstat r ON r.skey = s.skey\n"
 
 # Near-duplicate clustering (the linear-output production dedup): exact
 # groups by content hash, exhaustive shingle-Jaccard pair graph over the
@@ -1828,15 +1828,11 @@ fm AS (
   WHERE tau >= 1 AND r < rp AND r < rf GROUP BY user_id
 )
 SELECT nn.user_id,
-       round(CAST(coalesce(fm.t, nn.n - 1) AS DOUBLE), 6) AS ac_firstmin
+       round(CAST(fm.t AS DOUBLE), 6) AS ac_firstmin
 FROM nn LEFT JOIN fm ON fm.user_id = nn.user_id
 """)
 
 # --- CO_PartialAutoCorr lags 1-3 (Correlation.py:805-850) -------------------
-# Durbin-Levinson on the Fourier ACF, unrolled in closed form:
-#   pac_1 = r1; pac_2 = (r2 - r1^2)/(1 - r1^2);
-#   phi21 = r1 - pac_2 r1;
-#   pac_3 = (r3 - phi21 r2 - pac_2 r1) / (1 - phi21 r1 - pac_2 r2).
 # statsmodels pacf method='ols' (the reference default): pac_k is the
 # k-th lag coefficient of an intercept-included OLS of y_t on its first
 # k lags; closed forms via centered cross-moments + Cramer's rule.
@@ -3332,8 +3328,9 @@ JOIN yst y ON y.user_id = d.user_id
 
 # --- EN_mse scales [1,2], m=2, r=0.15 (Entropy.py:166-262) ------------------
 # Non-overlapping-mean coarse-graining (the tier cascade's downsample),
-# physionet SampEn (m=2) per scale with r = 0.15 * std of the
-# coarse-grained series, + max/min/mean over the finite scales.
+# physionet SampEn (m=2) per scale with the reference's ABSOLUTE
+# r = 0.15 (never rescaled by the coarse-grained std — bug-for-bug),
+# + max/min/mean over the finite scales.
 QUERIES["user_mse12"] = _q("""
 , cg2 AS (
   SELECT user_id, CAST(floor(rn / 2) AS BIGINT) AS t, (v + v1) / 2.0 AS c
@@ -3346,7 +3343,7 @@ cl2 AS (
   FROM cg2
 ),
 st2 AS (
-  SELECT user_id, 0.15 * stddev_samp(c) AS r, count(*) AS cnt
+  SELECT user_id, CAST(0.15 AS DOUBLE) AS r, count(*) AS cnt
   FROM cg2 GROUP BY user_id
 ),
 se2 AS (
@@ -3372,7 +3369,7 @@ wl1 AS (
   SELECT user_id, rn, v, v1, v2 FROM win
 ),
 st1 AS (
-  SELECT user_id, 0.15 * stddev_samp(v) AS r, count(*) AS cnt
+  SELECT user_id, CAST(0.15 AS DOUBLE) AS r, count(*) AS cnt
   FROM series GROUP BY user_id
 ),
 se1 AS (

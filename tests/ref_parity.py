@@ -377,7 +377,7 @@ def _shim_resample(x, num):
 def _shim_mquantiles(a, prob, alphap=0.4, betap=0.4):
     """scipy.stats.mstats.mquantiles: plotting-position quantiles
     (alphap=betap=0.5 is the hazen rule used by the reference)."""
-    a = np.sort(np.asarray(a, dtype=np.float64))
+    a = np.sort(np.asarray(a, dtype=np.float64).ravel())  # scipy: axis=None flattens
     prob = np.atleast_1d(np.asarray(prob, dtype=np.float64))
     n = len(a)
     m = alphap + prob * (1.0 - alphap - betap)
@@ -433,6 +433,186 @@ class _KDTree:
         return np.take_along_axis(d, idx, axis=1), idx
 
 
+def _shim_peak_prominences(x, peaks, wlen=None):
+    """scipy.signal.peak_prominences (documented algorithm): extend from
+    each peak to the next higher sample or the border; prominence =
+    peak height minus the larger of the two window minima."""
+    x = np.asarray(x, dtype=np.float64)
+    peaks = np.asarray(peaks, dtype=int)
+    proms = np.empty(len(peaks))
+    lefts = np.empty(len(peaks), dtype=int)
+    rights = np.empty(len(peaks), dtype=int)
+    for n, p in enumerate(peaks):
+        h = x[p]
+        # scipy: extend until the first sample HIGHER than the peak
+        i = p
+        left_min = h
+        lb = p
+        while i > 0:
+            i -= 1
+            if x[i] > h:
+                break
+            if x[i] < left_min:
+                left_min = x[i]
+                lb = i
+        j = p
+        right_min = h
+        rb = p
+        while j < len(x) - 1:
+            j += 1
+            if x[j] > h:
+                break
+            if x[j] < right_min:
+                right_min = x[j]
+                rb = j
+        proms[n] = h - max(left_min, right_min)
+        lefts[n] = lb
+        rights[n] = rb
+    return proms, lefts, rights
+
+
+def _shim_peak_widths(x, peaks, rel_height=0.5):
+    """scipy.signal.peak_widths: width of each peak at
+    height = peak - prominence*rel_height, linear-interpolated crossing
+    points bounded by the prominence bases."""
+    x = np.asarray(x, dtype=np.float64)
+    peaks = np.asarray(peaks, dtype=int)
+    proms, lefts, rights = _shim_peak_prominences(x, peaks)
+    widths = np.empty(len(peaks))
+    wh = np.empty(len(peaks))
+    lips = np.empty(len(peaks))
+    rips = np.empty(len(peaks))
+    for n, p in enumerate(peaks):
+        h = x[p] - proms[n] * rel_height
+        i = p
+        while i > lefts[n] and x[i] > h:
+            i -= 1
+        lip = float(i)
+        if x[i] < h:
+            lip = i + (h - x[i]) / (x[i + 1] - x[i])
+        j = p
+        while j < rights[n] and x[j] > h:
+            j += 1
+        rip = float(j)
+        if x[j] < h:
+            rip = j - (h - x[j]) / (x[j - 1] - x[j])
+        widths[n] = rip - lip
+        wh[n] = h
+        lips[n] = lip
+        rips[n] = rip
+    return widths, wh, lips, rips
+
+
+def _kolmogorov_sf(t: float) -> float:
+    """Kolmogorov distribution survival Q(t) = 2 sum (-1)^{k-1} e^{-2k^2t^2}."""
+    if t <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = (-1) ** (k - 1) * math.exp(-2.0 * k * k * t * t)
+        s += term
+        if abs(term) < 1e-16:
+            break
+    return max(0.0, min(1.0, 2.0 * s))
+
+
+def _shim_ks_1samp(x, cdf, args=()):
+    """One-sample two-sided KS: exact statistic + asymptotic
+    Kolmogorov p (scipy's large-n path)."""
+    x = np.sort(np.asarray(x, dtype=np.float64))
+    n = len(x)
+    F = np.asarray(cdf(x, *args), dtype=np.float64)
+    i = np.arange(1, n + 1)
+    d = max(float(np.max(i / n - F)), float(np.max(F - (i - 1) / n)))
+    p = _kolmogorov_sf(math.sqrt(n) * d)
+    return namedtuple("KstestResult", ["statistic", "pvalue"])(d, p)
+
+
+def _chi2_sf(x: float, k: int) -> float:
+    """Chi-square survival via the regularized upper incomplete gamma
+    (series/continued-fraction, Numerical-Recipes formulation)."""
+    if x <= 0:
+        return 1.0
+    a = k / 2.0
+    xx = x / 2.0
+    gln = math.lgamma(a)
+    if xx < a + 1.0:  # series for P, return 1-P
+        ap = a
+        s = 1.0 / a
+        delta = s
+        for _ in range(500):
+            ap += 1.0
+            delta *= xx / ap
+            s += delta
+            if abs(delta) < abs(s) * 1e-15:
+                break
+        return max(0.0, 1.0 - s * math.exp(-xx + a * math.log(xx) - gln))
+    b = xx + 1.0 - a  # continued fraction for Q
+    c = 1e300
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        d = 1e-300 if abs(d) < 1e-300 else d
+        c = b + an / c
+        c = 1e-300 if abs(c) < 1e-300 else c
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < 1e-15:
+            break
+    return min(1.0, h * math.exp(-xx + a * math.log(xx) - gln))
+
+
+def _shim_acorr_ljungbox(x, lags=None, return_df=True):
+    """statsmodels acorr_ljungbox: Q(h) = n(n+2) sum r_k^2/(n-k),
+    chi2(h) p-values; biased-ACF r_k (statsmodels acf default)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    c = x - x.mean()
+    denom = float(np.sum(c * c))
+    hs = [int(lags)] if np.isscalar(lags) else [int(h) for h in
+                                                (lags or [min(10, n // 5)])]
+    maxh = max(hs)
+    r = np.array([float(np.sum(c[k:] * c[:-k])) / denom
+                  for k in range(1, maxh + 1)])
+    stats_, ps = [], []
+    for h in hs:
+        q = n * (n + 2.0) * float(np.sum(r[:h] ** 2 / (n - np.arange(1, h + 1))))
+        stats_.append(q)
+        ps.append(_chi2_sf(q, h))
+
+    class _LB:
+        lb_stat = SimpleNamespace(values=np.array(stats_))
+        lb_pvalue = SimpleNamespace(values=np.array(ps))
+
+        def __getitem__(self, k):
+            return {"lb_stat": self.lb_stat, "lb_pvalue": self.lb_pvalue}[k]
+
+    return _LB()
+
+
+def _shim_sign_test(x, mu0=0):
+    """statsmodels sign_test: M = (n_pos - n_neg)/2, exact two-sided
+    binomial p over the non-zero sample."""
+    x = np.asarray(x, dtype=np.float64)
+    pos = int(np.sum(x > mu0))
+    neg = int(np.sum(x < mu0))
+    n = pos + neg
+    m = (pos - neg) / 2.0
+    k = min(pos, neg)
+    # two-sided exact binomial(n, 1/2)
+    from math import comb
+
+    tail = sum(comb(n, i) for i in range(0, k + 1)) / 2.0**n
+    p = min(1.0, 2.0 * tail)
+    if pos == neg:
+        p = 1.0
+    return m, p
+
+
 def _unavailable(name):
     def _raise(*a, **k):
         raise NotImplementedError(f"parity shim: {name} unavailable")
@@ -469,14 +649,14 @@ def _base_namespace() -> dict:
         "detrend": _shim_detrend, "lfilter": _shim_lfilter, "pacf": _shim_pacf,
         "curve_fit": _unavailable("curve_fit"),
         "kpss": _unavailable("kpss"),
-        "acorr_ljungbox": _unavailable("acorr_ljungbox"),
+        "acorr_ljungbox": _shim_acorr_ljungbox,
         # stat-test shims that return NaN results: the Walker/ForcePotential
         # sweeps call these for a couple of output keys; the parity cases
         # skip those keys but still verify everything else.
         "runstest_1samp": lambda *a, **k: (float("nan"), float("nan")),
         "ansari": lambda *a, **k: namedtuple(
             "AnsariResult", ["statistic", "pvalue"])(float("nan"), float("nan")),
-        "sign_test": _unavailable("sign_test"),
+        "sign_test": _shim_sign_test,
         "AutoReg": _AutoRegShim,
         "VarianceRatio": _VarianceRatioShim,
         "ar_select_order": _unavailable("ar_select_order"),
@@ -492,13 +672,26 @@ def _base_namespace() -> dict:
         "signal": SimpleNamespace(
             lfilter=_shim_lfilter, periodogram=_shim_periodogram,
             resample=_shim_resample,
+            peak_widths=_shim_peak_widths,
+            peak_prominences=_shim_peak_prominences,
         ),
         "scipy": SimpleNamespace(
             fft=np.fft, stats=stats_ns,
             signal=SimpleNamespace(lfilter=_shim_lfilter,
                                    periodogram=_shim_periodogram,
-                                   resample=_shim_resample),
+                                   resample=_shim_resample,
+                                   peak_widths=_shim_peak_widths,
+                                   peak_prominences=_shim_peak_prominences,
+                                   windows=SimpleNamespace(
+                                       boxcar=lambda n: np.ones(int(n)),
+                                       hann=lambda n: np.hanning(int(n)),
+                                       hamming=lambda n: np.hamming(int(n)),
+                                   ),
+                                   welch=_unavailable("welch")),
         ),
+        "ks_1samp": _shim_ks_1samp,
+        "peak_widths": _shim_peak_widths,
+        "peak_prominences": _shim_peak_prominences,
         "numba": SimpleNamespace(jit=lambda *a, **k: (lambda f: f),
                                  njit=lambda *a, **k: (lambda f: f)),
         "njit": lambda *a, **k: (lambda f: f) if a and callable(a[0]) else (lambda f: f),

@@ -105,10 +105,16 @@ def test_jb_pvalue_matches_chi2():
 def test_residual_analysis_white_noise():
     e = rng.standard_normal(1000)
     out = M.residual_analysis(e)
-    assert abs(out["AC1"]) < 0.08
+    assert abs(out["ac1"]) < 0.08
     assert out["dwts"] == pytest.approx(2.0, abs=0.2)
     assert out["normksstat"] < 0.05
-    assert out["lbq_p"] > 0.001
+    assert out["normp"] > 0.01  # gaussian residuals: KS should not reject
+    assert out["ftbth"] <= 3  # white noise ACF under the 2.6/sqrt(N) band
+    assert 0.8 <= out["propbth"] <= 1.0
+    assert out["rmse"] == pytest.approx(
+        (out["meane"] ** 2 + out["stde"] ** 2 * (len(e) - 1) / len(e)) ** 0.5,
+        rel=1e-9,
+    )
 
 
 def test_exp_smoothing_alpha_tracks_persistence():
@@ -116,4 +122,4 @@ def test_exp_smoothing_alpha_tracks_persistence():
     walk = np.cumsum(rng.standard_normal(400))
     out_w = M.exp_smoothing(walk, ntrain=150)
     assert out_w["alphamin"] > 0.7
-    assert "AC1" in out_w and np.isfinite(out_w["std"])
+    assert "ac1" in out_w and np.isfinite(out_w["stde"])

@@ -393,6 +393,56 @@ def _batch2_cases():
              rtol=1e-6),
         Case("arcov2", lambda y: MO.ar_cov(y, 2), "ARCov",
              lambda f, y: f(y, 2), zscore=True, rtol=1e-6),
+        Case("residual_analysis", lambda y: MO.residual_analysis(y),
+             "ResidualAnalysis", zscore=True, rtol=1e-6),
+        Case("exp_smoothing", lambda y: MO.exp_smoothing(np.cumsum(y)),
+             "ExpSmoothing", lambda f, y: f(np.cumsum(y)), rtol=1e-5,
+             atol=1e-7),
+        Case("signtest", lambda y: {"p": MO.hypothesis_test(y, "signtest")},
+             "HypothesisTest",
+             lambda f, y: {"p": f(y, "signtest")}, rtol=1e-9),
+        Case("autocorr_shape",
+             lambda y: _mod("embedding").autocorr_shape(y, "posDrown"),
+             "AutoCorrShape", lambda f, y: f(y, "posDrown"),
+             zscore=True, rtol=1e-6,
+             # exponential-decay curve fit needs scipy curve_fit
+             # (Levenberg-Marquardt) — repo implements its own;
+             # pytest-golden-tested separately
+             skip_keys=("decayTimescale", "fexpacf_r2", "fexpacf_adjr2",
+                        "fexpacf_rmse", "fexpacf_stdres", "fexpabsacf_a",
+                        "fexpabsacf_b")),
+        Case("spectral_fft",
+             lambda y: _mod("spectral").spectral_summaries(y, "fft"),
+             "SpectralSummaries", lambda f, y: f(y, "fft"), zscore=True,
+             rtol=1e-5, atol=1e-8),
+        Case("surprise_dist",
+             lambda y: _mod("symbolic").surprise(y, "dist", 0.2, 3,
+                                                 "quantile", 500, 0),
+             "Surprise",
+             lambda f, y: f(y, "dist", 0.2, 3, "quantile", 500, 0),
+             zscore=True, rtol=1e-7,
+             key_map={"lq": "lq", "uq": "uq"}),
+        Case("loop_local_simple_mean",
+             lambda y: __import__(
+                 "pyhctsa_spark.plans.yaml_config",
+                 fromlist=["_loop_local_simple"])._loop_local_simple(y, "mean"),
+             "LoopLocalSimple", lambda f, y: f(y, "mean"), zscore=True,
+             rtol=1e-6),
+        Case("compare_min_ami_std1",
+             lambda y: I.compare_min_ami(y, "std1", 10),
+             "CompareMinAMI", lambda f, y: f(y, "std1", 10), zscore=True,
+             rtol=1e-6),
+        Case("first_min_mihist",
+             lambda y: I.first_min(y, "mi-hist", 10),
+             "FirstMin", lambda f, y: f(y, "mi-hist", 10), rtol=1e-9),
+        # DynWin / MultiScaleEntropy run the reference through the
+        # _sampen_c delegating shim: the sampen kernel itself is
+        # golden-tested; these cases verify the WINDOWING/aggregation
+        Case("dyn_win_full", lambda y: SE.dyn_win(y, 8), "DynWin",
+             lambda f, y: f(y, 8), zscore=True, rtol=1e-6),
+        Case("mse_scales", lambda y: EN.multiscale_entropy(y, [1, 2, 3]),
+             "MultiScaleEntropy", lambda f, y: f(y, [1, 2, 3]),
+             zscore=True, rtol=1e-6, series=("normal", "ar1")),
         Case("vrt2_iid", lambda y: MO.variance_ratio_test(y, 2, True),
              "VarianceRatioTest", lambda f, y: f(y, 2, 1), rtol=1e-6),
         # pacf: both sides are OLS AR fits; tiny lstsq-conditioning
