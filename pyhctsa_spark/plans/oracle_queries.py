@@ -3349,7 +3349,8 @@ st2 AS (
 se2 AS (
   SELECT user_id,
          CASE WHEN a2 > 0 AND b2 > 0
-              THEN -ln(CAST(a2 AS DOUBLE) / b2) END AS sampen
+              THEN -ln(CAST(a2 AS DOUBLE) / b2)
+              ELSE CAST('Infinity' AS DOUBLE) END AS sampen
   FROM (
     SELECT a.user_id,
            sum(CASE WHEN b.t <= st2.cnt - 3
@@ -3375,7 +3376,8 @@ st1 AS (
 se1 AS (
   SELECT user_id,
          CASE WHEN a2 > 0 AND b2 > 0
-              THEN -ln(CAST(a2 AS DOUBLE) / b2) END AS sampen
+              THEN -ln(CAST(a2 AS DOUBLE) / b2)
+              ELSE CAST('Infinity' AS DOUBLE) END AS sampen
   FROM (
     SELECT a.user_id,
            sum(CASE WHEN b.rn <= st1.cnt - 3
@@ -3391,21 +3393,49 @@ se1 AS (
     GROUP BY a.user_id
   ) p
 )
-SELECT s1.user_id,
-       round(s1.sampen, 6) AS sampen_s1,
-       round(s2.sampen, 6) AS sampen_s2,
-       round(CASE WHEN s1.sampen IS NULL THEN s2.sampen
-                  WHEN s2.sampen IS NULL THEN s1.sampen
-                  ELSE greatest(s1.sampen, s2.sampen) END, 6) AS maxSampEn,
-       round(CASE WHEN s1.sampen IS NULL THEN s2.sampen
-                  WHEN s2.sampen IS NULL THEN s1.sampen
-                  ELSE least(s1.sampen, s2.sampen) END, 6) AS minSampEn,
-       round((coalesce(s1.sampen, CAST(0.0 AS DOUBLE))
-              + coalesce(s2.sampen, CAST(0.0 AS DOUBLE)))
-             / nullif((CASE WHEN s1.sampen IS NULL THEN 0 ELSE 1 END)
-                      + (CASE WHEN s2.sampen IS NULL THEN 0 ELSE 1 END), 0),
-             6) AS meanSampEn
-FROM se1 s1 JOIN se2 s2 ON s2.user_id = s1.user_id
+SELECT f.user_id,
+       CASE WHEN f.v1 < finf THEN round(f.v1, 6) END AS sampen_s1,
+       CASE WHEN f.v2 < finf THEN round(f.v2, 6) END AS sampen_s2,
+       CASE WHEN f.mx < finf THEN round(f.mx, 6) END AS maxSampEn,
+       CASE WHEN f.mn < finf THEN round(f.mn, 6) END AS minSampEn,
+       CASE WHEN f.mu < finf THEN round(f.mu, 6) END AS meanSampEn,
+       round(f.mxs, 6) AS maxScale,
+       round(f.mns, 6) AS minScale,
+       CASE WHEN f.sd < finf THEN round(f.sd, 6) END AS stdSampEn,
+       CASE WHEN f.cv < finf THEN round(f.cv, 6) END AS cvSampEn,
+       CASE WHEN f.ch < finf AND f.ch > -finf THEN round(f.ch, 6) END
+         AS meanch
+FROM (
+  SELECT s1.user_id,
+         CAST('Infinity' AS DOUBLE) AS finf,
+         s1.sampen AS v1, s2.sampen AS v2,
+         CASE WHEN s1.sampen IS NULL THEN s2.sampen
+              WHEN s2.sampen IS NULL THEN s1.sampen
+              ELSE greatest(s1.sampen, s2.sampen) END AS mx,
+         CASE WHEN s1.sampen IS NULL THEN s2.sampen
+              WHEN s2.sampen IS NULL THEN s1.sampen
+              ELSE least(s1.sampen, s2.sampen) END AS mn,
+         (coalesce(s1.sampen, CAST(0.0 AS DOUBLE))
+          + coalesce(s2.sampen, CAST(0.0 AS DOUBLE)))
+           / nullif((CASE WHEN s1.sampen IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN s2.sampen IS NULL THEN 0 ELSE 1 END), 0)
+           AS mu,
+         CASE WHEN s1.sampen IS NULL THEN CAST(2.0 AS DOUBLE)
+              WHEN s2.sampen IS NULL THEN CAST(1.0 AS DOUBLE)
+              WHEN s1.sampen >= s2.sampen THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(2.0 AS DOUBLE) END AS mxs,
+         CASE WHEN s1.sampen IS NULL THEN CAST(2.0 AS DOUBLE)
+              WHEN s2.sampen IS NULL THEN CAST(1.0 AS DOUBLE)
+              WHEN s1.sampen <= s2.sampen THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(2.0 AS DOUBLE) END AS mns,
+         CASE WHEN s1.sampen IS NULL OR s2.sampen IS NULL THEN NULL
+              ELSE abs(s1.sampen - s2.sampen) / sqrt(2.0) END AS sd,
+         CASE WHEN s1.sampen IS NULL OR s2.sampen IS NULL THEN NULL
+              ELSE (abs(s1.sampen - s2.sampen) / sqrt(2.0))
+                   / ((s1.sampen + s2.sampen) / 2.0) END AS cv,
+         s2.sampen - s1.sampen AS ch
+  FROM se1 s1 JOIN se2 s2 ON s2.user_id = s1.user_id
+) f
 """)
 
 # --- EN_rpde m=2 tau=1 eps=0.12 (Entropy.py:349-406) ------------------------
