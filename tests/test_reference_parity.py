@@ -379,6 +379,12 @@ def _batch2_cases():
              lambda y: PH.walker(y, "biasprop", [0.1, 0.2]), "Walker",
              lambda f, y: f(y, "biasprop", [0.1, 0.2]), zscore=True,
              rtol=1e-6, skip_keys=("sw_ansarib_pval", "res_runstest")),
+        Case("force_dblwell", lambda y: PH.force_potential(y, "dblwell"),
+             "ForcePotential", lambda f, y: f(y, "dblwell"), zscore=True,
+             rtol=1e-6),
+        Case("force_sine", lambda y: PH.force_potential(y, "sine"),
+             "ForcePotential", lambda f, y: f(y, "sine"), zscore=True,
+             rtol=1e-6),
         Case("movthresh_1_01", lambda y: PH.moving_threshold(y, 1.0, 0.1),
              "MovingThreshold", lambda f, y: f(y, 1.0, 0.1), zscore=True,
              rtol=1e-6),
@@ -467,6 +473,70 @@ def test_reference_parity(case):
         repo_out = case.repo(y.copy())
         _cmp(repo_out, ref_out, case.cid, sid, rtol=case.rtol, atol=case.atol,
              key_map=case.key_map, skip_keys=case.skip_keys)
+
+
+# Reference operators NOT in the differential sweep, with the reason.
+# Everything else in SURVEY §2 has at least one Case above.
+NOT_SWEPT = {
+    # C extensions the reference wraps (repo ships numpy ports with
+    # their own golden/brute-force tests):
+    "PeriodicityWang": "Toolboxes/c22 C wrapper; repo port golden-tested vs spline spec (test_embedding)",
+    "FastDFA": "Max_Little C; repo numpy port brute-force-tested (test_physics)",
+    "RPDE": "Max_Little close_returns C; repo port property-tested (test_entropy)",
+    "ShannonEntropy": "Michael_Small C; repo port tested vs analytic values (test_entropy)",
+    "SampleEntropy": "physionet C; repo port brute-force-tested (test_entropy); the harness shim DELEGATES to the repo port, so a direct case would be circular",
+    # third-party model libraries (documented deviations in COVERAGE.md):
+    "KPSSTest": "statsmodels kpss; repo implements the published stat + CV-table p interpolation, oracle-checked (user_kpss_l0)",
+    "ARFit": "statsmodels ar_select_order; repo uses OLS order selection (documented OLS stand-in)",
+    "AutoMutualInfo-kraskov": "JIDT JVM estimators; repo native KSG1/2 oracle-checked (user_ami_ksg1/2)",
+    "VisibilityGraph-norm": "ts2vg NaturalVG; repo native sweep, horiz method IS swept",
+    # pywt-based wavelets: repo ships its own DWT/CWT ports with
+    # spec goldens (scripts/gen_wavelet_golden.py etc.)
+    "CWT": "pywt.cwt; repo port golden-tested (test_spectral_wavelet)",
+    "DetailCoeffs": "pywt wavedec; repo port golden-tested",
+    "WLCoeffs": "pywt wavedec; repo port golden-tested",
+}
+
+
+def test_not_swept_allowlist_is_exhaustive():
+    """Every PUBLIC reference operator is either parity-swept (a Case
+    exists) or explicitly allowlisted with a reason — no silent gaps."""
+    swept_refs = {c.refname for c in CASES}
+    public_ops = {
+        "TheilerQ", "Crinkle", "TimeRevKaplan", "Embed2_AngleTau", "Embed2",
+        "PeriodicityWang", "CompareMinAMI", "HistogramAMI", "StickAngles",
+        "NonlinearAutoCorr", "PartialAutoCorr", "Embed2Dist", "Embed2Basic",
+        "Embed2Shapes", "FZCGLSCF", "GLSCF", "AutoCorr", "FirstCrossing",
+        "TranslateShape", "AutoCorrShape", "TRev", "TC3",
+        "Withinp", "Unique", "Spread", "Quantile", "ProportionValues",
+        "PLeft", "MinMax", "Mean", "HighLowMu", "FitMLE", "CV",
+        "CustomSkewness", "Burstiness", "Moments", "OutlierInclude",
+        "OutlierTest", "TrimmedMean", "HistogramAsymmetry", "HistogramMode",
+        "RemovePoints",
+        "LocalDistributions", "DynWin", "MomentCorr", "SimpleStats",
+        "LocalExtrema", "KPSSTest", "RangeEvolve", "DriftingMean",
+        "LocalGlobal", "FitPolynomial", "TSLength", "StdNthDer", "Trend",
+        "StatAv", "SlidingWindow",
+        "ShannonEntropy", "DistributionEntropy", "MultiScaleEntropy",
+        "SampleEntropy", "PermEn", "RPDE", "ApproximateEntropy",
+        "ComplexityInvariantDistance", "LZComplexity",
+        "FirstMin", "AutoMutualInfoStats", "AutoMutualInfo", "MutualInfo",
+        "AMInformation",
+        "Surprise", "MotifTwo", "MotifThree", "BinaryStretch", "BinaryStats",
+        "TransitionMatrix", "CoarseGrain",
+        "RawHRVMeas", "HRVClassic", "PolVar", "PNN",
+        "Walker", "ForcePotential",
+        "LoopLocalSimple", "LocalSimple", "ExpSmoothing", "ResidualAnalysis",
+        "ARCov", "ARFit",
+        "RAD", "MovingThreshold", "VisibilityGraph", "FastDFA",
+        "SpectralSummaries", "CWT", "DetailCoeffs", "WLCoeffs",
+        "VarianceRatioTest", "HypothesisTest", "PreProcCompare",
+    }
+    allow = {k.split("-")[0] for k in NOT_SWEPT}
+    # CoarseGrain/TSLength/MutualInfo are exercised INSIDE swept cases
+    indirect = {"CoarseGrain", "TSLength", "MutualInfo"}
+    gaps = public_ops - swept_refs - allow - indirect
+    assert not gaps, f"reference ops neither swept nor allowlisted: {sorted(gaps)}"
 
 
 def test_namespace_loads_every_module():
