@@ -129,6 +129,9 @@ def bpe_token_count(
         .groupBy(id_col, "_w")
         .agg(F.count("*").alias("_c"))
     )
+    # occ feeds BOTH the vocabulary build and the join probe side —
+    # persist so the corpus is scanned and word-exploded exactly once
+    occ = occ.persist()
     vocab = occ.select("_w").distinct().withColumn("_n", word_tok_len("_w"))
     return (
         occ.join(F.broadcast(vocab), "_w")
