@@ -508,7 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "user_trimmed_mean10", "user_fzcglscf11", "user_rm_info1",
                  "user_distent10", "user_distent_ks", "user_pacf3",
                  "user_stickangles", "user_vg_horiz", "user_embed2",
-                 "user_ppc_medianf3"):
+                 "user_ppc_medianf3", "user_moment_corr"):
         out[name] = _mk(name)
     for name in OQ.QUERIES:
         if name not in out:
