@@ -125,3 +125,36 @@ def test_salted_repartition_balances_zipf_skew(spark):
     )
     assert len(sizes) == 8 and min(sizes) > 0
     assert max(sizes) / (sum(sizes) / len(sizes)) < 1.5
+
+
+def test_bpe_plan_tokenizes_vocab_and_broadcasts(spark):
+    """Real-BPE plan contract: the Arrow UDF runs over the DISTINCT
+    vocabulary side only, which is broadcast back onto the occurrence
+    table — never a shuffle of per-occurrence rows through Python."""
+    from pyhctsa_spark.operators.bpe import bpe_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bpe_token_count(docs))
+    assert "BroadcastHashJoin" in plan
+    # the Python stage must sit UNDER the broadcast side (vocab), i.e.
+    # appear after the BroadcastExchange marker in the plan tree text
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    bx = plan.index("BroadcastExchange")
+    py = plan.index("ArrowEvalPython" if "ArrowEvalPython" in plan
+                    else "BatchEvalPython")
+    assert py > bx, "python tokenization must run on the broadcast (vocab) side"
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_real_plan_is_single_python_pass(spark):
+    """Real-codec featurization: one mapInPandas pass over the media
+    table, no Exchange (row-independent decode)."""
+    from pyhctsa_spark.operators.multimodal import (
+        extract_media_features,
+        synth_real_media_df,
+    )
+
+    plan = _plan(extract_media_features(synth_real_media_df(spark, 8),
+                                        use_real_codecs=True))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
