@@ -262,10 +262,33 @@ def bench_streaming_rollup(spark, seq_path: str) -> dict:
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
     shutil.rmtree(base, ignore_errors=True)
-    return {
+    out = {
         "stream_rollup_sec": round(wall, 3),
         "stream_points_per_sec": round(pts / wall, 1),
     }
+    # 10x drain: separates the fixed query-start/commit cost from the
+    # steady-state rate (the marginal points/sec is the number that
+    # scales — measured ~equal to the batch plan, see BENCH.md r4)
+    big = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"seqb_{10 * max(40, int(sf_of(SF_DIR) * DOCS_PER_SF))}",
+    )
+    if os.path.exists(os.path.join(big, "_SUCCESS")):
+        pts10 = spark.read.parquet(big).selectExpr("sum(n_tok)").first()[0]
+        base2 = tempfile.mkdtemp(prefix="stream_bench10_")
+        t0 = time.perf_counter()
+        q = stream_rollup(spark, big, os.path.join(base2, "s"),
+                          os.path.join(base2, "c"), available_now=True)
+        q.awaitTermination(1800)
+        wall10 = time.perf_counter() - t0
+        shutil.rmtree(base2, ignore_errors=True)
+        out["stream10_rollup_sec"] = round(wall10, 3)
+        out["stream10_points_per_sec"] = round(pts10 / wall10, 1)
+        if wall10 > wall:
+            out["stream_marginal_points_per_sec"] = round(
+                (pts10 - pts) / (wall10 - wall), 1
+            )
+    return out
 
 
 def bench_ann(spark, k: int = 3, n_queries: int = 20) -> dict:
