@@ -104,3 +104,26 @@ def test_spark_count_matches_local(spark):
             for w in row.text.split(" ") if w
         )
         assert got[row.doc_id] == want, row.doc_id
+
+
+# --- hypothesis property fuzz ------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    word=st.text(alphabet="abcde", min_size=1, max_size=16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hyp_tokenize_concat_invariant(word, seed):
+    """Tokens always concatenate back to the word, for merges trained on
+    random corpora."""
+    rng = np.random.default_rng(seed)
+    corpus = {
+        "".join(rng.choice(list("abcde"), size=int(rng.integers(1, 10)))): int(c)
+        for c in rng.integers(1, 30, size=25)
+    }
+    merges = train_bpe_merges(corpus, 15)
+    toks = bpe_tokenize(word, merges)
+    assert "".join(toks) == word
+    assert all(toks)  # no empty tokens

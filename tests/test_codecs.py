@@ -152,3 +152,48 @@ def test_real_golden_matches_spec_script(spark):
                 want[col].to_numpy(dtype=float),
                 atol=2e-6, err_msg=col,
             )
+
+
+# --- hypothesis property fuzz: every uncompressed codec round-trips ---------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hyp_image_round_trips(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400), ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hyp_wav_round_trips(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    shape = n if ch == 1 else (n, ch)
+    x = np.clip(rng.standard_normal(shape) * 0.5, -1, 1)
+    dec, r = C.decode_wav(C.encode_wav(x, rate))
+    assert r == rate
+    want = np.clip(np.round(x * 32767), -32768, 32767) / 32768
+    assert np.allclose(dec, want, atol=1e-6)
+    assert dec.shape == x.shape
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    f=st.integers(1, 6), h=st.integers(1, 6), w=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hyp_video_stream_round_trips(f, h, w, seed):
+    frames = np.random.default_rng(seed).integers(
+        0, 256, (f, h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        C.decode_ppm_stream(C.encode_ppm_stream(frames)), frames)

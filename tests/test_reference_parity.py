@@ -21,6 +21,12 @@ import pytest
 sys.path.insert(0, dirname(abspath(__file__)))
 sys.path.insert(0, dirname(dirname(abspath(__file__))))
 
+import os  # noqa: E402
+
+if not os.path.isdir("/root/reference/pyhctsa"):  # pragma: no cover
+    pytest.skip("reference tree not present — differential sweep needs it",
+                allow_module_level=True)
+
 from ref_parity import ref, reference_namespace  # noqa: E402
 
 from pyhctsa_spark.functions import kernels as K  # noqa: E402
