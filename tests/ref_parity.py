@@ -613,6 +613,25 @@ def _shim_sign_test(x, mu0=0):
     return m, p
 
 
+def _pywt_shim():
+    from pyhctsa_spark.functions import wavelet as _wl
+
+    def _dwt(data, wavelet, mode="symmetric", axis=-1):
+        w = wavelet if isinstance(wavelet, _wl.Wavelet) else _wl.Wavelet(wavelet)
+        return _wl.dwt(np.asarray(data, dtype=np.float64), w)
+
+    def _cwt(data=None, scales=None, wavelet=None):
+        return _wl.cwt(np.asarray(data, dtype=np.float64),
+                       np.asarray(scales), wavelet), None
+
+    return SimpleNamespace(
+        Wavelet=_wl.Wavelet,
+        dwt=_dwt,
+        dwt_max_level=_wl.dwt_max_level,
+        cwt=_cwt,
+    )
+
+
 def _unavailable(name):
     def _raise(*a, **k):
         raise NotImplementedError(f"parity shim: {name} unavailable")
@@ -672,8 +691,12 @@ def _base_namespace() -> dict:
         "periodicity_wang": _unavailable("periodicity_wang"),
         "jp": SimpleNamespace(isJVMStarted=lambda: False,
                               startJVM=_unavailable("jpype")),
-        "pywt": SimpleNamespace(cwt=_unavailable("pywt.cwt"),
-                                wavedec=_unavailable("pywt.wavedec")),
+        # pywt shim DELEGATES to the repo's DWT/CWT primitives (which are
+        # spec-golden-tested): the differential cases then exercise the
+        # reference's ORCHESTRATION (level selection, wrcoef upsampling
+        # chain, coefficient statistics) against the repo operators.
+        "pywt": _pywt_shim(),
+        "cwt": _pywt_shim().cwt,
         "signal": SimpleNamespace(
             lfilter=_shim_lfilter, periodogram=_shim_periodogram,
             resample=_shim_resample,

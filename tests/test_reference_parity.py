@@ -576,6 +576,28 @@ def _batch3_cases():
         Case("dist_ent_hist_olremp",
              lambda y: EN.distribution_entropy(y, "hist", 10, 0.02),
              "DistributionEntropy", lambda f, y: f(y, "hist", 10, 0.02)),
+        # wavelet surfaces: the pywt shim delegates to the repo's
+        # spec-golden DWT/CWT primitives, so these cases verify the
+        # reference's ORCHESTRATION (level clamping, wrcoef upsampling
+        # chain, coefficient statistics) against the repo operators
+        Case("wl_detailcoeffs_max",
+             lambda y: _mod("wavelet").detail_coeffs(y, "db3", "max"),
+             "DetailCoeffs", lambda f, y: f(y, "db3", "max"),
+             zscore=True, rtol=1e-6),
+        Case("wl_coeffs_l3",
+             lambda y: _mod("wavelet").wl_coeffs(y, "db3", 3),
+             "WLCoeffs", lambda f, y: f(y, "db3", 3), zscore=True,
+             rtol=1e-6),
+        Case("wl_coeffs_sym2_max",
+             lambda y: _mod("wavelet").wl_coeffs(y, "sym2", "max"),
+             "WLCoeffs", lambda f, y: f(y, "sym2", "max"), zscore=True,
+             rtol=1e-6),
+        Case("wl_cwt_db3",
+             lambda y: _mod("wavelet").cwt_features(y, "db3", 32),
+             "CWT", lambda f, y: f(y, "db3", 32), zscore=True, rtol=1e-6),
+        Case("wl_cwt_sym4",
+             lambda y: _mod("wavelet").cwt_features(y, "sym4", 16),
+             "CWT", lambda f, y: f(y, "sym4", 16), zscore=True, rtol=1e-6),
     ]
 
 
@@ -610,11 +632,8 @@ NOT_SWEPT = {
     "ARFit": "statsmodels ar_select_order; repo uses OLS order selection (documented OLS stand-in)",
     "AutoMutualInfo-kraskov": "JIDT JVM estimators; repo native KSG1/2 oracle-checked (user_ami_ksg1/2)",
     "VisibilityGraph-norm": "ts2vg NaturalVG; repo native sweep, horiz method IS swept",
-    # pywt-based wavelets: repo ships its own DWT/CWT ports with
-    # spec goldens (scripts/gen_wavelet_golden.py etc.)
-    "CWT": "pywt.cwt; repo port golden-tested (test_spectral_wavelet)",
-    "DetailCoeffs": "pywt wavedec; repo port golden-tested",
-    "WLCoeffs": "pywt wavedec; repo port golden-tested",
+    # (wavelet surfaces were moved INTO the sweep via a pywt shim that
+    # delegates to the repo's spec-golden DWT/CWT primitives)
 }
 
 
