@@ -672,7 +672,17 @@ def _base_namespace() -> dict:
         "ssre": _shim_resample,
         "detrend": _shim_detrend, "lfilter": _shim_lfilter, "pacf": _shim_pacf,
         "curve_fit": _unavailable("curve_fit"),
-        "kpss": _unavailable("kpss"),
+        # delegates to the repo's KPSS implementation (published formula
+        # + statsmodels CV-table p interpolation, oracle-checked at the
+        # stat level): the KPSSTest case verifies the reference's
+        # lag-sweep ORCHESTRATION and key naming
+        "kpss": lambda y, nlags=0, regression="ct": (
+            (lambda o: (o["stat"], o["pValue"], None, None))(
+                __import__("pyhctsa_spark.functions.model",
+                           fromlist=["kpss_test"]).kpss_test(
+                    np.asarray(y, dtype=np.float64), int(nlags))
+            )
+        ),
         "acorr_ljungbox": _shim_acorr_ljungbox,
         # stat-test shims that return NaN results: the Walker/ForcePotential
         # sweeps call these for a couple of output keys; the parity cases

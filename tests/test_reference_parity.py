@@ -462,6 +462,12 @@ def _batch2_cases():
         Case("pacf5", lambda y: MO.partial_autocorr(y, 5),
              "PartialAutoCorr", lambda f, y: f(y, 5, "ols"), rtol=1e-3,
              atol=1e-5),
+        # kpss shim delegates the statistic to the repo implementation:
+        # these cases check the reference's scalar/list orchestration
+        Case("kpss_l0", lambda y: MO.kpss_test(y, 0), "KPSSTest",
+             lambda f, y: f(y, 0), rtol=1e-9),
+        Case("kpss_sweep", lambda y: MO.kpss_test(y, [0, 1, 2]),
+             "KPSSTest", lambda f, y: f(y, [0, 1, 2]), rtol=1e-9),
     ]
 
 
@@ -628,7 +634,8 @@ NOT_SWEPT = {
     "ShannonEntropy": "Michael_Small C; repo port tested vs analytic values (test_entropy)",
     "SampleEntropy": "physionet C; repo port brute-force-tested (test_entropy); the harness shim DELEGATES to the repo port, so a direct case would be circular",
     # third-party model libraries (documented deviations in COVERAGE.md):
-    "KPSSTest": "statsmodels kpss; repo implements the published stat + CV-table p interpolation, oracle-checked (user_kpss_l0)",
+    # (KPSSTest moved INTO the sweep via a delegating kpss shim —
+    # orchestration/key-naming cases kpss_l0 / kpss_sweep)
     "ARFit": "statsmodels ar_select_order; repo uses OLS order selection (documented OLS stand-in)",
     "AutoMutualInfo-kraskov": "JIDT JVM estimators; repo native KSG1/2 oracle-checked (user_ami_ksg1/2)",
     "VisibilityGraph-norm": "ts2vg NaturalVG; repo native sweep, horiz method IS swept",
