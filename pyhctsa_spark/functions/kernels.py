@@ -478,13 +478,14 @@ def trimmed_mean(y: np.ndarray, p_exclude: float = 0.0) -> float:
 
 
 def histogram_mode(y: np.ndarray, num_bins: int = 10) -> float:
-    """Mode location of an equal-width histogram (bin center of argmax
-    count; first argmax on ties). Parity: DN_HistogramMode
-    (Distribution.py:741-774)."""
+    """Mode location of an equal-width histogram — the MEAN of the bin
+    centers over ALL tied maxima (reference Distribution.py:770:
+    mean(binCenters[N == max(N)]), relevant for quantized data).
+    Parity: DN_HistogramMode (Distribution.py:741-774)."""
     y = np.asarray(y, dtype=np.float64)
     counts, edges = np.histogram(y, bins=num_bins)
-    i = int(np.argmax(counts))
-    return float(0.5 * (edges[i] + edges[i + 1]))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return float(np.mean(centers[counts == counts.max()]))
 
 
 def stat_av(y: np.ndarray, what_type: str = "seg", n: int = 5) -> float:

@@ -357,12 +357,15 @@ GROUP BY s.user_id
 """)
 
 # --- DN_HistogramMode numBins=10 per user ---------------------------------
+# Reference Distribution.py:770: the mode is the MEAN of bin centers
+# over ALL tied maxima (quantized data ties are real).
 QUERIES["user_histmode10"] = _q("""
 SELECT r.user_id,
-       round(st.mn + (r.bin + 0.5) * ((st.mx - st.mn) / 10.0), 6) AS mode_center
+       round(avg(st.mn + (r.bin + 0.5) * ((st.mx - st.mn) / 10.0)), 6)
+         AS mode_center
 FROM (
-  SELECT user_id, bin, row_number() OVER (
-           PARTITION BY user_id ORDER BY cnt DESC, bin ASC) AS rk
+  SELECT c.user_id, c.bin, c.cnt,
+         max(c.cnt) OVER (PARTITION BY c.user_id) AS mx_cnt
   FROM (
     SELECT b.user_id, b.bin, count(*) AS cnt
     FROM (
@@ -376,7 +379,82 @@ FROM (
 ) r
 JOIN (SELECT user_id, min(v) AS mn, max(v) AS mx FROM series GROUP BY user_id) st
   USING (user_id)
-WHERE r.rk = 1
+WHERE r.cnt = r.mx_cnt
+GROUP BY r.user_id
+""")
+
+# --- DN_HistogramAsymmetry numBins=10 doSimple, on the centered series ------
+# (Distribution.py:683-739; raw event values are single-signed, so the
+# catalog applies the operator to y - mean(y), the same parametrization
+# as user_stickangles.) Separate equal-width histograms of the positive
+# and negative halves, probabilities over count(v != 0), mode positions
+# averaging ties, modeAsymmetry = posMode + negMode.
+QUERIES["user_histasym10"] = _q("""
+, ha_sides AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE vc > 0) AS np_,
+         count(*) FILTER (WHERE vc < 0) AS nn_,
+         count(*) FILTER (WHERE vc <> 0) AS nz,
+         min(vc) FILTER (WHERE vc > 0) AS pmn,
+         max(vc) FILTER (WHERE vc > 0) AS pmx,
+         min(vc) FILTER (WHERE vc < 0) AS nmn,
+         max(vc) FILTER (WHERE vc < 0) AS nmx
+  FROM cent GROUP BY user_id
+  HAVING count(*) FILTER (WHERE vc > 0) >= 2
+     AND count(*) FILTER (WHERE vc < 0) >= 2
+),
+ha_pbins AS (
+  SELECT c.user_id,
+         least(CAST(floor((c.vc - h.pmn) / ((h.pmx - h.pmn) / 10.0)) AS BIGINT), 9) AS b,
+         count(*) AS cnt
+  FROM cent c JOIN ha_sides h USING (user_id)
+  WHERE c.vc > 0 GROUP BY c.user_id,
+        least(CAST(floor((c.vc - h.pmn) / ((h.pmx - h.pmn) / 10.0)) AS BIGINT), 9)
+),
+ha_nbins AS (
+  SELECT c.user_id,
+         least(CAST(floor((c.vc - h.nmn) / ((h.nmx - h.nmn) / 10.0)) AS BIGINT), 9) AS b,
+         count(*) AS cnt
+  FROM cent c JOIN ha_sides h USING (user_id)
+  WHERE c.vc < 0 GROUP BY c.user_id,
+        least(CAST(floor((c.vc - h.nmn) / ((h.nmx - h.nmn) / 10.0)) AS BIGINT), 9)
+),
+ha_pm AS (
+  SELECT p.user_id, max(p.cnt) AS mxc FROM ha_pbins p GROUP BY p.user_id
+),
+ha_nm AS (
+  SELECT n.user_id, max(n.cnt) AS mxc FROM ha_nbins n GROUP BY n.user_id
+),
+ha_pos AS (
+  SELECT p.user_id,
+         max(p.cnt) AS mxc,
+         avg(h.pmn + (p.b + 0.5) * ((h.pmx - h.pmn) / 10.0)) AS pos_mode
+  FROM ha_pbins p
+  JOIN ha_pm pm ON pm.user_id = p.user_id AND p.cnt = pm.mxc
+  JOIN ha_sides h ON h.user_id = p.user_id
+  GROUP BY p.user_id
+),
+ha_neg AS (
+  SELECT n.user_id,
+         max(n.cnt) AS mxc,
+         avg(h.nmn + (n.b + 0.5) * ((h.nmx - h.nmn) / 10.0)) AS neg_mode
+  FROM ha_nbins n
+  JOIN ha_nm nm ON nm.user_id = n.user_id AND n.cnt = nm.mxc
+  JOIN ha_sides h ON h.user_id = n.user_id
+  GROUP BY n.user_id
+)
+SELECT h.user_id,
+       round(CAST(h.np_ - h.nn_ AS DOUBLE), 6) AS density_diff,
+       round(CAST(p.mxc AS DOUBLE) / h.nz, 6) AS mode_prob_pos,
+       round(CAST(n.mxc AS DOUBLE) / h.nz, 6) AS mode_prob_neg,
+       round(CAST(p.mxc AS DOUBLE) / h.nz
+             - CAST(n.mxc AS DOUBLE) / h.nz, 6) AS mode_diff,
+       round(p.pos_mode, 6) AS pos_mode,
+       round(n.neg_mode, 6) AS neg_mode,
+       round(p.pos_mode + n.neg_mode, 6) AS mode_asymmetry
+FROM ha_sides h
+JOIN ha_pos p ON p.user_id = h.user_id
+JOIN ha_neg n ON n.user_id = h.user_id
 """)
 
 # --- CO_glscf alpha=1 beta=1 tau=2 per user -------------------------------

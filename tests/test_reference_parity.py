@@ -169,6 +169,11 @@ CASES = [
          lambda f, y: f(y, 25)),
     Case("histogram_mode10", lambda y: K.histogram_mode(y, 10),
          "HistogramMode", lambda f, y: f(y, 10)),
+    # quantized input forces tied bin maxima: the reference AVERAGES
+    # tied centers (Distribution.py:770)
+    Case("histogram_mode_ties",
+         lambda y: K.histogram_mode(np.round(y, 0), 10),
+         "HistogramMode", lambda f, y: f(np.round(y, 0), 10)),
     Case("pleft_01", lambda y: __import__(
         "pyhctsa_spark.functions.distribution_extra", fromlist=["pleft"]
     ).pleft(y, 0.1), "PLeft", lambda f, y: f(y, 0.1)),
