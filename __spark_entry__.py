@@ -251,6 +251,43 @@ def _rollup_cascade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QROLLUP_OUT = [
+    "doc_id", "source", "tier", "window_idx", "n", "n_distinct",
+    "mode_tok", "mode_count", "p25", "p50", "p75", "p90",
+]
+
+
+def _rollup_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quantile tier rollup (operators/quantile_rollup): per-window
+    inverted-CDF p25/p50/p75/p90, mode and distinct count over the
+    integer token domain, tiers 4/16/64 built by merging sparse
+    histogram state in the same shuffle-free single mapInArrow pass as
+    the flagship. All-integer outputs — the oracle comparison has no
+    float boundary at all."""
+    from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
+
+    seq = _sequences_from_events(spark, sf_dir)
+    r = rollup_quantile_tiers(seq, window=4, group=4, n_tiers=3)
+    return r.select(*_QROLLUP_OUT)
+
+
+def _rollup_quantile_cascade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistics retention path: tier 1 computed ONLY from the
+    materialized tier-0 histogram store — every column stays exact after
+    the merge (the ALG cascade cannot answer order statistics once raw
+    is gone; the sparse histogram state can, exactly, because the token
+    domain is integer)."""
+    from pyhctsa_spark.operators.quantile_rollup import (
+        quantile_cascade_from_store,
+        rollup_quantile_tiers,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    t0 = rollup_quantile_tiers(seq, window=4, group=4, n_tiers=1)
+    t1 = quantile_cascade_from_store(t0, group=4)
+    return t1.select(*_QROLLUP_OUT)
+
+
 def _rollup_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill path under the driver gate: deterministically drop
     interior offsets (rn % 7 == 3), feed the sparse (offsets, values)
@@ -481,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_cascade_tier1"] = _rollup_cascade_query
     out["rollup_gapfill"] = _rollup_gapfill_query
     out["rollup_full_events"] = _rollup_full_query
+    out["rollup_quantiles"] = _rollup_quantiles_query
+    out["rollup_quantile_cascade"] = _rollup_quantile_cascade_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query
     out["doc_neardup_clusters"] = _neardup_clusters_query

@@ -1356,6 +1356,113 @@ SELECT doc_id, source, window_idx, n,
 FROM f3
 """
 
+# Exact-quantile rollup (operators/quantile_rollup.rollup_quantile_tiers):
+# per-window inverted-CDF quantiles / mode / distinct count over the
+# integer token domain, tiers built by MERGING sparse histogram state
+# in one shuffle-free mapInArrow pass. The oracle recomputes every
+# window directly from raw events in pure integer arithmetic: the
+# quantile threshold "cum >= ceil(q*n)" is expressed as
+# den*cum >= num*n (integers both sides), so no float boundary can
+# split the engines. Mode tie-break = smallest token (min FILTER).
+ENGINE_ORACLES["rollup_quantiles"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(round(value) AS INTEGER) AS tok
+  FROM events
+),
+tiers AS (
+  SELECT CAST(0 AS INTEGER) AS tier, 4 AS wlen
+  UNION ALL SELECT CAST(1 AS INTEGER), 16
+  UNION ALL SELECT CAST(2 AS INTEGER), 64
+),
+w AS (
+  SELECT s.doc_id, s.source, t.tier, t.wlen,
+         CAST(floor(s.rn / t.wlen) AS BIGINT) AS window_idx, s.tok
+  FROM series s CROSS JOIN tiers t
+),
+vc AS (
+  SELECT doc_id, source, tier, wlen, window_idx, tok,
+         CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY doc_id, source, tier, wlen, window_idx, tok
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY doc_id, tier, window_idx
+                         ORDER BY tok) AS cumc
+  FROM vc
+),
+tot AS (
+  SELECT doc_id, source, tier, wlen, window_idx,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS maxc
+  FROM vc GROUP BY doc_id, source, tier, wlen, window_idx
+  HAVING sum(c) = wlen
+)
+SELECT t.doc_id, t.source, t.tier, t.window_idx, t.n, t.n_distinct,
+       CAST(min(c.tok) FILTER (WHERE c.c = t.maxc) AS INTEGER) AS mode_tok,
+       t.maxc AS mode_count,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 25 * t.n) AS INTEGER) AS p25,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 50 * t.n) AS INTEGER) AS p50,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 75 * t.n) AS INTEGER) AS p75,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 90 * t.n) AS INTEGER) AS p90
+FROM tot t
+JOIN cum c ON c.doc_id = t.doc_id AND c.tier = t.tier
+          AND c.window_idx = t.window_idx
+GROUP BY t.doc_id, t.source, t.tier, t.window_idx, t.n, t.n_distinct, t.maxc
+"""
+
+# Retention path for order statistics: tier 1 computed ONLY from the
+# materialized tier-0 histogram store
+# (operators/quantile_rollup.quantile_cascade_from_store). Unlike the
+# ALG cascade — whose HOL columns go NULL once raw is gone — the sparse
+# histogram state keeps EVERY output column exact after the merge, which
+# this oracle proves by recomputing tier 1 directly from raw events.
+ENGINE_ORACLES["rollup_quantile_cascade"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(round(value) AS INTEGER) AS tok
+  FROM events
+),
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 16) AS BIGINT) AS window_idx, tok
+  FROM series
+),
+vc AS (
+  SELECT doc_id, source, window_idx, tok,
+         CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY doc_id, source, window_idx, tok
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY doc_id, window_idx
+                         ORDER BY tok) AS cumc
+  FROM vc
+),
+tot AS (
+  SELECT doc_id, source, window_idx,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS maxc
+  FROM vc GROUP BY doc_id, source, window_idx
+  HAVING sum(c) = 16
+)
+SELECT t.doc_id, t.source, CAST(1 AS INTEGER) AS tier, t.window_idx,
+       t.n, t.n_distinct,
+       CAST(min(c.tok) FILTER (WHERE c.c = t.maxc) AS INTEGER) AS mode_tok,
+       t.maxc AS mode_count,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 25 * t.n) AS INTEGER) AS p25,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 50 * t.n) AS INTEGER) AS p50,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 75 * t.n) AS INTEGER) AS p75,
+       CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 90 * t.n) AS INTEGER) AS p90
+FROM tot t
+JOIN cum c ON c.doc_id = t.doc_id AND c.window_idx = t.window_idx
+GROUP BY t.doc_id, t.source, t.window_idx, t.n, t.n_distinct, t.maxc
+"""
+
 # Gap-fill path: interior offsets rn % 7 == 3 are dropped; the engine's
 # gap_fill (np.interp: linear interior, edge clamp) reconstructs the
 # dense series before windowing. This SQL re-derives the filled values
