@@ -86,6 +86,27 @@ def bench_rollup(spark, seq_path: str) -> dict:
     }
 
 
+def bench_quantile_rollup(spark, seq_path: str) -> dict:
+    """Exact-quantile tier rollup (mergeable sparse token histograms):
+    same shuffle-free single-pass plan as the flagship, order-statistics
+    outputs instead of moments."""
+    from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
+
+    df = spark.read.parquet(seq_path)
+    total_points = df.selectExpr("sum(n_tok)").first()[0]
+    wall = float("inf")
+    for _ in range(3):
+        out_dir = tempfile.mkdtemp(prefix="qrollup_store_")
+        t0 = time.perf_counter()
+        rollup_quantile_tiers(df).write.mode("overwrite").parquet(out_dir)
+        wall = min(wall, time.perf_counter() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "qrollup_sec": round(wall, 3),
+        "qrollup_points_per_sec": round(total_points / wall, 1),
+    }
+
+
 def bench_feature_matrix(spark, seq_path: str, n_docs_cap: int = 600) -> dict:
     """hctsa-style feature extraction throughput: a 24-op registry subset
     over whole doc series (the reference's extract() analogue)."""
@@ -381,6 +402,7 @@ def main() -> None:
     # warm the JVM/python workers with a tiny pass, then measure
     spark.read.parquet(seq_path).limit(10).count()
     roll = bench_rollup(spark, seq_path)
+    qroll = bench_quantile_rollup(spark, seq_path)
     featmat = bench_feature_matrix(spark, seq_path)
     queries = bench_queries(spark)
     simblock = bench_simhash_blocking(spark)
@@ -395,6 +417,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         **roll,
+        **qroll,
         **featmat,
         **simblock,
         **ann,
