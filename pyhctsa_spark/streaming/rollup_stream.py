@@ -58,6 +58,40 @@ def stream_rollup(
     return writer.start()
 
 
+def stream_quantile_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: int = 32,
+    group: int = 16,
+    n_tiers: int = 3,
+    binary: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming exact-quantile tier rollup: the same stateless
+    mapInArrow histogram kernel (operators/quantile_rollup) under
+    Structured Streaming — per-window inverted-CDF quantiles / mode /
+    distinct plus the mergeable ``hist_bin`` state column, exactly-once
+    into the sink. The stored state keeps late ``quantile_cascade_from_
+    store`` refreshes exact (order statistics never degrade to NULL)."""
+    from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
+
+    schema = SEQ_BIN_SCHEMA if binary else SEQ_SCHEMA
+    seq = spark.readStream.schema(schema).parquet(source_dir)
+    tiers = rollup_quantile_tiers(seq, window=window, group=group,
+                                  n_tiers=n_tiers)
+    writer = (
+        tiers.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup_chunks(
     spark: SparkSession,
     source_dir: str,

@@ -159,6 +159,29 @@ def test_quantile_cascade_exact_from_store(spark, seq, tmp_path_factory):
             assert getattr(r, c) == getattr(direct[key], c), (key, c)
 
 
+def test_streaming_quantile_rollup_matches_batch(spark, tmp_path_factory):
+    import pandas as pd
+
+    from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
+    from pyhctsa_spark.sources.synthetic import sequences_df
+    from pyhctsa_spark.streaming.rollup_stream import stream_quantile_rollup
+
+    base = tmp_path_factory.mktemp("qstream")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    sequences_df(spark, 10, partitions=2, binary=True).write.parquet(src)
+    q = stream_quantile_rollup(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+    )
+    want = (
+        rollup_quantile_tiers(spark.read.parquet(src)).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_quantile_rollup_plan_has_no_exchange(spark, seq):
     from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
 
