@@ -288,6 +288,23 @@ def _rollup_quantile_cascade_query(spark: SparkSession, sf_dir: str) -> DataFram
     return t1.select(*_QROLLUP_OUT)
 
 
+def _rollup_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters from the materialized hist store: top-3 tokens per
+    tier-1 window (count desc, token asc), unpacked map-side from
+    hist_bin with no raw revisit and no shuffle — the stored histogram
+    answers order-statistics questions that were never precomputed."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.quantile_rollup import (
+        rollup_quantile_tiers,
+        topk_tokens_from_store,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    tiers = rollup_quantile_tiers(seq, window=4, group=4, n_tiers=2)
+    return topk_tokens_from_store(tiers.where(F.col("tier") == 1), k=3)
+
+
 def _rollup_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill path under the driver gate: deterministically drop
     interior offsets (rn % 7 == 3), feed the sparse (offsets, values)
@@ -520,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_full_events"] = _rollup_full_query
     out["rollup_quantiles"] = _rollup_quantiles_query
     out["rollup_quantile_cascade"] = _rollup_quantile_cascade_query
+    out["rollup_topk_tokens"] = _rollup_topk_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query
     out["doc_neardup_clusters"] = _neardup_clusters_query

@@ -147,6 +147,31 @@ def finalize(state: HistState) -> dict[str, np.ndarray]:
     return out
 
 
+def topk(state: HistState, k: int) -> dict[str, np.ndarray]:
+    """Top-k heavy-hitter tokens per window, exploded.
+
+    Deterministic order: count descending, token ascending on ties.
+    Returns flat arrays (row, rank, token, count) — row is the window
+    index, rank is 1-based; windows with fewer than k distinct tokens
+    emit fewer rows. The histogram is exact, so unlike SpaceSaving /
+    Count-Min heavy hitters there is no error bound to carry."""
+    vals, cnts, offs = state["vals"], state["cnts"], state["offs"]
+    nd = np.diff(offs)
+    rows = entry_rows(state)
+    # primary key rows keeps each window's entries contiguous after the
+    # sort, so position-in-window at sorted index i is i - offs[row]
+    order = np.lexsort((vals, -cnts, rows))
+    within = np.arange(len(vals)) - np.repeat(offs[:-1], nd)
+    keep = within < k
+    sel = order[keep]
+    return {
+        "row": rows[keep],
+        "rank": (within[keep] + 1).astype(np.int64),
+        "token": vals[sel],
+        "count": cnts[sel],
+    }
+
+
 # ---------------------------------------------------------------------------
 # Binary store format: interleaved little-endian int32 (value, count)
 # pairs per window — the materialized-tier column the cascade reads.

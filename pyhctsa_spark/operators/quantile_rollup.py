@@ -148,6 +148,54 @@ def rollup_quantile_tiers(
     )
 
 
+TOPK_SCHEMA = (
+    "doc_id string, source string, tier int, window_idx long, "
+    "rank long, token int, tok_count long"
+)
+
+_TOPK_PA = pa.schema([
+    ("doc_id", pa.string()), ("source", pa.string()), ("tier", pa.int32()),
+    ("window_idx", pa.int64()), ("rank", pa.int64()),
+    ("token", pa.int32()), ("tok_count", pa.int64()),
+])
+
+
+def topk_tokens_from_store(tier_df: DataFrame, k: int = 3) -> DataFrame:
+    """Ad-hoc heavy hitters from the materialized hist store: top-k
+    tokens per stored window (count desc, token asc on ties), with NO
+    raw-token revisit and NO shuffle — a map-side unpack of ``hist_bin``.
+    This is the point of carrying the histogram state: the store answers
+    order-statistics questions that were never precomputed, exactly
+    (SpaceSaving/Count-Min heavy hitters would carry an error bound)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            names = rb.schema.names
+            doc_ids = rb.column(names.index("doc_id")).to_pylist()
+            sources = rb.column(names.index("source")).to_pylist()
+            tiers = rb.column(names.index("tier")).to_numpy()
+            widx = rb.column(names.index("window_idx")).to_numpy()
+            blobs = [row.as_py() for row in rb.column(names.index("hist_bin"))]
+            state = H.unpack_blobs(blobs)
+            t = H.topk(state, k)
+            r = t["row"]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([doc_ids[i] for i in r], type=pa.string()),
+                    pa.array([sources[i] for i in r], type=pa.string()),
+                    pa.array(tiers[r].astype(np.int32)),
+                    pa.array(widx[r].astype(np.int64)),
+                    pa.array(t["rank"]),
+                    pa.array(t["token"].astype(np.int32)),
+                    pa.array(t["count"].astype(np.int64)),
+                ],
+                schema=_TOPK_PA,
+            )
+
+    cols = ["doc_id", "source", "tier", "window_idx", "hist_bin"]
+    return tier_df.select(*cols).mapInArrow(fn, schema=TOPK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Retention-path cascade: tier k+1 from the materialized hist store
 # ---------------------------------------------------------------------------

@@ -1463,6 +1463,46 @@ JOIN cum c ON c.doc_id = t.doc_id AND c.window_idx = t.window_idx
 GROUP BY t.doc_id, t.source, t.window_idx, t.n, t.n_distinct, t.maxc
 """
 
+# Ad-hoc heavy hitters from the materialized hist store
+# (operators/quantile_rollup.topk_tokens_from_store): top-3 tokens per
+# tier-1 window, count desc / token asc — a question the store was never
+# precomputed for, answered exactly from hist_bin with no raw revisit.
+# The oracle recomputes the counts from raw events with row_number.
+ENGINE_ORACLES["rollup_topk_tokens"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(round(value) AS INTEGER) AS tok
+  FROM events
+),
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 16) AS BIGINT) AS window_idx, tok
+  FROM series
+),
+vc AS (
+  SELECT doc_id, source, window_idx, tok,
+         CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY doc_id, source, window_idx, tok
+),
+tot AS (
+  SELECT doc_id, window_idx
+  FROM vc GROUP BY doc_id, window_idx
+  HAVING sum(c) = 16
+),
+rk AS (
+  SELECT vc.*,
+         CAST(row_number() OVER (PARTITION BY vc.doc_id, vc.window_idx
+                                 ORDER BY vc.c DESC, vc.tok ASC) AS BIGINT) AS rank
+  FROM vc JOIN tot ON vc.doc_id = tot.doc_id
+                  AND vc.window_idx = tot.window_idx
+)
+SELECT doc_id, source, CAST(1 AS INTEGER) AS tier, window_idx, rank,
+       CAST(tok AS INTEGER) AS token, c AS tok_count
+FROM rk WHERE rank <= 3
+"""
+
 # Gap-fill path: interior offsets rn % 7 == 3 are dropped; the engine's
 # gap_fill (np.interp: linear interior, edge clamp) reconstructs the
 # dense series before windowing. This SQL re-derives the filled values

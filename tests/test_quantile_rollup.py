@@ -84,6 +84,27 @@ def test_pack_roundtrip_bytes_and_arrow():
         np.testing.assert_array_equal(back2[key], state[key])
 
 
+def test_topk_matches_brute():
+    rng = np.random.default_rng(17)
+    Y = _rand_mat(rng, 20, 30, lo=0, hi=12)
+    t = H.topk(H.hist_from_windows(Y), 3)
+    for w in range(20):
+        uniq, cnt = np.unique(Y[w], return_counts=True)
+        order = np.lexsort((uniq, -cnt))[:3]
+        mask = t["row"] == w
+        np.testing.assert_array_equal(t["token"][mask], uniq[order])
+        np.testing.assert_array_equal(t["count"][mask], cnt[order])
+        np.testing.assert_array_equal(t["rank"][mask], np.arange(1, len(order) + 1))
+
+
+def test_topk_fewer_distinct_than_k():
+    Y = np.array([[5, 5, 5, 5], [1, 2, 1, 2]], dtype=np.int64)
+    t = H.topk(H.hist_from_windows(Y), 3)
+    assert list(t["row"]) == [0, 1, 1]
+    assert list(t["token"]) == [5, 1, 2]
+    assert list(t["count"]) == [4, 2, 2]
+
+
 def test_state_size_bounded_by_vocab():
     rng = np.random.default_rng(13)
     toks = rng.integers(0, 10, size=4096).astype(np.int64)  # vocab 10
@@ -157,6 +178,34 @@ def test_quantile_cascade_exact_from_store(spark, seq, tmp_path_factory):
         assert r.tier == 1
         for c in cols:
             assert getattr(r, c) == getattr(direct[key], c), (key, c)
+
+
+def test_topk_from_store_no_exchange_and_matches_brute(spark, seq):
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.quantile_rollup import (
+        rollup_quantile_tiers,
+        topk_tokens_from_store,
+    )
+
+    W, group = 8, 4
+    tiers = rollup_quantile_tiers(seq, window=W, group=group, n_tiers=2)
+    tk = topk_tokens_from_store(tiers.where(F.col("tier") == 1), k=3)
+    plan = tk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = tk.collect()
+    toks = _tok_arrays(spark, 12)
+    L = W * group
+    by_win = {}
+    for r in rows:
+        by_win.setdefault((r.doc_id, r.window_idx), []).append(r)
+    for (doc_id, w), rs in by_win.items():
+        win = toks[doc_id][w * L:(w + 1) * L]
+        uniq, cnt = np.unique(win, return_counts=True)
+        order = np.lexsort((uniq, -cnt))[:3]
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.token for r in rs] == list(uniq[order])
+        assert [r.tok_count for r in rs] == list(cnt[order])
 
 
 def test_streaming_quantile_rollup_matches_batch(spark, tmp_path_factory):
