@@ -305,6 +305,65 @@ def _rollup_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_tokens_from_store(tiers.where(F.col("tier") == 1), k=3)
 
 
+def _asof_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, merge formulation: union + one window scan, single
+    shuffle on user_id, NO join node (plan-asserted in
+    test_temporal_join). Every event picks the latest same-user 'error'
+    event at-or-before its timestamp; the DuckDB oracle is the native
+    ASOF LEFT JOIN — an independent algorithm."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.temporal_join import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value", "event_type",
+    )
+    marks = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("mv")
+    )
+    j = asof_join(
+        ev.drop("event_type"), marks,
+        on="ts", by=["user_id"], value_cols=["mv"], direction="backward",
+    )
+    return j.select(
+        "user_id", "event_id",
+        F.round("value", 6).alias("value_v"),
+        F.round("mv_matched", 6).alias("mark_value"),
+        F.unix_micros(F.col("ts_matched")).alias("mark_ts_us"),
+    )
+
+
+def _range_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, bucketed equi-join formulation: intervals explode to
+    the 30-minute buckets they overlap; each (event, interval) pair
+    meets in exactly one bucket, so no dedup pass. The oracle is the
+    plain inequality join (fine at sf scale, cartesian at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.temporal_join import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value", "event_type",
+    )
+    ivl = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    j = range_join(
+        ev.drop("event_type"), ivl,
+        on="ts", by=["user_id"], start="start_ts", end="end_ts",
+        bucket_width_micros=30 * 60 * 1_000_000,
+    )
+    return j.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("start_ts")).alias("ivl_start_us"),
+        F.round("value", 6).alias("value_v"),
+    )
+
+
 def _rollup_gapfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill path under the driver gate: deterministically drop
     interior offsets (rn % 7 == 3), feed the sparse (offsets, values)
@@ -538,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_quantiles"] = _rollup_quantiles_query
     out["rollup_quantile_cascade"] = _rollup_quantile_cascade_query
     out["rollup_topk_tokens"] = _rollup_topk_query
+    out["user_asof_error"] = _asof_error_query
+    out["user_range_error"] = _range_error_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query
     out["doc_neardup_clusters"] = _neardup_clusters_query

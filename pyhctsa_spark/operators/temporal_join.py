@@ -1,0 +1,165 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+Both are written for the 100 TB case:
+
+``asof_join`` — the classic TSDB/kdb operation (each left row picks the
+most recent right row at-or-before its timestamp, per key). The naive
+formulation is a range join (O(|L|·|R|) per key, a cartesian bomb).
+This implementation is the MERGE formulation instead: union the two
+sides, sort by (key, ts, side-tag), and carry the right payload forward
+with ``last(..., ignorenulls) ROWS UNBOUNDED PRECEDING`` — ONE shuffle
+on the partition keys, linear work, no join node at all. Catalyst sees
+a plain window over a union, so AQE/skew handling apply as usual.
+
+``range_join`` — point-in-interval join. The naive inequality join
+degenerates to a per-key cartesian. Bucketing turns it into an
+equi-join: intervals explode to the fixed-width buckets they overlap,
+points carry their single bucket, and the residual predicate filters
+inside the bucket pair (the same strategy as Databricks' range-join
+hints / TimescaleDB chunk exclusion). Each (point, interval) pair meets
+in exactly ONE bucket — the point's — so no dedup pass is needed.
+``bucket_width`` should be on the order of the typical interval length:
+an interval explodes to ~len/width + 1 rows, while a too-wide bucket
+inflates the candidate pairs the residual filter must discard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_TS = "_asof_ts"
+_TAG = "_asof_tag"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Each left row gains the nearest right row's ``value_cols``.
+
+    direction='backward': latest right with right.on <= left.on (ties on
+    the timestamp match — the right row sorts first). 'forward': earliest
+    right with right.on >= left.on. ``tolerance_micros`` nulls the match
+    when |left.on - right.on| exceeds it. Matched right columns are
+    suffixed; ``on + suffix`` carries the matched right timestamp.
+    One shuffle on ``by`` keys; no join node (see module docstring).
+    """
+    by = list(by or ["user_id"])
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    value_cols = list(value_cols or
+                      [c for c in right.columns if c not in by + [on]])
+    lpay = [c for c in left.columns if c not in by + [on]]
+
+    lside = left.select(
+        *by,
+        F.col(on).alias(_TS),
+        F.lit(1).alias(_TAG),
+        *[F.col(c).alias(f"_l_{c}") for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("_r_ts"),
+    )
+    rside = right.select(
+        *by,
+        F.col(on).alias(_TS),
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lpay],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(on).alias("_r_ts"),
+    )
+    u = lside.unionByName(rside)
+
+    # backward: ascending scan, right rows (tag 0) sort before left rows
+    # at the same timestamp so an equal-ts right row IS matched;
+    # forward: the same scan over descending timestamps.
+    if direction == "backward":
+        w = Window.partitionBy(*by).orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
+    else:
+        w = Window.partitionBy(*by).orderBy(F.col(_TS).desc(), F.col(_TAG).asc())
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    carried = u.select(
+        *by, _TS, _TAG,
+        *[f"_l_{c}" for c in lpay],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+          for c in value_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_r_ts"),
+    ).where(F.col(_TAG) == 1)
+
+    if tolerance_micros is not None:
+        # requires `on` to be a TimestampType column
+        gap = F.abs(F.unix_micros(F.col(_TS)) - F.unix_micros(F.col("_r_ts")))
+        ok = F.col("_r_ts").isNotNull() & (gap <= F.lit(tolerance_micros))
+        carried = carried.select(
+            *by, _TS, _TAG,
+            *[f"_l_{c}" for c in lpay],
+            *[F.when(ok, F.col(f"_r_{c}")).alias(f"_r_{c}")
+              for c in value_cols],
+            F.when(ok, F.col("_r_ts")).alias("_r_ts"),
+        )
+
+    return carried.select(
+        *by,
+        F.col(_TS).alias(on),
+        *[F.col(f"_l_{c}").alias(c) for c in lpay],
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_r_ts").alias(f"{on}{suffix}"),
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_width_micros: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Join point rows to the interval rows covering them
+    (start <= point < end), per key — as a bucketed EQUI-join.
+    One output row per (point, interval) match. All three timestamp
+    columns must be TimestampType.
+    """
+    by = list(by or ["user_id"])
+    wus = F.lit(int(bucket_width_micros))
+    s_us = F.unix_micros(F.col(start))
+    e_us = F.unix_micros(F.col(end))
+
+    pts = points.withColumn("_bucket", F.floor(F.unix_micros(F.col(on)) / wus))
+    # end is exclusive: the last covered microsecond is end-1. The
+    # interval side renames its key/payload columns up front: points and
+    # intervals often derive from the SAME source table (a self-join),
+    # and identically-named column references would resolve ambiguously
+    # (Spark warns "trivially true predicate" and may drop the key).
+    iv_pay = [c for c in intervals.columns if c not in by]
+    iv = (
+        intervals.where(e_us > s_us)
+        .withColumn(
+            "_ivb",
+            F.explode(F.sequence(F.floor(s_us / wus),
+                                 F.floor((e_us - F.lit(1)) / wus))),
+        )
+        .select(
+            *[F.col(k).alias(f"_iv_{k}") for k in by],
+            *[F.col(c).alias(f"_iv_{c}") for c in iv_pay],
+            "_ivb",
+        )
+    )
+    cond = [pts[k] == iv[f"_iv_{k}"] for k in by] + [pts["_bucket"] == iv["_ivb"]]
+    resid = (
+        (F.unix_micros(F.col(f"_iv_{start}")) <= F.unix_micros(F.col(on)))
+        & (F.unix_micros(F.col(on)) < F.unix_micros(F.col(f"_iv_{end}")))
+    )
+    return pts.join(iv, cond, "inner").where(resid).select(
+        *points.columns,
+        *[F.col(f"_iv_{c}").alias(c) for c in iv_pay],
+    )

@@ -1503,6 +1503,40 @@ SELECT doc_id, source, CAST(1 AS INTEGER) AS tier, window_idx, rank,
 FROM rk WHERE rank <= 3
 """
 
+# As-of join (operators/temporal_join.asof_join): every event picks the
+# most recent 'error' event of the same user at-or-before its timestamp.
+# The engine side is the MERGE formulation (union + single window scan,
+# one shuffle, no join node); the oracle is DuckDB's native ASOF LEFT
+# JOIN — a completely independent algorithm, which is what makes this a
+# strong check. Right-side (user_id, ts) pairs are tie-free at every SF
+# (verified), so both formulations are deterministic.
+ENGINE_ORACLES["user_asof_error"] = """
+SELECT e.user_id, e.event_id, round(e.value, 6) AS value_v,
+       round(m.mv, 6) AS mark_value,
+       CAST(epoch_us(m.mts) AS BIGINT) AS mark_ts_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts AS mts, value AS mv
+                FROM events WHERE event_type = 'error') m
+  ON e.user_id = m.user_id AND e.ts >= m.mts
+"""
+
+# Range join (operators/temporal_join.range_join): events inside the
+# 30-minute window opened by each same-user 'error' event. The engine
+# explodes intervals to fixed-width buckets and equi-joins (each pair
+# meets in exactly one bucket — the point's); the oracle is the plain
+# inequality join, which is fine at oracle scale and a cartesian bomb
+# at engine scale.
+ENGINE_ORACLES["user_range_error"] = """
+SELECT e.user_id, e.event_id,
+       CAST(epoch_us(i.ts) AS BIGINT) AS ivl_start_us,
+       round(e.value, 6) AS value_v
+FROM events e
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') i
+  ON e.user_id = i.user_id
+ AND epoch_us(e.ts) >= epoch_us(i.ts)
+ AND epoch_us(e.ts) < epoch_us(i.ts) + 1800000000
+"""
+
 # Gap-fill path: interior offsets rn % 7 == 3 are dropped; the engine's
 # gap_fill (np.interp: linear interior, edge clamp) reconstructs the
 # dense series before windowing. This SQL re-derives the filled values

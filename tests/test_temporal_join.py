@@ -1,0 +1,155 @@
+"""As-of join (union+window merge formulation) vs pandas.merge_asof,
+range join (bucketed equi-join) vs brute force, and plan shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyhctsa_spark.operators.temporal_join import asof_join, range_join
+
+
+def _mk(rng, n_keys=4, n_left=300, n_right=60):
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, n_keys, n_left),
+        "ts": base + pd.to_timedelta(
+            np.sort(rng.integers(0, 10**9, n_left)), unit="us"),
+        "lv": rng.normal(size=n_left).round(3),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, n_keys, n_right),
+        "ts": base + pd.to_timedelta(
+            np.sort(rng.integers(0, 10**9, n_right)), unit="us"),
+        "rv": rng.normal(size=n_right).round(3),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    rng = np.random.default_rng(23)
+    left, right = _mk(rng)
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", by=["user_id"], value_cols=["rv"], direction=direction,
+        )
+        .toPandas().sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction=direction, suffixes=("", "_m"),
+    ).sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(
+        got["rv_matched"], want["rv"].rename("rv_matched"),
+        check_exact=True,
+    )
+
+
+def test_asof_tolerance(spark):
+    rng = np.random.default_rng(29)
+    left, right = _mk(rng)
+    tol = 50_000_000  # 50 s
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", by=["user_id"], value_cols=["rv"],
+            tolerance_micros=tol,
+        )
+        .toPandas().sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        tolerance=pd.Timedelta(microseconds=tol), suffixes=("", "_m"),
+    ).sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["rv_matched"], want["rv"].rename("rv_matched"), check_exact=True,
+    )
+
+
+def test_asof_equal_ts_matches_inclusively(spark):
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({"user_id": [1], "ts": [base], "lv": [1.0]})
+    right = pd.DataFrame({"user_id": [1], "ts": [base], "rv": [9.0]})
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by=["user_id"], value_cols=["rv"],
+    ).collect()
+    assert got[0].rv_matched == 9.0
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    rng = np.random.default_rng(31)
+    left, right = _mk(rng)
+    df = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by=["user_id"], value_cols=["rv"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # merge formulation: window over a union
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_matches_brute(spark):
+    rng = np.random.default_rng(37)
+    left, right = _mk(rng, n_left=200, n_right=30)
+    width = 120_000_000  # 2 min intervals
+    right = right.assign(
+        start_ts=right["ts"],
+        end_ts=right["ts"] + pd.Timedelta(microseconds=width),
+    ).drop(columns=["ts"])
+    got = range_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by=["user_id"], start="start_ts", end="end_ts",
+        bucket_width_micros=60_000_000,
+    ).toPandas()
+    brute = []
+    for _, p in left.iterrows():
+        for _, iv in right.iterrows():
+            if (p.user_id == iv.user_id and iv.start_ts <= p.ts < iv.end_ts):
+                brute.append((p.user_id, p.ts, p.lv, iv.start_ts))
+    want = sorted(brute)
+    gotl = sorted(zip(got.user_id, got.ts, got.lv, got.start_ts))
+    assert gotl == want
+    assert len(want) > 0
+
+
+def test_range_join_interval_spanning_many_buckets(spark):
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [base + pd.Timedelta(minutes=m) for m in (0, 59, 61)],
+        "lv": [1.0, 2.0, 3.0],
+    })
+    right = pd.DataFrame({
+        "user_id": [1],
+        "start_ts": [base],
+        "end_ts": [base + pd.Timedelta(minutes=60)],
+        "tag": ["iv0"],
+    })
+    got = range_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        bucket_width_micros=60_000_000,  # 1-min buckets, 60-bucket span
+    ).toPandas()
+    # end exclusive: minutes 0 and 59 covered, 61 not; each match ONCE
+    assert sorted(got.lv.tolist()) == [1.0, 2.0]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    rng = np.random.default_rng(41)
+    left, right = _mk(rng, n_left=50, n_right=10)
+    right = right.assign(
+        start_ts=right["ts"],
+        end_ts=right["ts"] + pd.Timedelta(minutes=2),
+    ).drop(columns=["ts"])
+    df = range_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        bucket_width_micros=60_000_000,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bucketing turns the range predicate into an equi-join; a
+    # NestedLoop/cartesian here means the rewrite regressed
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
