@@ -586,6 +586,28 @@ def _bpe_real_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs)
 
 
+def _resample_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF resample to a regular 15-minute grid
+    (operators/temporal_join.resample_locf): per user, grid points from
+    the first event (rounded up) to the last, each carrying the value in
+    force (as-of backward, inclusive). Engine = one aggregate + grid
+    explode + the merge-form asof scan; the DuckDB oracle is
+    generate_series + a native ASOF LEFT JOIN — an independent
+    algorithm for the same semantics."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.temporal_join import resample_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    r = resample_locf(ev, on="ts", by=["user_id"], value_col="value",
+                      step_micros=15 * 60 * 1_000_000)
+    return r.select(
+        "user_id", "gus", F.round("value", 6).alias("locf_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -628,6 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "user_stickangles", "user_vg_horiz", "user_embed2",
                  "user_ppc_medianf3", "user_moment_corr"):
         out[name] = _mk(name)
+    # TSDB continuous-aggregate surfaces (round 4): time-weighted average
+    # over irregular events and LOCF resampling to a regular grid
+    out["user_twa_30m"] = _mk("user_twa_30m")
+    out["user_resample_15m"] = _resample_locf_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -115,6 +115,53 @@ def asof_join(
     )
 
 
+def resample_locf(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    step_micros: int = 15 * 60 * 1_000_000,
+) -> DataFrame:
+    """Resample irregular events to a regular grid with LOCF fill.
+
+    Per key: grid points every ``step_micros`` from the first event
+    (rounded up to the grid) to the last; each point carries the value
+    in force at that instant (as-of backward, inclusive). Output:
+    by-keys, ``gus`` (grid epoch micros), ``value`` — the asof carry.
+    The grid is built with an aggregate + ``explode(sequence(...))``
+    (no driver-side loop) and matched with the merge-form ``asof_join``,
+    so the whole resample is one aggregate plus one window scan.
+    """
+    by = list(by or ["user_id"])
+    step = int(step_micros)
+    bounds = events.groupBy(*by).agg(
+        F.min(F.unix_micros(F.col(on))).alias("_lo"),
+        F.max(F.unix_micros(F.col(on))).alias("_hi"),
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(
+                (F.floor((F.col("_lo") + F.lit(step - 1)) / F.lit(step))
+                 * F.lit(step)).cast("long"),
+                F.col("_hi"),
+                F.lit(step),
+            )
+        ).alias("gus"),
+    )
+    # the asof scan compares like-named columns, so the event time is
+    # exposed under the grid's name (both are epoch micros, BIGINT)
+    ev = events.select(
+        *by,
+        F.unix_micros(F.col(on)).alias("gus"),
+        F.col(value_col).alias("_v"),
+    )
+    return asof_join(
+        grid, ev, on="gus", by=by, value_cols=["_v"], direction="backward",
+        suffix="_m",
+    ).select(*by, "gus", F.col("_v_m").alias(value_col))
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -6702,6 +6702,66 @@ QUERIES["user_sessions"] = _q2(
 )
 
 
+# --- Time-weighted average rollup (irregular events, LOCF weighting) --------
+# TimescaleDB-style time_weight('LOCF') over 30-minute wall-clock
+# windows: each event's value holds until the next same-user event,
+# clamped to the window end; the divisor is the covered span
+# (window end - first event). Weights are normalized to fractions
+# BEFORE summing so the aggregate stays at value magnitude — a raw
+# micros-weighted sum reaches ~1e11 where double summation-order noise
+# (~1e-5 absolute) could flip the round(6) hash between engines.
+# (user_id, ts) pairs are tie-free at every SF (verified), so lead()
+# is deterministic.
+_TWA_BODY = """
+w AS (
+  SELECT user_id, tus, value,
+         lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS nxt,
+         CAST(floor(tus / 1800000000) AS BIGINT) AS widx
+  FROM e
+),
+wd AS (
+  SELECT user_id, widx, tus, value, nxt,
+         (widx + 1) * 1800000000 AS wend,
+         min(tus) OVER (PARTITION BY user_id, widx) AS t0
+  FROM w
+)
+SELECT user_id, widx, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value
+                 * CAST(least(coalesce(nxt, wend), wend) - tus AS DOUBLE)
+                 / CAST(wend - t0 AS DOUBLE)), 6) AS twa
+FROM wd GROUP BY user_id, widx
+"""
+QUERIES["user_twa_30m"] = _q2(
+    "WITH e AS (SELECT user_id, value,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n" + _TWA_BODY,
+    "WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus"
+    " FROM events),\n" + _TWA_BODY,
+)
+
+
+# LOCF resample to a regular 15-minute grid
+# (operators/temporal_join.resample_locf): per user, grid points from
+# ceil(first event) to the last event; each grid point carries the value
+# in force (as-of backward). Engine = grid explode + the merge-form
+# asof_join; oracle = DuckDB generate_series + native ASOF LEFT JOIN.
+ENGINE_ORACLES["user_resample_15m"] = """
+WITH b AS (
+  SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(((lo + 899999999) // 900000000) * 900000000,
+                                hi, 900000000)) AS gus
+  FROM b
+),
+ev AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events)
+SELECT g.user_id, g.gus, round(e.value, 6) AS locf_value
+FROM grid g
+ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.gus >= e.tus
+"""
+
+
 # --- Exact-dedup survivor set (keep-first semantics) ------------------------
 # The surviving doc ids after exact content dedup: smallest doc_id per
 # md5(text) group — the deterministic-winner contract of

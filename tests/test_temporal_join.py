@@ -6,7 +6,11 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from pyhctsa_spark.operators.temporal_join import asof_join, range_join
+from pyhctsa_spark.operators.temporal_join import (
+    asof_join,
+    range_join,
+    resample_locf,
+)
 
 
 def _mk(rng, n_keys=4, n_left=300, n_right=60):
@@ -91,6 +95,57 @@ def test_asof_plan_single_exchange_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # merge formulation: window over a union
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_locf_matches_pandas(spark):
+    rng = np.random.default_rng(43)
+    events, _ = _mk(rng, n_keys=3, n_left=120)
+    step = 60_000_000  # 1-min grid
+    got = (
+        resample_locf(
+            spark.createDataFrame(events), on="ts", by=["user_id"],
+            value_col="lv", step_micros=step,
+        )
+        .toPandas().sort_values(["user_id", "gus"]).reset_index(drop=True)
+    )
+    frames = []
+    for uid, g in events.groupby("user_id"):
+        g = g.sort_values("ts")
+        lo = int(g.ts.astype("int64").min() // 1000)  # ns -> us
+        hi = int(g.ts.astype("int64").max() // 1000)
+        gus = np.arange(-(-lo // step) * step, hi + 1, step)
+        grid = pd.DataFrame({
+            "user_id": uid,
+            "gus": gus,
+            "ts": pd.to_datetime(gus, unit="us"),
+        })
+        m = pd.merge_asof(grid, g[["ts", "lv"]], on="ts",
+                          direction="backward")
+        frames.append(m[["user_id", "gus", "lv"]])
+    want = (
+        pd.concat(frames).sort_values(["user_id", "gus"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got.gus.values == want.gus.values).all()
+    assert (got.lv.values == want.lv.values).all()  # LOCF never null here
+
+
+def test_resample_locf_grid_point_on_event_is_inclusive(spark):
+    base = pd.Timestamp("2024-01-01")  # exactly on the minute grid
+    events = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": [base, base + pd.Timedelta(seconds=90)],
+        "lv": [5.0, 7.0],
+    })
+    got = (
+        resample_locf(spark.createDataFrame(events), value_col="lv",
+                      step_micros=60_000_000)
+        .toPandas().sort_values("gus")
+    )
+    # grid minutes 0 and 1; minute 0 coincides with the first event and
+    # must carry ITS value (inclusive as-of), minute 1 carries it forward
+    assert got.lv.tolist() == [5.0, 5.0]
 
 
 def test_range_join_matches_brute(spark):
