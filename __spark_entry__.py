@@ -608,6 +608,29 @@ def _resample_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _counter_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase/rate per 30-minute window
+    (operators/continuous_agg.counter_agg — Prometheus-style `increase`
+    with reset detection). One exchange end-to-end: the per-user lag
+    scan hash-partitions on user_id and the (user_id, window) aggregate
+    reuses that clustering. The DuckDB oracle recomputes the same
+    semantics from scratch with window SQL."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.continuous_agg import counter_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = counter_agg(ev, on="ts", by=["user_id"], value_col="value",
+                      window_micros=30 * 60 * 1_000_000)
+    return out.select(
+        "user_id", "widx", "n_events", "n_resets",
+        F.round("counter_increase", 6).alias("counter_increase"),
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -654,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over irregular events and LOCF resampling to a regular grid
     out["user_twa_30m"] = _mk("user_twa_30m")
     out["user_resample_15m"] = _resample_locf_query
+    out["user_counter_30m"] = _counter_agg_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -6762,6 +6762,40 @@ ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.gus >= e.tus
 """
 
 
+# Reset-aware counter increase/rate per 30-minute window
+# (operators/continuous_agg.counter_agg): a negative same-user delta is
+# a counter reset and the post-reset reading is the increase since the
+# restart (Prometheus extrapolation-free `increase`). A window's first
+# delta reaches back across the boundary (so tier sums telescope);
+# events with no same-user predecessor contribute nothing. rate =
+# increase / in-window covered seconds, NULL for zero-span windows.
+ENGINE_ORACLES["user_counter_30m"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+),
+d AS (
+  SELECT user_id, tus, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY tus) AS prev,
+         CAST(floor(tus / 1800000000) AS BIGINT) AS widx
+  FROM e
+)
+SELECT user_id, widx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN value - prev < 0 THEN 1 END), 0)
+            AS BIGINT) AS n_resets,
+       round(sum(CASE WHEN prev IS NULL THEN NULL
+                      WHEN value - prev >= 0 THEN value - prev
+                      ELSE value END), 6) AS counter_increase,
+       round(CASE WHEN max(tus) > min(tus)
+                  THEN sum(CASE WHEN prev IS NULL THEN NULL
+                                WHEN value - prev >= 0 THEN value - prev
+                                ELSE value END)
+                       / ((max(tus) - min(tus)) / 1000000.0)
+             END, 6) AS rate_per_s
+FROM d GROUP BY user_id, widx
+"""
+
+
 # --- Exact-dedup survivor set (keep-first semantics) ------------------------
 # The surviving doc ids after exact content dedup: smallest doc_id per
 # md5(text) group — the deterministic-winner contract of
