@@ -631,6 +631,27 @@ def _counter_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lttb_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB shape-preserving downsample to 24 points per user
+    (operators/downsample.lttb_downsample) — the complementary
+    downsample to the aggregating rollup tiers: actual points, visual
+    extremes preserved. Inputs are integer-scaled (micros; value x100)
+    so the sequential argmax is bit-reproducible; the DuckDB oracle
+    replays it as a recursive CTE and matches EXACTLY."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.downsample import lttb_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 100, 0).alias("v100"),
+    )
+    out = lttb_downsample(ev, on="tus", by=["user_id"],
+                          value_col="v100", n_out=24)
+    return out.select("user_id", "tus", F.col("v100").cast("bigint").alias("v100"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -678,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_twa_30m"] = _mk("user_twa_30m")
     out["user_resample_15m"] = _resample_locf_query
     out["user_counter_30m"] = _counter_agg_query
+    out["user_lttb_24"] = _lttb_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -6796,6 +6796,79 @@ FROM d GROUP BY user_id, widx
 """
 
 
+# LTTB shape-preserving downsample to 24 points per user
+# (operators/downsample.lttb_downsample). The oracle replays the
+# sequential bucket-by-bucket argmax as a recursive CTE: each round
+# selects the next bucket's max-triangle-area point via a correlated
+# NOT EXISTS (no window functions in the recursive term). Bit-exact
+# cross-engine because inputs are integer-valued doubles (re-based
+# micros; value scaled x100), so bucket-centroid sums are exact in any
+# summation order and the single division + area cross-product evaluate
+# identically (verified EXACT at sf0.01: 3600/3600 rows).
+ENGINE_ORACLES["user_lttb_24"] = """
+WITH RECURSIVE
+e AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CAST(round(value * 100, 0) AS DOUBLE) AS v
+  FROM events
+),
+o AS (
+  SELECT user_id, tus, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY tus) - 1 AS j,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         min(tus) OVER (PARTITION BY user_id) AS t0
+  FROM e
+),
+small AS (SELECT user_id, tus, v FROM o WHERE n <= 24),
+big AS (SELECT * FROM o WHERE n > 24),
+cand AS (
+  SELECT user_id, tus, CAST(tus - t0 AS DOUBLE) AS tr, v,
+         ((j - 1) * 22) // (n - 2) AS bucket
+  FROM big WHERE j BETWEEN 1 AND n - 2
+),
+cent AS (
+  SELECT user_id, bucket, sum(tr) / count(*) AS ct, sum(v) / count(*) AS cv
+  FROM cand GROUP BY user_id, bucket
+),
+lastp AS (SELECT user_id, tus, CAST(tus - t0 AS DOUBLE) AS tr, v
+          FROM big WHERE j = n - 1),
+firstp AS (SELECT user_id, tus, CAST(0 AS DOUBLE) AS tr, v
+           FROM big WHERE j = 0),
+nextc AS (
+  SELECT user_id, bucket - 1 AS bucket, ct, cv FROM cent WHERE bucket >= 1
+  UNION ALL
+  SELECT user_id, 21 AS bucket, tr AS ct, v AS cv FROM lastp
+),
+sel AS (
+  SELECT user_id, -1 AS bucket, tus, tr AS sa, v AS sv FROM firstp
+  UNION ALL
+  SELECT c.user_id, c.bucket, c.tus, c.tr, c.v
+  FROM sel s
+  JOIN cand c ON c.user_id = s.user_id AND c.bucket = s.bucket + 1
+  JOIN nextc nc ON nc.user_id = c.user_id AND nc.bucket = c.bucket
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2
+    WHERE c2.user_id = c.user_id AND c2.bucket = c.bucket
+      AND (abs((s.sa - nc.ct) * (c2.v - s.sv)
+               - (s.sa - c2.tr) * (nc.cv - s.sv))
+             > abs((s.sa - nc.ct) * (c.v - s.sv)
+                   - (s.sa - c.tr) * (nc.cv - s.sv))
+        OR (abs((s.sa - nc.ct) * (c2.v - s.sv)
+                - (s.sa - c2.tr) * (nc.cv - s.sv))
+              = abs((s.sa - nc.ct) * (c.v - s.sv)
+                    - (s.sa - c.tr) * (nc.cv - s.sv))
+           AND c2.tr < c.tr))
+  )
+)
+SELECT user_id, tus, CAST(v AS BIGINT) AS v100
+FROM (
+  SELECT user_id, tus, v FROM small
+  UNION ALL SELECT user_id, tus, sv AS v FROM sel
+  UNION ALL SELECT user_id, tus, v FROM lastp
+)
+"""
+
+
 # --- Exact-dedup survivor set (keep-first semantics) ------------------------
 # The surviving doc ids after exact content dedup: smallest doc_id per
 # md5(text) group — the deterministic-winner contract of
