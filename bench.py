@@ -356,6 +356,7 @@ def bench_queries(spark) -> dict:
         "user_moment_corr",
         "knn_cosine_top3",
         "doc_quality",
+        "user_twa_30m",
     ]
     # best of 2 per query: the first run pays one-time driver-side
     # whole-stage-codegen compilation (several seconds for the 64-agg
@@ -376,7 +377,8 @@ def bench_queries(spark) -> dict:
 
     qs = entrymod.queries()
     for name in ("minhash_dedup_pairs", "simhash_near_pairs",
-                 "doc_token_count_bpe_real", "media_real_decode"):
+                 "doc_token_count_bpe_real", "media_real_decode",
+                 "user_asof_error", "user_counter_30m", "user_lttb_24"):
         best = float("inf")
         for _ in range(2):
             # drop the operators' persisted intermediates so the retry

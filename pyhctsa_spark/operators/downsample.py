@@ -28,22 +28,20 @@ below 2^53 and are exact regardless of summation order — the one
 division per centroid then yields bit-identical doubles in numpy and
 SQL, making the sequential argmax reproducible across engines.
 
-Scale: one ``applyInPandas`` over the entity key — a single shuffle,
-each series independent, kernel O(n). The same 100 TB shape as the
-flagship rollup.
+Scale: ONE shuffle (repartition on the entity key) + an in-partition
+sort, then an Arrow-native ``mapInArrow`` pass over sorted key-runs —
+NOT ``applyInPandas``, whose per-group pandas machinery measured ~5x
+slower than the whole Arrow pass at sf0.1 (2.4-4.5 s of pure overhead
+for 1,500 groups vs 0.6-1.0 s total). A key's run may straddle Arrow
+batches, so the kernel carries the unfinished tail run between batches:
+memory is bounded by max(batch, one key's series), never the partition.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-)
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
 
 
 def lttb_indices(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
@@ -94,25 +92,67 @@ def lttb_downsample(
 
     ``on`` must be an integer (epoch-micros) column; for cross-engine
     reproducibility ``value_col`` should be integer-valued too (see
-    module docstring). Output: by-keys, ``on``, ``value_col`` of the
-    selected rows only.
+    module docstring). Output: by-keys, ``on`` (long), ``value_col``
+    (double) of the selected rows only.
     """
     by = list(by or ["user_id"])
-    fields = [events.schema[c] for c in by]
-    schema = StructType(
-        fields
-        + [StructField(on, LongType()), StructField(value_col, DoubleType())]
-    )
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(on).reset_index(drop=True)
-        idx = lttb_indices(
-            pdf[on].to_numpy(np.int64), pdf[value_col].to_numpy(np.float64),
-            n_out,
+    sdf = (
+        events.select(
+            *by,
+            F.col(on).cast("long").alias(on),
+            F.col(value_col).cast("double").alias(value_col),
         )
-        out = pdf.iloc[idx][by + [on, value_col]].reset_index(drop=True)
-        out[on] = out[on].astype(np.int64)
-        out[value_col] = out[value_col].astype(np.float64)
-        return out
+        .repartition(*[F.col(c) for c in by])
+        .sortWithinPartitions(*by, on)
+    )
 
-    sdf = events.select(*by, on, value_col)
-    return sdf.groupBy(*by).applyInPandas(_kernel, schema=schema)
+    def _select_runs(tbl: pa.Table, complete_only: bool):
+        """LTTB each maximal by-key run of ``tbl``; return (selected
+        table, unfinished tail run) — the tail is the last run, which
+        may continue in the next batch (None when complete_only=False).
+        """
+        n = tbl.num_rows
+        bound = np.zeros(n, dtype=bool)
+        bound[0] = False
+        for c in by:
+            a = tbl.column(c).to_numpy(zero_copy_only=False)
+            bound[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(np.r_[True, bound[1:]])
+        ends = np.r_[starts[1:], n]
+        if complete_only and len(starts) >= 1:
+            # hold back the final run — it may continue next batch
+            tail = tbl.slice(starts[-1], n - starts[-1])
+            starts, ends = starts[:-1], ends[:-1]
+        else:
+            tail = None
+        if len(starts) == 0:
+            return None, tail
+        t = tbl.column(on).to_numpy(zero_copy_only=False)
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        sel = np.concatenate([
+            a + lttb_indices(t[a:b], v[a:b], n_out)
+            for a, b in zip(starts, ends)
+        ])
+        return tbl.take(pa.array(sel)), tail
+
+    def _kernel(batches):
+        carry: pa.Table | None = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            done, carry = _select_runs(tbl, complete_only=True)
+            if done is not None and done.num_rows:
+                yield from done.to_batches()
+        if carry is not None and carry.num_rows:
+            done, _ = _select_runs(carry, complete_only=False)
+            if done is not None and done.num_rows:
+                yield from done.to_batches()
+
+    spark_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sdf.schema.fields[: len(by)]
+    )
+    return sdf.mapInArrow(
+        _kernel, schema=f"{spark_schema}, {on} long, {value_col} double"
+    )

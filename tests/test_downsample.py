@@ -92,3 +92,42 @@ def test_lttb_downsample_df(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lttb_carry_across_arrow_batches(spark):
+    # tiny Arrow batches force key runs to straddle batch boundaries:
+    # the kernel's carry buffer must reassemble each key's FULL series
+    # (a split run would downsample two partial series instead)
+    rng = np.random.default_rng(67)
+    rows = []
+    for uid in range(6):
+        n = int(rng.integers(40, 90))
+        t = np.sort(rng.choice(10**9, n, replace=False))
+        rows.append(pd.DataFrame({
+            "user_id": uid, "tus": t,
+            "v100": np.round(rng.normal(size=n) * 100),
+        }))
+    pdf = pd.concat(rows)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        got = (
+            lttb_downsample(
+                spark.createDataFrame(pdf).coalesce(1),
+                on="tus", by=["user_id"], value_col="v100", n_out=12,
+            )
+            .toPandas().sort_values(["user_id", "tus"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set(key, old)
+    frames = []
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("tus").reset_index(drop=True)
+        frames.append(g.iloc[_brute_lttb(g.tus.tolist(), g.v100.tolist(), 12)])
+    want = (pd.concat(frames).sort_values(["user_id", "tus"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) == 6 * 12
+    assert (got.tus.values == want.tus.values).all()
+    assert (got.v100.values == want.v100.values).all()
