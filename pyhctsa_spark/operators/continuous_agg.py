@@ -64,3 +64,87 @@ def counter_agg(
         inc.alias("counter_increase"),
         F.when(span_s > 0, inc / span_s).alias("rate_per_s"),
     )
+
+
+def ohlc_agg(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    window_micros: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """M4 / OHLC downsample-by-aggregation per (key, wall-clock window).
+
+    The visualization-exact aggregate (Jugel et al., "M4", VLDB 2014;
+    the candlestick every TSDB ships): per window emit the first, last,
+    min and max values PLUS the timestamps of the extremes, which is
+    what a pixel-perfect line render needs. Deterministic tie rules,
+    mirrored in the oracle: open = value at the earliest timestamp
+    (smallest value on a timestamp tie), close = value at the latest
+    (largest on tie), t_high/t_low = EARLIEST timestamp attaining the
+    max/min value.
+
+    Plan: a single hash-aggregate on (by, widx) — struct-ordered min/max
+    aggregates, all JVM built-ins, map-side partial aggregation applies.
+    At 10^12 rows this is the cheapest possible shape: one exchange of
+    pre-combined per-window structs, no window functions, no sort.
+    The earliest-t-at-extreme rule uses max(struct(v, -t)): among rows
+    with the max value, -t is largest for the earliest timestamp.
+    """
+    by = list(by or ["user_id"])
+    tus = F.unix_micros(F.col(on))
+    v = F.col(value_col).cast("double")
+    staged = events.select(
+        *by,
+        F.floor(tus / F.lit(int(window_micros))).alias("widx"),
+        tus.alias("_t"),
+        v.alias("_v"),
+    )
+    t, val = F.col("_t"), F.col("_v")
+    return staged.groupBy(*by, "widx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct(t.alias("t"), val.alias("v")))["v"].alias("open"),
+        F.max(F.struct(t.alias("t"), val.alias("v")))["v"].alias("close"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        (-F.max(F.struct(val.alias("v"), (-t).alias("nt")))["nt"]).alias(
+            "t_high"
+        ),
+        F.min(F.struct(val.alias("v"), t.alias("t")))["t"].alias("t_low"),
+    )
+
+
+def gap_detect(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    min_gap_micros: int = 10 * 60 * 1_000_000,
+) -> DataFrame:
+    """Find intra-series silences: consecutive same-key events more than
+    ``min_gap_micros`` apart (the data-quality probe behind gap-fill —
+    operators/rollup's gapped path interpolates exactly these spans).
+
+    Output: by-keys, ``gap_start``/``gap_end`` (epoch micros of the
+    bounding events), ``gap_s`` (span in seconds). One exchange: the
+    lag scan hash-partitions on the key; the filter is map-side after
+    the sort.
+    """
+    from pyspark.sql import Window
+
+    by = list(by or ["user_id"])
+    tus = F.unix_micros(F.col(on))
+    w = Window.partitionBy(*by).orderBy("_t")
+    prev = F.lag("_t").over(w)
+    return (
+        events.select(*by, tus.alias("_t"))
+        .withColumn("_prev", prev)
+        .where(F.col("_t") - F.col("_prev") > F.lit(int(min_gap_micros)))
+        .select(
+            *by,
+            F.col("_prev").alias("gap_start"),
+            F.col("_t").alias("gap_end"),
+            ((F.col("_t") - F.col("_prev")).cast("double") / F.lit(1e6)).alias(
+                "gap_s"
+            ),
+        )
+    )

@@ -28,13 +28,11 @@ below 2^53 and are exact regardless of summation order — the one
 division per centroid then yields bit-identical doubles in numpy and
 SQL, making the sequential argmax reproducible across engines.
 
-Scale: ONE shuffle (repartition on the entity key) + an in-partition
-sort, then an Arrow-native ``mapInArrow`` pass over sorted key-runs —
-NOT ``applyInPandas``, whose per-group pandas machinery measured ~5x
-slower than the whole Arrow pass at sf0.1 (2.4-4.5 s of pure overhead
-for 1,500 groups vs 0.6-1.0 s total). A key's run may straddle Arrow
-batches, so the kernel carries the unfinished tail run between batches:
-memory is bounded by max(batch, one key's series), never the partition.
+Scale: ONE shuffle + in-partition sort + a carry-aware ``mapInArrow``
+pass over sorted key-runs (operators/seq_runs.map_sorted_runs) — NOT
+``applyInPandas``, whose per-group pandas machinery measured ~5x slower
+than the whole Arrow pass at sf0.1 (2.4-4.5 s of pure overhead for
+1,500 groups vs 0.6-1.0 s total).
 """
 
 from __future__ import annotations
@@ -42,6 +40,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+
+from pyhctsa_spark.operators.seq_runs import key_fields_ddl, map_sorted_runs
 
 
 def lttb_indices(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
@@ -96,63 +96,21 @@ def lttb_downsample(
     (double) of the selected rows only.
     """
     by = list(by or ["user_id"])
-    sdf = (
-        events.select(
-            *by,
-            F.col(on).cast("long").alias(on),
-            F.col(value_col).cast("double").alias(value_col),
-        )
-        .repartition(*[F.col(c) for c in by])
-        .sortWithinPartitions(*by, on)
+    sdf = events.select(
+        *by,
+        F.col(on).cast("long").alias(on),
+        F.col(value_col).cast("double").alias(value_col),
     )
 
-    def _select_runs(tbl: pa.Table, complete_only: bool):
-        """LTTB each maximal by-key run of ``tbl``; return (selected
-        table, unfinished tail run) — the tail is the last run, which
-        may continue in the next batch (None when complete_only=False).
-        """
-        n = tbl.num_rows
-        bound = np.zeros(n, dtype=bool)
-        bound[0] = False
-        for c in by:
-            a = tbl.column(c).to_numpy(zero_copy_only=False)
-            bound[1:] |= a[1:] != a[:-1]
-        starts = np.flatnonzero(np.r_[True, bound[1:]])
-        ends = np.r_[starts[1:], n]
-        if complete_only and len(starts) >= 1:
-            # hold back the final run — it may continue next batch
-            tail = tbl.slice(starts[-1], n - starts[-1])
-            starts, ends = starts[:-1], ends[:-1]
-        else:
-            tail = None
-        if len(starts) == 0:
-            return None, tail
+    def _run_fn(tbl: pa.Table) -> pa.Table:
         t = tbl.column(on).to_numpy(zero_copy_only=False)
         v = tbl.column(value_col).to_numpy(zero_copy_only=False)
-        sel = np.concatenate([
-            a + lttb_indices(t[a:b], v[a:b], n_out)
-            for a, b in zip(starts, ends)
-        ])
-        return tbl.take(pa.array(sel)), tail
+        return tbl.take(pa.array(lttb_indices(t, v, n_out)))
 
-    def _kernel(batches):
-        carry: pa.Table | None = None
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            if carry is not None:
-                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
-            done, carry = _select_runs(tbl, complete_only=True)
-            if done is not None and done.num_rows:
-                yield from done.to_batches()
-        if carry is not None and carry.num_rows:
-            done, _ = _select_runs(carry, complete_only=False)
-            if done is not None and done.num_rows:
-                yield from done.to_batches()
-
-    spark_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in sdf.schema.fields[: len(by)]
-    )
-    return sdf.mapInArrow(
-        _kernel, schema=f"{spark_schema}, {on} long, {value_col} double"
+    return map_sorted_runs(
+        sdf,
+        by=by,
+        order=[on],
+        run_fn=_run_fn,
+        out_schema=f"{key_fields_ddl(sdf, by)}, {on} long, {value_col} double",
     )

@@ -6881,3 +6881,148 @@ SELECT doc_id FROM (
 ) t WHERE rn = 1
 """
 QUERIES["doc_dedup_keep_first"] = _q2(_KEEP_FIRST_SQL, _KEEP_FIRST_SQL)
+
+
+# --- M4 / OHLC downsample-by-aggregation per 30-minute window ---------------
+# (operators/continuous_agg.ohlc_agg — Jugel et al. VLDB'14 M4, the
+# candlestick aggregate every TSDB ships.) Deterministic tie rules,
+# identical on both sides: open = value at earliest ts (smallest value
+# on ts tie), close = value at latest ts (largest on tie), t_high/t_low
+# = EARLIEST ts attaining the max/min value. The engine uses
+# struct-ordered min/max aggregates (one hash-aggregate, map-side
+# combine); the oracle ranks with window functions — different plans,
+# same contract.
+_OHLC_BODY = """
+d AS (
+  SELECT user_id, CAST(floor(tus / 1800000000) AS BIGINT) AS widx,
+         tus, value
+  FROM e
+),
+r AS (
+  SELECT user_id, widx, tus, value,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY tus, value) AS rn_o,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY tus DESC, value DESC) AS rn_c,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY value DESC, tus) AS rn_h,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY value, tus) AS rn_l
+  FROM d
+)
+SELECT user_id, widx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(max(CASE WHEN rn_o = 1 THEN value END), 6) AS open,
+  round(max(CASE WHEN rn_c = 1 THEN value END), 6) AS close,
+  round(max(value), 6) AS high,
+  round(min(value), 6) AS low,
+  max(CASE WHEN rn_h = 1 THEN tus END) AS t_high,
+  max(CASE WHEN rn_l = 1 THEN tus END) AS t_low
+FROM r GROUP BY user_id, widx
+"""
+QUERIES["user_ohlc_30m"] = _q2(
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS value,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _OHLC_BODY,
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS value,"
+    " epoch_us(ts) AS tus FROM events),\n" + _OHLC_BODY,
+)
+
+
+# --- Intra-series gap detection (silences > 12h) ----------------------------
+# (operators/continuous_agg.gap_detect — the data-quality probe behind
+# the rollup gap-fill path.) (user_id, ts) pairs are tie-free (verified
+# at every SF) so lag() is deterministic.
+_GAPS_BODY = """
+d AS (
+  SELECT user_id, tus,
+         lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+  FROM e
+)
+SELECT user_id, prev AS gap_start, tus AS gap_end,
+       round((tus - prev) / 1000000.0, 6) AS gap_s
+FROM d WHERE tus - prev > 43200000000
+"""
+QUERIES["user_gaps_12h"] = _q2(
+    "WITH e AS (SELECT user_id,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _GAPS_BODY,
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),\n"
+    + _GAPS_BODY,
+)
+
+
+# --- EWMA smoothing (alpha = 0.25) ------------------------------------------
+# (operators/recurrence.ewma) Sequential recurrence
+#   s_0 = v_0;  s_i = 0.25*v_i + 0.75*s_{i-1}
+# replayed as a recursive CTE walking each user's rank chain. alpha and
+# 1-alpha are exactly representable doubles and both engines evaluate
+# the identical expression sequence, so the raw doubles agree
+# bit-for-bit. alpha=0.25 over 2-decimal inputs yields dyadic values
+# that sit EXACTLY on the 1e-6 rounding halfway (x.xxx5625...), where
+# Spark round (BigDecimal HALF_UP) and DuckDB round (float-scaled)
+# disagree — so the output is the engine-independent scaled integer
+# floor(s*1e6 + 0.5) instead of round(s, 6).
+ENGINE_ORACLES["user_ewma"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+rec(user_id, rn, s) AS (
+  SELECT user_id, rn, v FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, 0.25 * e.v + 0.75 * r.s
+  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT e.user_id, e.tus, round(e.v, 6) AS value,
+       CAST(floor(r.s * 1000000 + 0.5) AS BIGINT) AS ewma_u6
+FROM e JOIN rec r ON e.user_id = r.user_id AND e.rn = r.rn
+"""
+
+
+# --- Two-sided tabular CUSUM drift summary ----------------------------------
+# (operators/recurrence.cusum — Page 1954; target=10, slack k=1,
+# decision interval h=25.) Recurrence per user over the rank chain:
+#   hi_i = max(0, hi_{i-1} + (v_i - 11.0))
+#   lo_i = max(0, lo_{i-1} - (v_i - 9.0))
+# alarm rows are counted per side each time the updated statistic
+# exceeds h (no post-alarm reset — tabular form); first_alarm_t is the
+# timestamp of the first alarming row. All constants are exact doubles;
+# the expression order matches the numpy kernel exactly.
+ENGINE_ORACLES["user_cusum"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+rec(user_id, rn, n, hi, lo, nhi, nlo, first_t) AS (
+  SELECT user_id, rn, n,
+         greatest(0.0, v - 11.0) AS hi,
+         greatest(0.0, -(v - 9.0)) AS lo,
+         CASE WHEN greatest(0.0, v - 11.0) > 25.0 THEN 1 ELSE 0 END,
+         CASE WHEN greatest(0.0, -(v - 9.0)) > 25.0 THEN 1 ELSE 0 END,
+         CASE WHEN greatest(0.0, v - 11.0) > 25.0
+                OR greatest(0.0, -(v - 9.0)) > 25.0 THEN tus END
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.n,
+         greatest(0.0, r.hi + (e.v - 11.0)),
+         greatest(0.0, r.lo - (e.v - 9.0)),
+         r.nhi + CASE WHEN greatest(0.0, r.hi + (e.v - 11.0)) > 25.0
+                      THEN 1 ELSE 0 END,
+         r.nlo + CASE WHEN greatest(0.0, r.lo - (e.v - 9.0)) > 25.0
+                      THEN 1 ELSE 0 END,
+         coalesce(r.first_t,
+                  CASE WHEN greatest(0.0, r.hi + (e.v - 11.0)) > 25.0
+                         OR greatest(0.0, r.lo - (e.v - 9.0)) > 25.0
+                       THEN e.tus END)
+  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(hi, 6) AS cusum_hi, round(lo, 6) AS cusum_lo,
+       CAST(nhi AS BIGINT) AS n_alarm_hi, CAST(nlo AS BIGINT) AS n_alarm_lo,
+       first_t AS first_alarm_t
+FROM rec WHERE rn = n
+"""
