@@ -148,3 +148,69 @@ def cusum(
             "first_alarm_t long"
         ),
     )
+
+
+def holt_kernel(
+    v: np.ndarray, alpha: float, beta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Holt double-exponential smoothing (level + trend):
+        l_0 = v_0,  b_0 = 0
+        l_i = alpha*v_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+    """
+    n = len(v)
+    lvl = np.empty(n, dtype=np.float64)
+    trd = np.empty(n, dtype=np.float64)
+    la = 1.0 - alpha
+    lb = 1.0 - beta
+    l_prev = v[0]
+    b_prev = 0.0
+    lvl[0], trd[0] = l_prev, b_prev
+    for i in range(1, n):
+        l_new = alpha * v[i] + la * (l_prev + b_prev)
+        b_prev = beta * (l_new - l_prev) + lb * b_prev
+        l_prev = l_new
+        lvl[i], trd[i] = l_new, b_prev
+    return lvl, trd
+
+
+def holt(
+    events: DataFrame,
+    on: str = "tus",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Append Holt level/trend columns to each key's ordered series.
+
+    Use exactly-representable alpha/beta (0.5, 0.25) so both recurrence
+    constants are exact doubles and the oracle's recursive-CTE replay is
+    bit-identical. Like EWMA, the smoothed values of 2-decimal inputs
+    are dyadic rationals that can land exactly on a decimal rounding
+    halfway — emit scaled integers, not round(x, 6), when hashing.
+    """
+    by = list(by or ["user_id"])
+    sdf = events.select(
+        *by,
+        F.col(on).cast("long").alias(on),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+
+    def _run_fn(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        lvl, trd = holt_kernel(v, alpha, beta)
+        return tbl.append_column("level", pa.array(lvl)).append_column(
+            "trend", pa.array(trd)
+        )
+
+    return map_sorted_runs(
+        sdf,
+        by=by,
+        order=[on],
+        run_fn=_run_fn,
+        out_schema=(
+            f"{key_fields_ddl(sdf, by)}, {on} long, "
+            f"{value_col} double, level double, trend double"
+        ),
+    )

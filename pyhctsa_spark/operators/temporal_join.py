@@ -210,3 +210,61 @@ def range_join(
         *points.columns,
         *[F.col(f"_iv_{c}").alias(c) for c in iv_pay],
     )
+
+
+def resample_linear(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    step_micros: int = 15 * 60 * 1_000_000,
+) -> DataFrame:
+    """Resample irregular events to a regular grid with LINEAR
+    interpolation between the bracketing events (the other half of the
+    gap-fill contract next to ``resample_locf``).
+
+    Per key: grid points every ``step_micros`` from the first event
+    (rounded up) to the last. Each point interpolates between the
+    nearest event at-or-before (v0 @ t0) and at-or-after (v1 @ t1):
+        v = v0 + (v1 - v0) * (g - t0) / (t1 - t0)
+    A grid point that coincides with an event returns that event's value
+    exactly (t1 == t0 guard). Both brackets always exist because the
+    grid is clamped inside [first, last].
+
+    Plan: one aggregate for bounds, grid explode, then TWO merge-form
+    asof scans (backward + forward) — all partitioned on the key, no
+    join node, linear work. Cross-engine: v0/v1/micros arithmetic is
+    evaluated in the same IEEE order as the oracle's ASOF formulation.
+    """
+    by = list(by or ["user_id"])
+    step = int(step_micros)
+    bounds = events.groupBy(*by).agg(
+        F.min(F.unix_micros(F.col(on))).alias("_lo"),
+        F.max(F.unix_micros(F.col(on))).alias("_hi"),
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(
+                (F.floor((F.col("_lo") + F.lit(step - 1)) / F.lit(step))
+                 * F.lit(step)).cast("long"),
+                F.col("_hi"),
+                F.lit(step),
+            )
+        ).alias("gus"),
+    )
+    ev = events.select(
+        *by,
+        F.unix_micros(F.col(on)).alias("gus"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    bwd = asof_join(grid, ev, on="gus", by=by, value_cols=["_v"],
+                    direction="backward", suffix="_b")
+    both = asof_join(bwd, ev, on="gus", by=by, value_cols=["_v"],
+                     direction="forward", suffix="_f")
+    g, t0, t1 = F.col("gus"), F.col("gus_b"), F.col("gus_f")
+    v0, v1 = F.col("_v_b"), F.col("_v_f")
+    interp = F.when(t1 == t0, v0).otherwise(
+        v0 + (v1 - v0) * ((g - t0).cast("double") / (t1 - t0).cast("double"))
+    )
+    return both.select(*by, "gus", interp.alias(value_col))

@@ -7026,3 +7026,76 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
        first_t AS first_alarm_t
 FROM rec WHERE rn = n
 """
+
+
+# --- Linear-interpolation resample to a regular 15-minute grid --------------
+# (operators/temporal_join.resample_linear) Each grid point interpolates
+# between the bracketing events; a grid point on an event returns that
+# value exactly. Engine = grid explode + backward & forward merge-form
+# asof scans; oracle = DuckDB generate_series + two native ASOF joins.
+# The interpolation arithmetic (v0 + (v1-v0)*(dg/dt)) is evaluated in
+# the same IEEE order on both sides; results are non-terminating
+# decimals (products of inexact 2-decimal doubles), so round(6) halfway
+# collisions cannot occur (unlike the dyadic EWMA case).
+ENGINE_ORACLES["user_resample_lin_15m"] = """
+WITH b AS (
+  SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(((lo + 899999999) // 900000000) * 900000000,
+                                hi, 900000000)) AS gus
+  FROM b
+),
+ev AS (SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v
+       FROM events),
+bwd AS (
+  SELECT g.user_id, g.gus, e.tus AS t0, e.v AS v0
+  FROM grid g
+  ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.gus >= e.tus
+),
+fwd AS (
+  SELECT g.user_id, g.gus, e.tus AS t1, e.v AS v1
+  FROM grid g
+  ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.gus <= e.tus
+)
+SELECT b.user_id, b.gus,
+       round(CASE WHEN f.t1 = b.t0 THEN b.v0
+                  ELSE b.v0 + (f.v1 - b.v0)
+                       * (CAST(b.gus - b.t0 AS DOUBLE)
+                          / CAST(f.t1 - b.t0 AS DOUBLE)) END,
+             6) AS value
+FROM bwd b JOIN fwd f ON b.user_id = f.user_id AND b.gus = f.gus
+"""
+
+
+# --- Holt double-exponential smoothing (level + trend) ----------------------
+# (operators/recurrence.holt; alpha=0.5, beta=0.25 — both exact doubles)
+#   l_0 = v_0, b_0 = 0
+#   l_i = 0.5*v_i + 0.5*(l_{i-1} + b_{i-1})
+#   b_i = 0.25*(l_i - l_{i-1}) + 0.75*b_{i-1}
+# Recursive-CTE replay with the identical expression order; outputs are
+# dyadic rationals of 2-decimal inputs (same halfway hazard as EWMA), so
+# level/trend are emitted as engine-independent scaled integers
+# floor(x*1e6 + 0.5).
+ENGINE_ORACLES["user_holt"] = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+rec(user_id, rn, l, lprev, b) AS (
+  SELECT user_id, rn, v, v, CAST(0.0 AS DOUBLE) FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         0.5 * e.v + 0.5 * (r.l + r.b),
+         r.l,
+         0.25 * ((0.5 * e.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT e.user_id, e.tus, round(e.v, 6) AS value,
+       CAST(floor(r.l * 1000000 + 0.5) AS BIGINT) AS level_u6,
+       CAST(floor(r.b * 1000000 + 0.5) AS BIGINT) AS trend_u6
+FROM e JOIN rec r ON e.user_id = r.user_id AND e.rn = r.rn
+"""

@@ -111,3 +111,55 @@ def test_recurrence_single_exchange(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_holt_tracks_linear_ramp(spark):
+    from pyhctsa_spark.operators.recurrence import holt
+
+    # a pure linear ramp: Holt's trend converges to the per-step slope
+    # and the level tracks the series (an analytic property check, not a
+    # kernel replay)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": np.ones(n, dtype=np.int64),
+        "tus": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": 5.0 + 0.5 * np.arange(n),
+    })
+    got = (
+        holt(spark.createDataFrame(ev), on="tus", by=["user_id"],
+             value_col="value", alpha=0.5, beta=0.25)
+        .toPandas().sort_values("tus").reset_index(drop=True)
+    )
+    assert abs(got.trend.iloc[-1] - 0.5) < 1e-6
+    assert abs(got.level.iloc[-1] - got.value.iloc[-1]) < 1e-3
+
+
+def test_holt_matches_independent_replay(spark):
+    from pyhctsa_spark.operators.recurrence import holt
+
+    rng = np.random.default_rng(23)
+    ev = _events(rng, n_keys=4, n=300)
+    got = (
+        holt(spark.createDataFrame(ev), on="tus", by=["user_id"],
+             value_col="value", alpha=0.5, beta=0.25)
+        .toPandas().sort_values(["user_id", "tus"]).reset_index(drop=True)
+    )
+    frames = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("tus").reset_index(drop=True)
+        v = g.value.to_numpy(np.float64)
+        lvl, trd = np.empty(len(v)), np.empty(len(v))
+        l, b = v[0], 0.0
+        lvl[0], trd[0] = l, b
+        for i in range(1, len(v)):
+            # algebraically regrouped vs the kernel's form
+            ln = (v[i] + l + b) / 2.0
+            b = (ln - l) / 4.0 + 3.0 * b / 4.0
+            l = ln
+            lvl[i], trd[i] = l, b
+        g["lw"], g["tw"] = lvl, trd
+        frames.append(g)
+    want = (pd.concat(frames).sort_values(["user_id", "tus"])
+            .reset_index(drop=True))
+    assert np.allclose(got.level.values, want.lw.values, rtol=1e-12)
+    assert np.allclose(got.trend.values, want.tw.values, rtol=1e-10)

@@ -208,3 +208,60 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     # bucketing turns the range predicate into an equi-join; a
     # NestedLoop/cartesian here means the rewrite regressed
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_resample_linear_matches_numpy_interp(spark):
+    from pyhctsa_spark.operators.temporal_join import resample_linear
+
+    rng = np.random.default_rng(47)
+    events, _ = _mk(rng, n_keys=3, n_left=120)
+    step = 60_000_000
+    got = (
+        resample_linear(
+            spark.createDataFrame(events), on="ts", by=["user_id"],
+            value_col="lv", step_micros=step,
+        )
+        .toPandas().sort_values(["user_id", "gus"]).reset_index(drop=True)
+    )
+    frames = []
+    for uid, g in events.groupby("user_id"):
+        # np.interp is an independent implementation of the same spec;
+        # duplicate-ts rows: keep the pair-sorted last so interp's choice
+        # matches the asof inclusive contract only when ts is tie-free,
+        # which _mk guarantees per user with overwhelming probability
+        g = g.sort_values("ts")
+        t = g.ts.astype("int64").to_numpy() // 1000
+        v = g.lv.to_numpy(np.float64)
+        gus = np.arange(-(-t[0] // step) * step, t[-1] + 1, step)
+        frames.append(pd.DataFrame({
+            "user_id": uid, "gus": gus,
+            "want": np.interp(gus, t, v),
+        }))
+    want = (pd.concat(frames).sort_values(["user_id", "gus"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got.gus.values == want.gus.values).all()
+    assert np.allclose(got.lv.values, want.want.values, rtol=1e-12)
+
+
+def test_resample_linear_exact_on_event(spark):
+    from pyhctsa_spark.operators.temporal_join import resample_linear
+
+    base = pd.Timestamp("2024-01-01")  # on the minute grid
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [base, base + pd.Timedelta(seconds=90),
+               base + pd.Timedelta(seconds=120)],
+        "lv": [2.0, 8.0, 4.0],
+    })
+    got = (
+        resample_linear(spark.createDataFrame(ev), on="ts", by=["user_id"],
+                        value_col="lv", step_micros=60_000_000)
+        .toPandas().sort_values("gus").reset_index(drop=True)
+    )
+    # grid: 0s (on event -> exact), 60s (midway 0..90 -> 2 + 6*(60/90)),
+    # 120s (on event -> exact)
+    assert len(got) == 3
+    assert got.lv.iloc[0] == 2.0
+    assert abs(got.lv.iloc[1] - (2.0 + 6.0 * (60.0 / 90.0))) < 1e-12
+    assert got.lv.iloc[2] == 4.0
