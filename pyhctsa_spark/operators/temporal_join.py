@@ -231,10 +231,14 @@ def resample_linear(
     exactly (t1 == t0 guard). Both brackets always exist because the
     grid is clamped inside [first, last].
 
-    Plan: one aggregate for bounds, grid explode, then TWO merge-form
-    asof scans (backward + forward) — all partitioned on the key, no
-    join node, linear work. Cross-engine: v0/v1/micros arithmetic is
-    evaluated in the same IEEE order as the oracle's ASOF formulation.
+    Plan: one aggregate for bounds, grid explode, then ONE union of
+    grid + events with TWO window carries over the SAME hash
+    partitioning — ascending for the backward bracket, descending for
+    the forward one. Catalyst inserts a single Exchange; the second
+    Window only re-sorts within partitions. Events are scanned twice
+    (bounds + union), never three times, and there is no join node.
+    Cross-engine: v0/v1/micros arithmetic is evaluated in the same IEEE
+    order as the oracle's dual-ASOF formulation.
     """
     by = list(by or ["user_id"])
     step = int(step_micros)
@@ -252,19 +256,40 @@ def resample_linear(
                 F.lit(step),
             )
         ).alias("gus"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("double").alias("_v"),
     )
     ev = events.select(
         *by,
         F.unix_micros(F.col(on)).alias("gus"),
+        F.lit(0).alias("_tag"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    bwd = asof_join(grid, ev, on="gus", by=by, value_cols=["_v"],
-                    direction="backward", suffix="_b")
-    both = asof_join(bwd, ev, on="gus", by=by, value_cols=["_v"],
-                     direction="forward", suffix="_f")
-    g, t0, t1 = F.col("gus"), F.col("gus_b"), F.col("gus_f")
-    v0, v1 = F.col("_v_b"), F.col("_v_f")
+    u = grid.unionByName(ev)
+    # event rows (_tag 0) sort before grid rows at an equal timestamp in
+    # BOTH scans, so a grid point on an event matches it inclusively
+    # from either direction
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("gus").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("gus").desc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev_t = F.when(F.col("_tag") == 0, F.col("gus"))
+    carried = u.select(
+        *by, "gus", "_tag",
+        F.last("_v", ignorenulls=True).over(wb).alias("_v0"),
+        F.last(ev_t, ignorenulls=True).over(wb).alias("_t0"),
+        F.last("_v", ignorenulls=True).over(wf).alias("_v1"),
+        F.last(ev_t, ignorenulls=True).over(wf).alias("_t1"),
+    ).where(F.col("_tag") == 1)
+    g, t0, t1 = F.col("gus"), F.col("_t0"), F.col("_t1")
+    v0, v1 = F.col("_v0"), F.col("_v1")
     interp = F.when(t1 == t0, v0).otherwise(
         v0 + (v1 - v0) * ((g - t0).cast("double") / (t1 - t0).cast("double"))
     )
-    return both.select(*by, "gus", interp.alias(value_col))
+    return carried.select(*by, "gus", interp.alias(value_col))

@@ -265,3 +265,17 @@ def test_resample_linear_exact_on_event(spark):
     assert got.lv.iloc[0] == 2.0
     assert abs(got.lv.iloc[1] - (2.0 + 6.0 * (60.0 / 90.0))) < 1e-12
     assert got.lv.iloc[2] == 4.0
+
+
+def test_resample_linear_plan_shape(spark):
+    # one union + TWO window carries over the SAME partitioning: exactly
+    # 2 exchanges (bounds agg + union window) and 2 event scans, no join
+    from pyhctsa_spark.operators.temporal_join import resample_linear
+
+    rng = np.random.default_rng(2)
+    events, _ = _mk(rng, n_keys=3, n_left=60)
+    out = resample_linear(spark.createDataFrame(events), on="ts",
+                          by=["user_id"], value_col="lv")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
