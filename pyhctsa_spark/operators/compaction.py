@@ -1,0 +1,138 @@
+"""Chunk compaction for the (tier, chunk)-partitioned rollup store.
+
+The other half of the chunk lifecycle (retention.py drops expired
+chunks; this merges fragmented live ones). At 10^12 sequences the
+chunked store accretes small files — every micro-batch / salt-bucket /
+restart appends its own parquet part — and small files are the classic
+scan killer: a 100 TB store made of 4 MB parts costs ~25M file opens
+per full scan and swamps the NameNode/object-store listing.
+
+Design (mirrors TimescaleDB ``compress_chunk`` / Iceberg ``rewrite_data_files``):
+
+- Compaction unit = one (tier, chunk) partition directory — the same
+  unit retention evicts, so the two never race across units.
+- Candidate selection is METADATA-ONLY: a chunk qualifies when it has
+  more than ``target_files`` parts or any part below ``small_bytes``.
+  No parquet file is opened to decide.
+- Rewrite is per-chunk and idempotent: read the chunk, sort by
+  (doc_id, window_idx) for run-clustered scans downstream, coalesce to
+  ``target_files``, write to a ``_compact_tmp`` sibling, then atomically
+  swap directories. A crash before the swap leaves the original intact;
+  a crash after leaves the compacted version — both are valid states.
+- Every rewrite appends a lineage row (tier, chunk, files/bytes before
+  and after, rows, wall) to ``_compaction_log`` under the store, the
+  same audit contract as ``_retention_log``.
+
+On a cluster, chunks compact independently (one job per chunk here for
+sandbox simplicity; a driver loop over chunks is fine because each
+chunk rewrite is itself a distributed job — the driver only sequences
+metadata). Sorting within a chunk costs one local sort per output file,
+not a global shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyhctsa_spark.operators.retention import _chunk_dirs
+
+_LOG_SCHEMA = (
+    "tier int, chunk long, files_before long, bytes_before long, "
+    "files_after long, bytes_after long, rows long, compacted_at double"
+)
+
+
+def _parquet_parts(d: str) -> list[str]:
+    return [
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def _part_stats(d: str) -> tuple[int, int]:
+    """(n_parts, bytes) over DATA files only — markers like _SUCCESS
+    are excluded so before/after lineage compares like with like."""
+    parts = _parquet_parts(d)
+    return len(parts), sum(os.path.getsize(p) for p in parts)
+
+
+def compaction_candidates(
+    path: str, target_files: int = 1, small_bytes: int = 8 * 1024 * 1024
+) -> list[tuple[int, int, str]]:
+    """(tier, chunk, dir) for every chunk that compaction can improve:
+    more parts than ``target_files`` AND at least one part below
+    ``small_bytes``. A chunk already at/under the target part count is
+    never a candidate (merging cannot reduce it further), and a chunk
+    of few-but-LARGE parts is deliberately left alone — rewriting
+    healthy gigabyte files buys nothing and costs a full chunk rewrite.
+    Decided from directory listings only — no data file is opened."""
+    out = []
+    for tier, chunks in sorted(_chunk_dirs(path).items()):
+        for chunk, d in sorted(chunks.items()):
+            parts = _parquet_parts(d)
+            if len(parts) > target_files and any(
+                os.path.getsize(p) < small_bytes for p in parts
+            ):
+                out.append((tier, chunk, d))
+    return out
+
+
+def compact_chunks(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    small_bytes: int = 8 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = ("doc_id", "window_idx"),
+) -> list[dict]:
+    """Rewrite every fragmented (tier, chunk) partition into
+    ``target_files`` sorted parquet parts; append lineage to
+    ``<path>/_compaction_log``. Returns the lineage rows.
+
+    Idempotent: a second invocation finds no candidates and is a no-op.
+    """
+    rows: list[dict] = []
+    for tier, chunk, d in compaction_candidates(path, target_files, small_bytes):
+        files_before, bytes_before = _part_stats(d)
+        df = spark.read.parquet(d)
+        present = [c for c in sort_cols if c in df.columns]
+        if present:
+            # sortWithinPartitions after coalesce = one local sort per
+            # output file; no shuffle enters the plan
+            df = df.coalesce(target_files).sortWithinPartitions(*present)
+        else:
+            df = df.coalesce(target_files)
+        tmp = d + "__compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        n_rows = spark.read.parquet(tmp).count()
+        old = d + "__compact_old"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        files_after, bytes_after = _part_stats(d)
+        rows.append({
+            "tier": tier,
+            "chunk": chunk,
+            "files_before": files_before,
+            "bytes_before": bytes_before,
+            "files_after": files_after,
+            "bytes_after": bytes_after,
+            "rows": n_rows,
+            "compacted_at": time.time(),
+        })
+    if rows:
+        (
+            spark.createDataFrame(rows, schema=_LOG_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(path, "_compaction_log"))
+        )
+    return rows
+
+
+def compaction_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "_compaction_log"))

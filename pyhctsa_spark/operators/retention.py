@@ -127,6 +127,24 @@ def _dir_stats(d: str) -> tuple[int, int]:
     return n_files, n_bytes
 
 
+def tier_watermarks(spark: SparkSession, path: str) -> dict[int, int]:
+    """{tier: max window_idx} read from the NEWEST chunk of each tier
+    only — partition pruning keeps this O(one chunk) per tier no matter
+    how large the store is, so deriving watermarks stays metadata-cheap
+    even at 10^12 sequences."""
+    out: dict[int, int] = {}
+    for tier, chunks in _chunk_dirs(path).items():
+        newest = chunks[max(chunks)]
+        wm = (
+            spark.read.parquet(newest)
+            .agg(F.max("window_idx").alias("m"))
+            .first()["m"]
+        )
+        if wm is not None:
+            out[tier] = int(wm)
+    return out
+
+
 def apply_retention(
     spark: SparkSession,
     path: str,
