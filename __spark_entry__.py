@@ -797,6 +797,49 @@ def _holt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cagg_refresh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh (operators/cagg.py):
+    materialize mergeable per-(user, 30m-window) states from 4/5 of the
+    events, refresh the chunk-partitioned store with the remaining
+    fifth (interleaved in time = late data), finalize. The DuckDB
+    oracle recomputes from ALL events — a hash match proves
+    refresh == full recompute. Refresh rewrites only the touched
+    chunks (dynamic partition overwrite); cost scales with the delta,
+    never the store."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.cagg import (
+        cagg_finalize,
+        cagg_materialize,
+        cagg_read,
+        cagg_refresh,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    win = 30 * 60 * 1_000_000
+    path = tempfile.mkdtemp(prefix="cagg_store_") + "/store"
+    cagg_materialize(ev.where("event_id % 5 != 4"), path,
+                     window_micros=win, chunk_windows=48)
+    cagg_refresh(spark, path, ev.where("event_id % 5 = 4"),
+                 window_micros=win, chunk_windows=48)
+    out = cagg_finalize(cagg_read(spark, path).drop("chunk"))
+    return out.select(
+        "user_id", "widx", "n_events",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("open", 6).alias("open"),
+        F.round("close", 6).alias("close"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        "t_high", "t_low",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -837,7 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "user_trimmed_mean10", "user_fzcglscf11", "user_rm_info1",
                  "user_distent10", "user_pacf3",
                  "user_stickangles", "user_vg_horiz",
-                 "user_ppc_medianf3", "user_moment_corr"):
+                 "user_moment_corr"):
         out[name] = _mk(name)
     # TSDB continuous-aggregate surfaces (round 4): time-weighted average
     # over irregular events, LOCF resampling to a regular grid,
@@ -850,6 +893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_resample_15m"] = _resample_locf_query
     out["user_counter_30m"] = _counter_agg_query
     out["user_lttb_24"] = _lttb_query
+    # Incremental continuous-aggregate refresh (operators/cagg.py):
+    # scored in the first-50 window (it is the materialize+refresh
+    # lifecycle the engine is FOR); displaces user_ppc_medianf3 to the
+    # catalog (PP_Compare stays oracled there).
+    out["user_cagg_refresh"] = _cagg_refresh_query
     out["user_distent_ks"] = _mk("user_distent_ks")
     out["user_embed2"] = _mk("user_embed2")
     # TSDB surface, batch 2: M4/OHLC aggregate, gap detection, EWMA

@@ -380,7 +380,8 @@ def bench_queries(spark) -> dict:
                  "doc_token_count_bpe_real", "media_real_decode",
                  "user_asof_error", "user_counter_30m", "user_lttb_24",
                  "user_ohlc_30m", "user_ewma", "user_cusum",
-                 "user_resample_lin_15m", "user_holt"):
+                 "user_resample_lin_15m", "user_holt",
+                 "user_cagg_refresh"):
         best = float("inf")
         for _ in range(2):
             # drop the operators' persisted intermediates so the retry

@@ -1,0 +1,207 @@
+"""Incremental continuous aggregates: materialize once, refresh by delta.
+
+TimescaleDB's continuous-aggregate model (materialize + invalidation +
+refresh) re-expressed Spark-first. The store holds MERGEABLE partial
+states per (key, window) — not finalized values — so a refresh never
+revisits raw history:
+
+- ``cagg_partial`` reduces an event batch to one state row per
+  (key, window): count, Σv, Σv² (mean/variance), min/max, and the four
+  OHLC anchors carried WITH their timestamps (t_open/open, t_close/
+  close, t_high, t_low) so merges preserve the M4 tie rules exactly
+  (continuous_agg.ohlc_agg semantics: open = value at earliest ts,
+  smallest value on ts tie; close = latest/largest; t_high/t_low =
+  earliest ts attaining the extreme).
+- ``cagg_merge`` combines any number of state rows per (key, window)
+  with pure JVM aggregates — sums for moments, struct-ordered min/max
+  for the anchored fields. merge(partial(A), partial(B)) ==
+  partial(A ∪ B) bit-exactly (associative + commutative), which is the
+  whole contract: late data, replays, and out-of-order deltas all
+  reduce to "union states, merge".
+- ``cagg_materialize`` writes states partitioned by
+  ``chunk = widx // chunk_windows`` (same chunk unit as retention.py).
+- ``cagg_refresh`` is the incremental path: partial-aggregate the
+  delta, list the TOUCHED chunks (a driver-side collect bounded by the
+  refresh interval — a day of late-arriving data touches a handful of
+  chunks, never the store), read ONLY those chunks back (partition
+  pruning), merge, and rewrite just those chunk directories via dynamic
+  partition overwrite. Refresh cost ∝ delta size + touched-chunk size;
+  store size never enters.
+- ``cagg_finalize`` turns states into the user-facing columns
+  (mean, variance, OHLC, extremes' timestamps).
+
+Invariant tested end-to-end: finalize(refresh(materialize(A), B)) ==
+finalize(partial(A ∪ B)) — the incremental store is indistinguishable
+from a full recompute, for any split of the event stream including
+late rows landing in old windows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STATE_COLS = [
+    "n", "s1", "s2", "low", "high",
+    "t_open", "open", "t_close", "close", "t_high", "t_low",
+]
+
+
+def cagg_partial(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    window_micros: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """One mergeable state row per (by, widx) from raw events.
+
+    A single hash-aggregate (map-side combine applies); every
+    expression is a JVM built-in."""
+    by = list(by or ["user_id"])
+    tus = F.unix_micros(F.col(on))
+    v = F.col(value_col).cast("double")
+    staged = events.select(
+        *by,
+        F.floor(tus / F.lit(int(window_micros))).alias("widx"),
+        tus.alias("_t"),
+        v.alias("_v"),
+    )
+    t, val = F.col("_t"), F.col("_v")
+    o = F.min(F.struct(t.alias("t"), val.alias("v")))
+    c = F.max(F.struct(t.alias("t"), val.alias("v")))
+    return staged.groupBy(*by, "widx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("s1"),
+        F.sum(val * val).alias("s2"),
+        F.min("_v").alias("low"),
+        F.max("_v").alias("high"),
+        o["t"].alias("t_open"),
+        o["v"].alias("open"),
+        c["t"].alias("t_close"),
+        c["v"].alias("close"),
+        (-F.max(F.struct(val.alias("v"), (-t).alias("nt")))["nt"]).alias(
+            "t_high"
+        ),
+        F.min(F.struct(val.alias("v"), t.alias("t")))["t"].alias("t_low"),
+    )
+
+
+def cagg_merge(states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Combine state rows per (by, widx). Associative/commutative, so
+    any partial/merge tree yields the same state as one partial over
+    the union of the underlying events."""
+    by = list(by or ["user_id"])
+    o = F.min(F.struct(F.col("t_open").alias("t"), F.col("open").alias("v")))
+    c = F.max(F.struct(F.col("t_close").alias("t"), F.col("close").alias("v")))
+    th = F.max(
+        F.struct(F.col("high").alias("v"), (-F.col("t_high")).alias("nt"))
+    )
+    tl = F.min(F.struct(F.col("low").alias("v"), F.col("t_low").alias("t")))
+    return states.groupBy(*by, "widx").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+        o["t"].alias("t_open"),
+        o["v"].alias("open"),
+        c["t"].alias("t_close"),
+        c["v"].alias("close"),
+        (-th["nt"]).alias("t_high"),
+        tl["t"].alias("t_low"),
+    )
+
+
+def cagg_finalize(states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """User-facing columns from states: mean, sample variance, OHLC."""
+    by = list(by or ["user_id"])
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.when(
+        F.col("n") > 1, (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    )
+    return states.select(
+        *by,
+        "widx",
+        F.col("n").alias("n_events"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        "open", "close", "high", "low", "t_high", "t_low",
+    )
+
+
+def _with_chunk(df: DataFrame, chunk_windows: int) -> DataFrame:
+    return df.withColumn(
+        "chunk", F.floor(F.col("widx") / F.lit(int(chunk_windows))).cast("long")
+    )
+
+
+def cagg_materialize(
+    events: DataFrame,
+    path: str,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    window_micros: int = 30 * 60 * 1_000_000,
+    chunk_windows: int = 48,
+) -> None:
+    """Full (re)build of the state store, chunk-partitioned."""
+    states = cagg_partial(events, on, by, value_col, window_micros)
+    (
+        _with_chunk(states, chunk_windows)
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(path)
+    )
+
+
+def cagg_refresh(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    window_micros: int = 30 * 60 * 1_000_000,
+    chunk_windows: int = 48,
+) -> dict:
+    """Merge a delta batch into the store, rewriting ONLY the chunks its
+    windows fall in. Returns {"touched_chunks": [...], "delta_states": n}.
+
+    The touched-chunk collect is bounded by the refresh cadence (windows
+    per delta / chunk_windows), independent of store size. Late rows are
+    just chunks further back in the touched list — same path, no special
+    case."""
+    by = list(by or ["user_id"])
+    dp = _with_chunk(
+        cagg_partial(delta, on, by, value_col, window_micros), chunk_windows
+    )
+    dp = dp.persist()
+    touched = [r["chunk"] for r in dp.select("chunk").distinct().collect()]
+    if not touched:
+        dp.unpersist()
+        return {"touched_chunks": [], "delta_states": 0}
+    n_delta = dp.count()
+    old = spark.read.parquet(path).where(F.col("chunk").isin(touched))
+    merged = _with_chunk(
+        cagg_merge(old.drop("chunk").unionByName(dp.drop("chunk")), by),
+        chunk_windows,
+    )
+    # Spark (rightly) refuses an overwrite whose plan reads the target
+    # path; materialize the merged states first. This is bounded by the
+    # touched chunks, not the store.
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("chunk").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    dp.unpersist()
+    return {"touched_chunks": sorted(touched), "delta_states": n_delta}
+
+
+def cagg_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1970,6 +1970,53 @@ ENGINE_ORACLES["doc_neardup_clusters"] = "\nWITH RECURSIVE grp AS (\n  SELECT md
 # (dz, j). Verified bit-exact on all 150 sf0.01 AND 1,500 sf0.1 users.
 ENGINE_ORACLES["user_ami_ksg2"] = _PRE + '\n, det AS (\n  SELECT user_id, rn, v + (rn + 1) * 1e-6 AS v2 FROM series\n),\npts AS (\n  SELECT user_id, rn AS i, v2 AS x, y2 FROM (\n    SELECT user_id, rn, v2,\n           lead(v2) OVER (PARTITION BY user_id ORDER BY rn) AS y2\n    FROM det\n  ) q WHERE y2 IS NOT NULL\n),\nmm AS (SELECT user_id, count(*) AS m FROM pts GROUP BY user_id),\npd AS (\n  SELECT a.user_id, a.i, b.i AS j, abs(a.x - b.x) AS dx, abs(a.y2 - b.y2) AS dy,\n         greatest(abs(a.x - b.x), abs(a.y2 - b.y2)) AS dz\n  FROM pts a JOIN pts b ON b.user_id = a.user_id AND b.i <> a.i\n),\nknn AS (\n  SELECT user_id, i, dx, dy FROM (\n    SELECT user_id, i, dx, dy,\n           row_number() OVER (PARTITION BY user_id, i ORDER BY dz, j) AS rk\n    FROM pd\n  ) q WHERE rk <= 3\n),\neps AS (\n  SELECT user_id, i, max(dx) AS ex, max(dy) AS ey\n  FROM knn GROUP BY user_id, i\n),\ncnts AS (\n  SELECT p.user_id, p.i,\n         sum(CASE WHEN p.dx <= e.ex THEN 1 ELSE 0 END) AS nx,\n         sum(CASE WHEN p.dy <= e.ey THEN 1 ELSE 0 END) AS ny\n  FROM pd p JOIN eps e ON e.user_id = p.user_id AND e.i = p.i\n  GROUP BY p.user_id, p.i\n),\nints AS (SELECT DISTINCT rn + 1 AS mth FROM series),\ndgt AS (\n  SELECT mth,\n         CAST(-0.5772156649015329 AS DOUBLE)\n         + coalesce(sum(1.0 / CAST(mth AS DOUBLE)) OVER (\n             ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),\n           CAST(0.0 AS DOUBLE)) AS dg\n  FROM ints\n),\nterm AS (\n  SELECT c.user_id, dx2.dg + dy2.dg AS dsum\n  FROM cnts c\n  JOIN dgt dx2 ON dx2.mth = c.nx\n  JOIN dgt dy2 ON dy2.mth = c.ny\n)\nSELECT t.user_id,\n       round(d3.dg - CAST(1.0 AS DOUBLE) / 3 + dn.dg - avg(t.dsum), 6)\n         AS ami_ksg2\nFROM term t\nJOIN mm ON mm.user_id = t.user_id\nJOIN dgt d3 ON d3.mth = 3\nJOIN dgt dn ON dn.mth = mm.m\nGROUP BY t.user_id, d3.dg, dn.dg\n'
 
+
+# Incremental continuous-aggregate refresh (operators/cagg.py): the
+# Spark side materializes mergeable states from events where
+# event_id % 5 != 4, then REFRESHES the store with the remaining fifth
+# (delta interleaved in time = late data) and finalizes. The oracle is
+# a FULL RECOMPUTE over all events — identical output proves
+# finalize(refresh(materialize(A), B)) == finalize(partial(A UNION B)).
+# Variance uses the engine's exact moment formula (s2 - s1^2/n)/(n-1),
+# not var_samp, so both sides share the same floating-point expression;
+# OHLC tie rules mirror user_ohlc_30m's ranked windows.
+ENGINE_ORACLES["user_cagg_refresh"] = """
+WITH e AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS value, epoch_us(ts) AS tus
+  FROM events
+),
+d AS (
+  SELECT user_id, CAST(floor(tus / 1800000000) AS BIGINT) AS widx,
+         tus, value
+  FROM e
+),
+r AS (
+  SELECT user_id, widx, tus, value,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY tus, value) AS rn_o,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY tus DESC, value DESC) AS rn_c,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY value DESC, tus) AS rn_h,
+    row_number() OVER (PARTITION BY user_id, widx
+                       ORDER BY value, tus) AS rn_l
+  FROM d
+)
+SELECT user_id, widx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value) / count(*), 6) AS mean,
+  round(CASE WHEN count(*) > 1 THEN
+    (sum(value * value) - sum(value) * sum(value) / count(*))
+      / (count(*) - 1) END, 6) AS variance,
+  round(max(CASE WHEN rn_o = 1 THEN value END), 6) AS open,
+  round(max(CASE WHEN rn_c = 1 THEN value END), 6) AS close,
+  round(max(value), 6) AS high,
+  round(min(value), 6) AS low,
+  max(CASE WHEN rn_h = 1 THEN tus END) AS t_high,
+  max(CASE WHEN rn_l = 1 THEN tus END) AS t_low
+FROM r GROUP BY user_id, widx
+"""
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
