@@ -184,11 +184,17 @@ def cagg_refresh(
         dp.unpersist()
         return {"touched_chunks": [], "delta_states": 0}
     n_delta = dp.count()
-    old = spark.read.parquet(path).where(F.col("chunk").isin(touched))
-    merged = _with_chunk(
-        cagg_merge(old.drop("chunk").unionByName(dp.drop("chunk")), by),
-        chunk_windows,
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        old = spark.read.parquet(path).where(F.col("chunk").isin(touched))
+        combined = old.drop("chunk").unionByName(dp.drop("chunk"))
+    except AnalysisException:
+        # store absent or empty (first refresh creates it): the delta's
+        # states are already one row per (by, widx), but run the merge
+        # anyway so the code path stays identical
+        combined = dp.drop("chunk")
+    merged = _with_chunk(cagg_merge(combined, by), chunk_windows)
     # Spark (rightly) refuses an overwrite whose plan reads the target
     # path; materialize the merged states first. This is bounded by the
     # touched chunks, not the store.
