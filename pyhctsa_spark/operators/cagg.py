@@ -211,3 +211,41 @@ def cagg_refresh(
 
 def cagg_read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def cagg_realtime(
+    spark: SparkSession,
+    path: str,
+    raw_tail: DataFrame,
+    materialized_until_widx: int,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    window_micros: int = 30 * 60 * 1_000_000,
+    chunk_windows: int = 48,
+) -> DataFrame:
+    """Real-time continuous-aggregate view: finalized results over the
+    UNION of the materialized store (windows <= the materialization
+    watermark) and an on-the-fly partial aggregate of the raw tail
+    (windows beyond it). TimescaleDB's real-time aggregate semantics:
+    queries see current data without waiting for the next refresh, and
+    the expensive history comes from the store, never from raw.
+
+    The store scan prunes to chunks at/below the watermark chunk; the
+    raw tail is filtered to windows strictly above the watermark before
+    aggregating, so the two sides are disjoint by construction and no
+    merge across the boundary is needed (a window is either fully
+    materialized or fully fresh — refresh cadence defines the split).
+    """
+    by = list(by or ["user_id"])
+    wm_chunk = materialized_until_widx // chunk_windows
+    hist = (
+        spark.read.parquet(path)
+        .where(F.col("chunk") <= wm_chunk)
+        .where(F.col("widx") <= materialized_until_widx)
+        .drop("chunk")
+    )
+    fresh = cagg_partial(
+        raw_tail, on, by, value_col, window_micros
+    ).where(F.col("widx") > materialized_until_widx)
+    return cagg_finalize(hist.unionByName(fresh), by)

@@ -148,3 +148,27 @@ def test_partial_is_single_aggregate_plan(spark):
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
     assert "partial_" in plan  # map-side combine present
+
+
+def test_realtime_view_equals_full_recompute(spark, tmp_path):
+    """Materialize history up to a watermark window; feed the raw tail
+    (plus irrelevant old raw rows that must be ignored) to the realtime
+    view — result equals a full recompute over everything."""
+    from pyhctsa_spark.operators.cagg import cagg_realtime
+
+    path = str(tmp_path / "cagg")
+    ev = _events(spark)
+    wm_ts = ev.agg(F.expr("percentile(unix_micros(ts), 0.8)")).first()[0]
+    wm_widx = int(wm_ts // WIN)
+    hist = ev.where(
+        F.floor(F.unix_micros("ts") / F.lit(WIN)) <= wm_widx
+    )
+    cagg_materialize(hist, path, window_micros=WIN, chunk_windows=16)
+    got = cagg_realtime(
+        spark, path, ev, wm_widx, window_micros=WIN, chunk_windows=16
+    )
+    want = cagg_finalize(cagg_partial(ev, window_micros=WIN))
+    pd.testing.assert_frame_equal(_sorted_pd(got), _sorted_pd(want))
+    # the history side of the view prunes its store scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
