@@ -6976,6 +6976,38 @@ QUERIES["user_ohlc_30m"] = _q2(
 )
 
 
+# --- Rolling z-score anomaly detection --------------------------------------
+# The TSDB anomaly staple: each event scored against the mean/std of
+# its 20 PRECEDING same-user events (frame excludes the current row, so
+# an outlier cannot mask itself); flagged when |z| > 3 with at least 10
+# prior samples. Pure window SQL in both engines, identical frames and
+# evaluation order; nullif guards the zero-variance frames (Spark ANSI
+# would raise on the division otherwise, and AND does not short-circuit).
+_ANOM_BODY = """
+w AS (
+  SELECT user_id, tus, v,
+    avg(v) OVER (PARTITION BY user_id ORDER BY tus
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+    stddev_samp(v) OVER (PARTITION BY user_id ORDER BY tus
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+    count(v) OVER (PARTITION BY user_id ORDER BY tus
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS cnt
+  FROM e
+)
+SELECT user_id, tus, round(v, 6) AS value,
+       round((v - mu) / nullif(sd, CAST(0 AS DOUBLE)), 6) AS z
+FROM w
+WHERE cnt >= 10 AND abs((v - mu) / nullif(sd, CAST(0 AS DOUBLE))) > 3
+"""
+QUERIES["user_anomaly_z"] = _q2(
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _ANOM_BODY,
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " epoch_us(ts) AS tus FROM events),\n" + _ANOM_BODY,
+)
+
+
 # --- Intra-series gap detection (silences > 12h) ----------------------------
 # (operators/continuous_agg.gap_detect — the data-quality probe behind
 # the rollup gap-fill path.) (user_id, ts) pairs are tie-free (verified
