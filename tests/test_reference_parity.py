@@ -47,6 +47,11 @@ def _series(seed: int, n: int = 500, kind: str = "normal") -> np.ndarray:
         return rng.uniform(-1, 1, n)
     if kind == "trend":
         return rng.standard_normal(n) + np.linspace(-2, 2, n)
+    if kind == "seasonal":
+        t = np.arange(n)
+        return np.sin(2 * np.pi * t / 25) + 0.5 * rng.standard_normal(n)
+    if kind == "heavytail":
+        return rng.standard_t(3, n)
     raise ValueError(kind)
 
 
@@ -55,6 +60,11 @@ SERIES = [
     ("ar1", _series(2, 500, "ar1")),
     ("uniform", _series(3, 300, "uniform")),
     ("trend", _series(4, 400, "trend")),
+    # round-4c: distribution/length-adversarial kinds — strong
+    # periodicity (hits first-zero-crossing / symbolization edges) and
+    # heavy tails (hits outlier/binning edges)
+    ("seasonal", _series(5, 450, "seasonal")),
+    ("heavytail", _series(6, 350, "heavytail")),
 ]
 ZS = [(name, K.zscore(y)) for name, y in SERIES]
 
@@ -213,7 +223,7 @@ CASES = [
     # nuql{N} instead of nuql{Nval} for N < Nval (Stationarity.py:536);
     # the engine emits the intended fixed key (COVERAGE.md deviation).
     Case("range_evolve", K.range_evolve, "RangeEvolve", zscore=True,
-         skip_keys=("nuql500", "nuql300", "nuql400")),
+         skip_keys=("nuql500", "nuql300", "nuql400", "nuql450", "nuql350")),
     Case("simple_stats_zcross", lambda y: K.simple_stats(y, "zcross"),
          "SimpleStats", lambda f, y: f(y, "zcross")),
     Case("simple_stats_pmcross", lambda y: K.simple_stats(y, "pmcross"),
