@@ -6976,6 +6976,39 @@ QUERIES["user_ohlc_30m"] = _q2(
 )
 
 
+# --- Seasonal hour-of-day profile --------------------------------------------
+# The seasonality baseline every TSDB dashboard draws: per (user, hour
+# 0-23) mean/std/count plus each hour's share of the user's total
+# activity. Pure GROUP BY (one exchange, map-side combine). Hour is
+# derived from epoch time, not calendar functions, so both engines
+# agree without timezone/DST machinery (the synthetic events are NTZ).
+_HOURPROF_BODY = """
+h AS (
+  SELECT user_id,
+         CAST(floor(tus / 3600000000) % 24 AS BIGINT) AS hour_of_day,
+         v
+  FROM e
+),
+tot AS (SELECT user_id, count(*) AS n_tot FROM h GROUP BY user_id)
+SELECT h.user_id, h.hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(v), 6) AS mean_v,
+       round(CASE WHEN count(*) > 1 THEN
+         (sum(v * v) - sum(v) * sum(v) / count(*)) / (count(*) - 1)
+       END, 6) AS var_v,
+       round(count(*) / CAST(max(t.n_tot) AS DOUBLE), 6) AS hour_share
+FROM h JOIN tot t ON t.user_id = h.user_id
+GROUP BY h.user_id, h.hour_of_day
+"""
+QUERIES["user_hour_profile"] = _q2(
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _HOURPROF_BODY,
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " epoch_us(ts) AS tus FROM events),\n" + _HOURPROF_BODY,
+)
+
+
 # --- Rolling z-score anomaly detection --------------------------------------
 # The TSDB anomaly staple: each event scored against the mean/std of
 # its 20 PRECEDING same-user events (frame excludes the current row, so
