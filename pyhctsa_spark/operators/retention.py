@@ -35,7 +35,6 @@ tier's own resolution, so one policy object covers every tier: e.g.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import time
@@ -73,8 +72,11 @@ class RetentionPolicy:
         if keep_from_widx <= 0:
             return None
         # a chunk expires only when EVERY window in it is older than the
-        # horizon, i.e. chunk_end < keep_from_widx
-        return int(math.ceil(keep_from_widx / self.chunk_windows))
+        # horizon: chunk_end = (c+1)*cw - 1 < keep_from_widx, i.e.
+        # c < keep_from_widx // cw. (ceil here would over-evict the
+        # boundary chunk when the horizon lands mid-chunk — its tail
+        # windows are still live.)
+        return keep_from_widx // self.chunk_windows
 
 
 def write_tier_chunked(

@@ -107,3 +107,21 @@ def test_chunked_layout_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "tier" in plan.split("PartitionFilters:")[1][:200]
     assert df.count() == 64 * 6
+
+
+def test_retention_keeps_partially_live_boundary_chunk(spark, tmp_path):
+    """Horizon landing mid-chunk must NOT evict that chunk: windows at
+    its tail are still inside the horizon (found by review — ceil-based
+    cutoff over-evicted here)."""
+    path = str(tmp_path / "store")
+    write_tier_chunked(_tiers(spark), path, chunk_windows=64)
+    # watermark 511, horizon 127 -> keep widx >= 385; chunk 6 holds
+    # 384..447 (384 expired, 385..447 LIVE) -> only chunks 0..5 drop
+    policy = RetentionPolicy(
+        horizons={0: 127, 1: None, 2: None}, chunk_windows=64)
+    evicted = apply_retention(
+        spark, path, policy, watermark_widx={0: 511, 1: 31, 2: 1})
+    assert sorted(e["chunk"] for e in evicted) == [0, 1, 2, 3, 4, 5]
+    after = read_tier_chunked(spark, path)
+    assert after.where("tier = 0").agg(
+        F.min("window_idx")).first()[0] == 384
