@@ -39,6 +39,7 @@ late rows landing in old windows.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -211,6 +212,181 @@ def cagg_refresh(
 
 def cagg_read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+class CaggSnapshotStore:
+    """Snapshot-committed continuous-aggregate store (Iceberg-lite).
+
+    The plain chunk store (``cagg_materialize``/``cagg_refresh``) is
+    not crash-atomic: dynamic partition overwrite mutates chunk
+    directories in place, so a failure mid-refresh (or a replayed
+    streaming batch after a crash between data write and commit marker)
+    can double-merge a delta. This store removes that window the way a
+    table format does:
+
+    - chunk data lives under ``<path>/gen=<G>/chunk=<C>/`` — generation
+      directories are IMMUTABLE once referenced;
+    - ``_MANIFEST.json`` maps each chunk to the generation that owns it,
+      plus the set of committed batch ids; it is the ONLY mutable state
+      and is published atomically (tmp + os.replace);
+    - a refresh writes its touched chunks into a brand-new generation,
+      then publishes a manifest pointing those chunks at it. Crash
+      before publish: the old manifest still references the old chunk
+      versions, so a replay recomputes from unchanged inputs —
+      exactly-once without coordination. The orphaned generation is
+      garbage-collected by the next successful commit;
+    - a committed ``batch_id`` makes the refresh a no-op (streaming
+      foreachBatch redelivery).
+
+    On a real warehouse this is an Iceberg/Delta snapshot commit; the
+    manifest here is the sandbox stand-in with identical semantics.
+    """
+
+    MANIFEST = "_MANIFEST.json"
+
+    def __init__(
+        self,
+        path: str,
+        by: list[str] | None = None,
+        on: str = "ts",
+        value_col: str = "value",
+        window_micros: int = 30 * 60 * 1_000_000,
+        chunk_windows: int = 48,
+    ) -> None:
+        self.path = path
+        self.by = list(by or ["user_id"])
+        self.on = on
+        self.value_col = value_col
+        self.window_micros = window_micros
+        self.chunk_windows = chunk_windows
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"gen": -1, "chunks": {}, "batches": []}
+        import json
+
+        with open(p) as f:
+            return json.load(f)
+
+    def _publish(self, man: dict) -> None:
+        import json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- io ----------------------------------------------------------------
+    def _chunk_paths(self, man: dict, chunks=None) -> list[str]:
+        items = man["chunks"].items()
+        if chunks is not None:
+            want = {str(c) for c in chunks}
+            items = [(c, g) for c, g in items if c in want]
+        return [
+            os.path.join(self.path, f"gen={g}", f"chunk={c}")
+            for c, g in items
+        ]
+
+    def read(self, spark: SparkSession, chunks=None) -> DataFrame:
+        """The committed view (optionally restricted to given chunks).
+        Pruning is structural: only the referenced chunk directories are
+        ever listed — no filter needed, no orphan generation is read."""
+        man = self.manifest()
+        paths = self._chunk_paths(man, chunks)
+        if not paths:
+            raise ValueError("snapshot store is empty — materialize first")
+        return (
+            spark.read.option("basePath", self.path)
+            .parquet(*paths)
+            .drop("gen")
+        )
+
+    def _write_generation(self, states: DataFrame, gen: int) -> None:
+        (
+            states.write.mode("overwrite")  # clobbers a crashed attempt
+            .partitionBy("chunk")
+            .parquet(os.path.join(self.path, f"gen={gen}"))
+        )
+
+    def _gc(self, man: dict) -> None:
+        """Delete chunk dirs no generation reference points at (orphans
+        from crashed refreshes + superseded versions). Best-effort."""
+        if not os.path.isdir(self.path):
+            return
+        live = {(str(c), int(g)) for c, g in man["chunks"].items()}
+        for gdir in os.listdir(self.path):
+            if not gdir.startswith("gen="):
+                continue
+            g = int(gdir.split("=", 1)[1])
+            gpath = os.path.join(self.path, gdir)
+            for cdir in os.listdir(gpath):
+                if not cdir.startswith("chunk="):
+                    continue
+                if (cdir.split("=", 1)[1], g) not in live:
+                    shutil.rmtree(os.path.join(gpath, cdir))
+            if not any(e.startswith("chunk=") for e in os.listdir(gpath)):
+                shutil.rmtree(gpath)
+
+    # -- operations ---------------------------------------------------------
+    def materialize(self, events: DataFrame) -> None:
+        states = _with_chunk(
+            cagg_partial(events, self.on, self.by, self.value_col,
+                         self.window_micros),
+            self.chunk_windows,
+        )
+        self._write_generation(states, 0)
+        chunks = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(self.path, "gen=0"))
+            if d.startswith("chunk=")
+        )
+        self._publish({
+            "gen": 0, "chunks": {str(c): 0 for c in chunks}, "batches": [],
+        })
+
+    def refresh(
+        self, spark: SparkSession, delta: DataFrame, batch_id=None
+    ) -> dict:
+        man = self.manifest()
+        if batch_id is not None and batch_id in man["batches"]:
+            return {"touched_chunks": [], "delta_states": 0,
+                    "skipped_committed_batch": True}
+        dp = _with_chunk(
+            cagg_partial(delta, self.on, self.by, self.value_col,
+                         self.window_micros),
+            self.chunk_windows,
+        ).persist()
+        touched = [r["chunk"] for r in dp.select("chunk").distinct().collect()]
+        if not touched:
+            dp.unpersist()
+            return {"touched_chunks": [], "delta_states": 0}
+        n_delta = dp.count()
+        have = [c for c in touched if str(c) in man["chunks"]]
+        combined = dp.drop("chunk")
+        if have:
+            combined = combined.unionByName(
+                self.read(spark, chunks=have).drop("chunk")
+            )
+        merged = _with_chunk(
+            cagg_merge(combined, self.by), self.chunk_windows
+        )
+        gen = man["gen"] + 1
+        self._write_generation(merged, gen)
+        man["gen"] = gen
+        for c in touched:
+            man["chunks"][str(c)] = gen
+        if batch_id is not None:
+            man["batches"].append(batch_id)
+        self._publish(man)  # <- the commit point; everything before is
+        #    invisible to readers and replayed safely
+        self._gc(man)
+        dp.unpersist()
+        return {"touched_chunks": sorted(touched), "delta_states": n_delta}
 
 
 def cagg_realtime(

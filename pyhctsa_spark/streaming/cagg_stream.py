@@ -1,13 +1,14 @@
-"""Streaming continuous aggregates: per-micro-batch incremental refresh.
+"""Streaming continuous aggregates: per-micro-batch snapshot-committed
+incremental refresh.
 
 ``readStream`` on an events directory -> ``foreachBatch`` ->
-``operators/cagg.cagg_refresh``. Each micro-batch partial-aggregates
-its own rows and merges them into the chunk-partitioned state store,
-rewriting only the touched chunks — so the materialized aggregate is
-continuously maintained with per-batch cost ∝ batch size, and LATE
-events need no watermark bookkeeping at all: a late row is just a
-touched chunk further back, merged by the same associative state
-algebra (merge(partial(A), partial(B)) == partial(A ∪ B)).
+``operators/cagg.CaggSnapshotStore.refresh``. Each micro-batch
+partial-aggregates its own rows and merges them into the store's
+touched chunks, committing the result as a new immutable generation
+behind an atomically-published manifest. LATE events need no watermark
+bookkeeping: a late row is just a touched chunk further back, merged by
+the same associative state algebra
+(merge(partial(A), partial(B)) == partial(A ∪ B)).
 
 This is deliberately different from Spark's built-in stateful windowed
 aggregation: the state lives in the STORE (readable by any batch query
@@ -18,23 +19,22 @@ tradeoff accepted in exchange: per-batch refresh is read-merge-rewrite
 of touched chunks, so batches should be seconds-to-minutes, not
 per-record (exactly the continuous-aggregate cadence every TSDB uses).
 
-Exactly-once: foreachBatch gives at-least-once delivery on retries; a
-replayed batch id is skipped via a tiny committed-batch manifest under
-``<store>/_stream_commits`` (idempotent refresh, the same pattern as
-checkpoint.RollupJob's bucket manifest).
+Exactly-once: foreachBatch gives at-least-once delivery on retries; the
+snapshot store closes the gap on BOTH sides of the commit —
+- a batch id already in the committed manifest is skipped (redelivery
+  after a successful commit);
+- a crash BEFORE the manifest publish leaves the previous manifest (and
+  the chunk versions it references) untouched, so the replay recomputes
+  from unchanged inputs; the orphaned generation directory is
+  garbage-collected by the next successful commit.
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-
-def _commit_path(store: str, batch_id: int) -> str:
-    return os.path.join(store, "_stream_commits", f"{batch_id}.json")
+from pyhctsa_spark.operators.cagg import CaggSnapshotStore
 
 
 def stream_cagg(
@@ -51,30 +51,19 @@ def stream_cagg(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """Start the streaming refresh; returns the StreamingQuery handle."""
-    from pyhctsa_spark.operators.cagg import cagg_refresh
+    """Start the streaming refresh; returns the StreamingQuery handle.
 
-    by = list(by or ["user_id"])
+    The store is created by the first batch; an existing snapshot store
+    at ``store_path`` is resumed (its committed batch ids survive even
+    a wiped streaming checkpoint)."""
+    store = CaggSnapshotStore(
+        store_path, by=by, on=on, value_col=value_col,
+        window_micros=window_micros, chunk_windows=chunk_windows,
+    )
 
     def _refresh_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = _commit_path(store_path, batch_id)
-        if os.path.exists(marker):  # replayed batch after a crash
-            return
-        info = cagg_refresh(
-            spark,
-            store_path,
-            batch_df,
-            on=on,
-            by=by,
-            value_col=value_col,
-            window_micros=window_micros,
-            chunk_windows=chunk_windows,
-        )
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            json.dump({"batch_id": batch_id, **info}, f)
+        store.refresh(spark, batch_df, batch_id=int(batch_id))
 
-    # no store seeding needed: the first batch's refresh creates it
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
