@@ -388,6 +388,25 @@ class CaggSnapshotStore:
         dp.unpersist()
         return {"touched_chunks": sorted(touched), "delta_states": n_delta}
 
+    def expire(self, keep_from_widx: int) -> list[int]:
+        """Retention on the snapshot store: drop every chunk whose LAST
+        window is older than ``keep_from_widx``. Eviction here is a
+        pure manifest edit — one atomic file replace de-references the
+        expired chunks; their directories go in the same best-effort GC
+        that cleans superseded generations. Boundary chunks containing
+        any live window are kept (same floor rule as
+        retention.RetentionPolicy.cutoff_chunk)."""
+        cut = keep_from_widx // self.chunk_windows
+        man = self.manifest()
+        doomed = sorted(int(c) for c in man["chunks"] if int(c) < cut)
+        if not doomed:
+            return []
+        for c in doomed:
+            del man["chunks"][str(c)]
+        self._publish(man)
+        self._gc(man)
+        return doomed
+
 
 def cagg_realtime(
     spark: SparkSession,

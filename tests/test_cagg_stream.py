@@ -156,3 +156,31 @@ def test_snapshot_gc_removes_superseded_and_orphaned_generations(
     got = _final(spark, store)
     want = cagg_finalize(cagg_partial(ev, window_micros=WIN))
     pd.testing.assert_frame_equal(_sorted_pd(got), _sorted_pd(want))
+
+
+def test_snapshot_expire_is_a_manifest_edit(spark, tmp_path):
+    store = CaggSnapshotStore(str(tmp_path / "snap"),
+                              window_micros=WIN, chunk_windows=16)
+    ev = _events(spark, 0, 2000)
+    store.materialize(ev)
+    man0 = store.manifest()
+    all_chunks = sorted(int(c) for c in man0["chunks"])
+    assert len(all_chunks) > 4
+    # keep only windows >= the 3rd chunk's start; chunk boundary rule:
+    # a mid-chunk keep_from keeps the boundary chunk
+    keep_from = all_chunks[2] * 16 + 5
+    doomed = store.expire(keep_from)
+    assert doomed == all_chunks[:2]
+    got = store.read(spark)
+    assert got.agg(F.min("widx")).first()[0] >= all_chunks[2] * 16
+    # expired chunk dirs are gone from disk (GC), survivors intact
+    for c in doomed:
+        assert not os.path.exists(
+            os.path.join(store.path, "gen=0", f"chunk={c}"))
+    # full recompute over the SURVIVING window range matches
+    want = cagg_finalize(
+        cagg_partial(ev, window_micros=WIN)
+        .where(F.col("widx") >= all_chunks[2] * 16)
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_pd(cagg_finalize(got.drop("chunk"))), _sorted_pd(want))
