@@ -797,6 +797,33 @@ def _holt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_p_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram percentiles per (user, 30m window)
+    (operators/hist_percentile.py — the percentile_agg analogue with a
+    declared [0, 600)/60-bin range so both engines hash-match; native
+    approx_percentile/percentile_cont differ per engine). Relational
+    bin states: one hash-aggregate + two window scans, mergeable by
+    addition."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.hist_percentile import (
+        hist_partial,
+        hist_percentiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    st = hist_partial(ev, 0.0, 600.0, 60,
+                      window_micros=30 * 60 * 1_000_000)
+    out = hist_percentiles(st, 0.0, 600.0, 60, qs=(0.5, 0.9))
+    return out.select(
+        "user_id", "widx", F.col("n").alias("n_events"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+    )
+
+
 def _cagg_refresh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental continuous-aggregate refresh (operators/cagg.py):
     materialize mergeable per-(user, 30m-window) states from 4/5 of the
@@ -909,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_cusum"] = _cusum_query
     out["user_resample_lin_15m"] = _resample_linear_query
     out["user_holt"] = _holt_query
+    out["user_hist_p90"] = _hist_p_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

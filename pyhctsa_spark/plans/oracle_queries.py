@@ -7009,6 +7009,54 @@ QUERIES["user_hour_profile"] = _q2(
 )
 
 
+# --- Histogram percentiles (deterministic percentile_agg) --------------------
+# (operators/hist_percentile.py) Fixed 60-bin equi-width histogram over
+# the declared [0, 600) value range, edge-clamped; p50/p90 via in-bin
+# linear interpolation at continuous rank t = q*(n-1)+1. Both engines
+# evaluate the IDENTICAL expression tree (unlike approx_percentile /
+# percentile_cont, whose algorithms differ per engine), so the values
+# hash-match. Literals CAST to DOUBLE (Spark parses bare 0.5 as
+# DECIMAL).
+_HISTP_BODY = """
+d AS (
+  SELECT user_id, CAST(floor(tus / 1800000000) AS BIGINT) AS widx,
+         CAST(least(greatest(floor(v / CAST(10 AS DOUBLE)),
+                             CAST(0 AS DOUBLE)),
+                    CAST(59 AS DOUBLE)) AS INTEGER) AS bin
+  FROM e
+),
+c AS (
+  SELECT user_id, widx, bin, count(*) AS cnt
+  FROM d GROUP BY user_id, widx, bin
+),
+k AS (
+  SELECT user_id, widx, bin, cnt,
+         sum(cnt) OVER (PARTITION BY user_id, widx ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY user_id, widx) AS n
+  FROM c
+)
+SELECT user_id, widx, CAST(max(n) AS BIGINT) AS n_events,
+  round(min(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * (n - 1) + 1
+                  AND cum - cnt < CAST(0.5 AS DOUBLE) * (n - 1) + 1
+            THEN CAST(10 AS DOUBLE)
+                 * (bin + ((CAST(0.5 AS DOUBLE) * (n - 1) + 1)
+                           - (cum - cnt)) / cnt) END), 6) AS p50,
+  round(min(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * (n - 1) + 1
+                  AND cum - cnt < CAST(0.9 AS DOUBLE) * (n - 1) + 1
+            THEN CAST(10 AS DOUBLE)
+                 * (bin + ((CAST(0.9 AS DOUBLE) * (n - 1) + 1)
+                           - (cum - cnt)) / cnt) END), 6) AS p90
+FROM k GROUP BY user_id, widx
+"""
+QUERIES["user_hist_p90"] = _q2(
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _HISTP_BODY,
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " epoch_us(ts) AS tus FROM events),\n" + _HISTP_BODY,
+)
+
+
 # --- Rolling z-score anomaly detection --------------------------------------
 # The TSDB anomaly staple: each event scored against the mean/std of
 # its 20 PRECEDING same-user events (frame excludes the current row, so
