@@ -430,3 +430,37 @@ def cascade_from_store(
         keyed.groupBy("doc_id", "parent_idx")
         .applyInPandas(_make_cascade_fn(group, lags), schema=ROLLUP_SCHEMA)
     )
+
+
+def rollup_at_resolution(
+    tiers: DataFrame,
+    bucket_windows: int,
+    group: int = DEFAULT_GROUP,
+    n_tiers: int = 3,
+    lags: list[int] | None = None,
+) -> DataFrame:
+    """Answer a "give me buckets of B base windows" query from the
+    COARSEST tier that can serve it — the continuous-aggregate router
+    every TSDB applies at query time. Tier t rows each summarize
+    ``group**t`` base windows, so the coarsest usable tier is the
+    largest t with ``group**t`` dividing B; the residual regrouping
+    (B / group**t tier-t rows per output bucket) runs through the exact
+    ALG state merge (cascade_from_store). At B=256 with the default
+    16x ratio this reads 1/256th of the tier-0 rows and merges nothing.
+
+    Output: ROLLUP_SCHEMA rows with ``window_idx`` = bucket index at
+    resolution B. Exact for ALG features always; HOL columns
+    (spread_iqr, ac1_fourier) are NULL whenever a residual merge
+    happens (same contract as cascade_from_store), and intact when a
+    tier serves the resolution directly.
+    """
+    if bucket_windows < 1:
+        raise ValueError("bucket_windows must be >= 1")
+    t = max(
+        k for k in range(n_tiers) if bucket_windows % (group ** k) == 0
+    )
+    residual = bucket_windows // group ** t
+    sel = tiers.where(F.col("tier") == t)
+    if residual == 1:
+        return sel
+    return cascade_from_store(sel, group=residual, lags=lags)
