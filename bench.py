@@ -357,6 +357,9 @@ def bench_queries(spark) -> dict:
         "knn_cosine_top3",
         "doc_quality",
         "user_twa_30m",
+        "user_anomaly_z",
+        "user_hour_profile",
+        "user_hist_p90",
     ]
     # best of 2 per query: the first run pays one-time driver-side
     # whole-stage-codegen compilation (several seconds for the 64-agg
