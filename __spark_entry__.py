@@ -797,6 +797,30 @@ def _holt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resolution_router_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time resolution router (operators/rollup.rollup_at_resolution):
+    a bucket of 8 base windows is served from tier 1 with a residual
+    group of 2 (reading 1/4 of the tier-0 rows), merged through the
+    exact ALG state algebra. The oracle recomputes 32-token windows
+    straight from raw events — a hash match proves router output ==
+    direct computation, one merge level deeper than
+    rollup_cascade_tier1."""
+    from pyhctsa_spark.operators.rollup import (
+        rollup_at_resolution,
+        rollup_tiers,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    tiers = rollup_tiers(seq, window=4, group=4, n_tiers=3, lags=[1, 2])
+    out = rollup_at_resolution(tiers, 8, group=4, n_tiers=3, lags=[1, 2])
+    return out.select(
+        "doc_id", "source", "window_idx", "n",
+        _f6("mean", "mean_v"), _f6("variance", "var_v"),
+        _f6("spread_std", "std_v"), _f6("ac1_td"), _f6("ac2_td"),
+        _f6("burst_b"), _f6("burst_b_kim"),
+    )
+
+
 def _hist_p_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic histogram percentiles per (user, 30m window)
     (operators/hist_percentile.py — the percentile_agg analogue with a
@@ -937,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_resample_lin_15m"] = _resample_linear_query
     out["user_holt"] = _holt_query
     out["user_hist_p90"] = _hist_p_query
+    out["rollup_resolution_8"] = _resolution_router_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -1356,6 +1356,77 @@ SELECT doc_id, source, window_idx, n,
 FROM f3
 """
 
+# Resolution-router gate (operators/rollup.rollup_at_resolution):
+# a bucket of 8 base windows (32 tokens) is served from TIER 1 with a
+# residual group of 2 — the answer must be bit-identical to computing
+# 32-token windows directly from raw events (the same exact-ALG-merge
+# claim as rollup_cascade_tier1, one more merge level deep). Same SQL
+# construction, re-derived at wlen = 32.
+ENGINE_ORACLES["rollup_resolution_8"] = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(CAST(round(value) AS INTEGER) AS DOUBLE) AS v
+  FROM events
+),
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 32) AS BIGINT) AS window_idx,
+         rn % 32 AS i, v,
+         lead(v)    OVER (PARTITION BY doc_id ORDER BY rn) AS v1,
+         lead(v, 2) OVER (PARTITION BY doc_id ORDER BY rn) AS v2
+  FROM series
+),
+agg AS (
+  SELECT doc_id, source, window_idx,
+         CAST(count(*) AS BIGINT)              AS n,
+         CAST(32 AS DOUBLE)                    AS nd,
+         sum(v)                                AS s1,
+         sum(v * v)                            AS s2,
+         sum(v * v1) FILTER (WHERE i < 31)     AS sxy1,
+         sum(v * v2) FILTER (WHERE i < 30)     AS sxy2,
+         sum(v)      FILTER (WHERE i < 31)     AS s1a1,
+         sum(v * v)  FILTER (WHERE i < 31)     AS s2a1,
+         sum(v)      FILTER (WHERE i >= 1)     AS s1b1,
+         sum(v * v)  FILTER (WHERE i >= 1)     AS s2b1,
+         sum(v)      FILTER (WHERE i < 30)     AS s1a2,
+         sum(v * v)  FILTER (WHERE i < 30)     AS s2a2,
+         sum(v)      FILTER (WHERE i >= 2)     AS s1b2,
+         sum(v * v)  FILTER (WHERE i >= 2)     AS s2b2
+  FROM w
+  GROUP BY doc_id, source, window_idx
+  HAVING count(*) = 32
+),
+f1 AS (SELECT *, s1 / nd AS mean FROM agg),
+f2 AS (
+  SELECT *, greatest((s2 - nd * (mean * mean)) / (nd - 1.0), 0.0) AS var
+  FROM f1
+),
+f3 AS (
+  SELECT *, sqrt(var) AS std,
+         sqrt(var) / nullif(mean, 0.0) AS r,
+         s1a1 / (nd - 1.0) AS mu1a, s1b1 / (nd - 1.0) AS mu1b,
+         s1a2 / (nd - 2.0) AS mu2a, s1b2 / (nd - 2.0) AS mu2b
+  FROM f2
+)
+SELECT doc_id, source, window_idx, n,
+       round(mean, 6) AS mean_v,
+       round(var, 6)  AS var_v,
+       round(std, 6)  AS std_v,
+       round((sxy1 / (nd - 1.0) - mu1a * mu1b)
+             / nullif(sqrt(greatest(s2a1 / (nd - 1.0) - mu1a * mu1a, 0.0))
+                      * sqrt(greatest(s2b1 / (nd - 1.0) - mu1b * mu1b, 0.0)), 0.0), 6) AS ac1_td,
+       round((sxy2 / (nd - 2.0) - mu2a * mu2b)
+             / nullif(sqrt(greatest(s2a2 / (nd - 2.0) - mu2a * mu2a, 0.0))
+                      * sqrt(greatest(s2b2 / (nd - 2.0) - mu2b * mu2b, 0.0)), 0.0), 6) AS ac2_td,
+       round((r - 1.0) / (r + 1.0), 6) AS burst_b,
+       round((sqrt(nd + 1.0) * r - sqrt(nd - 1.0))
+             / nullif((sqrt(nd + 1.0) - 2.0) * r + sqrt(nd - 1.0), 0.0), 6) AS burst_b_kim
+FROM f3
+"""
+
+
 # Exact-quantile rollup (operators/quantile_rollup.rollup_quantile_tiers):
 # per-window inverted-CDF quantiles / mode / distinct count over the
 # integer token domain, tiers built by MERGING sparse histogram state
