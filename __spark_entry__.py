@@ -902,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_quantiles"] = _rollup_quantiles_query
     out["rollup_quantile_cascade"] = _rollup_quantile_cascade_query
     out["rollup_topk_tokens"] = _rollup_topk_query
+    # query-time resolution router (round 4c): scored with the rollup
+    # family; displaces user_timerev1 to the catalog (still oracled)
+    out["rollup_resolution_8"] = _resolution_router_query
     out["user_asof_error"] = _asof_error_query
     out["user_range_error"] = _range_error_query
     out["minhash_dedup_pairs"] = _minhash_dedup_query
@@ -927,7 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reference-parity sweep scores inside the driver's first-50 window,
     # so CORRECTNESS_r04 grades the FIXED definitions
     for name in ("user_skew_pearson", "user_nlac_012", "user_drift_mean20",
-                 "user_fitpoly1", "user_timerev1", "user_rad2",
+                 "user_fitpoly1", "user_rad2",
                  "user_trimmed_mean10", "user_fzcglscf11", "user_rm_info1",
                  "user_distent10", "user_pacf3",
                  "user_stickangles", "user_vg_horiz",
