@@ -56,12 +56,20 @@ def parse_args(argv):
     p.add_argument("--compact-target-files", type=int, default=1)
     p.add_argument("--compact-small-bytes", type=int, default=8 * 1024 * 1024)
     p.add_argument("--no-compact", action="store_true")
+    p.add_argument("--compact-bulk", action="store_true",
+                   help="compact all fragmented chunks in ONE Spark job "
+                        "(dynamic partition overwrite) instead of one "
+                        "job per chunk — use when the candidate count "
+                        "is large")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
-    from pyhctsa_spark.operators.compaction import compact_chunks
+    from pyhctsa_spark.operators.compaction import (
+        compact_chunks,
+        compact_chunks_bulk,
+    )
     from pyhctsa_spark.operators.retention import (
         RetentionPolicy,
         apply_retention,
@@ -89,7 +97,8 @@ def main(argv=None) -> int:
         )
     compacted: list[dict] = []
     if not args.no_compact:
-        compacted = compact_chunks(
+        compact_fn = compact_chunks_bulk if args.compact_bulk else compact_chunks
+        compacted = compact_fn(
             spark,
             args.store,
             target_files=args.compact_target_files,

@@ -82,6 +82,67 @@ def compaction_candidates(
     return out
 
 
+def compact_chunks_bulk(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    small_bytes: int = 8 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = ("doc_id", "window_idx"),
+) -> list[dict]:
+    """ONE Spark job compacting every fragmented chunk at once.
+
+    The per-chunk loop in ``compact_chunks`` sequences one job per
+    chunk — right for dozens of candidates, wrong for the 10^5 a
+    day-old ingest backlog can fragment. Here all candidates are read
+    in a single scan, repartitioned on (tier, chunk) so each chunk's
+    rows land in exactly one task (one output part per chunk dir),
+    locally sorted, and written back with DYNAMIC partition overwrite —
+    which stages in _temporary and replaces only the listed partitions
+    at job commit, so a crash mid-job leaves every original chunk
+    intact (stronger than the loop's per-chunk swap). Lineage rows are
+    appended to the same ``_compaction_log``.
+    """
+    cands = compaction_candidates(path, target_files, small_bytes)
+    if not cands:
+        return []
+    before = {(t, c): _part_stats(d) for t, c, d in cands}
+    paths = [d for _t, _c, d in cands]
+    df = (
+        spark.read.option("basePath", path).parquet(*paths)
+    )
+    present = [c for c in sort_cols if c in df.columns]
+    out = df.repartition("tier", "chunk")
+    if present:
+        out = out.sortWithinPartitions(*present)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("tier", "chunk").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    now = time.time()
+    rows = []
+    for (t, c), (fb, bb) in sorted(before.items()):
+        fa, ba = _part_stats(
+            os.path.join(path, f"tier={t}", f"chunk={c}")
+        )
+        rows.append({
+            "tier": t, "chunk": c,
+            "files_before": fb, "bytes_before": bb,
+            "files_after": fa, "bytes_after": ba,
+            "rows": -1,  # not re-counted in bulk mode (one job, no per-
+            #              chunk action); -1 marks "not recorded"
+            "compacted_at": now,
+        })
+    (
+        spark.createDataFrame(rows, schema=_LOG_SCHEMA)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(path, "_compaction_log"))
+    )
+    return rows
+
+
 def compact_chunks(
     spark: SparkSession,
     path: str,
@@ -94,6 +155,8 @@ def compact_chunks(
     ``<path>/_compaction_log``. Returns the lineage rows.
 
     Idempotent: a second invocation finds no candidates and is a no-op.
+    Per-chunk jobs — use ``compact_chunks_bulk`` when the candidate
+    count is large (one job for all chunks).
     """
     rows: list[dict] = []
     for tier, chunk, d in compaction_candidates(path, target_files, small_bytes):

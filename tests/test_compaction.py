@@ -100,3 +100,26 @@ def test_compaction_then_retention_lifecycle(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert df.count() == 64 * 4
+
+
+def test_bulk_compaction_one_job_preserves_data(spark, tmp_path):
+    from pyhctsa_spark.operators.compaction import compact_chunks_bulk
+
+    path = str(tmp_path / "store")
+    _fragmented_store(spark, path, n_parts=8)
+    before_pd = (
+        read_tier_chunked(spark, path)
+        .orderBy("tier", "doc_id", "window_idx").toPandas()
+    )
+    rows = compact_chunks_bulk(spark, path, target_files=1)
+    assert len(rows) == 5
+    assert all(r["files_after"] == 1 for r in rows)
+    assert all(r["files_before"] > 1 for r in rows)
+    after_pd = (
+        read_tier_chunked(spark, path)
+        .orderBy("tier", "doc_id", "window_idx").toPandas()
+    )
+    cols = ["doc_id", "tier", "window_idx", "mean"]
+    assert before_pd[cols].equals(after_pd[cols])
+    # idempotent
+    assert compact_chunks_bulk(spark, path, target_files=1) == []
