@@ -152,6 +152,7 @@ def cagg_materialize(
     states = cagg_partial(events, on, by, value_col, window_micros)
     (
         _with_chunk(states, chunk_windows)
+        .repartition("chunk")  # one part per chunk dir
         .write.mode("overwrite")
         .partitionBy("chunk")
         .parquet(path)
@@ -203,7 +204,10 @@ def cagg_refresh(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy("chunk").parquet(path)
+        (
+            merged.repartition("chunk")  # one part per rewritten chunk
+            .write.mode("overwrite").partitionBy("chunk").parquet(path)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     dp.unpersist()
@@ -308,7 +312,11 @@ class CaggSnapshotStore:
 
     def _write_generation(self, states: DataFrame, gen: int) -> None:
         (
-            states.write.mode("overwrite")  # clobbers a crashed attempt
+            # repartition on chunk: each chunk dir gets ONE part file
+            # instead of one per shuffle task — an exchange of merged
+            # STATES (tiny), bought back many times over in scan opens
+            states.repartition("chunk")
+            .write.mode("overwrite")  # clobbers a crashed attempt
             .partitionBy("chunk")
             .parquet(os.path.join(self.path, f"gen={gen}"))
         )
