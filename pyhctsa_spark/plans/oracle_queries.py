@@ -7128,6 +7128,27 @@ QUERIES["user_hist_p90"] = _q2(
 )
 
 
+# --- Multi-dimensional rollup (GROUPING SETS) --------------------------------
+# The OLAP cube slice every dashboard needs: per (cohort, event_type),
+# per cohort, per event_type, and grand total in ONE pass — Spark
+# expands grouping sets map-side, so the shuffle carries pre-combined
+# partials for all four granularities (vs 4 separate scans). Identical
+# SQL in both engines; grouping() markers folded into 'ALL' labels so
+# the NULL-vs-label representation can't diverge.
+QUERIES["user_type_grouping"] = _q("""
+SELECT CASE WHEN grouping(cohort) = 1 THEN 'ALL' ELSE cohort END AS cohort,
+       CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+            ELSE event_type END AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(value AS DOUBLE)), 6) AS sum_v,
+       round(avg(CAST(value AS DOUBLE)), 6) AS mean_v
+FROM (SELECT 'c' || CAST(user_id % 5 AS STRING) AS cohort,
+             event_type, value
+      FROM events) t
+GROUP BY GROUPING SETS ((cohort, event_type), (cohort), (event_type), ())
+""")
+
+
 # --- Rolling z-score anomaly detection --------------------------------------
 # The TSDB anomaly staple: each event scored against the mean/std of
 # its 20 PRECEDING same-user events (frame excludes the current row, so
