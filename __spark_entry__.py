@@ -821,6 +821,44 @@ def _resolution_router_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cagg_realtime_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous-aggregate view (operators/cagg.cagg_realtime):
+    windows at/below the 80%-quantile-time watermark come from the
+    materialized chunk store (pruned scan), newer windows from an
+    on-the-fly partial over raw. Oracle = full recompute — the view
+    must be indistinguishable from recomputing everything."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.cagg import (
+        cagg_materialize,
+        cagg_realtime,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    win = 30 * 60 * 1_000_000
+    wm_ts = ev.agg(F.expr("percentile(unix_micros(ts), 0.8)")).first()[0]
+    wm_widx = int(wm_ts // win)
+    hist = ev.where(F.floor(F.unix_micros("ts") / F.lit(win)) <= wm_widx)
+    path = tempfile.mkdtemp(prefix="cagg_rt_") + "/store"
+    cagg_materialize(hist, path, window_micros=win, chunk_windows=48)
+    out = cagg_realtime(spark, path, ev, wm_widx,
+                        window_micros=win, chunk_windows=48)
+    return out.select(
+        "user_id", "widx", "n_events",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("open", 6).alias("open"),
+        F.round("close", 6).alias("close"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        "t_high", "t_low",
+    )
+
+
 def _hist_p_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic histogram percentiles per (user, 30m window)
     (operators/hist_percentile.py — the percentile_agg analogue with a
@@ -964,7 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_resample_lin_15m"] = _resample_linear_query
     out["user_holt"] = _holt_query
     out["user_hist_p90"] = _hist_p_query
-    out["rollup_resolution_8"] = _resolution_router_query
+    out["user_cagg_realtime"] = _cagg_realtime_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

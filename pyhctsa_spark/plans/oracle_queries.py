@@ -2088,6 +2088,15 @@ SELECT user_id, widx,
 FROM r GROUP BY user_id, widx
 """
 
+# Real-time continuous-aggregate view (operators/cagg.cagg_realtime):
+# the Spark side materializes states for windows at/below an 80%-time
+# watermark, then serves the query as store-history UNION on-the-fly
+# partials of the raw tail. The oracle is the SAME full recompute as
+# user_cagg_refresh — a hash match proves the view is indistinguishable
+# from recomputing everything.
+ENGINE_ORACLES["user_cagg_realtime"] = ENGINE_ORACLES["user_cagg_refresh"]
+
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
