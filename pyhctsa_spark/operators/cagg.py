@@ -186,15 +186,17 @@ def cagg_refresh(
         dp.unpersist()
         return {"touched_chunks": [], "delta_states": 0}
     n_delta = dp.count()
-    from pyspark.errors import AnalysisException
-
-    try:
+    # store absent/empty (first refresh creates it) is decided by an
+    # EXPLICIT listing, never by catching AnalysisException — a schema
+    # mismatch in the union must surface as an error, not silently
+    # replace touched chunks with delta-only states
+    store_has_chunks = os.path.isdir(path) and any(
+        e.startswith("chunk=") for e in os.listdir(path)
+    )
+    if store_has_chunks:
         old = spark.read.parquet(path).where(F.col("chunk").isin(touched))
         combined = old.drop("chunk").unionByName(dp.drop("chunk"))
-    except AnalysisException:
-        # store absent or empty (first refresh creates it): the delta's
-        # states are already one row per (by, widx), but run the merge
-        # anyway so the code path stays identical
+    else:
         combined = dp.drop("chunk")
     merged = _with_chunk(cagg_merge(combined, by), chunk_windows)
     # Spark (rightly) refuses an overwrite whose plan reads the target
@@ -231,7 +233,7 @@ class CaggSnapshotStore:
     - chunk data lives under ``<path>/gen=<G>/chunk=<C>/`` — generation
       directories are IMMUTABLE once referenced;
     - ``_MANIFEST.json`` maps each chunk to the generation that owns it,
-      plus the set of committed batch ids; it is the ONLY mutable state
+      plus the committed-batch high-water mark; it is the ONLY mutable state
       and is published atomically (tmp + os.replace);
     - a refresh writes its touched chunks into a brand-new generation,
       then publishes a manifest pointing those chunks at it. Crash
@@ -271,7 +273,7 @@ class CaggSnapshotStore:
     def manifest(self) -> dict:
         p = self._manifest_path()
         if not os.path.exists(p):
-            return {"gen": -1, "chunks": {}, "batches": []}
+            return {"gen": -1, "chunks": {}, "last_batch": None}
         import json
 
         with open(p) as f:
@@ -354,14 +356,24 @@ class CaggSnapshotStore:
             if d.startswith("chunk=")
         )
         self._publish({
-            "gen": 0, "chunks": {str(c): 0 for c in chunks}, "batches": [],
+            "gen": 0,
+            "chunks": {str(c): 0 for c in chunks},
+            "last_batch": None,
         })
 
     def refresh(
         self, spark: SparkSession, delta: DataFrame, batch_id=None
     ) -> dict:
         man = self.manifest()
-        if batch_id is not None and batch_id in man["batches"]:
+        # streaming batch ids are MONOTONIC per checkpoint, so the
+        # committed-batch state is a single high-water mark (a list
+        # would grow without bound over a long-lived stream and cost a
+        # linear scan + full rewrite every commit)
+        if (
+            batch_id is not None
+            and man["last_batch"] is not None
+            and batch_id <= man["last_batch"]
+        ):
             return {"touched_chunks": [], "delta_states": 0,
                     "skipped_committed_batch": True}
         dp = _with_chunk(
@@ -389,7 +401,7 @@ class CaggSnapshotStore:
         for c in touched:
             man["chunks"][str(c)] = gen
         if batch_id is not None:
-            man["batches"].append(batch_id)
+            man["last_batch"] = batch_id
         self._publish(man)  # <- the commit point; everything before is
         #    invisible to readers and replayed safely
         self._gc(man)

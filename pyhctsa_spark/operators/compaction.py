@@ -12,13 +12,17 @@ Design (mirrors TimescaleDB ``compress_chunk`` / Iceberg ``rewrite_data_files``)
 - Compaction unit = one (tier, chunk) partition directory — the same
   unit retention evicts, so the two never race across units.
 - Candidate selection is METADATA-ONLY: a chunk qualifies when it has
-  more than ``target_files`` parts or any part below ``small_bytes``.
+  more than ``target_files`` parts AND at least one part below
+  ``small_bytes`` (few-but-large parts are healthy and left alone).
   No parquet file is opened to decide.
 - Rewrite is per-chunk and idempotent: read the chunk, sort by
   (doc_id, window_idx) for run-clustered scans downstream, coalesce to
-  ``target_files``, write to a ``_compact_tmp`` sibling, then atomically
-  swap directories. A crash before the swap leaves the original intact;
-  a crash after leaves the compacted version — both are valid states.
+  ``target_files``, write to a HIDDEN ``_compact_tmp...`` sibling
+  (underscore-prefixed, so Spark partition discovery and _chunk_dirs
+  never see it), then swap directories. A crash before the swap leaves
+  the original intact; after it, the compacted version; in the brief
+  two-rename window, ``_recover_chunk`` restores the original on the
+  next invocation.
 - Every rewrite appends a lineage row (tier, chunk, files/bytes before
   and after, rows, wall) to ``_compaction_log`` under the store, the
   same audit contract as ``_retention_log``.
@@ -52,6 +56,48 @@ def _parquet_parts(d: str) -> list[str]:
         for f in os.listdir(d)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
+
+
+def _swap_names(d: str) -> tuple[str, str]:
+    """Hidden tmp/old sibling names for the atomic swap: underscore
+    prefix on the BASENAME, so neither Spark partition discovery nor
+    retention's _chunk_dirs (which match 'chunk=' prefixes) can ever
+    see a half-swapped directory as a live chunk."""
+    parent, base = os.path.dirname(d), os.path.basename(d)
+    return (
+        os.path.join(parent, f"_compact_tmp.{base}"),
+        os.path.join(parent, f"_compact_old.{base}"),
+    )
+
+
+def _recover_chunk(d: str) -> None:
+    """Repair leftovers from a compaction crash. States possible:
+    tmp exists (crash before swap) -> drop it; old exists and d
+    missing (crash between the two renames) -> restore the original;
+    old exists and d exists (crash before cleanup) -> drop old."""
+    tmp, old = _swap_names(d)
+    if os.path.exists(old) and not os.path.exists(d):
+        os.rename(old, d)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def _recover_store(path: str) -> None:
+    """Sweep every tier directory for swap leftovers. Needed because a
+    chunk that crashed between the two renames has NO live ``chunk=``
+    directory, so candidate listing alone would never find it."""
+    if not os.path.isdir(path):
+        return
+    for tdir in os.listdir(path):
+        if not tdir.startswith("tier="):
+            continue
+        tpath = os.path.join(path, tdir)
+        for e in os.listdir(tpath):
+            if e.startswith(("_compact_tmp.", "_compact_old.")):
+                live = os.path.join(tpath, e.split(".", 1)[1])
+                _recover_chunk(live)
 
 
 def _part_stats(d: str) -> tuple[int, int]:
@@ -158,6 +204,7 @@ def compact_chunks(
     Per-chunk jobs — use ``compact_chunks_bulk`` when the candidate
     count is large (one job for all chunks).
     """
+    _recover_store(path)
     rows: list[dict] = []
     for tier, chunk, d in compaction_candidates(path, target_files, small_bytes):
         files_before, bytes_before = _part_stats(d)
@@ -169,10 +216,9 @@ def compact_chunks(
             df = df.coalesce(target_files).sortWithinPartitions(*present)
         else:
             df = df.coalesce(target_files)
-        tmp = d + "__compact_tmp"
+        tmp, old = _swap_names(d)
         df.write.mode("overwrite").parquet(tmp)
         n_rows = spark.read.parquet(tmp).count()
-        old = d + "__compact_old"
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)

@@ -169,7 +169,12 @@ def apply_retention(
     """
     layout = _chunk_dirs(path)
     now = time.time()
-    evicted: list[dict] = []
+    # PLAN phase: evaluate every tier's cutoff AND its cascade guard
+    # before deleting anything — a guard failure on a later tier must
+    # abort the whole run with zero directories removed (otherwise the
+    # earlier tiers' data would be gone before the log is written, and
+    # the audit contract breaks)
+    plan: list[tuple[int, int, list[int]]] = []
     for tier, chunks in sorted(layout.items()):
         wm = watermark_widx.get(tier)
         if wm is None:
@@ -202,9 +207,14 @@ def apply_retention(
                     f"only covers window_idx <= {have_widx} "
                     f"(need >= {need_widx}) — cascade before evicting"
                 )
+        plan.append((tier, wm, doomed))
+    # EXECUTE phase: every guard passed; delete and record
+    evicted: list[dict] = []
+    for tier, wm, doomed in plan:
         for c in doomed:
-            n_files, n_bytes = _dir_stats(chunks[c])
-            shutil.rmtree(chunks[c])
+            d = layout[tier][c]
+            n_files, n_bytes = _dir_stats(d)
+            shutil.rmtree(d)
             evicted.append({
                 "tier": tier,
                 "chunk": c,

@@ -65,7 +65,7 @@ def test_stream_cagg_matches_batch_with_late_files(spark, tmp_path_factory):
                                       window_micros=WIN))
     pd.testing.assert_frame_equal(_sorted_pd(got), _sorted_pd(want))
     man = store.manifest()
-    assert len(man["batches"]) >= 2
+    assert man["last_batch"] is not None
     assert man["gen"] >= 1
 
 
@@ -119,7 +119,7 @@ def test_snapshot_refresh_crash_before_commit_replays_cleanly(
     store._publish = real_publish
     # pre-replay view is the PRE-refresh state (manifest unchanged)
     man = store.manifest()
-    assert man["gen"] == 0 and man["batches"] == []
+    assert man["gen"] == 0 and man["last_batch"] is None
     # replay the same batch
     info = store.refresh(spark, delta, batch_id=7)
     assert info["delta_states"] > 0

@@ -123,3 +123,50 @@ def test_bulk_compaction_one_job_preserves_data(spark, tmp_path):
     assert before_pd[cols].equals(after_pd[cols])
     # idempotent
     assert compact_chunks_bulk(spark, path, target_files=1) == []
+
+
+def test_compaction_crash_recovery_all_windows(spark, tmp_path):
+    """Simulated crash states around the swap: leftover tmp, leftover
+    old with live dir, and the worst case — live dir missing entirely
+    (between the two renames). All must repair on the next invocation
+    with no data loss and no chunk= parse breakage."""
+    import os
+    import shutil
+
+    from pyhctsa_spark.operators.compaction import _swap_names
+
+    path = str(tmp_path / "store")
+    _fragmented_store(spark, path, n_parts=4)
+    before = (
+        read_tier_chunked(spark, path)
+        .orderBy("tier", "doc_id", "window_idx").toPandas()
+    )
+    d0 = os.path.join(path, "tier=0", "chunk=0")
+    d1 = os.path.join(path, "tier=0", "chunk=1")
+    d2 = os.path.join(path, "tier=0", "chunk=2")
+    tmp0, _ = _swap_names(d0)
+    _, old1 = _swap_names(d1)
+    _, old2 = _swap_names(d2)
+    shutil.copytree(d0, tmp0)       # crash before swap
+    shutil.copytree(d1, old1)       # crash before cleanup
+    os.rename(d2, old2)             # crash BETWEEN the renames
+    # the store still reads (hidden _ dirs are invisible to Spark) and
+    # retention's _chunk_dirs does not choke on the leftovers
+    from pyhctsa_spark.operators.retention import _chunk_dirs
+
+    assert 2 not in _chunk_dirs(path)[0]  # d2 is mid-swap, not live
+    rows = compact_chunks(spark, path, target_files=1)
+    assert rows  # recovery happened, then compaction proceeded
+    after = (
+        read_tier_chunked(spark, path)
+        .orderBy("tier", "doc_id", "window_idx").toPandas()
+    )
+    cols = ["doc_id", "tier", "window_idx", "mean"]
+    assert before[cols].equals(after[cols])
+    # no leftovers remain anywhere
+    for tdir in os.listdir(path):
+        if tdir.startswith("tier="):
+            assert not any(
+                e.startswith("_compact")
+                for e in os.listdir(os.path.join(path, tdir))
+            )

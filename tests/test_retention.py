@@ -125,3 +125,25 @@ def test_retention_keeps_partially_live_boundary_chunk(spark, tmp_path):
     after = read_tier_chunked(spark, path)
     assert after.where("tier = 0").agg(
         F.min("window_idx")).first()[0] == 384
+
+
+def test_guard_failure_on_later_tier_deletes_nothing(spark, tmp_path):
+    """A cascade-guard failure on ANY tier must abort before the first
+    rmtree: tier 0 would pass its guard (tier 1 covers it) but tier 1
+    has no tier 2 — the whole run raises and tier-0 chunks survive
+    (found by review: the single-phase loop deleted tier 0 first)."""
+    path = str(tmp_path / "store")
+    write_tier_chunked(_tiers(spark).where("tier < 2"), path,
+                       chunk_windows=8)
+    # tier 0: chunks 0..63; tier 1 (32 windows): chunks 0..3. Tier 0's
+    # guard passes (tier 1 covers it); tier 1 expires chunks 0..2 but
+    # has no tier 2 -> the run must abort with NOTHING deleted.
+    policy = RetentionPolicy(
+        horizons={0: 64, 1: 8}, chunk_windows=8)
+    before = read_tier_chunked(spark, path).count()
+    with pytest.raises(ValueError, match="no coarser tier"):
+        apply_retention(spark, path, policy,
+                        watermark_widx={0: 511, 1: 31})
+    assert read_tier_chunked(spark, path).count() == before
+    import os
+    assert not os.path.exists(os.path.join(path, "_retention_log"))
