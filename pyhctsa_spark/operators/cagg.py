@@ -258,13 +258,25 @@ class CaggSnapshotStore:
         value_col: str = "value",
         window_micros: int = 30 * 60 * 1_000_000,
         chunk_windows: int = 48,
+        partial_fn=None,
+        merge_fn=None,
     ) -> None:
+        """``partial_fn(events, on, by, value_col, window_micros)`` and
+        ``merge_fn(states, by)`` default to the OHLC/moments cagg
+        algebra; pass any other mergeable pair (e.g.
+        hist_percentile.hist_partial / hist_merge with lo/hi/nbins
+        bound via functools.partial) to snapshot-commit a different
+        aggregate. The only contract: merge(partial(A) ∪ partial(B))
+        == partial(A ∪ B), states keyed by (by..., widx), and every
+        merge-fn group key present in the partial output."""
         self.path = path
         self.by = list(by or ["user_id"])
         self.on = on
         self.value_col = value_col
         self.window_micros = window_micros
         self.chunk_windows = chunk_windows
+        self._partial = partial_fn or cagg_partial
+        self._merge = merge_fn or cagg_merge
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -345,8 +357,8 @@ class CaggSnapshotStore:
     # -- operations ---------------------------------------------------------
     def materialize(self, events: DataFrame) -> None:
         states = _with_chunk(
-            cagg_partial(events, self.on, self.by, self.value_col,
-                         self.window_micros),
+            self._partial(events, self.on, self.by, self.value_col,
+                          self.window_micros),
             self.chunk_windows,
         )
         self._write_generation(states, 0)
@@ -377,8 +389,8 @@ class CaggSnapshotStore:
             return {"touched_chunks": [], "delta_states": 0,
                     "skipped_committed_batch": True}
         dp = _with_chunk(
-            cagg_partial(delta, self.on, self.by, self.value_col,
-                         self.window_micros),
+            self._partial(delta, self.on, self.by, self.value_col,
+                          self.window_micros),
             self.chunk_windows,
         ).persist()
         touched = [r["chunk"] for r in dp.select("chunk").distinct().collect()]
@@ -393,7 +405,7 @@ class CaggSnapshotStore:
                 self.read(spark, chunks=have).drop("chunk")
             )
         merged = _with_chunk(
-            cagg_merge(combined, self.by), self.chunk_windows
+            self._merge(combined, self.by), self.chunk_windows
         )
         gen = man["gen"] + 1
         self._write_generation(merged, gen)

@@ -92,3 +92,36 @@ def test_partial_plan_is_single_hash_aggregate(spark):
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_hist_states_through_snapshot_store(spark, tmp_path):
+    """The snapshot store is aggregate-agnostic: plug the histogram
+    partial/merge pair in and the exactly-once materialize/refresh
+    lifecycle serves percentiles — refresh == full recompute."""
+    import pandas as pd
+
+    from pyhctsa_spark.operators.cagg import CaggSnapshotStore
+
+    def pf(ev, on, by, vc, wm):
+        return hist_partial(ev, LO, HI, NB, on=on, by=by,
+                            value_col=vc, window_micros=wm)
+
+    store = CaggSnapshotStore(
+        str(tmp_path / "hsnap"), window_micros=WIN, chunk_windows=16,
+        partial_fn=pf, merge_fn=hist_merge,
+    )
+    ev = _events(spark)
+    store.materialize(ev.where("id % 3 != 0"))
+    info = store.refresh(spark, ev.where("id % 3 = 0"), batch_id=0)
+    assert info["delta_states"] > 0
+    got = hist_percentiles(
+        store.read(spark).drop("chunk"), LO, HI, NB, qs=(0.5, 0.9)
+    )
+    want = hist_percentiles(
+        hist_partial(ev, LO, HI, NB, window_micros=WIN),
+        LO, HI, NB, qs=(0.5, 0.9),
+    )
+    key = ["user_id", "widx"]
+    pd.testing.assert_frame_equal(
+        got.orderBy(*key).toPandas(), want.orderBy(*key).toPandas()
+    )
