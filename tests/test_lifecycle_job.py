@@ -78,3 +78,61 @@ def test_lifecycle_job_cli_end_to_end(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["evicted_chunks"] == 0
     assert out["compacted_chunks"] == 0
+
+
+def test_cagg_job_cli_full_lifecycle(spark, tmp_path, capsys):
+    """materialize -> refresh -> expire through the spark-submit CLI."""
+    import json
+
+    from pyspark.sql import functions as F2
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import cagg_job
+
+    root = str(tmp_path)
+    ev = spark.range(2000).select(
+        F2.col("id").alias("event_id"),
+        F2.timestamp_micros(
+            F2.lit(1_700_000_000_000_000) + F2.col("id") * 613_789_123
+        ).alias("ts"),
+        (F2.col("id") % 8).alias("user_id"),
+        F2.col("id").cast("double").alias("value"),
+    )
+    ev.where("event_id < 1500").write.parquet(f"{root}/base")
+    ev.where("event_id >= 1500").write.parquet(f"{root}/delta")
+    store = f"{root}/store"
+    assert cagg_job.main(["--events", f"{root}/base", "--store", store,
+                          "--mode", "materialize",
+                          "--chunk-windows", "16"]) == 0
+    assert cagg_job.main(["--events", f"{root}/delta", "--store", store,
+                          "--mode", "refresh", "--batch-id", "0",
+                          "--chunk-windows", "16"]) == 0
+    # replayed refresh is a no-op
+    assert cagg_job.main(["--events", f"{root}/delta", "--store", store,
+                          "--mode", "refresh", "--batch-id", "0",
+                          "--chunk-windows", "16"]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[1]["touched_chunks"]
+    assert lines[2].get("skipped_committed_batch")
+    assert cagg_job.main(["--store", store, "--mode", "expire",
+                          "--keep-windows", "200",
+                          "--chunk-windows", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["evicted_chunks"] > 0
+    # surviving view equals full recompute over the kept range
+    from pyhctsa_spark.operators.cagg import (
+        CaggSnapshotStore,
+        cagg_finalize,
+        cagg_partial,
+    )
+
+    st = CaggSnapshotStore(store, chunk_windows=16)
+    got = cagg_finalize(st.read(spark).drop("chunk"))
+    keep_from = out["watermark_widx"] - 200 + 1
+    min_chunk = min(int(c) for c in st.manifest()["chunks"])
+    want = cagg_finalize(
+        cagg_partial(ev).where(F2.col("widx") >= min_chunk * 16)
+    )
+    assert got.count() == want.count()
+    assert keep_from // 16 <= min_chunk
