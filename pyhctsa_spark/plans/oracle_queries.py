@@ -7158,6 +7158,63 @@ GROUP BY GROUPING SETS ((cohort, event_type), (cohort), (event_type), ())
 """)
 
 
+# --- Correlated-metrics discovery --------------------------------------------
+# "Which series moves with mine" — the metric-correlation search every
+# observability TSDB ships. Series are aligned on 6-hour window
+# MEANS, paired WITHIN a cohort block (user_id % 20 — at 10^12 scale
+# all-pairs is quadratic; blocking bounds the join fan-out and is the
+# documented contract), Pearson computed from explicit moment sums
+# (identical expression order in both engines — corr() implementations
+# differ), pairs below 15 co-occurring windows dropped, and each user
+# keeps its single best partner (|corr| DESC, partner ASC tie-break).
+_CORR_BODY = """
+w AS (
+  SELECT user_id, CAST(floor(tus / 21600000000) AS BIGINT) AS widx,
+         avg(v) AS m
+  FROM e GROUP BY user_id, widx
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         count(*) AS n,
+         sum(a.m) AS sx, sum(b.m) AS sy,
+         sum(a.m * a.m) AS sxx, sum(b.m * b.m) AS syy,
+         sum(a.m * b.m) AS sxy
+  FROM w a JOIN w b
+    ON b.widx = a.widx AND a.user_id < b.user_id
+   AND a.user_id % 20 = b.user_id % 20
+  GROUP BY a.user_id, b.user_id
+  HAVING count(*) >= 15
+),
+c AS (
+  SELECT ua, ub, n,
+         (n * sxy - sx * sy)
+         / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy),
+                  CAST(0 AS DOUBLE)) AS r
+  FROM p
+),
+both_dirs AS (
+  SELECT ua AS user_id, ub AS partner, n, r FROM c
+  UNION ALL
+  SELECT ub, ua, n, r FROM c
+),
+rk AS (
+  SELECT user_id, partner, n, r,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(r) DESC, partner) AS rnk
+  FROM both_dirs WHERE r IS NOT NULL
+)
+SELECT user_id, partner, n, round(r, 6) AS corr
+FROM rk WHERE rnk = 1
+"""
+QUERIES["user_corr_pairs"] = _q2(
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _CORR_BODY,
+    "WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS v,"
+    " epoch_us(ts) AS tus FROM events),\n" + _CORR_BODY,
+)
+
+
 # --- Rolling z-score anomaly detection --------------------------------------
 # The TSDB anomaly staple: each event scored against the mean/std of
 # its 20 PRECEDING same-user events (frame excludes the current row, so
