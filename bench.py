@@ -360,6 +360,7 @@ def bench_queries(spark) -> dict:
         "user_anomaly_z",
         "user_hour_profile",
         "user_hist_p90",
+        "user_corr_pairs",
     ]
     # best of 2 per query: the first run pays one-time driver-side
     # whole-stage-codegen compilation (several seconds for the 64-agg

@@ -80,20 +80,27 @@ class RetentionPolicy:
 
 
 def write_tier_chunked(
-    tier_df: DataFrame, path: str, chunk_windows: int = 64
+    tier_df: DataFrame, path: str, chunk_windows: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize rollup tiers partitioned by (tier, chunk).
 
     ``chunk = window_idx // chunk_windows`` — the retention unit AND the
     pruning unit. Size it so one chunk is O(100 MB-1 GB) per tier at
     cluster scale (bigger chunks = fewer partitions to track, coarser
-    eviction granularity)."""
+    eviction granularity).
+
+    ``mode="append"`` is the incremental-ingest path: fresh windows land
+    in fresh chunk directories (time moves forward), so appends never
+    rewrite history; the small files they accrete are the compaction
+    operator's job, and retention ages them out chunk-wise like any
+    other data."""
     (
         tier_df.withColumn(
             "chunk",
             (F.col("window_idx") / F.lit(int(chunk_windows))).cast("long"),
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("tier", "chunk")
         .parquet(path)
     )

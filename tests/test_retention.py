@@ -147,3 +147,30 @@ def test_guard_failure_on_later_tier_deletes_nothing(spark, tmp_path):
     assert read_tier_chunked(spark, path).count() == before
     import os
     assert not os.path.exists(os.path.join(path, "_retention_log"))
+
+
+def test_append_ingest_then_compact_then_retain(spark, tmp_path):
+    """Incremental ingest: two appends land disjoint window ranges in
+    disjoint chunks; compaction merges the fragments; retention ages
+    the old half out. Data identical to a one-shot write throughout."""
+    from pyhctsa_spark.operators.compaction import compact_chunks
+
+    path = str(tmp_path / "store")
+    full = _tiers(spark)
+    write_tier_chunked(full.where("window_idx < 256 OR tier > 0"), path,
+                       chunk_windows=64)
+    write_tier_chunked(
+        full.where("tier = 0 AND window_idx >= 256"), path,
+        chunk_windows=64, mode="append",
+    )
+    got = read_tier_chunked(spark, path)
+    assert got.count() == full.count()
+    compact_chunks(spark, path, target_files=1)
+    assert read_tier_chunked(spark, path).count() == full.count()
+    policy = RetentionPolicy(
+        horizons={0: 256, 1: None, 2: None}, chunk_windows=64)
+    evicted = apply_retention(
+        spark, path, policy, watermark_widx={0: 511, 1: 31, 2: 1})
+    assert sorted(e["chunk"] for e in evicted) == [0, 1, 2, 3]
+    assert read_tier_chunked(spark, path).where("tier = 0").agg(
+        F.min("window_idx")).first()[0] == 256
