@@ -129,7 +129,6 @@ def gap_detect(
     lag scan hash-partitions on the key; the filter is map-side after
     the sort.
     """
-    from pyspark.sql import Window
 
     by = list(by or ["user_id"])
     tus = F.unix_micros(F.col(on))

@@ -230,6 +230,9 @@ def quantile_cascade_from_store(
     keyed = tier_df.withColumn(
         "parent_idx", F.floor(F.col("window_idx") / F.lit(group)).cast("long")
     )
-    return keyed.groupBy("doc_id", "parent_idx").applyInPandas(
+    # tier participates in the grouping: multi-tier input (e.g. the
+    # whole materialized store) cascades each tier independently rather
+    # than mixing tiers into one group and silently emitting nothing
+    return keyed.groupBy("doc_id", "tier", "parent_idx").applyInPandas(
         _make_cascade_fn(group), schema=QROLLUP_SCHEMA
     )

@@ -426,8 +426,11 @@ def cascade_from_store(
     keyed = tier_df.withColumn(
         "parent_idx", F.floor(F.col("window_idx") / F.lit(group)).cast("long")
     )
+    # tier participates in the grouping: multi-tier input cascades each
+    # tier independently instead of mixing tiers into one group whose
+    # contiguity check silently drops everything
     return (
-        keyed.groupBy("doc_id", "parent_idx")
+        keyed.groupBy("doc_id", "tier", "parent_idx")
         .applyInPandas(_make_cascade_fn(group, lags), schema=ROLLUP_SCHEMA)
     )
 

@@ -76,6 +76,19 @@ def asof_join(
         F.col(on).alias("_r_ts"),
     )
     u = lside.unionByName(rside)
+    # carry the matched right ROW as one atomic struct: per-column
+    # last(ignorenulls) would stitch the output from DIFFERENT right
+    # rows whenever a right value column is NULL (and _r_ts could
+    # postdate the row that supplied a value, defeating the tolerance
+    # check). The struct is NULL exactly for left rows, so
+    # last(ignorenulls) implements row-level as-of — a matched row's
+    # NULL field stays NULL, like merge_asof / native ASOF JOIN.
+    pack = F.when(
+        F.col(_TAG) == 0,
+        F.struct(F.col("_r_ts").alias("_r_ts"),
+                 *[F.col(f"_r_{c}").alias(f"_r_{c}") for c in value_cols]),
+    )
+    u = u.withColumn("_r_pack", pack)
 
     # backward: ascending scan, right rows (tag 0) sort before left rows
     # at the same timestamp so an equal-ts right row IS matched;
@@ -86,12 +99,12 @@ def asof_join(
         w = Window.partitionBy(*by).orderBy(F.col(_TS).desc(), F.col(_TAG).asc())
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    cp = F.last("_r_pack", ignorenulls=True).over(w)
     carried = u.select(
         *by, _TS, _TAG,
         *[f"_l_{c}" for c in lpay],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-          for c in value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_r_ts"),
+        *[cp[f"_r_{c}"].alias(f"_r_{c}") for c in value_cols],
+        cp["_r_ts"].alias("_r_ts"),
     ).where(F.col(_TAG) == 1)
 
     if tolerance_micros is not None:
@@ -115,6 +128,32 @@ def asof_join(
     )
 
 
+def _grid(
+    events: DataFrame, on: str, by: list[str], step: int,
+    extra: list | None = None,
+) -> DataFrame:
+    """Per-key regular grid: every ``step`` micros from the first event
+    rounded UP to the grid, through the last event. Keys whose whole
+    span contains no grid point are dropped (F.sequence with a positive
+    step RAISES when start > stop — a single sparse key must not kill
+    the job; there is genuinely nothing to emit for it)."""
+    bounds = events.groupBy(*by).agg(
+        F.min(F.unix_micros(F.col(on))).alias("_lo"),
+        F.max(F.unix_micros(F.col(on))).alias("_hi"),
+    ).withColumn(
+        "_g0",
+        (F.floor((F.col("_lo") + F.lit(step - 1)) / F.lit(step))
+         * F.lit(step)).cast("long"),
+    ).where(F.col("_g0") <= F.col("_hi"))
+    return bounds.select(
+        *by,
+        F.explode(
+            F.sequence(F.col("_g0"), F.col("_hi"), F.lit(step))
+        ).alias("gus"),
+        *(extra or []),
+    )
+
+
 def resample_locf(
     events: DataFrame,
     on: str = "ts",
@@ -134,21 +173,10 @@ def resample_locf(
     """
     by = list(by or ["user_id"])
     step = int(step_micros)
-    bounds = events.groupBy(*by).agg(
-        F.min(F.unix_micros(F.col(on))).alias("_lo"),
-        F.max(F.unix_micros(F.col(on))).alias("_hi"),
-    )
-    grid = bounds.select(
-        *by,
-        F.explode(
-            F.sequence(
-                (F.floor((F.col("_lo") + F.lit(step - 1)) / F.lit(step))
-                 * F.lit(step)).cast("long"),
-                F.col("_hi"),
-                F.lit(step),
-            )
-        ).alias("gus"),
-    )
+    # NULL-valued events carry no information for the fill and would
+    # desynchronize grid bounds from carried values — drop them first
+    events = events.where(F.col(value_col).isNotNull())
+    grid = _grid(events, on, by, step)
     # the asof scan compares like-named columns, so the event time is
     # exposed under the grid's name (both are epoch micros, BIGINT)
     ev = events.select(
@@ -242,22 +270,13 @@ def resample_linear(
     """
     by = list(by or ["user_id"])
     step = int(step_micros)
-    bounds = events.groupBy(*by).agg(
-        F.min(F.unix_micros(F.col(on))).alias("_lo"),
-        F.max(F.unix_micros(F.col(on))).alias("_hi"),
-    )
-    grid = bounds.select(
-        *by,
-        F.explode(
-            F.sequence(
-                (F.floor((F.col("_lo") + F.lit(step - 1)) / F.lit(step))
-                 * F.lit(step)).cast("long"),
-                F.col("_hi"),
-                F.lit(step),
-            )
-        ).alias("gus"),
-        F.lit(1).alias("_tag"),
-        F.lit(None).cast("double").alias("_v"),
+    # NULL-valued events would set bracket timestamps without bracket
+    # values (the carries skip NULL _v but ev_t would not) — drop them
+    # before bounds AND brackets so the two stay consistent
+    events = events.where(F.col(value_col).isNotNull())
+    grid = _grid(
+        events, on, by, step,
+        extra=[F.lit(1).alias("_tag"), F.lit(None).cast("double").alias("_v")],
     )
     ev = events.select(
         *by,

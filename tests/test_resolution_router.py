@@ -67,3 +67,21 @@ def test_router_reads_the_coarsest_tier(spark):
     out6 = rollup_at_resolution(tiers, 6, group=4, n_tiers=3)
     assert set(out6.select("tier").distinct().toPandas()["tier"]) == {1}
     tiers.unpersist()
+
+
+def test_cascade_handles_multi_tier_input(spark):
+    """cascade_from_store over the WHOLE multi-tier store cascades each
+    tier independently instead of silently returning nothing (found by
+    review: tier was missing from the groupBy)."""
+    tiers = _tiers(spark)
+    out = cascade_from_store(tiers, group=4)
+    got = set(out.select("tier").distinct().toPandas()["tier"])
+    # tier-0 children -> tier 1, tier-1 -> tier 2, tier-2 -> tier 3
+    assert got == {1, 2, 3}
+    # each slice equals the single-tier cascade
+    import pandas as pd
+
+    one = cascade_from_store(tiers.where("tier = 0"), group=4)
+    pd.testing.assert_frame_equal(
+        _sorted(out.where("tier = 1"), ALG), _sorted(one, ALG))
+    tiers.unpersist()

@@ -279,3 +279,82 @@ def test_resample_linear_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+# --- round-4c review regressions --------------------------------------------
+
+def test_resample_sparse_key_does_not_crash(spark):
+    """A key whose whole span contains no grid point must be dropped,
+    not raise 'Illegal sequence boundaries' (found by review)."""
+    from pyhctsa_spark.operators.temporal_join import (
+        resample_linear,
+        resample_locf,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 100_000_000, 5.0),            # single event, off-grid
+         (2, 900_000_000, 1.0), (2, 2_700_000_000, 3.0)],
+        "user_id long, tus long, value double",
+    ).select("user_id", F.timestamp_micros("tus").alias("ts"), "value")
+    step = 900_000_000  # 15 min
+    locf = resample_locf(ev, step_micros=step).orderBy("user_id", "gus")
+    lin = resample_linear(ev, step_micros=step).orderBy("user_id", "gus")
+    assert [r["user_id"] for r in locf.collect()] == [2, 2, 2]
+    rows = lin.collect()
+    assert [r["user_id"] for r in rows] == [2, 2, 2]
+    assert [round(r["value"], 6) for r in rows] == [1.0, 2.0, 3.0]
+
+
+def test_resample_linear_ignores_null_valued_events(spark):
+    """A NULL-valued event must not desynchronize bracket timestamps
+    from bracket values (found by review: ev_t tagged every event)."""
+    from pyhctsa_spark.operators.temporal_join import resample_linear
+
+    ev = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 100, None), (1, 200, 20.0)],
+        "user_id long, tus long, value double",
+    ).select("user_id", F.timestamp_micros("tus").alias("ts"), "value")
+    out = resample_linear(ev, step_micros=150).orderBy("gus").collect()
+    # grid point 150: brackets are (0, 10) and (200, 20) -> 17.5, NOT
+    # the desynchronized 10 + 10*(150-100)/(200-100) = 15
+    got = {r["gus"]: r["value"] for r in out}
+    assert abs(got[150] - 17.5) < 1e-12
+
+
+def test_asof_join_null_right_values_stay_null(spark):
+    """The matched right ROW is atomic: a NULL field of the matched row
+    is emitted as NULL (not backfilled from an older row), and the
+    tolerance check uses the matched row's own timestamp."""
+    from pyhctsa_spark.operators.temporal_join import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 100_000_000, None)],
+        "user_id long, tus long, v double",
+    ).select("user_id", F.timestamp_micros("tus").alias("ts"), "v")
+    left = spark.createDataFrame(
+        [(1, 101_000_000)], "user_id long, tus long"
+    ).select("user_id", F.timestamp_micros("tus").alias("ts"))
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    value_cols=["v"], tolerance_micros=10_000_000).collect()
+    assert len(out) == 1
+    # matched row is t=100s (within 1s tolerance) whose v is NULL —
+    # NOT the 101-second-stale v=5 from t=0
+    assert out[0]["v_matched"] is None
+    assert out[0]["ts_matched"] is not None
+
+
+def test_asof_multiple_value_cols_come_from_one_row(spark):
+    from pyhctsa_spark.operators.temporal_join import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 0, 5.0, None), (1, 100, None, 7.0)],
+        "user_id long, tus long, a double, b double",
+    ).select("user_id", F.timestamp_micros("tus").alias("ts"), "a", "b")
+    left = spark.createDataFrame(
+        [(1, 200)], "user_id long, tus long"
+    ).select("user_id", F.timestamp_micros("tus").alias("ts"))
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    value_cols=["a", "b"]).collect()[0]
+    # matched row = t=100 -> (a NULL, b 7.0); per-column carries would
+    # have stitched (a 5.0, b 7.0) from two different rows
+    assert out["a_matched"] is None and out["b_matched"] == 7.0
