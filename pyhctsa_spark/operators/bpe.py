@@ -130,8 +130,13 @@ def bpe_token_count(
         .agg(F.count("*").alias("_c"))
     )
     # occ feeds BOTH the vocabulary build and the join probe side —
-    # persist so the corpus is scanned and word-exploded exactly once
-    occ = occ.persist()
+    # materialize so the corpus is scanned and word-exploded exactly
+    # once. localCheckpoint (not persist): the returned DataFrame keeps
+    # a live dependency on occ, so a persist here could never be
+    # unpersisted and would leak one cached table per invocation;
+    # checkpoint blocks are owned by the executors and reclaimed with
+    # the lineage, no caller-side contract needed.
+    occ = occ.localCheckpoint(eager=True)
     vocab = occ.select("_w").distinct().withColumn("_n", word_tok_len("_w"))
     return (
         occ.join(F.broadcast(vocab), "_w")

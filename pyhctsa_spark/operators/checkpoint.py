@@ -132,17 +132,34 @@ class RollupJob:
         return snap
 
     def result(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.store_path, "tier_data"))
+        """The COMMITTED view: only buckets with a manifest entry are
+        read. A crashed run's partially-written bucket directory (data
+        landed, _commit never ran) is invisible here — the manifest IS
+        the checkpoint, for reads as much as for resume."""
+        done = sorted(self.completed_buckets())
+        if not done:
+            raise ValueError("no committed buckets in the manifest yet")
+        root = os.path.join(self.store_path, "tier_data")
+        return spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f"bucket={b}") for b in done]
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-bucket lineage as a queryable DataFrame (rows read,
         windows emitted, checksum mismatches, wall, bytes, commit time)."""
+        schema = (
+            "bucket int, rows_read long, windows_emitted long, "
+            "checksum_mismatches long, wall_sec double, "
+            "output_bytes long, committed_at double"
+        )
         entries = list(self.completed_buckets().values())
-        if not entries:
-            return spark.createDataFrame(
-                [],
-                "bucket int, rows_read long, windows_emitted long, "
-                "checksum_mismatches long, wall_sec double, "
-                "output_bytes long, committed_at double",
-            )
-        return spark.createDataFrame(entries)
+        rows = [
+            (e["bucket"], e["rows_read"], e["windows_emitted"],
+             e["checksum_mismatches"], e["wall_sec"], e["output_bytes"],
+             e["committed_at"])
+            for e in entries
+        ]
+        # the SAME explicit schema either way: the inferred-from-dicts
+        # path used to flip bucket to bigint and reorder columns,
+        # breaking unions with the empty-manifest shape
+        return spark.createDataFrame(rows, schema)

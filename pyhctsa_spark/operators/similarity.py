@@ -44,7 +44,11 @@ def knn_bruteforce(
         .withColumn("qnorm", _norm(F.col("qv")))
     )
     pairs = c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    # an all-zero embedding has norm 0 and Spark 4 ANSI raises on the
+    # division — a NULL cosine instead (desc ordering sorts NULLs last,
+    # so degenerate vectors simply never make top-k)
+    denom = F.col("qnorm") * F.col("cnorm")
+    cos = F.when(denom > 0, _dot(F.col("qv"), F.col("cv")) / denom)
     scored = pairs.select("qid", "nid", cos.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -157,7 +161,8 @@ def knn_ivf(
         .withColumn("qnorm", _norm(F.col("qv")))
     )
     qc = q.crossJoin(F.broadcast(cents))
-    qcos = _dot(F.col("qv"), F.col("centroid")) / (F.col("qnorm") * F.col("centnorm"))
+    qdenom = F.col("qnorm") * F.col("centnorm")
+    qcos = F.when(qdenom > 0, _dot(F.col("qv"), F.col("centroid")) / qdenom)
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         qc.select("qid", "qv", "qnorm", "cid", qcos.alias("csim"))
@@ -166,7 +171,8 @@ def knn_ivf(
         .select("qid", "qv", "qnorm", "cid")
     )
     cand = probes.join(assigned, "cid").where(F.col("qid") != F.col("nid"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    cdenom = F.col("qnorm") * F.col("cnorm")
+    cos = F.when(cdenom > 0, _dot(F.col("qv"), F.col("cv")) / cdenom)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         cand.select("qid", "nid", cos.alias("cosine"))

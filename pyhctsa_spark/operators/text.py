@@ -20,7 +20,9 @@ STOPWORDS = {
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language guess: score = |words ∩ stopwords(lang)|
-    per language; ties and zero votes -> 'und' (undetermined)."""
+    per language; zero votes -> 'und' (undetermined); a TIE between
+    positive scores resolves to the FIRST language in STOPWORDS insertion
+    order (matched by the oracle's _PRED_CASE), not 'und'."""
     words = F.split(F.lower(F.col(text_col)), " ")
     scores = [
         F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))).alias(
@@ -51,12 +53,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.size(
         F.filter(words, lambda w: F.lower(w).isin(all_stop))
     ) / n_words
+    # n_chars can be 0 (empty document) and Spark 4 ANSI raises on
+    # double division by zero — guard the denominator; empty docs score
+    # NULL ratios (and the composite goes NULL through the arithmetic)
+    nc_safe = F.when(n_chars > 0, n_chars)
     punct_ratio = (
         n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    ) / n_chars
+    ) / nc_safe
     digit_ratio = (
         n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
-    ) / n_chars
+    ) / nc_safe
     score = (
         F.least(n_words / 100.0, F.lit(1.0)) * 0.4
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
