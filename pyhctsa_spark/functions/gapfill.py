@@ -35,10 +35,11 @@ def gap_fill(offsets: np.ndarray, values: np.ndarray, n: int) -> np.ndarray:
 
 def drop_offsets(rng: np.random.Generator, n: int, frac: float) -> np.ndarray:
     """Deterministically choose surviving offsets for corruption fixtures:
-    drop ~frac of interior offsets (never offset 0 or n-1 both — keep at
-    least one observation)."""
+    drop ~frac of INTERIOR offsets only — offsets 0 and n-1 always
+    survive, so fixtures exercise interior interpolation rather than
+    the edge-clamp fill paths."""
     keep = rng.random(n) >= frac
     keep[0] = True
-    if not keep.any():
-        keep[0] = True
+    if n > 1:
+        keep[-1] = True
     return np.flatnonzero(keep)

@@ -518,13 +518,17 @@ def dedup_components(
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
     )
-    for i in range(max_iterations):
-        # each node adopts the min label among itself and its neighbors
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+    def _neighbor_min(lbl):
+        # each node's minimum label among its neighbors
+        return (
+            edges.join(lbl, edges.dst == lbl.doc_id)
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
+
+    for i in range(max_iterations):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = _neighbor_min(labels)
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -552,11 +556,7 @@ def dedup_components(
             labels = updated
     # the final permitted round may have applied the LAST needed change:
     # run one extra verification round before declaring failure
-    neighbor_min = (
-        edges.join(labels, edges.dst == labels.doc_id)
-        .groupBy("src")
-        .agg(F.min("component_id").alias("nbr_min"))
-    )
+    neighbor_min = _neighbor_min(labels)
     still_changing = (
         labels.join(neighbor_min, labels.doc_id == neighbor_min.src)
         .where(F.col("nbr_min") < F.col("component_id"))
@@ -582,6 +582,7 @@ def embedding_near_dup_pairs(
     tables: int = 12,
     min_cosine: float = 0.95,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates via MULTI-TABLE random-hyperplane LSH
     with exact in-bucket cosine verification.
@@ -618,8 +619,22 @@ def embedding_near_dup_pairs(
 
         return buckets
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
+    if dim is None:
+        # probe the dimension with one bounded job; an empty or
+        # NULL-first corpus must fail with a clear message, not a
+        # NoneType subscript (pass dim= explicitly to skip the probe)
+        first = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if first is None:
+            raise ValueError(
+                "embedding_near_dup_pairs: no non-null embeddings to "
+                "probe the dimension from — pass dim= explicitly or "
+                "provide a non-empty corpus"
+            )
+        dim = int(first["d"])
     bucket_udf = _make_bucket_udf(dim)
     base = (
         df.select(
@@ -641,7 +656,11 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.col("a._norm") * F.col("b._norm"))
+    # an all-zero embedding (norm 0) always collides with its kind in
+    # every table; NULL cosine instead of an ANSI DIVIDE_BY_ZERO abort —
+    # the min_cosine filter then drops the degenerate pairs
+    nprod = F.col("a._norm") * F.col("b._norm")
+    cos = F.when(nprod > 0, dot / nprod)
     return (
         a.join(
             b,

@@ -33,7 +33,7 @@ def stream_exact_dedup(
     watermark: str = "1 hour",
     text_col: str = "text",
     time_col: str = "event_time",
-    available_now: bool = True,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Start the streaming dedup; returns the StreamingQuery handle.
 

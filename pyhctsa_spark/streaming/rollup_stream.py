@@ -108,10 +108,13 @@ def stream_rollup_chunks(
     that span chunk boundaries need carried state, so this uses
     ``applyInPandasWithState``: per-doc GroupState = (next expected
     chunk, emitted-window base index, carry bytes of the incomplete
-    window). Each trigger emits exactly the windows completed by the
-    newly arrived chunks; the checkpoint makes the whole pipeline
-    exactly-once across restarts. Out-of-order or replayed chunks inside
-    a trigger are sorted / dropped by ``chunk_idx`` before assembly.
+    window, PENDING out-of-order chunks). Each trigger emits exactly
+    the windows completed by the newly arrived chunks; the checkpoint
+    makes the whole pipeline exactly-once across restarts. Out-of-order
+    chunks (file listing order is not chunk order across triggers) are
+    BUFFERED in state until the gap fills; duplicates (same chunk_idx
+    redelivered, in- or cross-trigger) keep the first copy; stale
+    chunks below the consumed watermark are dropped.
 
     This is the engine's ``applyInPandasWithState`` surface (SURVEY §2.0
     streaming mandate); the stateless variant (whole docs per row) is
@@ -132,23 +135,33 @@ def stream_rollup_chunks(
         "spread_iqr double, ac1_td double, ac2_td double, "
         "ac1_fourier double, burst_b double, burst_b_kim double"
     )
-    state_schema = "next_chunk int, win_base long, carry binary"
+    state_schema = (
+        "next_chunk int, win_base long, carry binary, "
+        "pending_idx array<int>, pending_bin array<binary>"
+    )
 
     def fn(key, pdfs, state: "GroupState"):
         doc_id = key[0]
         chunks = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
-            next_chunk, win_base, carry = state.get
+            next_chunk, win_base, carry, p_idx, p_bin = state.get
             carry = bytes(carry) if carry is not None else b""
+            pending = {
+                int(i): bytes(b)
+                for i, b in zip(p_idx or [], p_bin or [])
+            }
         else:
-            next_chunk, win_base, carry = 0, 0, b""
-        chunks = chunks.sort_values("chunk_idx")
-        chunks = chunks[chunks["chunk_idx"] >= next_chunk]
-        parts = [carry]
+            next_chunk, win_base, carry, pending = 0, 0, b"", {}
+        # stage arrivals: future chunks buffer, duplicates keep the
+        # first copy, stale (< next_chunk, already consumed) drop
         for _, row in chunks.iterrows():
-            if row["chunk_idx"] != next_chunk:
-                break  # gap: hold until the missing chunk arrives
-            parts.append(bytes(row["tokens_bin"]))
+            ci = int(row["chunk_idx"])
+            if ci >= next_chunk:
+                pending.setdefault(ci, bytes(row["tokens_bin"]))
+        # assemble the contiguous prefix now available
+        parts = [carry]
+        while next_chunk in pending:
+            parts.append(pending.pop(next_chunk))
             next_chunk += 1
         buf = b"".join(parts)
         toks = np.frombuffer(buf, dtype="<i4")
@@ -180,7 +193,11 @@ def stream_rollup_chunks(
                 }
             )
             yield out
-        state.update((next_chunk, win_base + nwin, buf[nwin * window * 4:]))
+        keys = sorted(pending)
+        state.update((
+            next_chunk, win_base + nwin, buf[nwin * window * 4:],
+            keys, [pending[k] for k in keys],
+        ))
 
     reader = spark.readStream.schema(CHUNK_SCHEMA).parquet(source_dir)
     rolled = reader.groupBy("doc_id").applyInPandasWithState(

@@ -399,7 +399,8 @@ def test_streaming_exact_dedup_across_triggers(spark, tmp_path_factory):
         schema,
     )
     batch1.write.mode("overwrite").parquet(src)
-    q = stream_exact_dedup(spark, src, sink, ckpt, watermark="1 hour")
+    q = stream_exact_dedup(spark, src, sink, ckpt, watermark="1 hour",
+                           available_now=True)
     q.awaitTermination(120)
     first = spark.read.parquet(sink).toPandas()
     assert sorted(first["text"].unique()) == ["alpha beta", "gamma delta"]
@@ -411,7 +412,8 @@ def test_streaming_exact_dedup_across_triggers(spark, tmp_path_factory):
         rows([(4, "alpha beta"), (5, "epsilon zeta")], 10), schema
     )
     batch2.write.mode("append").parquet(src)
-    q2 = stream_exact_dedup(spark, src, sink, ckpt, watermark="1 hour")
+    q2 = stream_exact_dedup(spark, src, sink, ckpt, watermark="1 hour",
+                            available_now=True)
     q2.awaitTermination(120)
     final = spark.read.parquet(sink).toPandas()
     assert len(final) == 3  # cross-trigger duplicate dropped by state
@@ -587,3 +589,52 @@ def test_dedup_components_raises_on_diameter_overflow(spark):
         dedup_components(chain, max_iterations=3)
     ok = dedup_components(chain, max_iterations=30).toPandas()
     assert (ok.component_id == 0).all()
+
+
+def test_streaming_chunked_rollup_out_of_order_and_duplicates(
+    spark, tmp_path_factory
+):
+    """Round-4c review regression: a LATER chunk arriving before an
+    earlier one must be BUFFERED (not silently discarded — the source
+    never redelivers it), and redelivered duplicates keep the first
+    copy. Final sink still equals batch tier-0 exactly."""
+    from pyhctsa_spark.operators.rollup import rollup_tiers
+    from pyhctsa_spark.sources.synthetic import (
+        chunked_sequences_df,
+        sequences_df,
+    )
+    from pyhctsa_spark.streaming.rollup_stream import stream_rollup_chunks
+
+    base = tmp_path_factory.mktemp("chunkooo")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    chunks = chunked_sequences_df(spark, 8, chunk_tokens=75, partitions=2)
+    chunks.cache()
+    # wave 1: chunk 0 AND chunks >= 2 (chunk 1 missing -> everything
+    # past the gap must be held in state); plus a duplicate of chunk 0
+    wave1 = chunks.where("chunk_idx != 1")
+    wave1.write.mode("overwrite").parquet(src)
+    chunks.where("chunk_idx = 0").write.mode("append").parquet(src)
+    q = stream_rollup_chunks(spark, src, sink, ckpt, window=32,
+                             available_now=True)
+    q.awaitTermination(120)
+    mid = spark.read.parquet(sink)
+    # only chunk 0's complete windows can exist (75 tokens -> 2 windows)
+    assert mid.agg(F.max("window_idx")).first()[0] <= 1
+    # wave 2: the missing chunk 1 arrives -> ALL remaining windows emit
+    chunks.where("chunk_idx = 1").write.mode("append").parquet(src)
+    q2 = stream_rollup_chunks(spark, src, sink, ckpt, window=32,
+                              available_now=True)
+    q2.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    )
+    want_cols = list(got.columns)
+    want = (
+        rollup_tiers(sequences_df(spark, 8, partitions=2, binary=True),
+                     window=32, n_tiers=1)
+        .select(*want_cols).toPandas()
+        .sort_values(["doc_id", "window_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.round(9), want.round(9))
+    chunks.unpersist()
