@@ -58,22 +58,6 @@ def _pack_fields(fields: np.ndarray, widths: np.ndarray) -> bytes:
     return np.packbits(bits[mask]).tobytes()
 
 
-class _BitReader:
-    __slots__ = ("data", "pos")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0  # bit position
-
-    def read(self, bits: int) -> int:
-        p = self.pos
-        self.pos = p + bits
-        start = p >> 3
-        end = (p + bits + 7) >> 3
-        chunk = int.from_bytes(self.data[start:end], "big")
-        return (chunk >> ((end << 3) - p - bits)) & ((1 << bits) - 1)
-
-
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (x > 0)."""
     # float64 exponent trick is unsafe for >53-bit mantissas; use bit_length

@@ -103,9 +103,11 @@ def merge_groups(state: HistState, group: int) -> HistState:
 
 
 def merge_stack(states: list[HistState]) -> HistState:
-    """Elementwise concatenation of per-window states into one state
-    whose window i is states' window-i histograms side by side — used by
-    the store cascade where each input row carries one window."""
+    """SEQUENTIAL concatenation: the output's windows are state 0's
+    windows, then state 1's, and so on (NOT an elementwise interleave by
+    window index). Used by the store cascade where each input state
+    carries its own run of windows and the caller wants them stacked in
+    input order."""
     vals = np.concatenate([s["vals"] for s in states])
     cnts = np.concatenate([s["cnts"] for s in states])
     lens = np.concatenate([np.diff(s["offs"]) for s in states])
@@ -173,19 +175,31 @@ def topk(state: HistState, k: int) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Binary store format: interleaved little-endian int32 (value, count)
-# pairs per window — the materialized-tier column the cascade reads.
+# Binary store format: packed little-endian (value:int32, count:int64)
+# entries, 12 bytes each, per window — the materialized-tier column the
+# cascade reads. Counts are int64 ON DISK as well as in memory: a
+# coarse tier's dominant-token count can exceed 2^31 (window * group^t
+# tokens per parent window at 10^12 scale), and a silent int32 wrap
+# would corrupt the exact quantiles this store exists to guarantee.
 # ---------------------------------------------------------------------------
+
+_ENTRY = np.dtype({"names": ["v", "c"], "formats": ["<i4", "<i8"],
+                   "offsets": [0, 4], "itemsize": 12})
+
+
+def _pack_buf(vals: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    buf = np.empty(len(vals), dtype=_ENTRY)
+    buf["v"] = vals
+    buf["c"] = cnts  # int64 -> int64: no truncation possible
+    return buf
+
 
 def pack_arrow(state: HistState) -> pa.Array:
     """State -> Arrow binary column (one blob per window), built from
     raw buffers with no per-row bytes objects."""
     vals, cnts, offs = state["vals"], state["cnts"], state["offs"]
-    m = len(vals)
-    buf = np.empty(2 * m, dtype="<i4")
-    buf[0::2] = vals
-    buf[1::2] = cnts
-    offs_b = (offs * 8).astype(np.int32)
+    buf = _pack_buf(vals, cnts)
+    offs_b = (offs * 12).astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(offs) - 1,
         [None, pa.py_buffer(np.ascontiguousarray(offs_b)),
@@ -196,22 +210,19 @@ def pack_arrow(state: HistState) -> pa.Array:
 def pack_bytes(state: HistState) -> list[bytes]:
     """State -> python bytes blobs (pandas cascade path)."""
     vals, cnts, offs = state["vals"], state["cnts"], state["offs"]
-    m = len(vals)
-    buf = np.empty(2 * m, dtype="<i4")
-    buf[0::2] = vals
-    buf[1::2] = cnts
-    raw = buf.tobytes()
-    return [raw[offs[i] * 8: offs[i + 1] * 8] for i in range(len(offs) - 1)]
+    raw = _pack_buf(vals, cnts).tobytes()
+    return [raw[offs[i] * 12: offs[i + 1] * 12]
+            for i in range(len(offs) - 1)]
 
 
 def unpack_blobs(blobs: list[bytes]) -> HistState:
     """Binary blobs (one per window) -> HistState."""
     if not blobs:
         return _empty()
-    lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
-    flat = np.frombuffer(b"".join(blobs), dtype="<i4").astype(np.int64)
+    lens = np.array([len(b) // 12 for b in blobs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(blobs), dtype=_ENTRY)
     return {
-        "vals": flat[0::2],
-        "cnts": flat[1::2],
+        "vals": flat["v"].astype(np.int64),
+        "cnts": flat["c"].astype(np.int64),
         "offs": np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
     }

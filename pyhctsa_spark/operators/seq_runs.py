@@ -62,7 +62,10 @@ def map_sorted_runs(
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             if carry is not None:
-                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+                # concat_tables is zero-copy (chunked table); a
+                # combine_chunks here would memcpy the whole carried
+                # run EVERY batch — O(B^2) for a run spanning B batches
+                tbl = pa.concat_tables([carry, tbl])
             starts = _run_bounds(tbl)
             # hold back the final run — it may continue in the next batch
             carry = tbl.slice(starts[-1])

@@ -47,8 +47,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # All kernels are Arrow pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Token arrays can be ~16k ints; cap rows/batch so an input batch
-        # stays ~32MB even for the longest docs (output-side memory is
+        # Token arrays can be ~16k ints; 2048 rows/batch is ~32MB at the
+        # TYPICAL ~4k-token doc and ~128MB worst-case if a batch were all
+        # 16k-token docs (log-uniform lengths make that vanishingly rare;
+        # the heap headroom below covers it). Output-side memory is
         # bounded separately: the kernels flush RecordBatches every ~64k
         # rows). 2048 measured ~15% faster than 512 on the rollup (fewer
         # Arrow roundtrips).
