@@ -294,6 +294,11 @@ def bench_streaming_rollup(spark, seq_path: str) -> dict:
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
         f"seqb_{10 * max(40, int(sf_of(SF_DIR) * DOCS_PER_SF))}",
     )
+    if not os.path.exists(os.path.join(big, "_SUCCESS")):
+        # first round on a fresh .bench_cache: build it here rather than
+        # silently omitting the stream10_* metrics (bench_scale10, which
+        # also uses it, runs AFTER this function)
+        ensure_sequences(spark, 10 * max(40, int(sf_of(SF_DIR) * DOCS_PER_SF)))
     if os.path.exists(os.path.join(big, "_SUCCESS")):
         pts10 = spark.read.parquet(big).selectExpr("sum(n_tok)").first()[0]
         base2 = tempfile.mkdtemp(prefix="stream_bench10_")

@@ -330,21 +330,30 @@ def _mi_bin_range(x: np.ndarray, z: np.ndarray, num_bins: int = 10) -> float:
 
 
 def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
-              est_method: str = "gaussian", num_bins: int = 10) -> float:
+              est_method: str = "gaussian", num_bins: int = 10,
+              min_not_max: bool = True) -> float:
     """Lag of the first local minimum of the ACF ('ac'), the gaussian
     AMI curve ('mi'/'mi-gaussian'), or the range-binned histogram AMI
-    ('mi-hist'). Parity: CO_FirstMin (Information.py:11-89), including
-    the NaN fallback when no minimum exists in the search horizon
-    (max_tau bounds the search for the engine's O(N tau) cost control;
-    None = the reference's full-series sweep)."""
+    ('mi-hist'); ``min_not_max=False`` finds the first local MAXIMUM
+    instead (the reference's falsy-minNotMax branch, which can never
+    return lag 1 — its pattern needs i > 2). Parity: CO_FirstMin
+    (Information.py:11-89), including the NaN fallback when no extremum
+    exists in the search horizon (max_tau bounds the search for the
+    engine's O(N tau) cost control; None = the reference's full-series
+    sweep)."""
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     mt = min(max_tau or n - 2, n - 2)
     if what == "ac":
         curve = acf_fourier_full(y)[: mt + 2]
-        for t in range(1, mt + 1):
-            if curve[t] < curve[t - 1] and curve[t] < curve[t + 1]:
-                return float(t)
+        if min_not_max:
+            for t in range(1, mt + 1):
+                if curve[t] < curve[t - 1] and curve[t] < curve[t + 1]:
+                    return float(t)
+        else:
+            for t in range(2, mt + 1):
+                if curve[t] > curve[t - 1] and curve[t] > curve[t + 1]:
+                    return float(t)
         return float("nan")
     if what in ("mi", "mi-gaussian"):
         def corrfn(tau: int) -> float:
@@ -355,13 +364,19 @@ def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
     else:
         raise ValueError(what)
     # lazy curve with early exit: evaluate lags incrementally, stop at
-    # the first local minimum (the common case is tau < 20)
+    # the first local extremum (the common case is tau < 20). prev2
+    # starts at +inf, which for the max path also encodes the
+    # reference's can't-return-lag-1 rule for free.
     prev2 = np.inf
     prev1 = corrfn(1)
     for t in range(1, mt + 1):
         cur = corrfn(t + 1)
-        if prev1 < prev2 and prev1 < cur:
-            return float(t)
+        if min_not_max:
+            if prev1 < prev2 and prev1 < cur:
+                return float(t)
+        else:
+            if prev1 > prev2 and prev1 > cur:
+                return float(t)
         prev2, prev1 = prev1, cur
     return float("nan")
 

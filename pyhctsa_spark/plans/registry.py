@@ -172,7 +172,16 @@ class FeatureSet:
                 out = None
                 n_err += 1
             if keys is None:
-                vals.append(float(out) if out is not None else float("nan"))
+                # a kernel probed as scalar can still return a dict on
+                # real data (probe failed on the synthetic series, so
+                # keys=None was a guess): degrade to NaN, never let a
+                # TypeError escape per-feature isolation
+                if out is None or isinstance(out, dict):
+                    if isinstance(out, dict):
+                        n_err += 1
+                    vals.append(float("nan"))
+                else:
+                    vals.append(float(out))
             else:
                 if isinstance(out, dict):
                     vals.extend(float(out.get(k, float("nan"))) for k in keys)
@@ -200,9 +209,12 @@ class FeatureSet:
         if bf is K.burstiness:
             return lambda Y: np.column_stack(K.burstiness_2d(Y))
         if bf is K.autocorr_timedomain:
-            return lambda Y: K.ac_timedomain_2d(Y, p["tau"])[:, None]
+            # .get mirrors the scalar kernels' tau=1 default — a missing
+            # param must not crash the batched path where the scalar
+            # path would have succeeded
+            return lambda Y: K.ac_timedomain_2d(Y, p.get("tau", 1))[:, None]
         if bf is K.autocorr_fourier:
-            return lambda Y: K.ac_fourier_2d(Y, [p["tau"]])
+            return lambda Y: K.ac_fourier_2d(Y, [p.get("tau", 1)])
         return None
 
     def compute_matrix(self, Y: np.ndarray) -> tuple[np.ndarray, int]:
@@ -254,7 +266,12 @@ class FeatureSet:
                     o = None
                     errs += 1
                 if keys is None:
-                    out[i, col] = float(o) if o is not None else float("nan")
+                    if o is None or isinstance(o, dict):
+                        if isinstance(o, dict):
+                            errs += 1
+                        out[i, col] = float("nan")
+                    else:
+                        out[i, col] = float(o)
                 elif isinstance(o, dict):
                     out[i, col : col + width] = [
                         float(o.get(kk, float("nan"))) for kk in keys

@@ -84,6 +84,9 @@ def _first_crossing(y, corrFun="ac", threshold=0.0, whatOut="both"):
 
 
 def _first_min(y, minWhat="ac", extraParam=None, minNotMax=True):
+    # the reference treats ANY falsy minNotMax ('' in basic.yaml, False)
+    # as the first-MAXIMUM branch (Information.py:61)
+    mnm = bool(minNotMax)
     what = "ac" if minWhat == "ac" else "mi"
     est = "gaussian"
     if isinstance(minWhat, str) and minWhat.startswith("mi"):
@@ -91,7 +94,7 @@ def _first_min(y, minWhat="ac", extraParam=None, minNotMax=True):
         est = {"gaussian": "gaussian", "kernel": "kernel",
                "kraskov1": "kraskov1", "kraskov2": "kraskov1",
                "hist": "gaussian"}.get(suffix, "gaussian")
-    return I.first_min(y, what, est_method=est)
+    return I.first_min(y, what, est_method=est, min_not_max=mnm)
 
 
 def _shannon(y, numBins=2, depth=3):
@@ -124,8 +127,12 @@ def _kpss(y, lags=0):
 
 def _var_ratio(y, periods=2, IIDs=1):
     if isinstance(periods, list):
-        return M.variance_ratio_test(y, [int(p) for p in periods],
-                                     list(IIDs))
+        # a scalar IIDs with a periods sweep broadcasts (list(1) would
+        # TypeError and silently NaN the whole family through error
+        # isolation)
+        iids = (list(IIDs) if isinstance(IIDs, (list, tuple))
+                else [IIDs] * len(periods))
+        return M.variance_ratio_test(y, [int(p) for p in periods], iids)
     return M.variance_ratio_test(y, int(periods), bool(IIDs))
 
 

@@ -27,6 +27,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            # DuckDB int32 vs Spark int64 on identical values must not
+            # read as a value mismatch (Series.equals is dtype-strict)
+            df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 

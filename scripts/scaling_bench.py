@@ -43,7 +43,9 @@ if not os.path.exists(cache + "/_SUCCESS"):
 df = spark.read.parquet(cache)
 points = df.selectExpr("sum(n_tok)").first()[0]
 results = []
-for rep in range(3):
+# {reps} in-process reps; the first 2 are discarded as warm-ups
+# (codegen + worker pools), the min of the rest is kept
+for rep in range({reps}):
     out = tempfile.mkdtemp(prefix="scal_")
     counters = make_counters(spark)
     t0 = time.perf_counter()
@@ -138,7 +140,8 @@ def main() -> None:
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (n_docs={N_DOCS}, {pts:,} points, min of {REPS})\n\n"
+            f"\n## Scaling run (n_docs={N_DOCS}, {pts:,} points, "
+            f"min of {max(REPS - 2, 1)} kept reps after 2 warm-ups)\n\n"
             f"| cores | wall (s) | points/sec |\n|---|---|---|\n"
             f"| {N_LOW} (N) | {tlo:.2f} | {pts / tlo:,.0f} |\n"
             f"| {N_HIGH} (4N) | {thi:.2f} | {pts / thi:,.0f} |\n\n"

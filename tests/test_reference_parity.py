@@ -343,6 +343,12 @@ def _batch2_cases():
              zscore=True, rtol=1e-6),
         Case("first_min_ac", lambda y: I.first_min(y, "ac"), "FirstMin",
              lambda f, y: f(y, "ac")),
+        Case("first_max_ac",
+             lambda y: I.first_min(y, "ac", min_not_max=False), "FirstMin",
+             lambda f, y: f(y, "ac", None, False)),
+        Case("first_max_mi_gaussian",
+             lambda y: I.first_min(y, "mi", min_not_max=False), "FirstMin",
+             lambda f, y: f(y, "mi-gaussian", None, False)),
         Case("ami_gaussian_t2",
              lambda y: I.auto_mutual_info(y, 2, "gaussian"),
              "AutoMutualInfo", lambda f, y: f(y, 2, "gaussian"),
