@@ -346,13 +346,23 @@ def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
     mt = min(max_tau or n - 2, n - 2)
     if what == "ac":
         curve = acf_fourier_full(y)[: mt + 2]
+        # reference early-exits with NaN at the FIRST NaN lag — an
+        # extremum found past a NaN must not be returned
+        # (Information.py:66-68/:82-84). Extremum at t needs lags
+        # 1..t+1 all computed, so the NaN test leads each step.
+        if np.isnan(curve[1]):
+            return float("nan")
         if min_not_max:
             for t in range(1, mt + 1):
+                if np.isnan(curve[t + 1]):
+                    return float("nan")
                 if curve[t] < curve[t - 1] and curve[t] < curve[t + 1]:
                     return float(t)
         else:
-            for t in range(2, mt + 1):
-                if curve[t] > curve[t - 1] and curve[t] > curve[t + 1]:
+            for t in range(1, mt + 1):
+                if np.isnan(curve[t + 1]):
+                    return float("nan")
+                if t >= 2 and curve[t] > curve[t - 1] and curve[t] > curve[t + 1]:
                     return float(t)
         return float("nan")
     if what in ("mi", "mi-gaussian"):
@@ -369,8 +379,12 @@ def first_min(y: np.ndarray, what: str = "ac", max_tau: int | None = None,
     # reference's can't-return-lag-1 rule for free.
     prev2 = np.inf
     prev1 = corrfn(1)
+    if np.isnan(prev1):
+        return float("nan")  # reference NaN early-exit (see 'ac' note)
     for t in range(1, mt + 1):
         cur = corrfn(t + 1)
+        if np.isnan(cur):
+            return float("nan")
         if min_not_max:
             if prev1 < prev2 and prev1 < cur:
                 return float(t)

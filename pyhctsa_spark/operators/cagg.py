@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -244,11 +246,26 @@ class CaggSnapshotStore:
     - a committed ``batch_id`` makes the refresh a no-op (streaming
       foreachBatch redelivery).
 
+    Concurrency: mutating operations (materialize / refresh / expire)
+    serialize on a lease-file writer lock (``_WRITER.lock``), so two
+    concurrent refreshes cannot interleave read-manifest → publish and
+    lose a generation — the second writer blocks, then sees the first
+    writer's manifest. Crashed writers are recovered by lease expiry
+    (stale locks are atomically renamed away, so two waiters cannot
+    both "take over"). Readers need no lock: GC keeps every chunk
+    directory referenced by the current OR the immediately previous
+    manifest, so a reader that resolved paths just before a commit
+    still finds its files; only generations superseded TWICE are
+    deleted. (One-commit grace, the same contract as Iceberg's
+    snapshot-expiry retention window.)
+
     On a real warehouse this is an Iceberg/Delta snapshot commit; the
     manifest here is the sandbox stand-in with identical semantics.
     """
 
     MANIFEST = "_MANIFEST.json"
+    WRITER_LOCK = "_WRITER.lock"
+    LEASE_SEC = 300.0
 
     def __init__(
         self,
@@ -291,13 +308,71 @@ class CaggSnapshotStore:
         with open(p) as f:
             return json.load(f)
 
-    def _publish(self, man: dict) -> None:
+    def _publish(self, man: dict, prev: dict | None = None) -> None:
         import json
 
+        # carry the superseded manifest's chunk map so GC can grant it
+        # a one-commit grace period (readers mid-scan on the previous
+        # snapshot keep their files until the NEXT commit)
+        if prev is not None:
+            man["prev_chunks"] = dict(prev.get("chunks", {}))
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- writer lease --------------------------------------------------------
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, self.WRITER_LOCK)
+
+    @contextmanager
+    def _writer_lease(self, timeout: float = 60.0):
+        """Exclusive writer lease via O_CREAT|O_EXCL lock file.
+
+        The lock file records its expiry time; a crashed writer's stale
+        lease is recovered by atomically RENAMING it to a unique name
+        before unlinking — os.rename is atomic, so when two waiters race
+        a takeover exactly one wins the rename and the loser re-polls
+        (a naive unlink-then-create could delete the winner's fresh
+        lock). Not fair, but safe and non-blocking for readers.
+        """
+        os.makedirs(self.path, exist_ok=True)
+        lock = self._lock_path()
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time() + self.LEASE_SEC}"
+                         .encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        expiry = float(f.read().split()[1])
+                except (OSError, IndexError, ValueError):
+                    expiry = float("inf")  # unreadable => treat as live
+                if time.time() > expiry:
+                    stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                    try:
+                        os.rename(lock, stale)  # atomic: one winner
+                        os.unlink(stale)
+                    except OSError:
+                        pass  # lost the takeover race; re-poll
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"writer lease on {lock} not acquired in "
+                        f"{timeout}s (held, expires {expiry:.0f})"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     # -- io ----------------------------------------------------------------
     def _chunk_paths(self, man: dict, chunks=None) -> list[str]:
@@ -336,11 +411,16 @@ class CaggSnapshotStore:
         )
 
     def _gc(self, man: dict) -> None:
-        """Delete chunk dirs no generation reference points at (orphans
-        from crashed refreshes + superseded versions). Best-effort."""
+        """Delete chunk dirs neither the current manifest nor the
+        immediately previous one references (orphans from crashed
+        refreshes + twice-superseded versions). The previous manifest's
+        chunks get a one-commit grace period so a reader that resolved
+        paths from it never has files removed mid-scan. Best-effort."""
         if not os.path.isdir(self.path):
             return
         live = {(str(c), int(g)) for c, g in man["chunks"].items()}
+        live |= {(str(c), int(g))
+                 for c, g in man.get("prev_chunks", {}).items()}
         for gdir in os.listdir(self.path):
             if not gdir.startswith("gen="):
                 continue
@@ -356,26 +436,36 @@ class CaggSnapshotStore:
 
     # -- operations ---------------------------------------------------------
     def materialize(self, events: DataFrame) -> None:
-        states = _with_chunk(
-            self._partial(events, self.on, self.by, self.value_col,
-                          self.window_micros),
-            self.chunk_windows,
-        )
-        self._write_generation(states, 0)
-        chunks = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(os.path.join(self.path, "gen=0"))
-            if d.startswith("chunk=")
-        )
-        self._publish({
-            "gen": 0,
-            "chunks": {str(c): 0 for c in chunks},
-            "last_batch": None,
-        })
+        with self._writer_lease():
+            states = _with_chunk(
+                self._partial(events, self.on, self.by, self.value_col,
+                              self.window_micros),
+                self.chunk_windows,
+            )
+            self._write_generation(states, 0)
+            chunks = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(os.path.join(self.path, "gen=0"))
+                if d.startswith("chunk=")
+            )
+            self._publish({
+                "gen": 0,
+                "chunks": {str(c): 0 for c in chunks},
+                "last_batch": None,
+            })
 
     def refresh(
         self, spark: SparkSession, delta: DataFrame, batch_id=None
     ) -> dict:
+        with self._writer_lease():
+            return self._refresh_locked(spark, delta, batch_id)
+
+    def _refresh_locked(
+        self, spark: SparkSession, delta: DataFrame, batch_id=None
+    ) -> dict:
+        # manifest is read UNDER the lease — a concurrent refresh that
+        # committed while we waited is visible here, so its generation
+        # cannot be lost
         man = self.manifest()
         # streaming batch ids are MONOTONIC per checkpoint, so the
         # committed-batch state is a single high-water mark (a list
@@ -409,13 +499,14 @@ class CaggSnapshotStore:
         )
         gen = man["gen"] + 1
         self._write_generation(merged, gen)
+        prev = {"chunks": dict(man["chunks"])}
         man["gen"] = gen
         for c in touched:
             man["chunks"][str(c)] = gen
         if batch_id is not None:
             man["last_batch"] = batch_id
-        self._publish(man)  # <- the commit point; everything before is
-        #    invisible to readers and replayed safely
+        self._publish(man, prev=prev)  # <- the commit point; everything
+        #    before is invisible to readers and replayed safely
         self._gc(man)
         dp.unpersist()
         return {"touched_chunks": sorted(touched), "delta_states": n_delta}
@@ -428,16 +519,18 @@ class CaggSnapshotStore:
         that cleans superseded generations. Boundary chunks containing
         any live window are kept (same floor rule as
         retention.RetentionPolicy.cutoff_chunk)."""
-        cut = keep_from_widx // self.chunk_windows
-        man = self.manifest()
-        doomed = sorted(int(c) for c in man["chunks"] if int(c) < cut)
-        if not doomed:
-            return []
-        for c in doomed:
-            del man["chunks"][str(c)]
-        self._publish(man)
-        self._gc(man)
-        return doomed
+        with self._writer_lease():
+            cut = keep_from_widx // self.chunk_windows
+            man = self.manifest()
+            doomed = sorted(int(c) for c in man["chunks"] if int(c) < cut)
+            if not doomed:
+                return []
+            prev = {"chunks": dict(man["chunks"])}
+            for c in doomed:
+                del man["chunks"][str(c)]
+            self._publish(man, prev=prev)
+            self._gc(man)
+            return doomed
 
 
 def cagg_realtime(

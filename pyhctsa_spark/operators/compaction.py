@@ -148,6 +148,7 @@ def compact_chunks_bulk(
     intact (stronger than the loop's per-chunk swap). Lineage rows are
     appended to the same ``_compaction_log``.
     """
+    _recover_store(path)
     cands = compaction_candidates(path, target_files, small_bytes)
     if not cands:
         return []

@@ -176,6 +176,14 @@ def topk_tokens_from_store(tier_df: DataFrame, k: int = 3) -> DataFrame:
             tiers = rb.column(names.index("tier")).to_numpy()
             widx = rb.column(names.index("window_idx")).to_numpy()
             blobs = [row.as_py() for row in rb.column(names.index("hist_bin"))]
+            if any(b is None for b in blobs):
+                bad = [i for i, b in enumerate(blobs) if b is None][:3]
+                raise ValueError(
+                    "NULL hist_bin blob in hist store (e.g. rows "
+                    f"doc_id={[doc_ids[i] for i in bad]} "
+                    f"window_idx={[int(widx[i]) for i in bad]}) — the "
+                    "store is corrupt or was written by a non-hist rollup"
+                )
             state = H.unpack_blobs(blobs)
             t = H.topk(state, k)
             r = t["row"]

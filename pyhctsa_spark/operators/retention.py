@@ -215,13 +215,16 @@ def apply_retention(
                     f"(need >= {need_widx}) — cascade before evicting"
                 )
         plan.append((tier, wm, doomed))
-    # EXECUTE phase: every guard passed; delete and record
+    # EXECUTE phase: every guard passed. The audit row for each chunk
+    # is written BEFORE its directory is removed — a crash mid-run can
+    # leave a logged-but-still-present chunk (harmless: re-running the
+    # policy evicts it again, and apply_retention tolerates duplicate
+    # log rows), but never a deleted chunk with no audit record.
     evicted: list[dict] = []
     for tier, wm, doomed in plan:
         for c in doomed:
             d = layout[tier][c]
             n_files, n_bytes = _dir_stats(d)
-            shutil.rmtree(d)
             evicted.append({
                 "tier": tier,
                 "chunk": c,
@@ -238,6 +241,9 @@ def apply_retention(
             .write.mode("append")
             .parquet(os.path.join(path, "_retention_log"))
         )
+    for tier, _wm, doomed in plan:
+        for c in doomed:
+            shutil.rmtree(layout[tier][c])
     return evicted
 
 

@@ -108,7 +108,7 @@ def test_snapshot_refresh_crash_before_commit_replays_cleanly(
     real_publish = store._publish
     calls = {"n": 0}
 
-    def crashing_publish(man):
+    def crashing_publish(man, prev=None):
         calls["n"] += 1
         raise RuntimeError("simulated crash before manifest commit")
 
@@ -143,7 +143,12 @@ def test_snapshot_gc_removes_superseded_and_orphaned_generations(
     os.makedirs(orphan)
     store.refresh(spark, ev.where("event_id >= 1000"), batch_id=0)
     man = store.manifest()
+    # GC grants the immediately-superseded versions a one-commit grace
+    # (in-flight readers of the previous manifest keep their files), so
+    # on-disk dirs = current ∪ previous manifest's chunks — but never
+    # the uncommitted orphan
     live = {(c, g) for c, g in man["chunks"].items()}
+    live |= {(c, g) for c, g in man.get("prev_chunks", {}).items()}
     for gdir in os.listdir(store.path):
         if not gdir.startswith("gen="):
             continue
@@ -156,6 +161,17 @@ def test_snapshot_gc_removes_superseded_and_orphaned_generations(
     got = _final(spark, store)
     want = cagg_finalize(cagg_partial(ev, window_micros=WIN))
     pd.testing.assert_frame_equal(_sorted_pd(got), _sorted_pd(want))
+    # a SECOND commit ends the grace: twice-superseded gen-0 versions of
+    # chunks rewritten in BOTH refreshes are deleted
+    touched2 = store.refresh(
+        spark, ev.where("event_id >= 1400"), batch_id=1)["touched_chunks"]
+    man2 = store.manifest()
+    for c in touched2:
+        if man.get("prev_chunks", {}).get(str(c)) == 0 \
+                and man["chunks"].get(str(c), 0) != 0 \
+                and man2["chunks"][str(c)] != 0:
+            assert not os.path.exists(
+                os.path.join(store.path, "gen=0", f"chunk={c}"))
 
 
 def test_snapshot_expire_is_a_manifest_edit(spark, tmp_path):
@@ -173,7 +189,12 @@ def test_snapshot_expire_is_a_manifest_edit(spark, tmp_path):
     assert doomed == all_chunks[:2]
     got = store.read(spark)
     assert got.agg(F.min("widx")).first()[0] >= all_chunks[2] * 16
-    # expired chunk dirs are gone from disk (GC), survivors intact
+    # de-referenced chunk dirs get the one-commit reader grace, then
+    # the NEXT commit's GC removes them
+    for c in doomed:
+        assert os.path.exists(
+            os.path.join(store.path, "gen=0", f"chunk={c}"))
+    store.refresh(spark, _events(spark, 2000, 2100), batch_id=0)
     for c in doomed:
         assert not os.path.exists(
             os.path.join(store.path, "gen=0", f"chunk={c}"))
@@ -184,3 +205,82 @@ def test_snapshot_expire_is_a_manifest_edit(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(
         _sorted_pd(cagg_finalize(got.drop("chunk"))), _sorted_pd(want))
+
+
+# ---------------------------------------------------------------------------
+# Concurrent writers: the lease lock must serialize refreshes so no
+# generation is lost (read-manifest → publish cannot interleave)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_concurrent_refreshes_lose_no_update(spark, tmp_path):
+    """Four writers refresh the SAME store concurrently with disjoint
+    deltas. Without the writer lease, two refreshes that both read
+    gen=G would both publish gen=G+1 — the second manifest silently
+    drops the first writer's chunks. With the lease they serialize:
+    the final view equals a full recompute and every refresh got its
+    own generation."""
+    import threading
+
+    store = CaggSnapshotStore(str(tmp_path / "snap"),
+                              window_micros=WIN, chunk_windows=16)
+    ev = _events(spark, 0, 4000)
+    store.materialize(ev.where("event_id % 5 = 0"))
+    errs = []
+
+    def worker(k):
+        try:
+            # each thread gets its OWN store handle (separate writers)
+            st = CaggSnapshotStore(store.path, window_micros=WIN,
+                                   chunk_windows=16)
+            st.refresh(spark, ev.where(f"event_id % 5 = {k}"), batch_id=None)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in (1, 2, 3, 4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert not errs, errs
+    man = store.manifest()
+    assert man["gen"] == 4  # all four commits landed, none overwritten
+    got = _final(spark, store)
+    want = cagg_finalize(cagg_partial(ev, window_micros=WIN))
+    pd.testing.assert_frame_equal(_sorted_pd(got), _sorted_pd(want))
+    # the lock is released after the storm
+    assert not os.path.exists(store._lock_path())
+
+
+def test_writer_lease_blocks_and_times_out(spark, tmp_path):
+    store = CaggSnapshotStore(str(tmp_path / "snap"),
+                              window_micros=WIN, chunk_windows=16)
+    os.makedirs(store.path, exist_ok=True)
+    with store._writer_lease():
+        other = CaggSnapshotStore(store.path, window_micros=WIN,
+                                  chunk_windows=16)
+        with pytest.raises(TimeoutError):
+            with other._writer_lease(timeout=0.3):
+                pass  # pragma: no cover
+    # released — a new writer acquires immediately
+    with store._writer_lease(timeout=1.0):
+        pass
+
+
+def test_writer_lease_stale_lock_is_recovered(spark, tmp_path):
+    """A crashed writer's lease (expiry in the past) must not wedge the
+    store: the next writer atomically takes it over."""
+    store = CaggSnapshotStore(str(tmp_path / "snap"),
+                              window_micros=WIN, chunk_windows=16)
+    os.makedirs(store.path, exist_ok=True)
+    with open(store._lock_path(), "w") as f:
+        f.write("99999 0.0")  # dead pid, lease expired at epoch
+    with store._writer_lease(timeout=2.0):
+        pass
+    # and a garbage lock file is treated as LIVE (never stolen), so it
+    # times out rather than corrupting a healthy writer's lease
+    with open(store._lock_path(), "w") as f:
+        f.write("not-a-lease")
+    with pytest.raises(TimeoutError):
+        with store._writer_lease(timeout=0.3):
+            pass  # pragma: no cover
+    os.unlink(store._lock_path())
