@@ -1,15 +1,38 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
 Baseline: brute-force cosine top-k (exact; broadcast the query side).
-Scale path: IVF — deterministic coarse centroids, inverted-list
-assignment, probe the top-nprobe lists per query. Everything is
-DataFrame expressions (zip_with/aggregate dot products stay in
-whole-stage codegen); the only shuffles are fine-grained groupBys.
+Scale path: IVF — spherical-k-means coarse centroids (count scaled
+with the corpus, sqrt-N by default), map-side inverted-list
+assignment, probe the top-nprobe lists per query. The corpus is NEVER
+hash-shuffled at query time:
+
+- the probe side (queries x nprobe routing rows) is explicitly
+  broadcast, bounded by ``max_broadcast_queries`` — a large query set
+  must be batched by the caller, never silently shuffled against the
+  corpus on the low-cardinality, list-skewed ``cid`` key;
+- candidate scoring streams over the corpus scan (BroadcastHashJoin),
+  so inverted-list SKEW cannot create a straggler task — no task is
+  ever keyed by cid;
+- per-partition LOCAL top-k (mapInArrow, bounded carry of
+  queries x k rows) reduces the final exchange from
+  |candidates| ~ N*Q*nprobe/nlist rows to partitions x Q x k rows
+  before the global rank window.
+
+For repeated querying, ``ivf_write_index`` materializes the inverted
+lists as cid-partitioned parquet (salted at write time so a skewed
+list never serializes into one write task), and ``knn_ivf_index``
+reads back ONLY the probed lists — partition pruning turns the
+nprobe/nlist scan fraction into real I/O savings, the actual point of
+an IVF index at 100 TB.
+
+Everything stays in DataFrame expressions (zip_with/aggregate dot
+products in whole-stage codegen); the one Python stage is the
+Arrow-batched centroid argmax / local-top-k, both O(batch).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _as_double(col):
@@ -60,7 +83,9 @@ def knn_bruteforce(
 def _spherical_kmeans(X, k: int, iters: int = 10):
     """Deterministic spherical k-means (cosine) on a numpy sample.
     Init = first k rows of the (hash-ordered) sample; Lloyd iterations
-    with re-normalized mean centroids. Empty clusters keep their previous
+    with re-normalized mean centroids, vectorized over all clusters
+    (np.add.at scatter — no per-cluster Python loop, so k in the
+    thousands trains in seconds). Empty clusters keep their previous
     centroid (stable, deterministic)."""
     import numpy as np
 
@@ -68,22 +93,30 @@ def _spherical_kmeans(X, k: int, iters: int = 10):
     C = Xn[:k].copy()
     for _ in range(iters):
         assign = (Xn @ C.T).argmax(axis=1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                v = Xn[m].mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    C[j] = v / nv
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Xn)
+        counts = np.bincount(assign, minlength=k)
+        nv = np.linalg.norm(sums, axis=1)
+        ok = (counts > 0) & (nv > 0)
+        C[ok] = sums[ok] / nv[ok, None]
     return C
+
+
+def _pick_num_centroids(n: int) -> int:
+    """faiss-style sqrt-N list count, clamped to a sane range: enough
+    lists that nprobe/nlist is a real scan-fraction knob, few enough
+    that the centroid table stays broadcastable."""
+    import math
+
+    return max(16, min(65536, int(math.isqrt(max(1, n)))))
 
 
 def ivf_build(
     corpus: DataFrame,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    train_sample: int = 4096,
+    train_sample: int | None = None,
     train_iters: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: spherical-k-means centroids trained driver-side on a
@@ -93,14 +126,21 @@ def ivf_build(
     every vector is assigned map-side to its nearest centroid by cosine.
     Returns (centroids, assigned) DataFrames.
 
-    Centroid ids are fixed integers baked into a literal DataFrame —
-    both downstream consumers (inverted-list assignment and query
-    routing) see the identical broadcast centroid table, and the corpus
-    itself is never collected or shuffled.
+    ``num_centroids=None`` scales the list count with the corpus
+    (sqrt-N, clamped [16, 65536]); the train sample scales with it
+    (>=32 vectors per centroid, capped at 131072) so large centroid
+    counts aren't starved. Centroid ids are fixed integers baked into a
+    literal DataFrame — both downstream consumers (inverted-list
+    assignment and query routing) see the identical broadcast centroid
+    table, and the corpus itself is never collected or shuffled.
     """
     base = corpus.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cnorm", _norm(F.col("cv")))
+    if num_centroids is None:
+        num_centroids = _pick_num_centroids(corpus.count())
+    if train_sample is None:
+        train_sample = min(131072, max(4096, 32 * num_centroids))
     sample = (
         base.withColumn("_h", F.xxhash64(F.col("nid")))
         .orderBy("_h")
@@ -143,39 +183,233 @@ def ivf_build(
     return cents, assigned
 
 
-def knn_ivf(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF ANN: route each query to its ``nprobe`` nearest centroids and
-    search only those inverted lists — scanning ~nprobe/num_centroids of
-    the corpus per query instead of all of it."""
-    cents, assigned = ivf_build(corpus, num_centroids, vec_col, id_col)
+def ivf_list_stats(assigned: DataFrame) -> dict:
+    """Inverted-list skew diagnostic: size of the largest list vs the
+    mean. A ratio far above ~8 means the coarse quantizer is collapsing
+    (too few centroids for the data's cluster structure) and partial
+    probes will both over-scan and under-recall — retrain with more
+    centroids. One tiny aggregate job (nlist rows)."""
+    row = (
+        assigned.groupBy("cid").count()
+        .agg(
+            F.count("*").alias("nlist"),
+            F.max("count").alias("max_list"),
+            F.avg("count").alias("mean_list"),
+            F.min("count").alias("min_list"),
+        )
+        .first()
+    )
+    return {
+        "nlist": int(row["nlist"]),
+        "max_list": int(row["max_list"]),
+        "mean_list": float(row["mean_list"]),
+        "min_list": int(row["min_list"]),
+        "skew_ratio": float(row["max_list"] / max(1.0, row["mean_list"])),
+    }
+
+
+def _probes_for(queries: DataFrame, cents: DataFrame, nprobe: int,
+                vec_col: str, id_col: str) -> DataFrame:
+    """Route each query to its nprobe nearest centroids (by cosine).
+    Query-side only: Q x nlist scored rows, top-nprobe per query."""
     q = (
-        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+        queries.select(F.col(id_col).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qv"))
         .withColumn("qnorm", _norm(F.col("qv")))
     )
     qc = q.crossJoin(F.broadcast(cents))
     qdenom = F.col("qnorm") * F.col("centnorm")
     qcos = F.when(qdenom > 0, _dot(F.col("qv"), F.col("centroid")) / qdenom)
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
+    return (
         qc.select("qid", "qv", "qnorm", "cid", qcos.alias("csim"))
         .withColumn("rank", F.row_number().over(wq))
         .where(F.col("rank") <= nprobe)
         .select("qid", "qv", "qnorm", "cid")
     )
-    cand = probes.join(assigned, "cid").where(F.col("qid") != F.col("nid"))
-    cdenom = F.col("qnorm") * F.col("cnorm")
-    cos = F.when(cdenom > 0, _dot(F.col("qv"), F.col("cv")) / cdenom)
+
+
+def _score_and_rank(cand: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched candidate scoring + per-partition partial top-k,
+    fused into ONE map stage over the candidate stream:
+
+    - cosine is a numpy batch einsum (BLAS-speed), not an interpreted
+      ``zip_with``/``aggregate`` fold per row — higher-order-function
+      lambdas don't enter whole-stage codegen, and at N*Q*nprobe/nlist
+      candidates the per-row interpreter cost dominates everything;
+    - the stage keeps a running (cosine desc, nid asc) top-k per qid
+      across its partition's batches — carry bounded at |queries| x k
+      rows — so the global rank window's exchange moves
+      partitions x Q x k rows, not every scored candidate. Exact: the
+      global top-k is contained in the union of per-partition top-ks.
+    - degenerate (zero-norm) vectors score as Arrow NULL, matching the
+      SQL ``CASE WHEN denom > 0`` semantics of ``knn_bruteforce`` and
+      ranking last under the DESC window (Spark sorts NaN FIRST on a
+      desc double, so NaN must not leak out of this stage).
+
+    ``cand`` must carry qid, qv, qnorm, nid, cv, cnorm.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    src = cand.select("qid", "qv", "qnorm", "nid", "cv", "cnorm")
+    types = dict(src.dtypes)
+    out_ddl = f"qid {types['qid']}, nid {types['nid']}, cosine double"
+
+    def fn(batches):
+        carry = None
+        for rb in batches:
+            pdf = rb.to_pandas()
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qv"].to_numpy())
+            V = np.stack(pdf["cv"].to_numpy())
+            denom = pdf["qnorm"].to_numpy() * pdf["cnorm"].to_numpy()
+            dots = np.einsum("ij,ij->i", Q, V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, np.nan)
+            sc = pd.DataFrame(
+                {"qid": pdf["qid"], "nid": pdf["nid"], "cosine": cos}
+            )
+            if carry is not None:
+                sc = pd.concat([carry, sc], ignore_index=True)
+            sc = sc.sort_values(
+                ["qid", "cosine", "nid"],
+                ascending=[True, False, True],
+                na_position="last",
+                kind="mergesort",
+            )
+            carry = sc.groupby("qid", sort=False).head(k)
+        if carry is not None and len(carry):
+            carry = carry.reset_index(drop=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(carry["qid"], from_pandas=True),
+                    pa.array(carry["nid"], from_pandas=True),
+                    # from_pandas=True maps NaN -> Arrow NULL, so the
+                    # window's DESC NULLS-LAST ordering is preserved
+                    pa.array(carry["cosine"], type=pa.float64(),
+                             from_pandas=True),
+                ],
+                names=["qid", "nid", "cosine"],
+            )
+
+    local = src.mapInArrow(fn, schema=out_ddl)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        cand.select("qid", "nid", cos.alias("cosine"))
+        local
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """IVF ANN: route each query to its ``nprobe`` nearest centroids and
+    search only those inverted lists — scoring ~nprobe/num_centroids of
+    the (corpus x query) pairs instead of all of them.
+
+    The probe side is EXPLICITLY broadcast (never left to AQE): joining
+    a large probe set to the corpus on ``cid`` would hash-shuffle the
+    whole corpus on a low-cardinality, skew-prone key. A query batch
+    above ``max_broadcast_queries`` is rejected — batch the queries (or
+    materialize the index with ``ivf_write_index`` and run batches
+    against it) instead of silently degrading to a corpus shuffle.
+
+    nprobe == num_centroids probes every list: bit-identical to
+    ``knn_bruteforce`` (the driver-oracle machinery check)."""
+    if queries.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
+        raise ValueError(
+            f"query batch exceeds max_broadcast_queries="
+            f"{max_broadcast_queries}; split the queries into batches — "
+            "a non-broadcast probe join would shuffle the corpus on the "
+            "skewed cid key"
+        )
+    cents, assigned = ivf_build(corpus, num_centroids, vec_col, id_col)
+    probes = _probes_for(queries, cents, nprobe, vec_col, id_col)
+    cand = F.broadcast(probes).join(assigned, "cid").where(
+        F.col("qid") != F.col("nid")
+    )
+    return _score_and_rank(cand, k)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    write_salt: int = 8,
+    train_sample: int | None = None,
+    train_iters: int = 10,
+) -> dict:
+    """Materialize the IVF index: inverted lists as cid-partitioned
+    parquet under ``<path>/lists`` plus the centroid table at
+    ``<path>/centroids``. The one corpus shuffle an IVF structure needs
+    happens HERE, once, at build time — and it is salted
+    (cid, xxhash64(nid) % write_salt) so a skewed list fans out over
+    ``write_salt`` write tasks instead of serializing into one
+    straggler. Returns the list-size skew stats (``ivf_list_stats``)
+    so the caller can gate on quantizer health at build time."""
+    cents, assigned = ivf_build(
+        corpus, num_centroids, vec_col, id_col, train_sample, train_iters
+    )
+    assigned = assigned.repartition(
+        F.col("cid"),
+        F.pmod(F.xxhash64(F.col("nid").cast("string")), F.lit(write_salt)),
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    return ivf_list_stats(spark.read.parquet(f"{path}/lists"))
+
+
+def knn_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """ANN against a materialized index: reads ONLY the probed inverted
+    lists (cid is a parquet partition column, and the probe set is
+    collected into a literal IN-filter, so partition pruning skips the
+    other nlist - |probed| directories entirely). Scan cost is
+    ~nprobe/nlist of the corpus in actual I/O, not just in compute —
+    the property that makes IVF worth materializing."""
+    if queries.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
+        raise ValueError(
+            f"query batch exceeds max_broadcast_queries="
+            f"{max_broadcast_queries}; split the queries into batches"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = _probes_for(queries, cents, nprobe, vec_col, id_col).persist()
+    try:
+        probed = sorted(
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        )  # bounded: <= |queries| x nprobe values
+        lists = spark.read.parquet(f"{path}/lists").where(
+            F.col("cid").isin(probed)
+        )
+        cand = F.broadcast(probes).join(lists, "cid").where(
+            F.col("qid") != F.col("nid")
+        )
+        out = _score_and_rank(cand, k)
+        out = out.localCheckpoint()  # materialize before unpersisting probes
+    finally:
+        probes.unpersist()
+    return out

@@ -110,6 +110,89 @@ def test_knn_ivf_recall(spark, emb):
     assert rec / 10 >= 0.5
 
 
+def test_knn_ivf_full_probe_is_exact(spark, emb):
+    """nprobe == nlist probes every inverted list — the result must be
+    bit-identical to brute force (the driver-oracle machinery check)."""
+    from pyhctsa_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = (
+        knn_bruteforce(emb, q, k=3)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        knn_ivf(emb, q, k=3, num_centroids=8, nprobe=8)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (exact.qid == full.qid).all()
+    assert (exact.nid == full.nid).all()
+    np.testing.assert_allclose(exact.cosine, full.cosine, rtol=1e-12)
+
+
+def test_knn_ivf_broadcast_guard(spark, emb):
+    """A probe batch above max_broadcast_queries must raise, never
+    silently fall back to shuffling the corpus on the skewed cid key."""
+    from pyhctsa_spark.operators.similarity import knn_ivf
+
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        knn_ivf(emb, emb, k=3, num_centroids=8, max_broadcast_queries=10)
+
+
+def test_ivf_materialized_index_roundtrip(spark, emb, tmp_path):
+    """ivf_write_index → knn_ivf_index must (a) return skew stats
+    covering every vector, (b) give the exact brute-force answer at
+    full probe, and (c) prune unprobed cid partitions from the scan."""
+    from pyhctsa_spark.operators.similarity import (
+        ivf_write_index,
+        knn_bruteforce,
+        knn_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    stats = ivf_write_index(emb, path, num_centroids=8)
+    assert stats["nlist"] <= 8
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.count() == emb.count()
+
+    q = emb.where(F.col("vec_id") < 5)
+    exact = (
+        knn_bruteforce(emb, q, k=3)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        knn_ivf_index(spark, path, q, k=3, nprobe=8)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (exact.nid.to_numpy() == full.nid.to_numpy()).all()
+    np.testing.assert_allclose(exact.cosine, full.cosine, rtol=1e-12)
+
+    # partial probe: recall sane, and the pruned scan reads fewer rows
+    part = knn_ivf_index(spark, path, q, k=3, nprobe=2).toPandas()
+    assert set(part.qid) == set(range(5))
+    rec = sum(
+        len(set(exact[exact.qid == qid].nid) & set(part[part.qid == qid].nid))
+        for qid in range(5)
+    ) / (3 * 5)
+    assert rec >= 0.4
+
+
+def test_ivf_list_stats_skew_diag(spark, emb):
+    from pyhctsa_spark.operators.similarity import ivf_build, ivf_list_stats
+
+    _, assigned = ivf_build(emb, num_centroids=8)
+    s = ivf_list_stats(assigned)
+    assert s["nlist"] <= 8 and s["max_list"] >= s["min_list"] >= 1
+    assert s["skew_ratio"] >= 1.0
+
+
 def test_text_ops(spark, docs):
     from pyhctsa_spark.operators.text import (
         documents_to_sequences,
