@@ -225,33 +225,144 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return hdr + info + bytes(body)
 
 
-def sniff_and_decode(payload: bytes, modality: str) -> np.ndarray:
-    """Container-sniffing decode for uncompressed formats; raises
-    NotImplementedError for compressed containers (the real-codec
-    boundary)."""
-    head = payload[:4]
-    if modality == "audio":
-        if head[:4] == b"RIFF":
-            x, _rate = decode_wav(payload)
+# ---------------------------------------------------------------------------
+# Pluggable codec registry
+# ---------------------------------------------------------------------------
+# Dispatch is an ordered (name, sniff, decode) list per modality. The
+# pure-numpy parsers above are the in-repo tier, registered at import;
+# compressed-codec adapters (Pillow / soundfile / pyav) self-register
+# when their library is importable — on a real cluster ship them to
+# executors via --py-files / conda-pack (SURVEY §7.3) and the lazy
+# ensure-pass below picks them up inside each Python worker, no
+# driver-side state to serialize. A payload no registered codec sniffs
+# raises the typed NotImplementedError boundary.
+
+_REGISTRY: dict[str, list[tuple[str, object, object]]] = {
+    "audio": [], "image": [], "video": [],
+}
+_HINTS = {
+    "audio": "compressed audio (mp3/ogg/flac...) needs the soundfile "
+             "adapter (pip soundfile + libsndfile) on the cluster",
+    "image": "compressed images (jpeg/png/webp...) need the Pillow "
+             "adapter on the cluster",
+    "video": "compressed video (h264/vp9...) needs the pyav/ffmpeg "
+             "adapter on the cluster",
+}
+
+
+def register_codec(modality: str, name: str, sniff, decode,
+                   prepend: bool = False) -> None:
+    """Add a codec: ``sniff(payload: bytes) -> bool`` cheap magic-bytes
+    test, ``decode(payload: bytes) -> np.ndarray``. Re-registering a
+    name replaces it (idempotent for the optional adapters)."""
+    if modality not in _REGISTRY:
+        raise ValueError(f"unknown modality {modality}")
+    lst = [(n, s, d) for n, s, d in _REGISTRY[modality] if n != name]
+    entry = (name, sniff, decode)
+    _REGISTRY[modality] = [entry] + lst if prepend else lst + [entry]
+
+
+def unregister_codec(modality: str, name: str) -> None:
+    _REGISTRY[modality] = [
+        (n, s, d) for n, s, d in _REGISTRY[modality] if n != name
+    ]
+
+
+def registered_codecs(modality: str) -> list[str]:
+    return [n for n, _s, _d in _REGISTRY[modality]]
+
+
+# in-repo tier: spec-derived pure-numpy parsers for uncompressed media
+register_codec("audio", "wav",
+               lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE",
+               lambda p: decode_wav(p)[0])
+register_codec("image", "pnm", lambda p: p[:2] in (b"P5", b"P6"), decode_ppm)
+register_codec("image", "bmp", lambda p: p[:2] == b"BM", decode_bmp)
+register_codec("video", "pnm-stream", lambda p: p[:2] == b"P6",
+               decode_ppm_stream)
+
+_OPTIONAL_DONE = False
+
+
+def register_optional_codecs() -> list[str]:
+    """Try-import the compressed-codec libraries and register adapters
+    for whichever are present. Returns the codec names added. Safe to
+    call repeatedly (names replace); called lazily by sniff_and_decode
+    so each Spark Python worker self-configures from ITS environment."""
+    global _OPTIONAL_DONE
+    added: list[str] = []
+    try:  # Pillow: JPEG/PNG/WebP/GIF/TIFF...
+        import io
+
+        from PIL import Image
+
+        def _pil_sniff(p: bytes) -> bool:
+            return (
+                p[:3] == b"\xff\xd8\xff"            # JPEG
+                or p[:8] == b"\x89PNG\r\n\x1a\n"    # PNG
+                or (p[:4] == b"RIFF" and p[8:12] == b"WEBP")
+                or p[:4] in (b"GIF8", b"II*\x00", b"MM\x00*")
+            )
+
+        def _pil_decode(p: bytes) -> np.ndarray:
+            with Image.open(io.BytesIO(p)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+        register_codec("image", "pillow", _pil_sniff, _pil_decode)
+        added.append("pillow")
+    except ImportError:
+        pass
+    try:  # soundfile: flac/ogg/... (anything libsndfile handles)
+        import io
+
+        import soundfile as sf
+
+        def _sf_sniff(p: bytes) -> bool:
+            return p[:4] in (b"fLaC", b"OggS") or p[:3] == b"ID3"
+
+        def _sf_decode(p: bytes) -> np.ndarray:
+            x, _rate = sf.read(io.BytesIO(p), dtype="float32",
+                               always_2d=False)
             return x
-        raise NotImplementedError(
-            "compressed audio (mp3/ogg/flac...) needs soundfile/ffmpeg on a "
-            "real cluster"
-        )
-    if modality == "image":
-        if head[:2] in (b"P5", b"P6"):
-            return decode_ppm(payload)
-        if head[:2] == b"BM":
-            return decode_bmp(payload)
-        raise NotImplementedError(
-            "compressed images (jpeg/png/webp...) need Pillow on a real "
-            "cluster"
-        )
-    if modality == "video":
-        if head[:2] == b"P6":
-            return decode_ppm_stream(payload)
-        raise NotImplementedError(
-            "compressed video (h264/vp9...) needs pyav/ffmpeg on a real "
-            "cluster"
-        )
-    raise ValueError(f"unknown modality {modality}")
+
+        register_codec("audio", "soundfile", _sf_sniff, _sf_decode)
+        added.append("soundfile")
+    except ImportError:
+        pass
+    try:  # pyav: mp4/mkv/h264...
+        import io
+
+        import av
+
+        def _av_sniff(p: bytes) -> bool:
+            return len(p) > 12 and p[4:8] == b"ftyp" or p[:4] == b"\x1aE\xdf\xa3"
+
+        def _av_decode(p: bytes) -> np.ndarray:
+            with av.open(io.BytesIO(p)) as c:
+                frames = [f.to_ndarray(format="rgb24")
+                          for f in c.decode(video=0)]
+            return np.stack(frames)
+
+        register_codec("video", "pyav", _av_sniff, _av_decode)
+        added.append("pyav")
+    except ImportError:
+        pass
+    _OPTIONAL_DONE = True
+    return added
+
+
+def sniff_and_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Registry-dispatched decode: first codec whose sniff matches wins.
+    Raises the typed NotImplementedError boundary when no registered
+    codec (in-repo numpy tier + any optional adapters present in this
+    worker's environment) recognizes the container."""
+    if modality not in _REGISTRY:
+        raise ValueError(f"unknown modality {modality}")
+    if not _OPTIONAL_DONE:
+        register_optional_codecs()
+    for _name, sniff, decode in _REGISTRY[modality]:
+        if sniff(payload):
+            return decode(payload)
+    raise NotImplementedError(
+        f"{_HINTS[modality]} (registered: {registered_codecs(modality)})"
+    )

@@ -89,12 +89,68 @@ def test_ppm_stream_video():
 
 
 def test_compressed_boundaries_raise():
+    # this container has Pillow/soundfile/pyav absent, so the typed
+    # boundary must fire even after the optional-adapter ensure pass
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"\x89PNG\r\n\x1a\n", "image")
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"ID3\x04...", "audio")
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"\x00\x00\x00\x18ftypmp42", "video")
+
+
+def test_codec_registry_dispatch_and_removal():
+    """A registered adapter takes over its magic bytes (exactly what the
+    Pillow adapter does when importable); unregistering restores the
+    typed boundary. Built-in codecs keep winning their own magics."""
+    jpeg_magic = b"\xff\xd8\xff\xe0fakejpegpayload"
+    calls = []
+
+    def sniff(p):
+        return p[:3] == b"\xff\xd8\xff"
+
+    def decode(p):
+        calls.append(len(p))
+        return np.zeros((2, 2, 3), dtype=np.uint8)
+
+    C.register_codec("image", "fake-jpeg", sniff, decode)
+    try:
+        out = C.sniff_and_decode(jpeg_magic, "image")
+        assert out.shape == (2, 2, 3) and calls == [len(jpeg_magic)]
+        assert "fake-jpeg" in C.registered_codecs("image")
+        # built-in numpy tier still owns uncompressed magics
+        img = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+        assert np.array_equal(
+            C.sniff_and_decode(C.encode_ppm(img), "image"), img
+        )
+        # re-register replaces, never duplicates
+        C.register_codec("image", "fake-jpeg", sniff, decode)
+        assert C.registered_codecs("image").count("fake-jpeg") == 1
+    finally:
+        C.unregister_codec("image", "fake-jpeg")
+    assert "fake-jpeg" not in C.registered_codecs("image")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        C.sniff_and_decode(jpeg_magic, "image")
+
+
+def test_optional_adapter_registration_reports_environment():
+    """register_optional_codecs returns exactly the adapters whose
+    libraries import in THIS environment (none in the sandbox; pillow/
+    soundfile/pyav on a provisioned cluster) and is idempotent."""
+    added = C.register_optional_codecs()
+    have = []
+    for mod, name in (("PIL", "pillow"), ("soundfile", "soundfile"),
+                      ("av", "pyav")):
+        try:
+            __import__(mod)
+            have.append(name)
+        except ImportError:
+            pass
+    assert sorted(added) == sorted(have)
+    assert C.register_optional_codecs() == added  # idempotent
+    for name in have:
+        mod = {"pillow": "image", "soundfile": "audio", "pyav": "video"}[name]
+        assert C.registered_codecs(mod).count(name) == 1
 
 
 def test_real_decode_spark_end_to_end(spark):
