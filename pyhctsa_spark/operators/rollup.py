@@ -50,6 +50,10 @@ from pyhctsa_spark.sources.synthetic import token_checksum
 DEFAULT_WINDOW = 32
 DEFAULT_GROUP = 16
 DEFAULT_LAGS = [1, 2]
+# Per-row segment bound (tokens): a giant document is processed in
+# coarsest-tier-aligned segments of at most this many tokens, so one
+# pathological row can't blow worker memory (see _make_rollup_fn).
+_SEG_TOKENS = 1 << 22
 
 ROLLUP_SCHEMA = (
     "doc_id string, source string, tier int, window_idx long, n long, "
@@ -75,6 +79,7 @@ def _tier_cols(
     lags: list[int],
     Y_raw: np.ndarray | None,
     feature_set=None,
+    widx0: int = 0,
 ) -> dict:
     """One tier's output columns for one doc as numpy arrays (no pandas
     objects in the hot loop). ``Y_raw`` present -> HOL features computed;
@@ -92,7 +97,7 @@ def _tier_cols(
         "doc_id": [doc_id] * k,
         "source": [source] * k,
         "tier": np.full(k, tier, dtype=np.int32),
-        "window_idx": np.arange(k, dtype=np.int64),
+        "window_idx": np.arange(widx0, widx0 + k, dtype=np.int64),
         "n": state["n"],
         "mean": fin["mean"],
         "variance": fin["variance"],
@@ -247,6 +252,7 @@ def _make_rollup_fn(
     gapped: bool,
     counters: dict | None,
     feature_set=None,
+    seg_tokens: int = _SEG_TOKENS,
 ):
     _, pa_schema, feat_cols = _schemas_for(feature_set)
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -302,30 +308,46 @@ def _make_rollup_fn(
                     vals = toks.astype(np.float64)
                 if len(vals) < window:
                     continue
-                Y0 = K.make_buffer(vals, window)
-                state = S.states_from_windows(Y0, lags)
-                blocks.append(
-                    _tier_cols(doc_ids[r], sources[r], 0, state, lags, Y0,
-                               feature_set)
-                )
-                n_windows += len(state["n"])
-                n_acc += len(state["n"])
-                for tier in range(1, n_tiers):
-                    state = S.merge_groups(state, group, lags)
-                    if len(state["n"]) == 0:
+                # Pathological-row bound: a single giant document is
+                # processed in SEGMENTS aligned to the coarsest tier
+                # length, so peak memory and the flush cadence scale
+                # with the segment, not the row. Exact: every tier's
+                # window length divides the segment, so window
+                # boundaries, cascade groups, and leftover-window
+                # handling are identical to the unchunked sweep —
+                # window_idx just carries the segment's offset.
+                coarse = window * group ** (n_tiers - 1)
+                seg = max(coarse, (seg_tokens // coarse) * coarse)
+                for s0 in range(0, len(vals) - window + 1, seg):
+                    sv = vals[s0 : s0 + seg]
+                    if len(sv) < window:
                         break
-                    wlen = window * group**tier
-                    Yt = K.make_buffer(vals, wlen)
+                    Y0 = K.make_buffer(sv, window)
+                    state = S.states_from_windows(Y0, lags)
                     blocks.append(
-                        _tier_cols(doc_ids[r], sources[r], tier, state, lags,
-                                   Yt, feature_set)
+                        _tier_cols(doc_ids[r], sources[r], 0, state, lags,
+                                   Y0, feature_set, widx0=s0 // window)
                     )
                     n_windows += len(state["n"])
                     n_acc += len(state["n"])
-                if n_acc >= FLUSH_ROWS:
-                    yield _assemble_arrow(blocks, pa_schema, len(feat_cols))
-                    blocks = []
-                    n_acc = 0
+                    for tier in range(1, n_tiers):
+                        state = S.merge_groups(state, group, lags)
+                        if len(state["n"]) == 0:
+                            break
+                        wlen = window * group**tier
+                        Yt = K.make_buffer(sv, wlen)
+                        blocks.append(
+                            _tier_cols(doc_ids[r], sources[r], tier, state,
+                                       lags, Yt, feature_set,
+                                       widx0=s0 // wlen)
+                        )
+                        n_windows += len(state["n"])
+                        n_acc += len(state["n"])
+                    if n_acc >= FLUSH_ROWS:
+                        yield _assemble_arrow(blocks, pa_schema,
+                                              len(feat_cols))
+                        blocks = []
+                        n_acc = 0
             if counters is not None:
                 counters["rows_read"].add(n_rows)
                 counters["windows_emitted"].add(n_windows)
@@ -356,6 +378,7 @@ def rollup_tiers(
     gapped: bool = False,
     counters: dict | None = None,
     feature_set=None,
+    seg_tokens: int = _SEG_TOKENS,
 ) -> DataFrame:
     """Single-pass 3-tier rollup (see module docstring).
 
@@ -373,7 +396,7 @@ def rollup_tiers(
     ]
     ddl, _, _ = _schemas_for(feature_set)
     fn = _make_rollup_fn(window, group, n_tiers, lags, gapped, counters,
-                         feature_set)
+                         feature_set, seg_tokens)
     return df.select(*needed).mapInArrow(fn, schema=ddl)
 
 

@@ -160,6 +160,29 @@ def test_partitioning_invariance(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_segment_chunking_is_exact(spark):
+    """Giant-row segmentation must be invisible in the output: forcing
+    tiny segments (seg_tokens small enough that every doc spans several)
+    gives bit-identical rows to the default single-segment sweep —
+    window boundaries, cascade groups, window_idx, and HOL features all
+    align because the segment length is a multiple of every tier's
+    window length."""
+    df = sequences_df(spark, 30, partitions=4)
+    a = (
+        rollup_tiers(df).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"])
+        .reset_index(drop=True)
+    )
+    # coarsest tier = 32*16^2 = 8192 tokens; seg_tokens=8192 forces one
+    # coarse window per segment, so any doc > 8192 tokens is chunked
+    b = (
+        rollup_tiers(df, seg_tokens=8192).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_checksum_roundtrip():
     _, tokens, _ = make_doc(5)
     c1 = token_checksum(tokens)
