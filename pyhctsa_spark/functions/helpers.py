@@ -245,3 +245,24 @@ def chi2_sf(x: float, k: int) -> float:
             break
     q = math.exp(-xx + a * math.log(xx) - gln) * h
     return max(0.0, min(1.0, q))
+
+
+def t_ppf_975(nu: float) -> float:
+    """97.5th percentile of Student's t with ``nu`` dof — the asymptotic
+    Cornish-Fisher expansion in 1/nu (Abramowitz & Stegun 26.7.5).
+    |error| < 5e-6 at nu=30 and < 1e-8 for nu >= 100, far inside the
+    engine's 1e-6 rounding; replicated verbatim in the SQL oracle so
+    both sides compute the identical value."""
+    z = 1.959963984540054  # norm_ppf(0.975)
+    z3 = z**3
+    z5 = z**5
+    z7 = z**7
+    z9 = z**9
+    return (
+        z
+        + (z3 + z) / (4.0 * nu)
+        + (5.0 * z5 + 16.0 * z3 + 3.0 * z) / (96.0 * nu**2)
+        + (3.0 * z7 + 19.0 * z5 + 17.0 * z3 - 15.0 * z) / (384.0 * nu**3)
+        + (79.0 * z9 + 776.0 * z7 + 1482.0 * z5 - 1920.0 * z3 - 945.0 * z)
+        / (92160.0 * nu**4)
+    )

@@ -9,7 +9,7 @@ import math
 
 import numpy as np
 
-from pyhctsa_spark.functions.helpers import chi2_sf, norm_cdf
+from pyhctsa_spark.functions.helpers import chi2_sf, norm_cdf, t_ppf_975
 from pyhctsa_spark.functions.kernels import acf_fourier_full, autocorr_fourier
 
 __all__ = [
@@ -66,30 +66,55 @@ def ar_cov(y: np.ndarray, p: int = 2) -> dict:
 def ar_fit_select(y: np.ndarray, pmin: int = 1, pmax: int = 10,
                   selector: str = "sbc") -> dict:
     """AR order selection + fitted-model statistics. Parity: MF_ARfit
-    (ModelFit.py:443-551), full output surface, with the engine's OLS
-    estimator standing in for statsmodels' AutoReg (documented engine
-    policy — no-constant fit, normalized information criteria):
-    per-order sbc_p / fpe_p curves (BIC / AIC), their minima and argmin
-    orders, the selector-optimal model's coefficients A1..A6
+    (ModelFit.py:443-551), full output surface, with statsmodels'
+    ``ar_select_order`` / ``AutoReg(trend='n')`` semantics
+    reimplemented in numpy (statsmodels is not an engine dependency):
+
+    - candidate orders 0..pmax are all fit on the COMMON hold_back
+      sample (rows pmax..N-1), exactly how ``ar_select_order(maxlag=
+      pmax, glob=False, trend='n')`` makes its ICs comparable — the
+      order-0 null model is a real candidate (its win clamps to pmin,
+      the reference's ``max(pmin, ...)``);
+    - IC convention: MLE sigma2 = SSR/nobs, llf = -nobs/2(ln(2*pi*s2)
+      +1), aic = -2 llf + 2(p+1), bic with ln(nobs); the reported
+      sbc_p/fpe_p curves are those common-sample values for p=1..pmax
+      normalized by N (the reference pops order 0 in _get_criteria);
+    - the selector's winner is REFIT on its own full conditional
+      sample (``AutoReg(y, lags=p_opt).fit()``), so coefficients,
+      noise variance C, and residual diagnostics use nobs = N - p_opt;
+    - coefficient errors are Student-t 95% intervals on the AutoReg
+      OLS covariance sigma2 (X'X)^-1 (MLE sigma2), with t.ppf(0.975,
+      N - 2 p_opt) from the A&S 26.7.5 expansion (|err| < 1e-7 at the
+      engine's series lengths) — not the 1.96 normal approximation.
+
+    Outputs: per-order sbc_p / fpe_p curves (BIC / AIC), their minima
+    and argmin orders, the selector-optimal model's coefficients A1..A6
     (zero-padded), coefficient summary stats, noise variance C,
     Ljung-Box(20, model_df=popt) residual significance, the fraction of
     the first 20 residual ACF lags beyond the 1.96/sqrt(N) band, and
-    95%% normal-approximation coefficient-error stats."""
+    the 95%% t-interval coefficient-error stats."""
     y = np.asarray(y, dtype=np.float64)
     N = len(y)
-    crits_bic, crits_aic, fits = {}, {}, {}
-    for p in range(pmin, pmax + 1):
-        phi, sigma2 = ar_ols_fit(y, p)
-        nobs = N - p
-        ll = -0.5 * nobs * (math.log(2 * math.pi * sigma2) + 1.0)
+    Xf, tf = _lag_matrix(y, pmax)
+    nobs_sel = len(tf)
+    crits_bic, crits_aic = {}, {}
+    for p in range(0, pmax + 1):
+        if p == 0:
+            resid = tf
+        else:
+            phi_p, *_ = np.linalg.lstsq(Xf[:, :p], tf, rcond=None)
+            resid = tf - Xf[:, :p] @ phi_p
+        sigma2 = float(resid @ resid / nobs_sel)
+        ll = -0.5 * nobs_sel * (math.log(2 * math.pi * sigma2) + 1.0)
         crits_aic[p] = (-2 * ll + 2 * (p + 1)) / N
-        crits_bic[p] = (-2 * ll + math.log(nobs) * (p + 1)) / N
-        fits[p] = (phi, sigma2)
+        crits_bic[p] = (-2 * ll + math.log(nobs_sel) * (p + 1)) / N
     sel = crits_bic if selector in ("sbc", "bic") else crits_aic
-    p_opt = min(sel, key=sel.get)
-    if p_opt < pmin:
-        p_opt = pmin
-    phi, sigma2 = fits[p_opt]
+    p_opt = max(pmin, min(sel, key=sel.get))
+    # drop the order-0 candidate from the REPORTED curves (reference
+    # _get_criteria pops it) but keep it in the selection above
+    del crits_bic[0], crits_aic[0]
+    # final refit on the winner's own conditional sample
+    phi, sigma2 = ar_ols_fit(y, p_opt)
     out: dict = {}
     out["A1"] = float(phi[0])
     for i in range(2, 7):
@@ -120,10 +145,11 @@ def ar_fit_select(y: np.ndarray, pmin: int = 1, pmax: int = 10,
     df = max(1, 20 - p_opt)
     out["res_siglev"] = float(chi2_sf(q, df))
     out["pcorr_res"] = float(np.sum(np.abs(acf_r) > 1.96 / math.sqrt(N)) / 20)
-    # 95% normal-approx coefficient errors from the OLS covariance
+    # 95% Student-t coefficient errors from the AutoReg OLS covariance
+    # (cov_params = MLE sigma2 * (X'X)^-1; dof = df_resid = nobs - p)
     try:
         cov = sigma2 * np.linalg.inv(X.T @ X)
-        aerr = 1.96 * np.sqrt(np.diag(cov))
+        aerr = t_ppf_975(nobs - p_opt) * np.sqrt(np.diag(cov))
         out["aerr_min"] = float(aerr.min())
         out["aerr_max"] = float(aerr.max())
         out["aerr_mean"] = float(aerr.mean())

@@ -5080,12 +5080,17 @@ FROM divs GROUP BY user_id
 
 
 # --- MF_ARfit pmin=1 pmax=2 'sbc' (ModelFit.py:443-551), SQL subset ---------
-# Closed-form no-constant OLS AR(1)/AR(2) (2x2 normal equations),
-# normalized BIC/AIC curves, selector-optimal coefficients + summary
-# stats + noise variance, the 1.96/sqrt(N)-band residual-ACF fraction,
-# and the 95% coefficient errors from the OLS covariance diagonal.
-# (res_siglev needs the chi-square survival function and stays
-# engine-side.)
+# statsmodels ar_select_order/AutoReg(trend='n') semantics in SQL:
+# candidate orders 0/1/2 are all scored on the COMMON hold_back sample
+# (rows with lag-2 present, nobs = N-2, incl. the order-0 null model);
+# the winner (clamped to pmin=1) is REFIT on its own conditional
+# sample, which supplies coefficients, noise variance C, and residual
+# diagnostics. Reported sbc_p/fpe_p curves are the common-sample ICs
+# normalized by N (reference pops order 0 in _get_criteria). aerr_* are
+# Student-t 95% intervals (A&S 26.7.5 t.ppf expansion, constants
+# identical to functions/helpers.t_ppf_975) on the MLE-sigma2 OLS
+# covariance. (res_siglev needs the chi-square survival function and
+# stays engine-side.)
 QUERIES["user_arfit12"] = _q("""
 , lagd AS (
   SELECT user_id, rn, v,
@@ -5125,28 +5130,47 @@ sig2 AS (
   FROM lagd l JOIN fit2 f ON f.user_id = l.user_id
   WHERE l.vm2 IS NOT NULL GROUP BY l.user_id, f.n
 ),
+selfits AS (
+  SELECT user_id, max(n) AS n,
+         sum(v * v) AS ssr0,
+         sum(vm1 * v) / nullif(sum(vm1 * vm1), CAST(0.0 AS DOUBLE)) AS phi1c
+  FROM lagd WHERE vm2 IS NOT NULL GROUP BY user_id
+),
+sig1c AS (
+  SELECT l.user_id,
+         sum(pow(l.v - f.phi1c * l.vm1, 2)) / (f.n - 2.0) AS s2
+  FROM lagd l JOIN selfits f ON f.user_id = l.user_id
+  WHERE l.vm2 IS NOT NULL GROUP BY l.user_id, f.n
+),
 crit AS (
   SELECT f1.user_id, f1.n, f1.phi AS phi1, s1.s2 AS s2_1,
-         f2.p1, f2.p2, s2.s2 AS s2_2, f2.a, f2.c, f2.det,
-         (CAST(f1.n AS DOUBLE) - 1.0)
-           * (ln(2.0 * pi() * s1.s2) + 1.0) / f1.n
-           + 2.0 * 2.0 / f1.n AS fpe1,
-         (CAST(f1.n AS DOUBLE) - 1.0)
-           * (ln(2.0 * pi() * s1.s2) + 1.0) / f1.n
-           + ln(CAST(f1.n AS DOUBLE) - 1.0) * 2.0 / f1.n AS sbc1,
+         f2.p1, f2.p2, s2x.s2 AS s2_2, f2.a, f2.c, f2.det,
          (CAST(f1.n AS DOUBLE) - 2.0)
-           * (ln(2.0 * pi() * s2.s2) + 1.0) / f1.n
+           * (ln(2.0 * pi() * sf.ssr0 / (CAST(f1.n AS DOUBLE) - 2.0)) + 1.0)
+           / f1.n
+           + ln(CAST(f1.n AS DOUBLE) - 2.0) * 1.0 / f1.n AS sbc0,
+         (CAST(f1.n AS DOUBLE) - 2.0)
+           * (ln(2.0 * pi() * s1c.s2) + 1.0) / f1.n
+           + 2.0 * 2.0 / f1.n AS fpe1,
+         (CAST(f1.n AS DOUBLE) - 2.0)
+           * (ln(2.0 * pi() * s1c.s2) + 1.0) / f1.n
+           + ln(CAST(f1.n AS DOUBLE) - 2.0) * 2.0 / f1.n AS sbc1,
+         (CAST(f1.n AS DOUBLE) - 2.0)
+           * (ln(2.0 * pi() * s2x.s2) + 1.0) / f1.n
            + 2.0 * 3.0 / f1.n AS fpe2,
          (CAST(f1.n AS DOUBLE) - 2.0)
-           * (ln(2.0 * pi() * s2.s2) + 1.0) / f1.n
+           * (ln(2.0 * pi() * s2x.s2) + 1.0) / f1.n
            + ln(CAST(f1.n AS DOUBLE) - 2.0) * 3.0 / f1.n AS sbc2
   FROM fit1 f1
   JOIN sig1 s1 ON s1.user_id = f1.user_id
   JOIN fit2 f2 ON f2.user_id = f1.user_id
-  JOIN sig2 s2 ON s2.user_id = f1.user_id
+  JOIN sig2 s2x ON s2x.user_id = f1.user_id
+  JOIN selfits sf ON sf.user_id = f1.user_id
+  JOIN sig1c s1c ON s1c.user_id = f1.user_id
 ),
 sel AS (
-  SELECT *, CASE WHEN sbc1 <= sbc2 THEN 1 ELSE 2 END AS popt
+  SELECT *,
+         CASE WHEN sbc2 < sbc0 AND sbc2 < sbc1 THEN 2 ELSE 1 END AS popt
   FROM crit
 ),
 resid AS (
@@ -5181,6 +5205,20 @@ pcorr AS (
            / 20.0 AS pc
   FROM racf rf JOIN sel s ON s.user_id = rf.user_id
   GROUP BY rf.user_id
+),
+tc AS (
+  SELECT user_id,
+         CAST(1.959963984540054 AS DOUBLE)
+         + CAST(2.372271230298562 AS DOUBLE) / dof
+         + CAST(2.8224986157396112 AS DOUBLE) / pow(dof, 2)
+         + CAST(2.555849679507722 AS DOUBLE) / pow(dof, 3)
+         + CAST(1.5895340533938225 AS DOUBLE) / pow(dof, 4) AS tcrit
+  FROM (
+    SELECT user_id,
+           CASE WHEN popt = 1 THEN CAST(n AS DOUBLE) - 2.0
+                ELSE CAST(n AS DOUBLE) - 4.0 END AS dof
+    FROM sel
+  ) q
 )
 SELECT s.user_id,
        round(CASE WHEN s.popt = 1 THEN s.phi1 ELSE s.p1 END, 6) AS A1,
@@ -5209,20 +5247,21 @@ SELECT s.user_id,
                   ELSE CAST(2.0 AS DOUBLE) END, 6) AS popt_fpe,
        round(p.pc, 6) AS pcorr_res,
        round(CASE WHEN s.popt = 1
-                  THEN 1.96 * sqrt(s.s2_1 / f1x.xx)
-                  ELSE least(1.96 * sqrt(s.s2_2 * s.c / s.det),
-                             1.96 * sqrt(s.s2_2 * s.a / s.det)) END, 6) AS aerr_min,
+                  THEN t.tcrit * sqrt(s.s2_1 / f1x.xx)
+                  ELSE least(t.tcrit * sqrt(s.s2_2 * s.c / s.det),
+                             t.tcrit * sqrt(s.s2_2 * s.a / s.det)) END, 6) AS aerr_min,
        round(CASE WHEN s.popt = 1
-                  THEN 1.96 * sqrt(s.s2_1 / f1x.xx)
-                  ELSE greatest(1.96 * sqrt(s.s2_2 * s.c / s.det),
-                                1.96 * sqrt(s.s2_2 * s.a / s.det)) END, 6) AS aerr_max,
+                  THEN t.tcrit * sqrt(s.s2_1 / f1x.xx)
+                  ELSE greatest(t.tcrit * sqrt(s.s2_2 * s.c / s.det),
+                                t.tcrit * sqrt(s.s2_2 * s.a / s.det)) END, 6) AS aerr_max,
        round(CASE WHEN s.popt = 1
-                  THEN 1.96 * sqrt(s.s2_1 / f1x.xx)
-                  ELSE (1.96 * sqrt(s.s2_2 * s.c / s.det)
-                        + 1.96 * sqrt(s.s2_2 * s.a / s.det)) / 2.0 END, 6) AS aerr_mean
+                  THEN t.tcrit * sqrt(s.s2_1 / f1x.xx)
+                  ELSE (t.tcrit * sqrt(s.s2_2 * s.c / s.det)
+                        + t.tcrit * sqrt(s.s2_2 * s.a / s.det)) / 2.0 END, 6) AS aerr_mean
 FROM sel s
 JOIN pcorr p ON p.user_id = s.user_id
 JOIN fit1 f1x ON f1x.user_id = s.user_id
+JOIN tc t ON t.user_id = s.user_id
 """)
 
 

@@ -42,6 +42,66 @@ def test_ar_fit_select_picks_true_order():
     assert out["A1"] == pytest.approx(0.5, abs=0.06)
 
 
+def test_t_ppf_975_accuracy():
+    from pyhctsa_spark.functions.helpers import t_ppf_975
+
+    # scipy.stats.t.ppf(0.975, nu) reference values
+    exact = {30: 2.0422724563012373, 60: 2.0002978220142578,
+             100: 1.9839715184496334, 1000: 1.9623390808264078}
+    for nu, want in exact.items():
+        assert t_ppf_975(nu) == pytest.approx(want, abs=5e-6)
+    assert t_ppf_975(100) == pytest.approx(exact[100], abs=1e-8)
+
+
+def test_ar_fit_select_statsmodels_semantics():
+    """Pins the ar_select_order/AutoReg conventions the kernel
+    reimplements (ModelFit.py:443-551 runs statsmodels; see the ARFit
+    NOT_SWEPT note): common hold_back selection sample, order-0 null
+    candidate, winner refit on its own sample, t-based CIs."""
+    from pyhctsa_spark.functions.helpers import t_ppf_975
+
+    y = _ar_series([0.6, -0.3], n=500, seed=3)
+    N = len(y)
+    pmax = 4
+    out = M.ar_fit_select(y, 1, pmax)
+
+    # (1) reported IC curves come from the COMMON sample (rows
+    # pmax..N-1, nobs = N - pmax), independently recomputed here
+    nobs = N - pmax
+    tgt = y[pmax:]
+    X = np.column_stack([y[pmax - j - 1 : N - j - 1] for j in range(pmax)])
+    for p in (1, 2, 3):
+        phi_p, *_ = np.linalg.lstsq(X[:, :p], tgt, rcond=None)
+        r = tgt - X[:, :p] @ phi_p
+        s2 = float(r @ r / nobs)
+        ll = -0.5 * nobs * (math.log(2 * math.pi * s2) + 1.0)
+        assert out[f"sbc_{p}"] == pytest.approx(
+            (-2 * ll + math.log(nobs) * (p + 1)) / N, rel=1e-12)
+        assert out[f"fpe_{p}"] == pytest.approx(
+            (-2 * ll + 2 * (p + 1)) / N, rel=1e-12)
+
+    # (2) the winner (order 2) is REFIT on its own conditional sample:
+    # coefficients/variance equal the plain AR(2) OLS fit, not the
+    # hold_back fit
+    assert out["popt_sbc"] == 2.0
+    phi_own, s2_own = M.ar_ols_fit(y, 2)
+    assert out["A1"] == pytest.approx(phi_own[0], rel=1e-12)
+    assert out["A2"] == pytest.approx(phi_own[1], rel=1e-12)
+    assert out["C"] == pytest.approx(s2_own, rel=1e-12)
+
+    # (3) coefficient CIs use Student-t, dof = (N - p) - p
+    Xo = np.column_stack([y[2 - j - 1 : N - j - 1] for j in range(2)])
+    cov = s2_own * np.linalg.inv(Xo.T @ Xo)
+    want = t_ppf_975((N - 2) - 2) * np.sqrt(np.diag(cov))
+    assert out["aerr_mean"] == pytest.approx(want.mean(), rel=1e-12)
+
+    # (4) the order-0 null model is a real candidate: on white noise it
+    # wins selection and the fit clamps to pmin with a near-zero A1
+    w = np.random.default_rng(9).standard_normal(400)
+    ow = M.ar_fit_select(w, 1, 6)
+    assert abs(ow["A1"]) < 0.15 and ow["A2"] == 0.0
+
+
 def test_partial_autocorr_ar1():
     y = _ar_series([0.7])
     out = M.partial_autocorr(y, 5)

@@ -657,7 +657,21 @@ NOT_SWEPT = {
     # third-party model libraries (documented deviations in COVERAGE.md):
     # (KPSSTest moved INTO the sweep via a delegating kpss shim —
     # orchestration/key-naming cases kpss_l0 / kpss_sweep)
-    "ARFit": "statsmodels ar_select_order; repo uses OLS order selection (documented OLS stand-in)",
+    "ARFit": "statsmodels unavailable in-container (ARFit calls "
+             "ar_select_order/AutoReg directly, so the AST-extracted "
+             "reference body cannot execute here). The repo kernel "
+             "reimplements the exact statsmodels semantics from its "
+             "public source: common hold_back selection sample "
+             "(nobs = N - pmax) incl. the order-0 null candidate, MLE "
+             "sigma2, aic/bic = -2llf + {2, ln(nobs)} * (p+1), winner "
+             "refit on its own conditional sample, Student-t 95% "
+             "coefficient CIs on the MLE-sigma2 OLS covariance. The one "
+             "quantified deviation: t.ppf(0.975, dof) uses the A&S "
+             "26.7.5 expansion, |err| < 5e-6 at dof=30 and < 1e-8 for "
+             "dof >= 100 (test_t_ppf_975_accuracy) — below the 1e-6 "
+             "output rounding at the engine's series lengths. Semantics "
+             "pinned by test_ar_fit_select_statsmodels_semantics + the "
+             "user_arfit12 value oracle.",
     "AutoMutualInfo-kraskov": "JIDT JVM estimators; repo native KSG1/2 oracle-checked (user_ami_ksg1/2)",
     "VisibilityGraph-norm": "ts2vg NaturalVG; repo native sweep, horiz method IS swept",
     # (wavelet surfaces were moved INTO the sweep via a pywt shim that
