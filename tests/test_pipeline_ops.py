@@ -52,6 +52,37 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs):
     assert all(len(s) == 64 for s in sigs.minhash_sig)
 
 
+def test_minhash_exact_collapse_is_invisible(spark, docs):
+    """collapse_exact (rep election + pair expansion) must give the
+    IDENTICAL pair set as the naive pipeline on a corpus with planted
+    exact triplicates, near-dups, and an ineligible (< k words) dup."""
+    from pyhctsa_spark.operators.dedup import minhash_verified_pairs
+
+    base = docs.limit(40)
+    trip1 = base.limit(6).withColumn("doc_id", F.col("doc_id") + 100000)
+    trip2 = base.limit(6).withColumn("doc_id", F.col("doc_id") + 200000)
+    near = (
+        base.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    shorty = spark.createDataFrame(
+        [(900000, "tiny doc"), (900001, "tiny doc")], "doc_id long, text string"
+    )
+    corpus = base.unionByName(trip1).unionByName(trip2).unionByName(
+        near
+    ).unionByName(shorty, allowMissingColumns=True)
+    kw = dict(threshold=0.3)
+    a = minhash_verified_pairs(corpus, **kw).toPandas()
+    b = minhash_verified_pairs(corpus, collapse_exact=False, **kw).toPandas()
+    ka = set(map(tuple, a[["d1", "d2", "jaccard"]].itertuples(index=False)))
+    kb = set(map(tuple, b[["d1", "d2", "jaccard"]].itertuples(index=False)))
+    assert ka == kb and len(ka) > 0
+    # exact triplicates present as J=1.0 pairs; the 2-word dup is not
+    assert (0, 100000, 1.0) in ka and (0, 200000, 1.0) in ka
+    assert not any(d1 == 900000 for d1, _d2, _j in ka)
+
+
 def test_simhash_near_pairs(spark, docs):
     from pyhctsa_spark.operators.dedup import simhash64, simhash_near_pairs
 
