@@ -237,7 +237,13 @@ FROM series GROUP BY user_id
 # per-window mean/std (handled via count arithmetic: missing elements
 # contribute 0 to sums). absR = |corr(M1, M2)|, density = ptp*ptp/n.
 # Users whose wl < 2 (n <= 50) raise in the reference -> no output row.
-QUERIES["user_moment_corr"] = _q("""
+# Window sums come from EXPLODED row->window membership (each row is in
+# ~wl/step windows), not a points x windows range join — same values,
+# linear intermediate volume. Dialect split: LATERAL VIEW explode /
+# unnest(generate_series); Spark sequence() DESCENDS when jlo > jhi so
+# the guard subquery is load-bearing.
+QUERIES["user_moment_corr"] = _q2(
+    """
 , mc_pars AS (
   SELECT user_id, count(*) AS n,
          CAST(ceil(0.02 * count(*)) AS BIGINT) AS wl
@@ -256,21 +262,32 @@ mc_pars3 AS (
                        > n THEN 1 ELSE 0 END AS kwin
   FROM mc_pars2
 ),
-mc_wins AS (
-  SELECT s.user_id, s.rn AS j, pp.wl, pp.p, pp.step, pp.n
+mc_rows AS (
+  -- row -> window membership bounds: row rn lies in window j iff
+  -- j*step - p <= rn < j*step - p + wl, i.e. j in [jlo, jhi]; each row
+  -- belongs to ~wl/step (~1.25) windows, so EXPLODING membership beats
+  -- the n x kwin range join by ~50x in intermediate rows (and is the
+  -- shape that scales: linear in points, not points x windows)
+  SELECT s.user_id, s.v, pp.wl, pp.kwin,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor((s.rn + pp.p - pp.wl)
+                             / CAST(pp.step AS DOUBLE)) AS BIGINT) + 1) AS jlo,
+         least(pp.kwin - 1,
+               CAST(floor((s.rn + pp.p)
+                          / CAST(pp.step AS DOUBLE)) AS BIGINT)) AS jhi
   FROM series s JOIN mc_pars3 pp USING (user_id)
-  WHERE s.rn < pp.kwin
+),
+mc_memb AS (
+  SELECT r.user_id, r.v, r.wl, t.j
+  FROM (SELECT * FROM mc_rows WHERE jlo <= jhi) r
+  LATERAL VIEW explode(sequence(r.jlo, r.jhi)) t AS j
 ),
 mc_stats AS (
-  SELECT w.user_id, w.j, w.wl,
-         sum(s.v)        AS s1,
-         sum(s.v * s.v)  AS s2
-  FROM mc_wins w
-  JOIN series s
-    ON s.user_id = w.user_id
-   AND s.rn >= w.j * w.step - w.p
-   AND s.rn <  w.j * w.step - w.p + w.wl
-  GROUP BY w.user_id, w.j, w.wl
+  SELECT user_id, j, max(wl) AS wl,
+         sum(v)     AS s1,
+         sum(v * v) AS s2
+  FROM mc_memb
+  GROUP BY user_id, j
 ),
 mc_m AS (
   SELECT user_id, j,
@@ -284,7 +301,68 @@ SELECT mm.user_id,
              / max(pp.n), 6) AS mc_density
 FROM mc_m mm JOIN mc_pars3 pp ON pp.user_id = mm.user_id
 GROUP BY mm.user_id HAVING count(*) >= 2
-""")
+""",
+    """
+, mc_pars AS (
+  SELECT user_id, count(*) AS n,
+         CAST(ceil(0.02 * count(*)) AS BIGINT) AS wl
+  FROM series GROUP BY user_id
+),
+mc_pars2 AS (
+  SELECT user_id, n, wl,
+         CAST(floor(wl / 5.0) AS BIGINT) AS p,
+         wl - CAST(floor(wl / 5.0) AS BIGINT) AS step
+  FROM mc_pars WHERE wl >= 2
+),
+mc_pars3 AS (
+  SELECT *,
+         CAST(ceil(CAST(n AS DOUBLE) / step) AS BIGINT)
+           - CASE WHEN CAST(ceil(CAST(n AS DOUBLE) / step) AS BIGINT) * step
+                       > n THEN 1 ELSE 0 END AS kwin
+  FROM mc_pars2
+),
+mc_rows AS (
+  -- row -> window membership bounds: row rn lies in window j iff
+  -- j*step - p <= rn < j*step - p + wl, i.e. j in [jlo, jhi]; each row
+  -- belongs to ~wl/step (~1.25) windows, so EXPLODING membership beats
+  -- the n x kwin range join by ~50x in intermediate rows (and is the
+  -- shape that scales: linear in points, not points x windows)
+  SELECT s.user_id, s.v, pp.wl, pp.kwin,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor((s.rn + pp.p - pp.wl)
+                             / CAST(pp.step AS DOUBLE)) AS BIGINT) + 1) AS jlo,
+         least(pp.kwin - 1,
+               CAST(floor((s.rn + pp.p)
+                          / CAST(pp.step AS DOUBLE)) AS BIGINT)) AS jhi
+  FROM series s JOIN mc_pars3 pp USING (user_id)
+),
+mc_memb AS (
+  SELECT user_id, v, wl,
+         unnest(generate_series(jlo, jhi)) AS j
+  FROM mc_rows WHERE jlo <= jhi
+),
+mc_stats AS (
+  SELECT user_id, j, max(wl) AS wl,
+         sum(v)     AS s1,
+         sum(v * v) AS s2
+  FROM mc_memb
+  GROUP BY user_id, j
+),
+mc_m AS (
+  SELECT user_id, j,
+         s1 / wl AS m,
+         sqrt(greatest((s2 - s1 * s1 / wl) / (wl - 1), CAST(0.0 AS DOUBLE))) AS sd
+  FROM mc_stats
+)
+SELECT mm.user_id,
+       round(abs(corr(mm.m, mm.sd)), 6) AS mc_absr,
+       round((max(mm.m) - min(mm.m)) * (max(mm.sd) - min(mm.sd))
+             / max(pp.n), 6) AS mc_density
+FROM mc_m mm JOIN mc_pars3 pp ON pp.user_id = mm.user_id
+GROUP BY mm.user_id HAVING count(*) >= 2
+""",
+    pre=True,
+)
 
 # --- MD_pNN (threshold 20) per user ---------------------------------------
 QUERIES["user_pnn20"] = _q("""
