@@ -929,6 +929,93 @@ def _cagg_refresh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/curation.py:
+    pack_sequences): documents laid end-to-end per (source, md5-shard)
+    stream, split at 64-token sequence boundaries; one exact-integer
+    span row per (document x sequence) overlap."""
+    from pyhctsa_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=64, n_shards=4)
+
+
+def _source_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing: rate(src{i}) =
+    ((i % 4) + 1) / 4, decided by an md5-uniform per doc — reproducible
+    row-for-row, zero shuffle (curation.source_mix)."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.curation import source_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = ((F.substring("source", 4, 8).cast("int") % 4) + 1) / 4.0
+    return source_mix(docs, rate).select("doc_id", "source")
+
+
+def _pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (curation.pii_redact) over deterministically
+    augmented text — the synthetic corpus has no PII, so the query
+    plants a doc_id-keyed mix of emails, IPv4s, and phone numbers, then
+    verifies redaction output and removal counts value-level."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.curation import pii_redact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 > 0,
+                F.concat(
+                    F.lit(" reach user"), did.cast("string"), F.lit("@ex"),
+                    (did % 5).cast("string"), F.lit(".org"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" from 10."), (did % 256).cast("string"),
+                    F.lit(".0."), ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_redact(aug).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted"
+    )
+
+
+def _global_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (curation.global_shuffle): md5-hash
+    shard + within-shard hash order assigns every doc a reproducible
+    (shard, pos) — one shuffle, no global sort barrier."""
+    from pyhctsa_spark.operators.curation import global_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return global_shuffle(docs, n_shards=8)
+
+
+def _passage_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup stats (curation.passage_dedup_stats): per-doc
+    fraction of 8-word blocks occurring more than once corpus-wide, with
+    a keep flag at 0.5 — the line-dedup stage of CCNet-style curation."""
+    from pyhctsa_spark.operators.curation import passage_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return passage_dedup_stats(docs, block_words=8, max_dup_frac=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -1002,6 +1089,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_holt"] = _holt_query
     out["user_hist_p90"] = _hist_p_query
     out["user_cagg_realtime"] = _cagg_realtime_query
+    # corpus-curation family (operators/curation.py, round 5): packing,
+    # mixing, redaction, shuffle, passage dedup — catalog tail (the
+    # round-5 scored window is already fixed above)
+    out["doc_pack_sequences"] = _pack_sequences_query
+    out["doc_source_mix"] = _source_mix_query
+    out["doc_pii_redact"] = _pii_redact_query
+    out["doc_global_shuffle"] = _global_shuffle_query
+    out["doc_passage_dedup"] = _passage_dedup_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -1,0 +1,263 @@
+"""Corpus-curation operators for training-data pipelines: sequence
+packing, deterministic weighted source mixing, PII redaction,
+deterministic global shuffle, and passage-level dedup statistics.
+
+All five are pure JVM expressions (no Python in the scan path) and all
+are deterministic — every random-looking decision (sampling, shuffle
+order, shard assignment) is derived from md5 of the row key, so the
+same input always produces the same output on any cluster size and both
+the engine and the DuckDB oracle compute identical answers.
+
+Scale notes (the 100 TB contract of each op):
+- ``pack_sequences``: the only stateful step is a running-sum window
+  partitioned by (source, shard) — shard comes from a full-width hash,
+  so partitions stay bounded no matter how large one source is. No
+  global ordering barrier; one shuffle on the composite key.
+- ``source_mix`` / ``pii_redact``: map-side only, zero shuffle; filters
+  and projections reach the parquet scan.
+- ``global_shuffle``: hash-derived shard + within-shard sort = one
+  shuffle, never a single-ordering bottleneck (a global ORDER BY would
+  range-partition fine too, but per-shard output files are what a
+  training loader wants anyway).
+- ``passage_dedup_stats``: explode fixed-width blocks -> hash-aggregate
+  counts (map-side partial combine) -> join back. Same shape as exact
+  dedup; nothing quadratic, nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def md5_u32(col: Column, salt: str) -> Column:
+    """First 32 bits of md5(salt || col) as a BIGINT in [0, 2^32).
+
+    Built nibble-by-nibble with instr() so the identical expression runs
+    in DuckDB (which lacks conv(hex)) — the cross-engine uniform-hash
+    primitive shared by source_mix and global_shuffle.
+    """
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    u = F.lit(0).cast("long")
+    for i in range(8):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        u = u + nib.cast("long") * F.lit(16 ** (7 - i)).cast("long")
+    return u
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 64,
+    n_shards: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pack variable-length documents into fixed ``seq_len``-token
+    training sequences by deterministic concat-and-chunk (the GPT-style
+    packing a pretraining loader consumes).
+
+    Documents are laid end-to-end in ``doc_col`` order within a
+    (source, shard) stream; each document contributes one output row
+    per training sequence it overlaps:
+
+      (source, shard, seq_id, doc_id, offset_in_seq, tok_start, tok_len)
+
+    where tok_start/tok_len address the slice of the document's tokens
+    and offset_in_seq is where that slice lands inside sequence seq_id.
+    A reader can reassemble every sequence exactly from these spans; the
+    last sequence of each shard is the only one allowed to be partial.
+
+    Tokens are whitespace words of ``text_col`` (swap in a real
+    tokenizer's count column upstream for byte-exact budgets).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    shard = (md5_u32(F.col(doc_col), "pack:") % n_shards).alias("shard")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        shard,
+        F.col(doc_col).alias("doc_id"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.select(
+        "source",
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start"),
+    )
+    # integer DIV, not floor(double /): token offsets at 100 TB exceed
+    # double's 2^53 exact-integer range long before they overflow a long
+    spans = placed.select(
+        "source",
+        "shard",
+        "doc_id",
+        "n_tok",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start DIV {seq_len}"),
+                F.expr(f"(start + n_tok - 1) DIV {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    L = F.lit(seq_len).cast("long")
+    seq_lo = F.col("seq_id") * L
+    seg_lo = F.greatest(F.col("start"), seq_lo)
+    seg_hi = F.least(F.col("start") + F.col("n_tok"), seq_lo + L)
+    return spans.select(
+        "source",
+        "shard",
+        "seq_id",
+        "doc_id",
+        (seg_lo - seq_lo).cast("long").alias("offset_in_seq"),
+        (seg_lo - F.col("start")).cast("long").alias("tok_start"),
+        (seg_hi - seg_lo).cast("long").alias("tok_len"),
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    weight: Column | dict[str, float],
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted source mixing: keep each row with
+    probability ``weight`` (its source's sampling rate), decided by a
+    content hash instead of an RNG, so the sample is reproducible
+    row-for-row across runs, retries, and cluster sizes.
+
+    ``weight`` is either a Column expression in [0, 1] or a
+    {source: rate} dict (turned into a CASE; unlisted sources keep 0).
+    Map-side only — the filter is a pure projection over the scan.
+    """
+    if isinstance(weight, dict):
+        expr = F.lit(0.0)
+        for src, rate in weight.items():
+            expr = F.when(F.col(source_col) == src, F.lit(float(rate))).otherwise(expr)
+        weight = expr
+    u = md5_u32(F.col(doc_col), "mix:") / F.lit(4294967296.0)
+    return df.where(u < weight)
+
+
+# PII patterns: character classes + bounded quantifiers only, so the
+# Java regex engine (Spark) and RE2 (DuckDB) match identically. IPs are
+# matched before phones so the dotted digit groups are gone by the time
+# the looser phone pattern runs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PHONE_RE = "[0-9]{3}-[0-9]{4,5}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-shaped numbers from
+    ``text_col``, replacing them with typed placeholder tokens, and
+    count what was removed (the counts feed a filter-or-quarantine
+    decision downstream). Pure regexp expressions — map-side, pushdown
+    friendly, no Python."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    t1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(IP_RE), 0))
+    t2 = F.regexp_replace(t1, IP_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "redacted": t3,
+            "n_emails": n_emails.cast("long"),
+            "n_ips": n_ips.cast("long"),
+            "n_phones": n_phones.cast("long"),
+        }
+    )
+
+
+def global_shuffle(
+    df: DataFrame, n_shards: int = 8, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order: every
+    row gets a (shard, pos) address derived from md5(doc_id) — shard by
+    hash range, position by hash order within the shard. Reading shards
+    0..n-1 sequentially yields a fixed pseudo-random permutation of the
+    corpus with exactly ONE shuffle and no global sort barrier."""
+    h = F.md5(F.concat(F.lit("shuf:"), F.col(doc_col).cast("string")))
+    shard = (md5_u32(F.col(doc_col), "shuf:") % n_shards).alias("shard")
+    keyed = df.select(F.col(doc_col).alias("doc_id"), shard, h.alias("h"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", (F.row_number().over(w)).cast("long").alias("pos")
+    )
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    block_words: int = 8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Passage-level duplication profile (the line-dedup stage of
+    CCNet/RefinedWeb-style curation, over fixed ``block_words``-word
+    blocks since the synthetic corpus has no line structure): for each
+    document, the fraction of its complete word blocks whose text occurs
+    more than once in the corpus (any doc, including itself), and a keep
+    flag at ``max_dup_frac``.
+
+    Drives from the full document set with LEFT joins so short docs
+    (no complete block) are kept with NULL stats rather than silently
+    dropped — the composite-filter trap from round 3.
+    """
+    ws = F.split(F.col(text_col), " ")
+    nb = F.floor(F.size(ws) / block_words).cast("int")
+    docs = df.select(F.col(doc_col).alias("doc_id"), ws.alias("ws"), nb.alias("nb"))
+    blocks = (
+        docs.where(F.col("nb") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nb") - 1),
+                    lambda b: F.concat_ws(
+                        " ", F.slice("ws", b * block_words + 1, block_words)
+                    ),
+                )
+            ).alias("blk"),
+        )
+    )
+    blocks = blocks.persist()
+    freq = blocks.groupBy("blk").agg(F.count("*").alias("occ"))
+    per_doc = (
+        blocks.join(freq, "blk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0)).alias("n_dup_blocks"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_dup_blocks", F.lit(0)).cast("long").alias("n_dup_blocks"),
+            F.round(
+                F.when(
+                    F.col("n_blocks") > 0,
+                    F.col("n_dup_blocks") / F.col("n_blocks"),
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+        .withColumn(
+            "keep",
+            F.coalesce(F.col("dup_frac") <= F.lit(float(max_dup_frac)), F.lit(True)),
+        )
+    )
+    return out

@@ -7534,3 +7534,142 @@ SELECT e.user_id, e.tus, round(e.v, 6) AS value,
        CAST(floor(r.b * 1000000 + 0.5) AS BIGINT) AS trend_u6
 FROM e JOIN rec r ON e.user_id = r.user_id AND e.rn = r.rn
 """
+
+
+# --- corpus-curation operators (operators/curation.py) ---------------------
+# Every "random" decision in these ops is an md5-derived integer, so the
+# DuckDB replay is exact. _duck_md5_u32 mirrors curation.md5_u32: first
+# 32 bits of md5(salt || key) assembled nibble-by-nibble.
+
+
+def _duck_md5_u32(key_expr: str, salt: str) -> str:
+    h = f"md5('{salt}' || CAST({key_expr} AS VARCHAR))"
+    parts = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+# pack_sequences(documents, seq_len=64, n_shards=4): concat-and-chunk
+# packing replayed with a window running sum + generate_series span
+# explode. All output columns are exact integers/strings.
+ENGINE_ORACLES["doc_pack_sequences"] = f"""
+WITH base AS (
+  SELECT source,
+         CAST({_duck_md5_u32('doc_id', 'pack:')} % 4 AS BIGINT) AS shard,
+         doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT source, shard, doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM base
+),
+spans AS (
+  SELECT source, shard, doc_id, n_tok, st,
+         unnest(generate_series(st // 64, (st + n_tok - 1) // 64)) AS seq_id
+  FROM placed
+)
+SELECT source, shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(st, seq_id * 64) - seq_id * 64 AS BIGINT)  AS offset_in_seq,
+       CAST(greatest(st, seq_id * 64) - st AS BIGINT)           AS tok_start,
+       CAST(least(st + n_tok, (seq_id + 1) * 64)
+            - greatest(st, seq_id * 64) AS BIGINT)              AS tok_len
+FROM spans
+"""
+
+# source_mix: keep iff md5-uniform(doc_id) < rate(source), with
+# rate = ((suffix % 4) + 1) / 4 — all exact binary fractions, so the
+# comparison is deterministic in both engines.
+ENGINE_ORACLES["doc_source_mix"] = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_duck_md5_u32('doc_id', 'mix:')} / 4294967296.0
+      < ((CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0
+"""
+
+# pii_redact over deterministically augmented text (the synthetic corpus
+# contains no PII, so the query plants a varying mix of emails/IPs/
+# phones keyed on doc_id — both sides build the identical string).
+ENGINE_ORACLES["doc_pii_redact"] = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 > 0
+              THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@ex'
+                   || CAST(doc_id % 5 AS VARCHAR) || '.org' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+              THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE '' END AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+i AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS t2
+  FROM e
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4,5}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '[0-9]{3}-[0-9]{4,5}', '<PHONE>', 'g') AS redacted
+FROM i
+"""
+
+# global_shuffle(documents, 8): hash shard + within-shard md5 order.
+ENGINE_ORACLES["doc_global_shuffle"] = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST({_duck_md5_u32('doc_id', 'shuf:')} % 8 AS BIGINT) AS shard,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+# passage_dedup_stats(documents, block_words=8, max_dup_frac=0.5):
+# fixed 8-word blocks, corpus-wide occurrence counts, per-doc dup
+# fraction; LEFT JOIN keeps block-less short docs (NULL stats, keep).
+ENGINE_ORACLES["doc_passage_dedup"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) // 8 AS nb
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, nb - 1),
+                b -> array_to_string(ws[b * 8 + 1 : b * 8 + 8], ' '))) AS blk
+  FROM docs WHERE nb >= 1
+),
+freq AS (SELECT blk, count(*) AS occ FROM blocks GROUP BY blk),
+per_doc AS (
+  SELECT b.doc_id, count(*) AS n_blocks,
+         sum(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM blocks b JOIN freq f ON b.blk = f.blk
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT)    AS n_dup_blocks,
+       round(CASE WHEN p.n_blocks > 0
+             THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_blocks AS DOUBLE) END, 6) AS dup_frac,
+       COALESCE(round(CAST(p.n_dup AS DOUBLE) / CAST(p.n_blocks AS DOUBLE), 6) <= 0.5,
+                TRUE) AS keep
+FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

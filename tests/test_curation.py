@@ -1,0 +1,129 @@
+"""Semantic invariants for the corpus-curation operators
+(operators/curation.py) — the value-level cross-engine checks live in
+the oracle catalog (doc_pack_sequences, doc_source_mix, doc_pii_redact,
+doc_global_shuffle, doc_passage_dedup); these tests pin the contracts a
+hash comparison can't express: packing completeness, sampling
+determinism/monotonicity, permutation validity, and the dup-flag
+semantics on planted duplicates.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyhctsa_spark.operators.curation import (
+    global_shuffle,
+    pack_sequences,
+    passage_dedup_stats,
+    pii_redact,
+    source_mix,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _docs(spark, n=60):
+    rows = [
+        (
+            i,
+            " ".join(WORDS[(i + j) % len(WORDS)] + str((i * 7 + j) % 23)
+                     for j in range(3 + (i * 5) % 40)),
+            f"src{i % 4}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return _docs(spark).persist()
+
+
+def test_pack_covers_every_token_exactly_once(spark, docs):
+    seg = pack_sequences(docs, seq_len=16, n_shards=2).toPandas()
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    # every doc fully covered by contiguous spans
+    for doc_id, g in seg.groupby("doc_id"):
+        g = g.sort_values("tok_start")
+        assert g["tok_len"].sum() == ntok[doc_id]
+        assert g["tok_start"].iloc[0] == 0
+        ends = (g["tok_start"] + g["tok_len"]).to_numpy()
+        assert (ends[:-1] == g["tok_start"].to_numpy()[1:]).all()
+    # every sequence except the last of each stream is exactly full,
+    # and no segment crosses a sequence boundary
+    assert ((seg["offset_in_seq"] + seg["tok_len"]) <= 16).all()
+    fill = seg.groupby(["source", "shard", "seq_id"])["tok_len"].sum()
+    for (src, sh), g in fill.groupby(level=[0, 1]):
+        assert (g.iloc[:-1] == 16).all()
+        assert g.iloc[-1] <= 16
+
+
+def test_pack_is_deterministic_across_partitionings(spark, docs):
+    a = pack_sequences(docs, seq_len=16, n_shards=2).toPandas()
+    b = pack_sequences(docs.repartition(7), seq_len=16, n_shards=2).toPandas()
+    key = ["source", "shard", "seq_id", "doc_id", "tok_start"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_source_mix_rates_and_determinism(spark, docs):
+    assert source_mix(docs, F.lit(1.0)).count() == docs.count()
+    assert source_mix(docs, F.lit(0.0)).count() == 0
+    w = {"src0": 1.0, "src1": 0.5}  # src2/src3 unlisted -> dropped
+    kept = source_mix(docs, w).toPandas()
+    assert set(kept["source"]) <= {"src0", "src1"}
+    assert (kept["source"] == "src0").sum() == 15  # all of src0
+    again = source_mix(docs, w).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(again["doc_id"])
+    # monotone: raising a rate only adds rows
+    more = source_mix(docs, {"src0": 1.0, "src1": 0.9}).toPandas()
+    assert set(kept["doc_id"]) <= set(more["doc_id"])
+
+
+def test_pii_redact_counts_and_clean_output(spark):
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org and carol@ex.io now"),
+        (1, "server at 10.1.2.3 and 192.168.0.254 port 80"),
+        (2, "call 555-0142 or 555-01999 today"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (2, 0, 0)
+    assert "@" not in out[0]["redacted"] and out[0]["redacted"].count("<EMAIL>") == 2
+    assert (out[1]["n_ips"], out[1]["n_emails"]) == (2, 0)
+    assert "10.1.2.3" not in out[1]["redacted"]
+    assert out[2]["n_phones"] == 2 and "<PHONE>" in out[2]["redacted"]
+    assert out[3]["redacted"] == rows[3][1]
+
+
+def test_global_shuffle_is_a_permutation(spark, docs):
+    out = global_shuffle(docs, n_shards=4).toPandas()
+    assert len(out) == 60 and out["doc_id"].nunique() == 60
+    assert set(out["shard"]) <= set(range(4))
+    for _sh, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    again = global_shuffle(docs.repartition(5), n_shards=4).toPandas()
+    key = ["doc_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_passage_dedup_flags_planted_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(32))  # 4 full 8-word blocks
+    uniq = " ".join(f"u{i}" for i in range(32))
+    rows = [(0, base), (1, base), (2, uniq), (3, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_dedup_stats(df, 8).collect()}
+    assert out[0]["dup_frac"] == 1.0 and not out[0]["keep"]
+    assert out[1]["dup_frac"] == 1.0 and not out[1]["keep"]
+    assert out[2]["dup_frac"] == 0.0 and out[2]["keep"]
+    # short doc: no complete block -> NULL stats, kept
+    assert out[3]["n_blocks"] == 0 and out[3]["dup_frac"] is None and out[3]["keep"]
