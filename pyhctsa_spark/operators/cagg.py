@@ -316,6 +316,25 @@ class CaggSnapshotStore:
         # snapshot keep their files until the NEXT commit)
         if prev is not None:
             man["prev_chunks"] = dict(prev.get("chunks", {}))
+        # last-moment ownership check: if our lease expired during a
+        # long Spark write and another writer took over, abort LOUDLY
+        # instead of publishing over its commit (silent lost update).
+        # A steal between this read and os.replace remains possible in
+        # a microsecond window — content-CAS needs a real catalog
+        # (Iceberg/Delta commit); this is the sandbox stand-in.
+        tok = getattr(self, "_lease_token", None)
+        if tok is not None:
+            try:
+                with open(self._lock_path()) as f:
+                    held = f.read().split()[0]
+            except OSError:
+                held = None
+            if held != tok:
+                raise RuntimeError(
+                    f"writer lease on {self._lock_path()} was lost before "
+                    "commit (lease expired mid-write and another writer "
+                    "took over) — aborting publish; re-run the refresh"
+                )
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
@@ -329,36 +348,73 @@ class CaggSnapshotStore:
     def _writer_lease(self, timeout: float = 60.0):
         """Exclusive writer lease via O_CREAT|O_EXCL lock file.
 
-        The lock file records its expiry time; a crashed writer's stale
-        lease is recovered by atomically RENAMING it to a unique name
-        before unlinking — os.rename is atomic, so when two waiters race
-        a takeover exactly one wins the rename and the loser re-polls
-        (a naive unlink-then-create could delete the winner's fresh
-        lock). Not fair, but safe and non-blocking for readers.
+        The lock records ``<token> <expiry>`` where token is unique per
+        acquisition. Stale-lease takeover renames the lock to a unique
+        name (atomic — one winner per file) and then RE-READS the
+        renamed file: if its content differs from the expired lease that
+        was inspected, the rename grabbed a FRESH lock a racing waiter
+        created in between, so it is renamed back and the poll resumes
+        (closes the inspect/rename TOCTOU). An unreadable lock (writer
+        crashed between create and write, or disk-full truncation) gets
+        a short mtime-based grace instead of blocking forever. Release
+        and publish are ownership-checked by token, so a writer whose
+        lease expired mid-job can neither delete the usurper's lock nor
+        silently publish over its commit. Not fair, but safe, and
+        readers never block.
         """
+        import uuid
+
         os.makedirs(self.path, exist_ok=True)
         lock = self._lock_path()
+        token = f"{os.getpid()}.{uuid.uuid4().hex}"
         deadline = time.time() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time() + self.LEASE_SEC}"
+                os.write(fd, f"{token} {time.time() + self.LEASE_SEC}"
                          .encode())
                 os.close(fd)
                 break
             except FileExistsError:
+                held: str | None
                 try:
                     with open(lock) as f:
-                        expiry = float(f.read().split()[1])
-                except (OSError, IndexError, ValueError):
-                    expiry = float("inf")  # unreadable => treat as live
+                        held = f.read()
+                    expiry = float(held.split()[1])
+                except (IndexError, ValueError):
+                    # created but not yet (or never) written: grace from
+                    # file mtime covers the in-flight writer's
+                    # create->write window, then it's recoverable junk
+                    held = None
+                    try:
+                        expiry = os.stat(lock).st_mtime + 5.0
+                    except OSError:
+                        continue  # vanished under us; re-poll
+                except OSError:
+                    continue  # vanished under us; re-poll
                 if time.time() > expiry:
                     stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
                     try:
                         os.rename(lock, stale)  # atomic: one winner
+                    except OSError:
+                        continue  # lost the takeover race; re-poll
+                    try:
+                        with open(stale) as f:
+                            got = f.read()
+                    except OSError:
+                        got = None
+                    if held is not None and got is not None and got != held:
+                        # we renamed a FRESH lock, not the expired one —
+                        # restore it and keep waiting
+                        try:
+                            os.rename(stale, lock)
+                        except OSError:
+                            pass
+                        continue
+                    try:
                         os.unlink(stale)
                     except OSError:
-                        pass  # lost the takeover race; re-poll
+                        pass
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -366,11 +422,23 @@ class CaggSnapshotStore:
                         f"{timeout}s (held, expires {expiry:.0f})"
                     )
                 time.sleep(0.05)
+        self._lease_token = token
         try:
             yield
         finally:
+            self._lease_token = None
+            # release only OUR lease: rename-out, verify token, unlink —
+            # if the lease expired and a usurper holds the path now, its
+            # lock is put back untouched
+            out = f"{lock}.rel.{os.getpid()}.{time.time_ns()}"
             try:
-                os.unlink(lock)
+                os.rename(lock, out)
+                with open(out) as f:
+                    mine = f.read().split()[0] == token
+                if mine:
+                    os.unlink(out)
+                else:
+                    os.rename(out, lock)
             except OSError:
                 pass
 

@@ -310,8 +310,8 @@ def register_optional_codecs() -> list[str]:
 
         register_codec("image", "pillow", _pil_sniff, _pil_decode)
         added.append("pillow")
-    except ImportError:
-        pass
+    except (ImportError, OSError):
+        pass  # absent OR present-but-broken (missing native lib)
     try:  # soundfile: flac/ogg/... (anything libsndfile handles)
         import io
 
@@ -327,8 +327,8 @@ def register_optional_codecs() -> list[str]:
 
         register_codec("audio", "soundfile", _sf_sniff, _sf_decode)
         added.append("soundfile")
-    except ImportError:
-        pass
+    except (ImportError, OSError):
+        pass  # soundfile raises OSError when libsndfile.so is missing
     try:  # pyav: mp4/mkv/h264...
         import io
 
@@ -345,8 +345,8 @@ def register_optional_codecs() -> list[str]:
 
         register_codec("video", "pyav", _av_sniff, _av_decode)
         added.append("pyav")
-    except ImportError:
-        pass
+    except (ImportError, OSError):
+        pass  # absent OR present-but-broken (missing native lib)
     _OPTIONAL_DONE = True
     return added
 

@@ -10,9 +10,12 @@ the engine and the DuckDB oracle compute identical answers.
 
 Scale notes (the 100 TB contract of each op):
 - ``pack_sequences``: the only stateful step is a running-sum window
-  partitioned by (source, shard) — shard comes from a full-width hash,
-  so partitions stay bounded no matter how large one source is. No
-  global ordering barrier; one shuffle on the composite key.
+  partitioned by (source, shard). A window partition is processed by
+  ONE task, so each (source, shard) stream is a unit of parallelism AND
+  a straggler bound: size ``n_shards`` to the corpus (rows of the
+  dominant source / n_shards ≈ what one task should sort — e.g. a 90%-
+  one-source crawl at 10^10 docs wants n_shards in the thousands, not
+  the default 4). The shuffle carries token COUNTS, never text.
 - ``source_mix`` / ``pii_redact``: map-side only, zero shuffle; filters
   and projections reach the parquet scan.
 - ``global_shuffle``: hash-derived shard + within-shard sort = one

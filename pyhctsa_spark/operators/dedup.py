@@ -220,6 +220,19 @@ def derive_lsh_banding(
     return best
 
 
+def _rep_election(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """ONE window pass over md5(text): tag every row with its
+    exact-duplicate group's representative (``_rep`` = min id over the
+    content-hash partition). Returned persisted — both downstream uses
+    (member map + representative rows) reuse the single pass instead of
+    re-hashing the corpus text. Shared by minhash_verified_pairs'
+    exact-collapse and near_dup_clusters so the content-hash and
+    rep-tie-break conventions cannot drift between the pair path and
+    the cluster path."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.withColumn("_rep", F.min(id_col).over(w)).persist()
+
+
 def _verified_pairs_core(
     df: DataFrame,
     text_col: str,
@@ -306,8 +319,7 @@ def minhash_verified_pairs(
     eligible = df.select(F.col(id_col), F.col(text_col)).where(
         F.size(F.split(F.col(text_col), " ")) >= shingle_k
     )
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    with_rep = eligible.withColumn("_rep", F.min(id_col).over(w)).persist()
+    with_rep = _rep_election(eligible, text_col, id_col)
     members = with_rep.select(
         F.col("_rep"), F.col(id_col).alias("_m")
     )
@@ -777,11 +789,7 @@ def near_dup_clusters(
     clusters are complete down to the stated Jaccard level; lowering the
     threshold buys that completeness with more candidate pairs.
     """
-    # ONE window pass over md5(text) yields both the doc -> rep map and
-    # the representative rows (three separate content-hash scans + a
-    # hash join would re-hash the full corpus text 3x)
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    with_rep = df.withColumn("_rep", F.min(id_col).over(w)).persist()
+    with_rep = _rep_election(df, text_col, id_col)
     rep_map = with_rep.select(id_col, F.col("_rep").alias("rep_id"))
     reps = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
     pairs = minhash_verified_pairs(

@@ -313,6 +313,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_queries: int = 100_000,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """IVF ANN: route each query to its ``nprobe`` nearest centroids and
     search only those inverted lists — scoring ~nprobe/num_centroids of
@@ -325,16 +326,23 @@ def knn_ivf(
     materialize the index with ``ivf_write_index`` and run batches
     against it) instead of silently degrading to a corpus shuffle.
 
+    ``prebuilt``: the (cents, assigned) pair from ``ivf_build`` —
+    REQUIRED for multi-batch callers, otherwise every batch would pay a
+    full corpus count + k-means train + assignment pass for identical
+    results (persist/write ``assigned`` between batches, or use
+    ``ivf_write_index`` + ``knn_ivf_index`` for the durable variant).
+
     nprobe == num_centroids probes every list: bit-identical to
     ``knn_bruteforce`` (the driver-oracle machinery check)."""
     if queries.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
         raise ValueError(
             f"query batch exceeds max_broadcast_queries="
-            f"{max_broadcast_queries}; split the queries into batches — "
-            "a non-broadcast probe join would shuffle the corpus on the "
-            "skewed cid key"
+            f"{max_broadcast_queries}; split the queries into batches and "
+            "reuse one index across them via prebuilt=ivf_build(corpus) "
+            "or ivf_write_index/knn_ivf_index — a non-broadcast probe "
+            "join would shuffle the corpus on the skewed cid key"
         )
-    cents, assigned = ivf_build(corpus, num_centroids, vec_col, id_col)
+    cents, assigned = prebuilt or ivf_build(corpus, num_centroids, vec_col, id_col)
     probes = _probes_for(queries, cents, nprobe, vec_col, id_col)
     cand = F.broadcast(probes).join(assigned, "cid").where(
         F.col("qid") != F.col("nid")

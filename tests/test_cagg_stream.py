@@ -3,6 +3,7 @@ batch across late files, replay idempotence, crash-before-commit
 recovery, generation GC."""
 
 import os
+import time
 
 import pandas as pd
 import pytest
@@ -276,11 +277,40 @@ def test_writer_lease_stale_lock_is_recovered(spark, tmp_path):
         f.write("99999 0.0")  # dead pid, lease expired at epoch
     with store._writer_lease(timeout=2.0):
         pass
-    # and a garbage lock file is treated as LIVE (never stolen), so it
-    # times out rather than corrupting a healthy writer's lease
+    # a garbage lock file gets a short mtime-based grace (it may be a
+    # healthy writer caught between create and write), so an immediate
+    # attempt times out...
     with open(store._lock_path(), "w") as f:
         f.write("not-a-lease")
     with pytest.raises(TimeoutError):
         with store._writer_lease(timeout=0.3):
             pass  # pragma: no cover
+    # ...but once the grace passes it is recovered — a crash artifact
+    # must not wedge the store forever
+    past = time.time() - 60
+    os.utime(store._lock_path(), (past, past))
+    with store._writer_lease(timeout=2.0):
+        pass
+    assert not os.path.exists(store._lock_path())
+
+
+def test_writer_lease_lost_midjob_fails_loudly_and_spares_usurper(
+    spark, tmp_path
+):
+    """If the lease expires during a long write and another writer takes
+    over, the original writer must (a) refuse to publish over the
+    usurper's commit — loud RuntimeError, not a silent lost update —
+    and (b) leave the usurper's lock untouched on exit."""
+    store = CaggSnapshotStore(str(tmp_path / "snap"),
+                              window_micros=WIN, chunk_windows=16)
+    os.makedirs(store.path, exist_ok=True)
+    with store._writer_lease():
+        # simulate expiry + takeover: the lock now belongs to a thief
+        with open(store._lock_path(), "w") as f:
+            f.write(f"thief.feed {time.time() + 300}")
+        with pytest.raises(RuntimeError, match="lost before commit"):
+            store._publish({"gen": 0, "chunks": {}, "last_batch": None})
+    # release must not delete a lock it no longer owns
+    with open(store._lock_path()) as f:
+        assert f.read().split()[0] == "thief.feed"
     os.unlink(store._lock_path())
