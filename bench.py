@@ -495,7 +495,12 @@ def bench_queries(spark) -> dict:
                     "user_asof_error", "user_counter_30m", "user_lttb_24",
                     "user_ohlc_30m", "user_ewma", "user_cusum",
                     "user_resample_lin_15m", "user_holt",
-                    "user_cagg_refresh")
+                    "user_cagg_refresh",
+                    # curation family (round 5): packing, mixing,
+                    # redaction, shuffle, passage dedup
+                    "doc_pack_sequences", "doc_source_mix",
+                    "doc_pii_redact", "doc_global_shuffle",
+                    "doc_passage_dedup")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

@@ -1,0 +1,104 @@
+"""End-to-end curation funnel (jobs/curation_job.py): stage counts are
+monotone, planted junk is removed at the right stage, packing conserves
+surviving tokens, and the whole run is deterministic (re-run equals
+first run, the resumability contract)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from jobs.curation_job import curate, main
+
+
+def _corpus(spark):
+    """60 good docs + planted junk: an exact-dup pair, a near-dup pair,
+    a too-short doc, a no-stopword doc, and a PII-bearing doc."""
+    stop = "the of and to in is that it was for"
+    good = [
+        (i, f"{stop} item{i} " + " ".join(f"tok{i}x{j}" for j in range(30)),
+         f"src{i % 3}")
+        for i in range(60)
+    ]
+    base = f"{stop} shared " + " ".join(f"dup{j}" for j in range(30))
+    planted = [
+        (100, base, "src0"),                      # exact dup of 101
+        (101, base, "src0"),
+        (102, base + " tail1 tail2", "src1"),     # near dup of 100/101
+        (103, "too short", "src2"),               # quality: too_short
+        (104, " ".join(f"z{j}" for j in range(40)), "src0"),  # low_stopword
+        (105, f"{stop} mail bob@ex.org ip 10.0.0.1 tel 555-0142 "
+              + " ".join(f"p{j}" for j in range(25)), "src1"),
+    ]
+    return spark.createDataFrame(
+        good + planted, "doc_id long, text string, source string"
+    )
+
+
+def test_curation_funnel_stages_and_determinism(spark):
+    docs = _corpus(spark)
+    seg1, addr1, stats = curate(
+        spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
+    )
+    assert stats["docs_in"] == 66
+    # quality drops 103 (too_short) and 104 (low_stopword)
+    assert stats["after_quality"] == 64
+    # funnel is monotone
+    assert (
+        stats["docs_in"]
+        >= stats["after_quality"]
+        >= stats["after_near_dup"]
+        >= stats["after_passage_dedup"]
+        >= stats["after_mix"]
+    )
+    # the exact/near-dup trio collapses to exactly ONE representative
+    # (collapse runs BEFORE the passage filter, so duplicated content
+    # survives once instead of vanishing entirely)
+    survivors = {
+        r["doc_id"]
+        for r in seg1.select("doc_id").distinct().collect()
+    }
+    assert len(survivors & {100, 101, 102}) == 1
+    assert stats["pii_removed"] >= 3  # email + ip + phone from doc 105
+    # packing conserves every surviving token
+    seg_tokens = seg1.groupBy("doc_id").agg(F.sum("tok_len").alias("t"))
+    joined = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .join(seg_tokens, "doc_id")
+    )
+    # redaction can only shrink whitespace token counts (multi-word PII
+    # collapses to one placeholder); every other doc must match exactly
+    bad = joined.where("t > n").count()
+    assert bad == 0
+    assert stats["tokens_packed"] == seg1.select(F.sum("tok_len")).first()[0]
+    # addresses: a permutation of the packed sequences
+    assert addr1.count() == stats["sequences"]
+    # determinism: byte-identical on re-run
+    seg2, addr2, stats2 = curate(
+        spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
+    )
+    assert stats2 == {k: v for k, v in stats.items()}
+    a = seg1.toPandas().sort_values(["source", "shard", "seq_id", "doc_id",
+                                     "tok_start"]).reset_index(drop=True)
+    b = seg2.toPandas().sort_values(["source", "shard", "seq_id", "doc_id",
+                                     "tok_start"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_curation_job_cli(spark, tmp_path, capsys):
+    docs = _corpus(spark)
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated")
+    rc = main([
+        "--input", inp, "--output", out,
+        "--seq-len", "32", "--pack-shards", "2",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 66 and stats["sequences"] > 0
+    seg = spark.read.parquet(f"{out}/segments")
+    assert seg.count() == stats["segments"]
+    # partition layout: shard directories exist for pruned reads
+    assert "shard" in seg.columns
+    addr = spark.read.parquet(f"{out}/addresses")
+    assert addr.count() == stats["sequences"]
