@@ -158,3 +158,40 @@ def test_media_real_plan_is_single_python_pass(spark):
                                         use_real_codecs=True))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_curation_plan_shapes(spark, tmp_path_factory):
+    """Curation operators' 100 TB contracts, plan-gated:
+    pack_sequences = exactly ONE exchange on (source, shard) carrying
+    token COUNTS (the text column must be projected away before the
+    shuffle); source_mix and pii_redact are map-side only (zero
+    exchange); global_shuffle is exactly one exchange."""
+    import pyspark.sql.functions as F
+
+    from pyhctsa_spark.operators.curation import (
+        global_shuffle,
+        pack_sequences,
+        pii_redact,
+        source_mix,
+    )
+
+    path = str(tmp_path_factory.mktemp("cur") / "docs")
+    spark.createDataFrame(
+        [(i, "w " * 20, f"src{i % 3}") for i in range(50)],
+        "doc_id long, text string, source string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    pack = _plan(pack_sequences(docs, 64, 4))
+    assert pack.count("Exchange hashpartitioning") == 1
+    # the shuffle row must not carry the document text: the exchange's
+    # input projection is [source, shard, doc_id, n_tok]
+    exchange_input = pack.split("Exchange hashpartitioning", 1)[0]
+    assert "n_tok" in exchange_input and "text" not in exchange_input.split(
+        "Scan parquet", 1
+    )[0]
+
+    assert "Exchange" not in _plan(source_mix(docs, F.lit(0.5)))
+    assert "Exchange" not in _plan(pii_redact(docs))
+    shuf = _plan(global_shuffle(docs, 8))
+    assert shuf.count("Exchange hashpartitioning") == 1
