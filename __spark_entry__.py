@@ -444,10 +444,10 @@ def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8x8 variant stays available as the high-recall tier). The oracle
     recomputes identical fingerprints from md5 nibbles and does the
     exhaustive hamming join."""
-    from pyhctsa_spark.operators.dedup import simhash_md5, simhash_near_pairs_2x32
+    from pyhctsa_spark.operators.dedup import simhash_near_pairs_collapsed
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs_2x32(simhash_md5(docs), max_hamming=3)
+    return simhash_near_pairs_collapsed(docs, max_hamming=3)
 
 
 def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:

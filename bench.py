@@ -207,8 +207,7 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
 
     from pyhctsa_spark.operators.dedup import (
         minhash_verified_pairs,
-        simhash_md5,
-        simhash_near_pairs_2x32,
+        simhash_near_pairs_collapsed,
     )
     from pyhctsa_spark.operators.rollup import rollup_tiers
 
@@ -249,7 +248,7 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     out["minhash10_sec"] = round(time.perf_counter() - t0, 3)
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    simhash_near_pairs_2x32(simhash_md5(big), max_hamming=3).write.format(
+    simhash_near_pairs_collapsed(big, max_hamming=3).write.format(
         "noop"
     ).mode("overwrite").save()
     out["simhash10_sec"] = round(time.perf_counter() - t0, 3)

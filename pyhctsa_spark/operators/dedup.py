@@ -498,6 +498,58 @@ def simhash_near_pairs_2x32(
     )
 
 
+def simhash_near_pairs_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """``simhash_near_pairs_2x32`` with an exact-duplicate pre-collapse:
+    bit-identical output on any corpus, dramatically cheaper on
+    crawl-shaped ones. The SimHash fingerprint is a pure function of the
+    text, so the k copies of a page share one fingerprint — computing it
+    k times and letting k identical fingerprints meet in every blocking
+    bucket (a k^2 candidate blowup per duplicate group) buys nothing.
+    Instead: elect one representative per distinct content
+    (_rep_election — the same convention as the MinHash collapse), run
+    the fingerprint + blocked self-join over representatives only, then
+    expand — within-group pairs at hamming 0 (identical text), and
+    cross-group member pairs inheriting their representatives' hamming
+    (identical fingerprints ⇒ identical distances)."""
+    with_rep = _rep_election(
+        df.select(F.col(id_col), F.col(text_col)), text_col, id_col
+    )
+    members = with_rep.select("_rep", F.col(id_col).alias("_m"))
+    reps = with_rep.where(F.col(id_col) == F.col("_rep")).select(
+        id_col, text_col
+    )
+    rep_pairs = simhash_near_pairs_2x32(
+        simhash_md5(reps, text_col, id_col), id_col, max_hamming, n_chunks
+    )
+    m1 = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("m1"))
+    m2 = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "id_a").join(m2, "id_b")
+        .select(
+            F.least("m1", "m2").alias("id_a"),
+            F.greatest("m1", "m2").alias("id_b"),
+            "hamming",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep"))
+               & (F.col("x._m") < F.col("y._m")))
+        .select(
+            F.col("x._m").alias("id_a"),
+            F.col("y._m").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: bit j of the fingerprint is the
     majority vote of bit j across xxhash64(word).

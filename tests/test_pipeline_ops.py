@@ -752,3 +752,28 @@ def test_streaming_chunked_rollup_out_of_order_and_duplicates(
     )
     pd.testing.assert_frame_equal(got.round(9), want.round(9))
     chunks.unpersist()
+
+
+def test_simhash_collapse_is_invisible(spark, docs):
+    """simhash_near_pairs_collapsed must give the IDENTICAL
+    (id_a, id_b, hamming) set as the naive fingerprint-everything
+    pipeline on a corpus with planted exact triplicates (the SimHash
+    fingerprint is a pure function of the text, so rep expansion is
+    lossless)."""
+    from pyhctsa_spark.operators.dedup import (
+        simhash_md5,
+        simhash_near_pairs_2x32,
+        simhash_near_pairs_collapsed,
+    )
+
+    base = docs.limit(40)
+    trip1 = base.limit(6).withColumn("doc_id", F.col("doc_id") + 100000)
+    trip2 = base.limit(6).withColumn("doc_id", F.col("doc_id") + 200000)
+    corpus = base.unionByName(trip1).unionByName(trip2)
+    a = simhash_near_pairs_collapsed(corpus, max_hamming=3).toPandas()
+    b = simhash_near_pairs_2x32(simhash_md5(corpus), max_hamming=3).toPandas()
+    ka = set(map(tuple, a[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    kb = set(map(tuple, b[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    assert ka == kb and len(ka) > 0
+    # the planted triplicates appear as hamming-0 pairs
+    assert (0, 100000, 0) in ka and (0, 200000, 0) in ka
