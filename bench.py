@@ -262,6 +262,22 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
         "overwrite"
     ).save()
     out["neardup_clusters10_sec"] = round(time.perf_counter() - t0, 3)
+    # the full curation funnel (quality -> near-dup collapse -> passage
+    # dedup -> PII -> mix -> pack -> shuffle) end-to-end on the same 10x
+    # corpus — the number a pipeline owner actually plans around
+    from jobs.curation_job import curate
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    segments, addresses, cstats = curate(
+        spark, big, seq_len=2048, pack_shards=8, shuffle_shards=8
+    )
+    addresses.write.format("noop").mode("overwrite").save()
+    out["curation10_sec"] = round(time.perf_counter() - t0, 3)
+    out["curation10_docs_kept"] = int(cstats["after_mix"])
+    out["curation10_tokens_packed"] = int(cstats["tokens_packed"])
+    out["curation10_sequences"] = int(cstats["sequences"])
+    segments.unpersist()
     return out
 
 

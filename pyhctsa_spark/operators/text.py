@@ -130,12 +130,20 @@ def repetition_score(
     two partial-aggregations; shuffle volume = distinct shingles per
     doc. Mirrors plans/oracle_queries.QUERIES['doc_repetition']."""
 
-    ws = F.split(F.col(text_col), " ")
+    # materialize the split ONCE as a named column: an expression object
+    # reused inside a higher-order-function lambda is INLINED and
+    # re-evaluated per element (n_positions x n words re-splits per doc
+    # — measured 20x+ on this function), while a non-cheap multiply-
+    # referenced alias is a projection barrier CollapseProject keeps
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).persist()
+    ws = F.col("_ws")
 
     def shingled(n: int):
         # guard BEFORE the transform: sequence(0, negative) descends and
         # element_at reads out-of-bounds indices under ANSI mode
-        return df.where(F.size(ws) >= n).select(
+        return words.where(F.size(ws) >= n).select(
             F.col(id_col),
             F.explode(
                 F.transform(
