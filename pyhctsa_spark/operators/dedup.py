@@ -40,14 +40,6 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _shingles(text_col: str, k: int):
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - k)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]))
-    )
-
-
 def _shingle_df(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:

@@ -199,19 +199,23 @@ def contamination_check(
     """
 
     def ngrams(df: DataFrame) -> DataFrame:
-        words = F.split(F.col(text_col), " ")
+        # split materialized as a column before the transform references
+        # it per element — an inlined expression object would re-split
+        # the text once per element_at (the projection-barrier rule)
+        words = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+        ).where(F.size("_w") >= ngram_n)
         sh = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - ngram_n),
+                F.sequence(F.lit(0), F.size("_w") - ngram_n),
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + k + 1) for k in range(ngram_n)]
+                    " ",
+                    *[F.element_at(F.col("_w"), i + k + 1)
+                      for k in range(ngram_n)],
                 ),
             )
         )
-        return (
-            df.where(F.size(words) >= ngram_n)
-            .select(F.col(id_col), F.explode(sh).alias("ng"))
-        )
+        return words.select(F.col(id_col), F.explode(sh).alias("ng"))
 
     ev = F.broadcast(ngrams(eval_df).select("ng").distinct())
     hits = (
