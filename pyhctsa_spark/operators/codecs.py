@@ -4,10 +4,11 @@ These are real, spec-derived parsers — RIFF/WAVE PCM audio, binary
 netpbm images (P5/P6), BI_RGB Windows bitmaps, and multi-image netpbm
 streams (the netpbm spec allows concatenated images in one file, which
 serves as an honest uncompressed "video" container). They make the
-multimodal pipeline genuinely end-to-end for uncompressed payloads; the
-NotImplementedError boundary now covers only COMPRESSED codecs
-(JPEG/PNG/MP3/H.264 — Pillow/soundfile/pyav territory on a real
-cluster).
+multimodal pipeline genuinely end-to-end for uncompressed payloads.
+Compressed LOSSLESS image formats (PNG, GIF) are decoded in-repo too —
+see codecs_compressed.py (stdlib zlib + pure-numpy unfiltering / LZW).
+The NotImplementedError boundary now covers only lossy/complex codecs
+(JPEG/MP3/H.264 — Pillow/soundfile/pyav territory on a real cluster).
 
 Format references (public specs):
 - WAVE: RIFF chunks 'fmt ' + 'data'; PCM int8(unsigned)/int16/int32 LE
@@ -243,8 +244,8 @@ _REGISTRY: dict[str, list[tuple[str, object, object]]] = {
 _HINTS = {
     "audio": "compressed audio (mp3/ogg/flac...) needs the soundfile "
              "adapter (pip soundfile + libsndfile) on the cluster",
-    "image": "compressed images (jpeg/png/webp...) need the Pillow "
-             "adapter on the cluster",
+    "image": "lossy/exotic compressed images (jpeg/webp...) need the "
+             "Pillow adapter on the cluster (png/gif decode in-repo)",
     "video": "compressed video (h264/vp9...) needs the pyav/ffmpeg "
              "adapter on the cluster",
 }
@@ -280,6 +281,19 @@ register_codec("image", "pnm", lambda p: p[:2] in (b"P5", b"P6"), decode_ppm)
 register_codec("image", "bmp", lambda p: p[:2] == b"BM", decode_bmp)
 register_codec("video", "pnm-stream", lambda p: p[:2] == b"P6",
                decode_ppm_stream)
+
+# in-repo COMPRESSED tier: spec-derived PNG (zlib scanlines, filters
+# 0-4, Adam7) and GIF (LZW) decoders — pure numpy + stdlib zlib, no
+# Pillow. Variants they reject (NotImplementedError) fall through to
+# the Pillow adapter when it is registered below.
+from pyhctsa_spark.operators.codecs_compressed import (  # noqa: E402
+    PNG_SIG, decode_gif, decode_gif_frames, decode_png,
+)
+
+register_codec("image", "png", lambda p: p[:8] == PNG_SIG, decode_png)
+register_codec("image", "gif", lambda p: p[:4] == b"GIF8", decode_gif)
+register_codec("video", "gif-frames", lambda p: p[:4] == b"GIF8",
+               decode_gif_frames)
 
 _OPTIONAL_DONE = False
 
@@ -360,9 +374,18 @@ def sniff_and_decode(payload: bytes, modality: str) -> np.ndarray:
         raise ValueError(f"unknown modality {modality}")
     if not _OPTIONAL_DONE:
         register_optional_codecs()
+    last_ni: NotImplementedError | None = None
     for _name, sniff, decode in _REGISTRY[modality]:
         if sniff(payload):
-            return decode(payload)
+            try:
+                return decode(payload)
+            except NotImplementedError as e:
+                # a codec recognized the container but not this variant
+                # (e.g. an exotic PNG ancillary feature) — let a later
+                # registered codec (Pillow adapter) try.
+                last_ni = e
+    if last_ni is not None:
+        raise last_ni
     raise NotImplementedError(
         f"{_HINTS[modality]} (registered: {registered_codecs(modality)})"
     )

@@ -91,8 +91,9 @@ def test_ppm_stream_video():
 def test_compressed_boundaries_raise():
     # this container has Pillow/soundfile/pyav absent, so the typed
     # boundary must fire even after the optional-adapter ensure pass
+    # (PNG/GIF now decode in-repo — JPEG is the remaining image boundary)
     with pytest.raises(NotImplementedError):
-        C.sniff_and_decode(b"\x89PNG\r\n\x1a\n", "image")
+        C.sniff_and_decode(b"\xff\xd8\xff\xe0fakejpeg", "image")
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"ID3\x04...", "audio")
     with pytest.raises(NotImplementedError):
