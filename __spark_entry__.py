@@ -545,6 +545,32 @@ def _media_real_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_compressed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-codec multimodal decode end-to-end: PNG (RGB / gray /
+    palette, rotating filters + Adam7) and GIF (incl. interlaced and
+    multi-frame video) payloads decoded by the in-repo pure-numpy +
+    stdlib-zlib codecs (operators/codecs_compressed.py) — no Pillow.
+    Both formats are lossless, so the oracle golden
+    (scripts/gen_media_compressed_golden.py) recomputes the features
+    from spec-side content with zero engine imports. n_bytes is
+    excluded: compressed lengths have no closed form."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.multimodal import (
+        extract_media_features,
+        synth_compressed_media_df,
+    )
+
+    feats = extract_media_features(
+        synth_compressed_media_df(spark, 48), use_real_codecs=True
+    )
+    flat = [F.round(F.col("feat")[i], 6).alias(f"feat_{i}") for i in range(8)]
+    return feats.select(
+        "media_id", "modality",
+        _f6("mean"), _f6("std"), _f6("p01"), _f6("p99"), *flat,
+    )
+
+
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hctsa-style feature-matrix extraction through the registry path
     (plans/registry.FeatureSet -> operators/features.extract_features)
@@ -1039,6 +1065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = _media_features_query
     out["media_frames"] = _media_frames_query
     out["media_real_decode"] = _media_real_query
+    # round-5 addition: in-repo PNG/GIF decode (compressed lossless
+    # formats, no Pillow) through the same decode->featurize pipeline
+    out["media_compressed_decode"] = _media_compressed_query
     out["doc_token_count_bpe_real"] = _bpe_real_query
     out["feature_matrix"] = _feature_matrix_query
     # Incremental continuous-aggregate refresh (operators/cagg.py):

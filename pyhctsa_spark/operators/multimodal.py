@@ -90,6 +90,67 @@ def synth_real_media_df(spark, n: int = 32, partitions: int = 4) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_compressed_media_df(spark, n: int = 32, partitions: int = 4) -> DataFrame:
+    """Deterministic media table with COMPRESSED payloads decodable by
+    the in-repo spec codecs: PNG (RGB / gray / palette, rotating filter
+    types and Adam7 interlace) and GIF (global color table, optional
+    interlace) images, multi-frame GIF video, 16-bit PCM WAV audio.
+
+    Content arrays are drawn from ``default_rng(3000 + i)`` in a fixed
+    call order; because PNG and GIF are lossless, the decoded output
+    equals that content exactly — which is what lets the golden oracle
+    (scripts/gen_media_compressed_golden.py) recompute features from
+    the SPEC-side content without importing the engine."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyhctsa_spark.operators.codecs import encode_wav
+        from pyhctsa_spark.operators.codecs_compressed import (
+            encode_gif,
+            encode_png,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(3000 + i)
+                modality = ["image", "audio", "video"][i % 3]
+                if modality == "image":
+                    variant = (i // 3) % 4
+                    if variant == 0:  # PNG RGB
+                        img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                        payload = encode_png(img, filter_type=(i // 12) % 5,
+                                             interlace=(i // 6) % 2 == 1)
+                    elif variant == 1:  # PNG grayscale, Paeth
+                        img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+                        payload = encode_png(img, filter_type=4)
+                    elif variant == 2:  # PNG palette
+                        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+                        idx = rng.integers(0, 16, (8, 8), dtype=np.uint8)
+                        payload = encode_png(idx, palette=pal)
+                    else:  # GIF
+                        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+                        idx = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+                        payload = encode_gif(idx, pal, interlace=i % 2 == 1)
+                    meta = {"width": "8", "height": "8", "channels": "3"}
+                elif modality == "audio":
+                    x = np.sin(np.linspace(0, 20 + i, 256)) * 0.5
+                    x += rng.standard_normal(256) * 0.05
+                    payload = encode_wav(np.clip(x, -1, 1), 16000)
+                    meta = {"sample_rate": "16000", "n_samples": "256"}
+                else:  # multi-frame GIF video
+                    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+                    frames = rng.integers(0, 256, (4, 8, 8), dtype=np.uint8)
+                    payload = encode_gif(frames, pal)
+                    meta = {"width": "8", "height": "8", "n_frames": "4"}
+                rows.append((f"c{i:06d}", modality, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-random content seeded by
     the payload bytes, shaped per metadata."""

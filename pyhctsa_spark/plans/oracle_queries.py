@@ -1943,6 +1943,13 @@ ENGINE_ORACLES["media_real_decode"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_real_48.parquet')
 """
 
+# PNG/GIF in-repo decode: golden recomputed from spec-side content by
+# scripts/gen_media_compressed_golden.py (losslessness makes decoded
+# output == generated content; no engine import in the generator).
+ENGINE_ORACLES["media_compressed_decode"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_compressed_48.parquet')
+"""
+
 # Full rollup schema at the flagship window=8 configuration (wlen
 # 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
 # rank arithmetic (pos = p*n + 0.5, linear interpolation between the
