@@ -571,6 +571,27 @@ def _media_compressed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wet_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET web-crawl ingestion (sources/warc.py): binaryFile scan
+    of the committed spec-derived .warc.wet.gz fixtures (one gzip
+    member per record, the Common Crawl layout) -> stream-parsed
+    conversion records, one task per archive, no shuffle. The oracle
+    golden is written by scripts/gen_wet_fixtures.py, which serializes
+    the archives with its OWN record writer (no engine import) — the
+    engine parser under test must reproduce it byte-exactly."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.sources.warc import read_wet
+
+    docs = read_wet(spark, "/root/repo/tests/fixtures/wet/*.warc.wet.gz")
+    return docs.select(
+        "doc_id", "url", "ts", "content_type", "n_bytes",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda x: x != "")).alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hctsa-style feature-matrix extraction through the registry path
     (plans/registry.FeatureSet -> operators/features.extract_features)
@@ -1065,9 +1086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = _media_features_query
     out["media_frames"] = _media_frames_query
     out["media_real_decode"] = _media_real_query
-    # round-5 addition: in-repo PNG/GIF decode (compressed lossless
-    # formats, no Pillow) through the same decode->featurize pipeline
+    # round-5 additions: in-repo PNG/GIF decode (compressed lossless
+    # formats, no Pillow) through the same decode->featurize pipeline,
+    # and WARC/WET crawl-archive ingestion (the Common Crawl format)
     out["media_compressed_decode"] = _media_compressed_query
+    out["wet_ingest"] = _wet_ingest_query
     out["doc_token_count_bpe_real"] = _bpe_real_query
     out["feature_matrix"] = _feature_matrix_query
     # Incremental continuous-aggregate refresh (operators/cagg.py):

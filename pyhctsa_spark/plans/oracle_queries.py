@@ -1950,6 +1950,13 @@ ENGINE_ORACLES["media_compressed_decode"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_compressed_48.parquet')
 """
 
+# WET crawl ingestion: archives AND golden are both written spec-side
+# by scripts/gen_wet_fixtures.py (its own serializer, no engine
+# import); the engine's parser must reproduce the golden exactly.
+ENGINE_ORACLES["wet_ingest"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/wet_ingest_90.parquet')
+"""
+
 # Full rollup schema at the flagship window=8 configuration (wlen
 # 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
 # rank arithmetic (pos = p*n + 0.5, linear interpolation between the
