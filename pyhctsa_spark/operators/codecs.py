@@ -295,6 +295,14 @@ register_codec("image", "gif", lambda p: p[:4] == b"GIF8", decode_gif)
 register_codec("video", "gif-frames", lambda p: p[:4] == b"GIF8",
                decode_gif_frames)
 
+# in-repo baseline JPEG (ITU-T T.81 sequential DCT) — progressive /
+# arithmetic variants raise NotImplementedError and fall through to
+# Pillow when present.
+from pyhctsa_spark.operators.codecs_jpeg import decode_jpeg  # noqa: E402
+
+register_codec("image", "jpeg", lambda p: p[:3] == b"\xff\xd8\xff",
+               decode_jpeg)
+
 _OPTIONAL_DONE = False
 
 

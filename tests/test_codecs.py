@@ -91,9 +91,12 @@ def test_ppm_stream_video():
 def test_compressed_boundaries_raise():
     # this container has Pillow/soundfile/pyav absent, so the typed
     # boundary must fire even after the optional-adapter ensure pass
-    # (PNG/GIF now decode in-repo — JPEG is the remaining image boundary)
+    # (PNG/GIF/baseline-JPEG now decode in-repo — PROGRESSIVE JPEG is
+    # the remaining image boundary: a minimal SOF2 stream)
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+            + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        C.sniff_and_decode(b"\xff\xd8\xff\xe0fakejpeg", "image")
+        C.sniff_and_decode(sof2, "image")
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"ID3\x04...", "audio")
     with pytest.raises(NotImplementedError):
@@ -114,7 +117,8 @@ def test_codec_registry_dispatch_and_removal():
         calls.append(len(p))
         return np.zeros((2, 2, 3), dtype=np.uint8)
 
-    C.register_codec("image", "fake-jpeg", sniff, decode)
+    # prepend: the in-repo baseline-JPEG codec also sniffs this magic
+    C.register_codec("image", "fake-jpeg", sniff, decode, prepend=True)
     try:
         out = C.sniff_and_decode(jpeg_magic, "image")
         assert out.shape == (2, 2, 3) and calls == [len(jpeg_magic)]
@@ -125,13 +129,18 @@ def test_codec_registry_dispatch_and_removal():
             C.sniff_and_decode(C.encode_ppm(img), "image"), img
         )
         # re-register replaces, never duplicates
-        C.register_codec("image", "fake-jpeg", sniff, decode)
+        C.register_codec("image", "fake-jpeg", sniff, decode, prepend=True)
         assert C.registered_codecs("image").count("fake-jpeg") == 1
     finally:
         C.unregister_codec("image", "fake-jpeg")
     assert "fake-jpeg" not in C.registered_codecs("image")
+    # with the adapter gone, a PROGRESSIVE stream hits the in-repo
+    # baseline decoder's typed boundary (and would fall through to
+    # Pillow on a real cluster)
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+            + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError, match="Pillow"):
-        C.sniff_and_decode(jpeg_magic, "image")
+        C.sniff_and_decode(sof2, "image")
 
 
 def test_optional_adapter_registration_reports_environment():
