@@ -1063,6 +1063,31 @@ def _passage_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup_stats(docs, block_words=8, max_dup_frac=0.5)
 
 
+def _lm_ppl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators/lm.py): train on the
+    trusted slice (source != 'src0'), broadcast the vocabulary-bounded
+    model, score every document's per-token NLL/perplexity — the
+    CCNet-style quality gate. Oracle replays the exact count+smoothing
+    arithmetic in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.lm import lm_perplexity, train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bi, ctx, v = train_bigram_lm(docs.where(F.col("source") != "src0"))
+    return lm_perplexity(docs, bi, ctx, v, alpha=0.5)
+
+
+def _dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-range train/val/test split
+    (curation.dataset_split): integer md5 thresholds, insertion-stable,
+    map-side only."""
+    from pyhctsa_spark.operators.curation import dataset_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dataset_split(docs).select("doc_id", "source", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -1149,6 +1174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_pii_redact"] = _pii_redact_query
     out["doc_global_shuffle"] = _global_shuffle_query
     out["doc_passage_dedup"] = _passage_dedup_query
+    # round-5 late additions: LM-perplexity quality gate + hash split
+    out["doc_lm_ppl"] = _lm_ppl_query
+    out["doc_split"] = _dataset_split_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -198,6 +198,50 @@ def global_shuffle(
     )
 
 
+def split_thresholds(
+    weights: tuple[tuple[str, float], ...]
+) -> list[tuple[str, int]]:
+    """Cumulative md5_u32 thresholds for ``dataset_split``: each split
+    owns the hash range [prev, floor(cum * 2^32)). Computed ONCE in
+    Python and compared as exact integers, so the engine and the DuckDB
+    oracle can never disagree on a float-boundary document."""
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, w in weights:
+        cum += float(w)
+        out.append((name, min(int(cum * 4294967296.0), 4294967296)))
+    out[-1] = (out[-1][0], 4294967296)  # last split absorbs rounding
+    return out
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split:",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is
+    decided by which cumulative-weight bucket its md5(salt || doc_id)
+    hash lands in. Reproducible across runs, retries, cluster sizes,
+    and INSERTIONS — adding documents later never reassigns an existing
+    one (the property a random shuffle-then-slice split lacks, and the
+    reason eval-set contamination audits want hash splits). Map-side
+    only: a pure projection, no shuffle.
+    """
+    u = md5_u32(F.col(doc_col), salt)
+    ths = split_thresholds(weights)
+    # fold from the last bucket down: each earlier threshold test wraps
+    # the previous expression, so the FIRST matching range wins
+    expr = F.lit(ths[-1][0])
+    for name, th in reversed(ths[:-1]):
+        expr = F.when(u < F.lit(th).cast("long"), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def passage_dedup_stats(
     df: DataFrame,
     block_words: int = 8,

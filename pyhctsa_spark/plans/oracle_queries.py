@@ -7687,3 +7687,59 @@ SELECT d.doc_id,
                 TRUE) AS keep
 FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
+
+# lm_perplexity (operators/lm.py): bigram LM trained on the trusted
+# slice (source <> 'src0'), add-0.5 smoothing over the context row,
+# every doc scored. Counts are exact integers and the smoothing
+# arithmetic is replayed term-for-term, so the only float work is
+# ln/exp of identical doubles (round(6) absorbs sum-order ulps).
+# DuckDB zips the two equal-length unnests positionally — the bigram
+# stream without structs.
+ENGINE_ORACLES["doc_lm_ppl"] = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_prepend('<s>', string_split(text, ' ')) AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source,
+         unnest(arr[1:len(arr) - 1]) AS w1,
+         unnest(arr[2:len(arr)])     AS w2
+  FROM tok
+),
+bi AS (
+  SELECT w1, w2, count(*) AS c_bi FROM bg
+  WHERE source <> 'src0' GROUP BY w1, w2
+),
+ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bi GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vs FROM bi),
+lp AS (
+  SELECT b.doc_id,
+         ln((CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) + 0.5)
+            / (CAST(COALESCE(ctx.c_ctx, 0) AS DOUBLE) + 0.5 * v.vs)) AS l
+  FROM bg b
+  LEFT JOIN bi  ON b.w1 = bi.w1 AND b.w2 = bi.w2
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-sum(l) / count(*), 6) AS nll,
+       round(exp(-sum(l) / count(*)), 6) AS ppl
+FROM lp GROUP BY doc_id
+"""
+
+# dataset_split (operators/curation.py): hash-range train/val/test.
+# Thresholds are the EXACT integers curation.split_thresholds emits for
+# (train .9, val .05, test .05) — cumulative float sums floored to the
+# 2^32 hash range once in Python (0.9 -> 3865470566,
+# 0.9 + 0.05 = 0.9500000000000001 -> 4080218931); the comparison is
+# pure integer, so no float boundary can split the engines.
+# tests/test_curation.py pins these literals to split_thresholds().
+ENGINE_ORACLES["doc_split"] = f"""
+SELECT doc_id, source,
+       CASE WHEN {_duck_md5_u32("doc_id", "split:")} < 3865470566 THEN 'train'
+            WHEN {_duck_md5_u32("doc_id", "split:")} < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

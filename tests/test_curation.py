@@ -127,3 +127,40 @@ def test_passage_dedup_flags_planted_duplicates(spark):
     assert out[2]["dup_frac"] == 0.0 and out[2]["keep"]
     # short doc: no complete block -> NULL stats, kept
     assert out[3]["n_blocks"] == 0 and out[3]["dup_frac"] is None and out[3]["keep"]
+
+
+def test_split_thresholds_pin_oracle_literals():
+    # the integers embedded in ENGINE_ORACLES["doc_split"] — if the
+    # default weights or the threshold arithmetic change, the oracle SQL
+    # must change with them
+    from pyhctsa_spark.operators.curation import split_thresholds
+
+    ths = split_thresholds((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    assert ths == [
+        ("train", 3865470566),
+        ("val", 4080218931),
+        ("test", 4294967296),
+    ]
+
+
+def test_dataset_split_proportions_and_insertion_stability(spark, docs):
+    from pyhctsa_spark.operators.curation import dataset_split
+
+    big = _docs(spark, 400)
+    got = dataset_split(big).select("doc_id", "split").toPandas()
+    frac = got["split"].value_counts(normalize=True)
+    assert 0.84 < frac["train"] < 0.96
+    assert set(got["split"]) == {"train", "val", "test"}
+    # insertion stability: splitting a SUBSET assigns identical labels
+    sub = dataset_split(big.where(F.col("doc_id") < 100)).select(
+        "doc_id", "split"
+    ).toPandas()
+    merged = sub.merge(got, on="doc_id", suffixes=("_sub", "_all"))
+    assert (merged["split_sub"] == merged["split_all"]).all()
+
+
+def test_dataset_split_is_map_side_only(spark, docs):
+    from pyhctsa_spark.operators.curation import dataset_split
+
+    plan = dataset_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
