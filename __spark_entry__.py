@@ -571,6 +571,30 @@ def _media_compressed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED TELEPHONY AUDIO decode end-to-end: G.711 mu-law/A-law
+    and mono IMA ADPCM WAVE payloads decoded by the in-repo spec codecs
+    (operators/codecs.py expansion tables + ADPCM state machine). The
+    oracle golden (scripts/gen_media_audio_golden.py) replays both
+    algorithms from the published specs with independent scalar code —
+    no engine import."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.multimodal import (
+        extract_media_features,
+        synth_g711_media_df,
+    )
+
+    feats = extract_media_features(
+        synth_g711_media_df(spark, 24), use_real_codecs=True
+    )
+    flat = [F.round(F.col("feat")[i], 6).alias(f"feat_{i}") for i in range(8)]
+    return feats.select(
+        "media_id", "modality", "n_bytes",
+        _f6("mean"), _f6("std"), _f6("p01"), _f6("p99"), *flat,
+    )
+
+
 def _wet_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET web-crawl ingestion (sources/warc.py): binaryFile scan
     of the committed spec-derived .warc.wet.gz fixtures (one gzip
@@ -1174,9 +1198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_pii_redact"] = _pii_redact_query
     out["doc_global_shuffle"] = _global_shuffle_query
     out["doc_passage_dedup"] = _passage_dedup_query
-    # round-5 late additions: LM-perplexity quality gate + hash split
+    # round-5 late additions: LM-perplexity quality gate, hash split,
+    # G.711/ADPCM compressed-audio decode
     out["doc_lm_ppl"] = _lm_ppl_query
     out["doc_split"] = _dataset_split_query
+    out["media_audio_compressed"] = _media_audio_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -52,7 +52,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
-    (audio_fmt, n_ch, rate, _br, _ba, bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    (audio_fmt, n_ch, rate, _br, block_align, bits) = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
@@ -66,6 +68,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif audio_fmt == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         x = np.frombuffer(data, dtype=dt).astype(np.float32)
+    elif audio_fmt == 6:  # G.711 A-law
+        codes = np.frombuffer(data, dtype=np.uint8)
+        x = ALAW_TABLE[codes].astype(np.float32) / 32768.0
+    elif audio_fmt == 7:  # G.711 mu-law
+        codes = np.frombuffer(data, dtype=np.uint8)
+        x = ULAW_TABLE[codes].astype(np.float32) / 32768.0
+    elif audio_fmt == 17:  # IMA/DVI ADPCM
+        if n_ch != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM")
+        x = _ima_adpcm_decode_stream(data, block_align).astype(
+            np.float32
+        ) / 32768.0
     else:
         raise NotImplementedError(
             f"compressed WAVE format tag {audio_fmt} needs a real codec"
@@ -88,6 +102,146 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     if len(data) & 1:
         body += b"\0"
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# ---------------------------------------------------------------------------
+# Compressed telephony audio: G.711 mu-law / A-law and IMA/DVI ADPCM
+# ---------------------------------------------------------------------------
+# Spec-derived (ITU-T G.711 segmented companding; IMA ADPCM per the
+# IMA Digital Audio Focus Group algorithm, WAVE format tag 0x11). The
+# expansion tables are built from the companding formulas at import —
+# 256 codewords each — and indexing a numpy table decodes a whole
+# payload vectorized.
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """mu-law codeword -> linear int16: invert the G.711 mu-law
+    compressor (bias 0x84, 8 segments, sign-magnitude, transmitted
+    complemented)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = ((mant << 3) + 0x84) << exp
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """A-law codeword -> linear int16: invert the G.711 A-law
+    compressor (even bits inverted on the wire, 0x55 mask; sign bit SET
+    means positive)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    base = t + 0x108
+    shifted = np.left_shift(base, np.clip(seg - 1, 0, 6))
+    mag = np.where(seg == 0, t + 8, np.where(seg == 1, base, shifted))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+ULAW_TABLE = _build_ulaw_table()
+ALAW_TABLE = _build_alaw_table()
+
+# IMA ADPCM quantizer step sizes (89 entries) and index adaptation.
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def ima_adpcm_decode_block(
+    data: bytes, predictor: int, index: int
+) -> np.ndarray:
+    """Decode one IMA ADPCM block body (nibble pairs, low nibble first)
+    from an initial (predictor, step index) state. Emits the header
+    predictor as the block's first sample, then one sample per nibble —
+    the WAVE tag-0x11 convention."""
+    index = max(0, min(88, int(index)))
+    predictor = int(predictor)
+    out = np.empty(1 + 2 * len(data), dtype=np.int16)
+    out[0] = predictor
+    k = 1
+    for byte in data:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = int(_IMA_STEP[index])
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            predictor = predictor - diff if nib & 8 else predictor + diff
+            predictor = max(-32768, min(32767, predictor))
+            index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+            out[k] = predictor
+            k += 1
+    return out
+
+
+def _ima_adpcm_decode_stream(data: bytes, block_align: int) -> np.ndarray:
+    """Decode a mono IMA ADPCM 'data' chunk: independent blocks of
+    ``block_align`` bytes, each starting with a 4-byte state header
+    (int16 predictor, uint8 step index, reserved)."""
+    if block_align < 5:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    parts = []
+    for pos in range(0, len(data), block_align):
+        block = data[pos : pos + block_align]
+        if len(block) < 4:
+            break  # trailing ragged bytes cannot hold a state header
+        predictor, index = struct.unpack_from("<hB", block, 0)
+        parts.append(ima_adpcm_decode_block(block[4:], predictor, index))
+    if not parts:
+        return np.empty(0, dtype=np.int16)
+    return np.concatenate(parts)
+
+
+def _wav_container(fmt_tag: int, n_ch: int, rate: int, block_align: int,
+                   bits: int, data: bytes) -> bytes:
+    byte_rate = rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, n_ch, rate, byte_rate, block_align, bits
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\0"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_wav_g711(codewords: np.ndarray, law: str = "ulaw",
+                    sample_rate: int = 8000) -> bytes:
+    """Wrap raw G.711 codeword bytes in a WAVE container (format tag 7
+    for mu-law, 6 for A-law) — the fixture builder for compressed-audio
+    tests (content is specified as codewords, so the expected linear
+    samples are exactly the expansion-table entries)."""
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    data = np.asarray(codewords, dtype=np.uint8).tobytes()
+    return _wav_container(tag, 1, sample_rate, 1, 8, data)
+
+
+def encode_wav_ima_adpcm(
+    blocks: list[tuple[int, int, bytes]],
+    block_align: int = 256,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Wrap pre-built IMA ADPCM blocks [(predictor, step_index,
+    nibble_bytes)] in a WAVE container (format tag 0x11, mono). Each
+    block body must be exactly ``block_align`` - 4 bytes."""
+    data = bytearray()
+    for predictor, index, body in blocks:
+        if len(body) != block_align - 4:
+            raise ValueError("ADPCM block body must fill block_align - 4")
+        data += struct.pack("<hBB", int(predictor), int(index), 0)
+        data += body
+    return _wav_container(0x11, 1, sample_rate, block_align, 4, bytes(data))
 
 
 # ---------------------------------------------------------------------------

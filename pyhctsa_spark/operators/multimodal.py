@@ -151,6 +151,55 @@ def synth_compressed_media_df(spark, n: int = 32, partitions: int = 4) -> DataFr
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_g711_media_df(spark, n: int = 24, partitions: int = 4) -> DataFrame:
+    """Deterministic media table with COMPRESSED TELEPHONY AUDIO
+    payloads: G.711 mu-law (WAVE tag 7), G.711 A-law (tag 6), and mono
+    IMA ADPCM (tag 0x11) rotating by item — all decoded by the in-repo
+    spec codecs (operators/codecs.py).
+
+    Content is specified at the CODEWORD level, drawn from
+    ``default_rng(7000 + i)`` in a fixed call order, so the exact
+    decoded samples follow from the G.711 expansion tables / the IMA
+    update rule alone — which lets the golden oracle
+    (scripts/gen_media_audio_golden.py) replay the decode from its own
+    independent spec implementation, no engine import."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyhctsa_spark.operators.codecs import (
+            encode_wav_g711,
+            encode_wav_ima_adpcm,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(7000 + i)
+                kind = i % 3
+                if kind < 2:
+                    codes = rng.integers(0, 256, 320).astype(np.uint8)
+                    law = "ulaw" if kind == 0 else "alaw"
+                    payload = encode_wav_g711(codes, law, 8000)
+                    meta = {"sample_rate": "8000", "n_samples": "320",
+                            "codec": law}
+                else:
+                    predictor = int(rng.integers(-8000, 8000))
+                    index = int(rng.integers(0, 89))
+                    body = rng.integers(0, 256, 252).astype(np.uint8).tobytes()
+                    payload = encode_wav_ima_adpcm(
+                        [(predictor, index, body)], block_align=256,
+                        sample_rate=8000,
+                    )
+                    meta = {"sample_rate": "8000", "n_samples": "505",
+                            "codec": "ima_adpcm"}
+                rows.append((f"g{i:06d}", "audio", payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-random content seeded by
     the payload bytes, shaped per metadata."""

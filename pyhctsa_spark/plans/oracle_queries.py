@@ -7743,3 +7743,12 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """
+
+# media_audio_compressed: golden parquet written by
+# scripts/gen_media_audio_golden.py — an INDEPENDENT scalar
+# implementation of the G.711 mu-law/A-law expansion and the IMA ADPCM
+# state machine from the published specs (no engine import); container
+# sizes are closed-form RIFF arithmetic.
+ENGINE_ORACLES["media_audio_compressed"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_audio_24.parquet')
+"""

@@ -263,3 +263,107 @@ def test_hyp_video_stream_round_trips(f, h, w, seed):
         0, 256, (f, h, w, 3), dtype=np.uint8)
     assert np.array_equal(
         C.decode_ppm_stream(C.encode_ppm_stream(frames)), frames)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law and IMA ADPCM (compressed telephony audio)
+# ---------------------------------------------------------------------------
+
+def test_g711_tables_match_published_values():
+    from pyhctsa_spark.operators.codecs import ALAW_TABLE, ULAW_TABLE
+
+    # canonical spot values from the ITU-T G.711 tables
+    assert ULAW_TABLE[0x00] == -32124 and ULAW_TABLE[0x80] == 32124
+    assert ULAW_TABLE[0xFF] == 0 and ULAW_TABLE[0x7F] == 0
+    assert ALAW_TABLE[0x55] == -8 and ALAW_TABLE[0xD5] == 8
+    assert ALAW_TABLE[0x2A] == -32256 and ALAW_TABLE[0xAA] == 32256
+    # both tables are odd-symmetric under the sign bit
+    import numpy as np
+    u = np.arange(128)
+    assert (ULAW_TABLE[u] == -ULAW_TABLE[u | 0x80]).all()
+    assert (ALAW_TABLE[u] == -ALAW_TABLE[u | 0x80]).all()
+
+
+def test_g711_wav_roundtrip_and_registry_dispatch():
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import (
+        ALAW_TABLE, ULAW_TABLE, decode_wav, encode_wav_g711,
+        sniff_and_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 256, 320).astype(np.uint8)
+    for law, table in (("ulaw", ULAW_TABLE), ("alaw", ALAW_TABLE)):
+        payload = encode_wav_g711(codes, law, 8000)
+        x, rate = decode_wav(payload)
+        assert rate == 8000
+        assert np.array_equal(x, table[codes].astype(np.float32) / 32768.0)
+        # the registry routes compressed-WAV through the same wav codec
+        assert np.array_equal(sniff_and_decode(payload, "audio"), x)
+
+
+def test_ima_adpcm_decode_known_sequence():
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import ima_adpcm_decode_block
+
+    # hand-replayed: predictor 0, index 0 (step 7)
+    # nibble 0x0 -> diff 0 (7>>3), predictor 0, index -1 -> 0
+    # nibble 0x7 -> diff 0+7+3+1=11 wait: step>>3=0; |4 adds 7; |2 adds 3;
+    #   |1 adds 1 -> 11? exact replay below
+    out = ima_adpcm_decode_block(bytes([0x70]), 0, 0)
+    # byte 0x70: low nibble 0 first, then high nibble 7
+    step = 7
+    d0 = step >> 3                         # nibble 0 -> +0
+    d7 = (step >> 3) + step + (step >> 1) + (step >> 2)   # nibble 7
+    assert list(out) == [0, d0, d0 + d7]
+
+
+def test_ima_adpcm_saturates_and_clamps_index():
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import ima_adpcm_decode_block
+
+    # all-positive max nibbles from a high predictor must clamp at 32767
+    out = ima_adpcm_decode_block(b"\x77" * 40, 32000, 88)
+    assert out.max() == 32767
+    # all-negative max nibbles must clamp at -32768
+    out = ima_adpcm_decode_block(b"\xff" * 40, -32000, 88)
+    assert out.min() == -32768
+
+
+def test_adpcm_wav_container_roundtrip():
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import (
+        decode_wav, encode_wav_ima_adpcm, ima_adpcm_decode_block,
+    )
+
+    rng = np.random.default_rng(12)
+    blocks = []
+    for b in range(3):
+        blocks.append((
+            int(rng.integers(-8000, 8000)),
+            int(rng.integers(0, 89)),
+            rng.integers(0, 256, 252).astype(np.uint8).tobytes(),
+        ))
+    payload = encode_wav_ima_adpcm(blocks, block_align=256, sample_rate=8000)
+    x, rate = decode_wav(payload)
+    want = np.concatenate([
+        ima_adpcm_decode_block(body, p, i) for p, i, body in blocks
+    ]).astype(np.float32) / 32768.0
+    assert rate == 8000 and np.array_equal(x, want)
+    assert len(x) == 3 * (1 + 2 * 252)
+
+
+def test_media_audio_golden_is_current():
+    # the committed golden parquet must equal a fresh spec-side replay
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/gen_media_audio_golden.py", "--check"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
