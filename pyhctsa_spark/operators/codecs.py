@@ -5,10 +5,12 @@ netpbm images (P5/P6), BI_RGB Windows bitmaps, and multi-image netpbm
 streams (the netpbm spec allows concatenated images in one file, which
 serves as an honest uncompressed "video" container). They make the
 multimodal pipeline genuinely end-to-end for uncompressed payloads.
-Compressed LOSSLESS image formats (PNG, GIF) are decoded in-repo too —
-see codecs_compressed.py (stdlib zlib + pure-numpy unfiltering / LZW).
-The NotImplementedError boundary now covers only lossy/complex codecs
-(JPEG/MP3/H.264 — Pillow/soundfile/pyav territory on a real cluster).
+Compressed formats decoded in-repo: PNG, GIF (codecs_compressed.py),
+baseline JPEG (codecs_jpeg.py), G.711 mu-law/A-law and IMA ADPCM audio
+(this file), and MJPEG-in-AVI video (this file, frames through the
+JPEG decoder). The NotImplementedError boundary now covers only
+perceptual/transform codecs (MP3/AAC/Vorbis, H.264/VP9, WebP,
+progressive JPEG — soundfile/pyav/Pillow territory on a real cluster).
 
 Format references (public specs):
 - WAVE: RIFF chunks 'fmt ' + 'data'; PCM int8(unsigned)/int16/int32 LE
@@ -381,6 +383,125 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI container with MJPEG frames (compressed video, in-repo)
+# ---------------------------------------------------------------------------
+# RIFF 'AVI ' layout: LIST hdrl (avih main header + per-stream LIST
+# strl with strh/strf), LIST movi holding '##dc'/'##db' frame chunks,
+# optional idx1. Motion-JPEG stores each frame as an independent
+# baseline JPEG, so the in-repo T.81 decoder (codecs_jpeg.py) makes
+# this a fully in-repo compressed VIDEO path. The container walk is
+# exact (chunk slicing is lossless); frame pixels carry baseline-JPEG
+# tolerance only.
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for each chunk in
+    payload[pos:end]; chunks are word-aligned per RIFF."""
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        yield cid, pos + 8, csize
+        pos += 8 + csize + (csize & 1)
+
+
+def avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Extract the raw JPEG payload of every stream-0 video frame chunk
+    ('00dc'/'00db') from an AVI container, in stream order."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        for cid, body, size in _riff_chunks(payload, pos, end):
+            if cid == b"LIST":
+                ltype = payload[body : body + 4]
+                if ltype in (b"movi", b"rec "):
+                    walk(body + 4, body + size)
+            elif cid in (b"00dc", b"00db"):
+                frames.append(payload[body : body + size])
+
+    walk(12, len(payload))
+    return frames
+
+
+def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """Decode an MJPEG AVI -> (n_frames, h, w[, 3]) uint8 stack via the
+    in-repo baseline-JPEG decoder. Frames must agree in shape."""
+    from pyhctsa_spark.operators.codecs_jpeg import decode_jpeg
+
+    raw = avi_mjpeg_frames(payload)
+    if not raw:
+        raise ValueError("AVI contains no stream-0 video frames")
+    frames = []
+    for f in raw:
+        if f[:3] != b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "AVI video stream is not MJPEG (non-JPEG frame chunk)"
+            )
+        frames.append(decode_jpeg(f))
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(f"inconsistent MJPEG frame shapes: {shapes}")
+    return np.stack(frames)
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, quality: int = 90, fps: int = 10
+) -> bytes:
+    """Encode a (n, h, w, 3) or (n, h, w) uint8 stack as an MJPEG AVI
+    (fixture encoder: minimal standards-shaped hdrl + movi + idx1)."""
+    from pyhctsa_spark.operators.codecs_jpeg import encode_jpeg
+
+    frames = np.asarray(frames)
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    blobs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_len = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1000000 // fps, 0, 0, 0x10, n, 0, 1,
+        max_len, w, h, 0, 0, 0, 0,
+    )
+    # strh: fccType fccHandler flags priority language initialFrames
+    # scale rate start length suggestedBufferSize quality sampleSize
+    # rcFrame(l, t, r, b) = 56 bytes
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_len, 0xFFFF, 0
+        )
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", b) for b in blobs)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (id, flags, offset from movi list type,
+    # size) — offsets point at the chunk header per convention
+    off = 4
+    idx_entries = []
+    for b in blobs:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # Pluggable codec registry
 # ---------------------------------------------------------------------------
 # Dispatch is an ordered (name, sniff, decode) list per modality. The
@@ -396,12 +517,14 @@ _REGISTRY: dict[str, list[tuple[str, object, object]]] = {
     "audio": [], "image": [], "video": [],
 }
 _HINTS = {
-    "audio": "compressed audio (mp3/ogg/flac...) needs the soundfile "
-             "adapter (pip soundfile + libsndfile) on the cluster",
-    "image": "lossy/exotic compressed images (jpeg/webp...) need the "
-             "Pillow adapter on the cluster (png/gif decode in-repo)",
-    "video": "compressed video (h264/vp9...) needs the pyav/ffmpeg "
-             "adapter on the cluster",
+    "audio": "perceptual compressed audio (mp3/ogg/flac...) needs the "
+             "soundfile adapter (pip soundfile + libsndfile) on the "
+             "cluster (PCM/G.711/ADPCM WAV decode in-repo)",
+    "image": "exotic compressed images (webp/progressive-jpeg...) need "
+             "the Pillow adapter on the cluster (png/gif/baseline-jpeg "
+             "decode in-repo)",
+    "video": "transform-coded video (h264/vp9...) needs the pyav/ffmpeg "
+             "adapter on the cluster (mjpeg-avi/gif decode in-repo)",
 }
 
 
@@ -456,6 +579,12 @@ from pyhctsa_spark.operators.codecs_jpeg import decode_jpeg  # noqa: E402
 
 register_codec("image", "jpeg", lambda p: p[:3] == b"\xff\xd8\xff",
                decode_jpeg)
+
+# in-repo compressed VIDEO: MJPEG frames in an AVI container (each
+# frame an independent baseline JPEG through codecs_jpeg).
+register_codec("video", "avi-mjpeg",
+               lambda p: p[:4] == b"RIFF" and p[8:12] == b"AVI ",
+               decode_avi_mjpeg)
 
 _OPTIONAL_DONE = False
 

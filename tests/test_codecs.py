@@ -367,3 +367,69 @@ def test_media_audio_golden_is_current():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (compressed video container, in-repo)
+# ---------------------------------------------------------------------------
+
+def _mjpeg_frames(n=4, size=16):
+    import numpy as np
+
+    base = np.linspace(0, 255, size * size).reshape(size, size)
+    gray = np.stack(
+        [np.clip(base + 10 * k, 0, 255) for k in range(n)]
+    ).astype(np.uint8)
+    return np.stack([np.stack([f, f, f], axis=-1) for f in gray])
+
+
+def test_avi_container_slicing_is_exact():
+    # the container walk must return the embedded JPEG blobs verbatim
+    from pyhctsa_spark.operators.codecs import avi_mjpeg_frames, encode_avi_mjpeg
+    from pyhctsa_spark.operators.codecs_jpeg import encode_jpeg
+
+    frames = _mjpeg_frames()
+    payload = encode_avi_mjpeg(frames, quality=95, fps=5)
+    assert avi_mjpeg_frames(payload) == [
+        encode_jpeg(f, quality=95) for f in frames
+    ]
+
+
+def test_avi_mjpeg_decode_matches_per_frame_jpeg():
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+    from pyhctsa_spark.operators.codecs_jpeg import decode_jpeg, encode_jpeg
+
+    frames = _mjpeg_frames()
+    out = decode_avi_mjpeg(encode_avi_mjpeg(frames, quality=95))
+    want = np.stack([decode_jpeg(encode_jpeg(f, quality=95)) for f in frames])
+    assert np.array_equal(out, want)
+    assert out.shape == (4, 16, 16, 3)
+    # smooth content at q95: near-lossless reconstruction
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 2
+
+
+def test_avi_registry_dispatch_and_boundaries():
+    import numpy as np
+    import pytest
+
+    from pyhctsa_spark.operators.codecs import (
+        decode_avi_mjpeg, encode_avi_mjpeg, sniff_and_decode,
+    )
+
+    payload = encode_avi_mjpeg(_mjpeg_frames())
+    assert np.array_equal(
+        sniff_and_decode(payload, "video"), decode_avi_mjpeg(payload)
+    )
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    # a non-JPEG frame chunk is the typed not-MJPEG boundary
+    import struct
+
+    fake = b"\x00" * 10
+    movi = b"LIST" + struct.pack("<I", 4 + 8 + len(fake)) + b"movi" \
+        + b"00dc" + struct.pack("<I", len(fake)) + fake
+    avi = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(avi)
