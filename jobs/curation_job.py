@@ -4,6 +4,9 @@
       -> quality filter        (operators/text.quality_filter)
       -> near-dup collapse     (operators/dedup.near_dup_clusters,
                                 keep the min-id doc per cluster)
+      -> LM perplexity gate    (operators/lm.lm_quality_filter,
+                                optional: --max-ppl; self-trained on
+                                the deduplicated survivors, CCNet-style)
       -> passage-level dedup   (operators/curation.passage_dedup_stats)
       -> PII redaction         (operators/curation.pii_redact)
       -> weighted source mix   (operators/curation.source_mix)
@@ -44,6 +47,7 @@ def curate(
     docs,
     *,
     threshold: float = 0.3,
+    max_ppl: float | None = None,
     max_dup_frac: float = 0.5,
     mix_rate: float = 1.0,
     seq_len: int = 2048,
@@ -87,8 +91,35 @@ def curate(
         docs_q, text_col=text_col, id_col=id_col, threshold=threshold
     )
     reps = clusters.groupBy("cluster_id").agg(F.min(id_col).alias(id_col))
-    docs_d = docs_q.join(reps.select(id_col), id_col).persist()
+    # localCheckpoint, not persist: the clustering lineage is deep
+    # (iterative CC + LSH), and every later stage references docs_d
+    # several times (the LM gate alone reads it for training, scoring,
+    # and the join-back). persist() caches blocks but keeps the full
+    # logical plan, and the multiplied plan tree can OOM the DRIVER
+    # just stringifying it; checkpointing truncates the lineage.
+    docs_d = docs_q.join(reps.select(id_col), id_col).localCheckpoint()
     stats["after_near_dup"] = docs_d.count()
+    persisted = [docs_q]
+
+    if max_ppl is not None:
+        # CCNet-style LM gate AFTER the dedup collapse: the LM is
+        # self-trained on the distinct survivors (a duplicated crawl
+        # page would otherwise dominate the counts and score itself
+        # fluent), then every survivor above the perplexity ceiling is
+        # dropped.
+        from pyhctsa_spark.operators.lm import lm_quality_filter
+
+        kept_l = (
+            lm_quality_filter(
+                docs_d, F.lit(True), max_ppl,
+                text_col=text_col, doc_col=id_col,
+            )
+            .where("keep")
+            .select(F.col("doc_id").alias(id_col))
+        )
+        docs_d = docs_d.join(kept_l, id_col).persist()
+        persisted.append(docs_d)
+        stats["after_lm_ppl"] = docs_d.count()
 
     kept_p = (
         passage_dedup_stats(
@@ -98,6 +129,7 @@ def curate(
         .select(F.col("doc_id").alias(id_col))
     )
     docs_p = docs_d.join(kept_p, id_col).persist()
+    persisted.append(docs_p)
     stats["after_passage_dedup"] = docs_p.count()
 
     docs_r = pii_redact(docs_p, text_col)
@@ -112,6 +144,7 @@ def curate(
     docs_r = docs_r.drop(text_col).withColumnRenamed("redacted", text_col)
 
     docs_m = source_mix(docs_r, F.lit(float(mix_rate)), doc_col=id_col).persist()
+    persisted.append(docs_m)
     stats["after_mix"] = docs_m.count()
 
     segments = pack_sequences(
@@ -132,7 +165,7 @@ def curate(
     ).distinct()
     addresses = global_shuffle(seqs, n_shards=shuffle_shards, doc_col="seq_key")
     stats["sequences"] = seqs.count()
-    for d in (docs_q, docs_p, docs_d, docs_m):
+    for d in persisted:
         d.unpersist()
     return segments, addresses, stats
 
@@ -142,6 +175,8 @@ def parse_args(argv):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--threshold", type=float, default=0.3)
+    p.add_argument("--max-ppl", type=float, default=None,
+                   help="LM perplexity ceiling (omit to skip the gate)")
     p.add_argument("--max-dup-frac", type=float, default=0.5)
     p.add_argument("--mix-rate", type=float, default=1.0)
     p.add_argument("--seq-len", type=int, default=2048)
@@ -165,6 +200,7 @@ def main(argv=None) -> int:
         spark,
         docs,
         threshold=args.threshold,
+        max_ppl=args.max_ppl,
         max_dup_frac=args.max_dup_frac,
         mix_rate=args.mix_rate,
         seq_len=args.seq_len,

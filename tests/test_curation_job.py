@@ -102,3 +102,23 @@ def test_curation_job_cli(spark, tmp_path, capsys):
     assert "shard" in seg.columns
     addr = spark.read.parquet(f"{out}/addresses")
     assert addr.count() == stats["sequences"]
+
+
+def test_curation_funnel_lm_gate(spark):
+    # with the LM gate enabled, an out-of-distribution gibberish doc
+    # (unique unseen-bigram vocabulary) is dropped between near-dup and
+    # passage-dedup; in-distribution docs survive
+    docs = _corpus(spark)
+    _seg, _addr, stats = curate(
+        spark, docs, max_ppl=150.0, seq_len=32, pack_shards=2,
+        shuffle_shards=4,
+    )
+    assert "after_lm_ppl" in stats
+    assert stats["after_lm_ppl"] <= stats["after_near_dup"]
+    # monotone funnel with the extra stage
+    assert stats["after_passage_dedup"] <= stats["after_lm_ppl"]
+    # gate disabled -> stage absent, rest of funnel unchanged shape
+    _s2, _a2, stats2 = curate(
+        spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
+    )
+    assert "after_lm_ppl" not in stats2
