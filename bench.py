@@ -512,10 +512,12 @@ def bench_queries(spark) -> dict:
                     "user_resample_lin_15m", "user_holt",
                     "user_cagg_refresh",
                     # curation family (round 5): packing, mixing,
-                    # redaction, shuffle, passage dedup
+                    # redaction, shuffle, passage dedup, LM perplexity
+                    # gate, hash split, compressed-audio decode
                     "doc_pack_sequences", "doc_source_mix",
                     "doc_pii_redact", "doc_global_shuffle",
-                    "doc_passage_dedup")
+                    "doc_passage_dedup", "doc_lm_ppl", "doc_split",
+                    "media_audio_compressed")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

@@ -96,7 +96,11 @@ def curate(
     # several times (the LM gate alone reads it for training, scoring,
     # and the join-back). persist() caches blocks but keeps the full
     # logical plan, and the multiplied plan tree can OOM the DRIVER
-    # just stringifying it; checkpointing truncates the lineage.
+    # just stringifying it; checkpointing truncates the lineage. The
+    # checkpoint blocks live as long as the returned segments/addresses
+    # plans reference them (they must — cache eviction recomputes from
+    # here) and are released by the ContextCleaner when the caller
+    # drops the results.
     docs_d = docs_q.join(reps.select(id_col), id_col).localCheckpoint()
     stats["after_near_dup"] = docs_d.count()
     persisted = [docs_q]
@@ -106,20 +110,24 @@ def curate(
         # self-trained on the distinct survivors (a duplicated crawl
         # page would otherwise dominate the counts and score itself
         # fluent), then every survivor above the perplexity ceiling is
-        # dropped.
-        from pyhctsa_spark.operators.lm import lm_quality_filter
+        # dropped. Unscoreable docs (NULL ppl) are kept — the gate
+        # must not drop what it could not measure. The trained model
+        # is unpersisted once the survivor set is materialized, so
+        # repeated curate() calls don't accumulate cached LMs.
+        from pyhctsa_spark.operators.lm import lm_perplexity, train_bigram_lm
 
+        bi, ctx, v = train_bigram_lm(docs_d, text_col, id_col)
         kept_l = (
-            lm_quality_filter(
-                docs_d, F.lit(True), max_ppl,
-                text_col=text_col, doc_col=id_col,
-            )
-            .where("keep")
+            lm_perplexity(docs_d, bi, ctx, v,
+                          text_col=text_col, doc_col=id_col)
+            .where(F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)),
+                              F.lit(True)))
             .select(F.col("doc_id").alias(id_col))
         )
         docs_d = docs_d.join(kept_l, id_col).persist()
         persisted.append(docs_d)
         stats["after_lm_ppl"] = docs_d.count()
+        bi.unpersist()
 
     kept_p = (
         passage_dedup_stats(

@@ -40,18 +40,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     (n_frames,) mono or (n_frames, n_channels), sample_rate)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        csize = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + csize]
+    fact_samples = None
+    for cid, body_pos, csize in _riff_chunks(payload, 12, len(payload)):
+        body = payload[body_pos : body_pos + csize]
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
             data = body
-        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        elif cid == b"fact" and csize >= 4:
+            # total sample frames actually encoded (compressed formats)
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     (audio_fmt, n_ch, rate, _br, block_align, bits) = struct.unpack_from(
@@ -79,9 +79,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif audio_fmt == 17:  # IMA/DVI ADPCM
         if n_ch != 1:
             raise NotImplementedError("multi-channel IMA ADPCM")
-        x = _ima_adpcm_decode_stream(data, block_align).astype(
-            np.float32
-        ) / 32768.0
+        # fmt extension carries wSamplesPerBlock; a final partial block
+        # is zero-padded to block_align on disk, so without it (and the
+        # fact count below) padding nibbles would decode as phantom
+        # trailing samples
+        spb = None
+        if len(fmt) >= 20:
+            cb = struct.unpack_from("<H", fmt, 16)[0]
+            if cb >= 2:
+                spb = struct.unpack_from("<H", fmt, 18)[0]
+        ints = _ima_adpcm_decode_stream(data, block_align, spb)
+        if fact_samples is not None:
+            ints = ints[:fact_samples]
+        x = ints.astype(np.float32) / 32768.0
     else:
         raise NotImplementedError(
             f"compressed WAVE format tag {audio_fmt} needs a real codec"
@@ -187,10 +197,15 @@ def ima_adpcm_decode_block(
     return out
 
 
-def _ima_adpcm_decode_stream(data: bytes, block_align: int) -> np.ndarray:
+def _ima_adpcm_decode_stream(
+    data: bytes, block_align: int, samples_per_block: int | None = None
+) -> np.ndarray:
     """Decode a mono IMA ADPCM 'data' chunk: independent blocks of
     ``block_align`` bytes, each starting with a 4-byte state header
-    (int16 predictor, uint8 step index, reserved)."""
+    (int16 predictor, uint8 step index, reserved). When
+    ``samples_per_block`` (fmt-extension wSamplesPerBlock) is given,
+    each block's output is truncated to it — zero padding in a final
+    partial block must not decode as audio."""
     if block_align < 5:
         raise ValueError(f"IMA ADPCM block_align {block_align} too small")
     parts = []
@@ -199,19 +214,25 @@ def _ima_adpcm_decode_stream(data: bytes, block_align: int) -> np.ndarray:
         if len(block) < 4:
             break  # trailing ragged bytes cannot hold a state header
         predictor, index = struct.unpack_from("<hB", block, 0)
-        parts.append(ima_adpcm_decode_block(block[4:], predictor, index))
+        out = ima_adpcm_decode_block(block[4:], predictor, index)
+        if samples_per_block is not None:
+            out = out[:samples_per_block]
+        parts.append(out)
     if not parts:
         return np.empty(0, dtype=np.int16)
     return np.concatenate(parts)
 
 
 def _wav_container(fmt_tag: int, n_ch: int, rate: int, block_align: int,
-                   bits: int, data: bytes) -> bytes:
+                   bits: int, data: bytes, ext: bytes = b"",
+                   fact_samples: int | None = None) -> bytes:
     byte_rate = rate * block_align
     fmt = struct.pack(
         "<HHIIHH", fmt_tag, n_ch, rate, byte_rate, block_align, bits
-    )
+    ) + ext
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact_samples is not None:
+        body += b"fact" + struct.pack("<II", 4, fact_samples)
     body += b"data" + struct.pack("<I", len(data)) + data
     if len(data) & 1:
         body += b"\0"
@@ -233,17 +254,28 @@ def encode_wav_ima_adpcm(
     blocks: list[tuple[int, int, bytes]],
     block_align: int = 256,
     sample_rate: int = 8000,
+    total_samples: int | None = None,
 ) -> bytes:
     """Wrap pre-built IMA ADPCM blocks [(predictor, step_index,
-    nibble_bytes)] in a WAVE container (format tag 0x11, mono). Each
-    block body must be exactly ``block_align`` - 4 bytes."""
+    nibble_bytes)] in a WAVE container (format tag 0x11, mono) with the
+    standard fmt extension (wSamplesPerBlock) and fact chunk. Each
+    block body must be exactly ``block_align`` - 4 bytes;
+    ``total_samples`` (default: all blocks full) lets a fixture mark a
+    zero-padded final partial block."""
+    spb = 1 + 2 * (block_align - 4)
     data = bytearray()
     for predictor, index, body in blocks:
         if len(body) != block_align - 4:
             raise ValueError("ADPCM block body must fill block_align - 4")
         data += struct.pack("<hBB", int(predictor), int(index), 0)
         data += body
-    return _wav_container(0x11, 1, sample_rate, block_align, 4, bytes(data))
+    if total_samples is None:
+        total_samples = spb * len(blocks)
+    ext = struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+    return _wav_container(
+        0x11, 1, sample_rate, block_align, 4, bytes(data),
+        ext=ext, fact_samples=int(total_samples),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -204,7 +204,14 @@ def split_thresholds(
     """Cumulative md5_u32 thresholds for ``dataset_split``: each split
     owns the hash range [prev, floor(cum * 2^32)). Computed ONCE in
     Python and compared as exact integers, so the engine and the DuckDB
-    oracle can never disagree on a float-boundary document."""
+    oracle can never disagree on a float-boundary document.
+
+    Weights must sum to 1 (float tolerance): the last split absorbs
+    only ROUNDING, never a missing or excess share — a typo'd 0.9-sum
+    spec would otherwise silently hand the gap to the final split."""
+    total = sum(float(w) for _n, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total!r}")
     out: list[tuple[str, int]] = []
     cum = 0.0
     for name, w in weights:

@@ -70,6 +70,11 @@ def train_bigram_lm(
     |V| is the distinct count of predicted tokens (BOS never appears as
     a w2, so it is excluded by construction). The single-scalar collect
     for |V| is a one-row aggregate — fine at any corpus size.
+
+    The returned bigram table is persisted (it feeds ctx, the |V|
+    count, and the scoring broadcast); callers that train repeatedly in
+    one session should ``bi.unpersist()`` once the scored output has
+    been materialized — jobs/curation_job.py does.
     """
     bg = doc_bigrams(df, text_col, doc_col)
     bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
@@ -96,8 +101,20 @@ def lm_perplexity(
     stream is Zipf-skewed on (w1, w2), so a shuffle join here would
     funnel the head bigrams through single reducers; map-side broadcast
     lookup is both the fast AND the skew-proof shape. Denominators are
-    >= alpha * |V| > 0, so no ANSI division guard is needed.
+    >= alpha * |V| > 0 for a non-degenerate model; an empty training
+    slice (|V| = 0) would make them exactly 0.0 — under ANSI mode a
+    runtime DIVIDE_BY_ZERO, or worse a silent ppl=0 pass-all — so it is
+    rejected eagerly here.
+
+    EVERY input row gets an output row: documents that produce no
+    bigram rows (NULL text) come back with n_bigrams = 0 and NULL
+    nll/ppl rather than vanishing — the round-3 composite-filter trap.
     """
+    if vocab_size <= 0:
+        raise ValueError(
+            "empty bigram LM (vocab_size = 0): the training slice "
+            "matched no documents — smoothing denominators would be 0"
+        )
     a = float(alpha)
     av = a * float(vocab_size)
     bg = doc_bigrams(docs, text_col, doc_col)
@@ -115,10 +132,12 @@ def lm_perplexity(
     per = lp.groupBy("doc_id").agg(
         F.count("*").alias("n"), F.sum("lp").alias("slp")
     )
+    ids = docs.select(F.col(doc_col).alias("doc_id")).distinct()
+    per = ids.join(per, "doc_id", "left")
     nll = -F.col("slp") / F.col("n")
     return per.select(
         "doc_id",
-        F.col("n").cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_bigrams"),
         F.round(nll, 6).alias("nll"),
         F.round(F.exp(nll), 6).alias("ppl"),
     )
@@ -134,7 +153,12 @@ def lm_quality_filter(
 ) -> DataFrame:
     """End-to-end perplexity gate: train on ``docs`` rows matching
     ``train_pred`` (the trusted slice), score ALL rows, keep those with
-    ppl <= ``max_ppl``. Returns (doc_id, n_bigrams, nll, ppl, keep)."""
+    ppl <= ``max_ppl``. Unscoreable documents (no bigrams -> NULL ppl)
+    are KEPT — a quality gate must not silently drop what it could not
+    measure. Returns (doc_id, n_bigrams, nll, ppl, keep)."""
     bi, ctx, v = train_bigram_lm(docs.where(train_pred), text_col, doc_col)
     scored = lm_perplexity(docs, bi, ctx, v, alpha, text_col, doc_col)
-    return scored.withColumn("keep", F.col("ppl") <= F.lit(float(max_ppl)))
+    return scored.withColumn(
+        "keep",
+        F.coalesce(F.col("ppl") <= F.lit(float(max_ppl)), F.lit(True)),
+    )

@@ -7721,12 +7721,16 @@ lp AS (
   LEFT JOIN bi  ON b.w1 = bi.w1 AND b.w2 = bi.w2
   LEFT JOIN ctx ON b.w1 = ctx.w1
   CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, count(*) AS n, sum(l) AS slp FROM lp GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(-sum(l) / count(*), 6) AS nll,
-       round(exp(-sum(l) / count(*)), 6) AS ppl
-FROM lp GROUP BY doc_id
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams,
+       round(-p.slp / p.n, 6) AS nll,
+       round(exp(-p.slp / p.n), 6) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 # dataset_split (operators/curation.py): hash-range train/val/test.

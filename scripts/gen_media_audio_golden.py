@@ -15,8 +15,9 @@ Per item i in 0..23 (all modality 'audio'):
   i%3==2: one 256-byte IMA ADPCM block: predictor ~ rng[-8000,8000),
           step index ~ rng[0,89), 252 nibble-pair bytes -> 505 samples
 
-n_bytes IS part of this golden: uncompressed-container arithmetic is
-closed-form (RIFF 12 + 'fmt '(8+16) + 'data'(8+len) + odd-length pad).
+n_bytes IS part of this golden: container arithmetic is closed-form
+(RIFF 12 + 'fmt '(8+16, +4-byte wSamplesPerBlock ext for ADPCM) +
+'fact'(8+4, ADPCM only) + 'data'(8+len) + odd-length pad).
 
 Regenerate: python scripts/gen_media_audio_golden.py
 Verify only: python scripts/gen_media_audio_golden.py --check
@@ -112,9 +113,12 @@ def ima_decode(body: bytes, predictor: int, index: int) -> list[int]:
     return samples
 
 
-def wav_container_bytes(data_len: int) -> int:
-    # RIFF(12) + fmt chunk(8 + 16) + data chunk(8 + len [+ pad])
-    return 12 + 24 + 8 + data_len + (data_len & 1)
+def wav_container_bytes(data_len: int, adpcm: bool = False) -> int:
+    # RIFF(12) + fmt chunk(8 + 16 [+4-byte ext for ADPCM]) [+ fact
+    # chunk(8 + 4) for ADPCM] + data chunk(8 + len [+ pad])
+    fmt = 8 + (20 if adpcm else 16)
+    fact = 12 if adpcm else 0
+    return 12 + fmt + fact + 8 + data_len + (data_len & 1)
 
 
 def expected_rows() -> pd.DataFrame:
@@ -132,7 +136,7 @@ def expected_rows() -> pd.DataFrame:
             index = int(rng.integers(0, 89))
             body = rng.integers(0, 256, 252).astype(np.uint8).tobytes()
             ints = ima_decode(body, predictor, index)
-            n_bytes = wav_container_bytes(4 + 252)
+            n_bytes = wav_container_bytes(4 + 252, adpcm=True)
         # engine decodes to float32 samples/32768, features in float64
         flat = (np.array(ints, dtype=np.float32) / 32768.0).astype(np.float64)
         chunks = np.array_split(flat, FEAT_DIM)

@@ -433,3 +433,31 @@ def test_avi_registry_dispatch_and_boundaries():
     avi = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
     with pytest.raises(NotImplementedError):
         decode_avi_mjpeg(avi)
+
+
+def test_ima_adpcm_partial_final_block_truncated():
+    # a zero-padded final partial block must not decode phantom samples:
+    # wSamplesPerBlock + fact bound the output
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import (
+        decode_wav, encode_wav_ima_adpcm, ima_adpcm_decode_block,
+    )
+
+    rng = np.random.default_rng(13)
+    full = rng.integers(0, 256, 12).astype(np.uint8).tobytes()
+    # second block: only 5 real samples, rest of the body is padding
+    partial = rng.integers(0, 256, 2).astype(np.uint8).tobytes() + b"\x00" * 10
+    spb = 1 + 2 * 12
+    total = spb + 5
+    payload = encode_wav_ima_adpcm(
+        [(100, 10, full), (-50, 3, partial)], block_align=16,
+        total_samples=total,
+    )
+    x, _rate = decode_wav(payload)
+    assert len(x) == total
+    want = np.concatenate([
+        ima_adpcm_decode_block(full, 100, 10),
+        ima_adpcm_decode_block(partial, -50, 3)[:5],
+    ]).astype(np.float32) / 32768.0
+    assert np.array_equal(x, want)

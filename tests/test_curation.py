@@ -164,3 +164,14 @@ def test_dataset_split_is_map_side_only(spark, docs):
 
     plan = dataset_split(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_split_weights_must_sum_to_one():
+    import pytest
+
+    from pyhctsa_spark.operators.curation import split_thresholds
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds((("train", 0.6), ("val", 0.2), ("test", 0.1)))
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds((("a", 0.9), ("b", 0.2)))

@@ -114,3 +114,26 @@ def test_bigram_explode_shape(spark):
         (r.w1, r.w2) for r in doc_bigrams(df).orderBy("w1", "w2").collect()
     ]
     assert got == [("<s>", "x"), ("x", "y"), ("y", "z")]
+
+
+def test_empty_training_slice_rejected(spark, corpus):
+    import pytest
+
+    bi, ctx, v = train_bigram_lm(
+        corpus.where(F.col("source") == "no_such_source")
+    )
+    assert v == 0
+    with pytest.raises(ValueError, match="vocab_size = 0"):
+        lm_perplexity(corpus, bi, ctx, v)
+
+
+def test_null_text_docs_scored_as_unscoreable_and_kept(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b", "good"), (1, None, "good"), (2, "a b", "crawl")],
+        "doc_id long, text string, source string",
+    )
+    out = lm_quality_filter(df, F.col("source") == "good", max_ppl=100.0)
+    got = {r.doc_id: (r.n_bigrams, r.ppl, r.keep) for r in out.collect()}
+    assert set(got) == {0, 1, 2}              # every doc has a row
+    assert got[1] == (0, None, True)          # unscoreable -> kept
+    assert got[0][0] == 4 and got[0][2]
