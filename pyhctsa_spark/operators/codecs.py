@@ -6,11 +6,12 @@ streams (the netpbm spec allows concatenated images in one file, which
 serves as an honest uncompressed "video" container). They make the
 multimodal pipeline genuinely end-to-end for uncompressed payloads.
 Compressed formats decoded in-repo: PNG, GIF (codecs_compressed.py),
-baseline JPEG (codecs_jpeg.py), G.711 mu-law/A-law and IMA ADPCM audio
+baseline AND progressive JPEG (codecs_jpeg.py,
+codecs_jpeg_progressive.py), G.711 mu-law/A-law and IMA ADPCM audio
 (this file), and MJPEG-in-AVI video (this file, frames through the
 JPEG decoder). The NotImplementedError boundary now covers only
-perceptual/transform codecs (MP3/AAC/Vorbis, H.264/VP9, WebP,
-progressive JPEG — soundfile/pyav/Pillow territory on a real cluster).
+perceptual/transform codecs (MP3/AAC/Vorbis, H.264/VP9, WebP —
+soundfile/pyav/Pillow territory on a real cluster).
 
 Format references (public specs):
 - WAVE: RIFF chunks 'fmt ' + 'data'; PCM int8(unsigned)/int16/int32 LE
@@ -552,9 +553,9 @@ _HINTS = {
     "audio": "perceptual compressed audio (mp3/ogg/flac...) needs the "
              "soundfile adapter (pip soundfile + libsndfile) on the "
              "cluster (PCM/G.711/ADPCM WAV decode in-repo)",
-    "image": "exotic compressed images (webp/progressive-jpeg...) need "
-             "the Pillow adapter on the cluster (png/gif/baseline-jpeg "
-             "decode in-repo)",
+    "image": "exotic compressed images (webp/jpeg-lossless...) need "
+             "the Pillow adapter on the cluster (png/gif/baseline+"
+             "progressive-jpeg decode in-repo)",
     "video": "transform-coded video (h264/vp9...) needs the pyav/ffmpeg "
              "adapter on the cluster (mjpeg-avi/gif decode in-repo)",
 }

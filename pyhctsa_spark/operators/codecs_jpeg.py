@@ -288,11 +288,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # progressive: multi-scan decoder
+            from pyhctsa_spark.operators.codecs_jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) — "
-                "progressive/arithmetic/hierarchical need the Pillow "
+                "lossless/arithmetic/hierarchical need the Pillow "
                 "adapter")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]

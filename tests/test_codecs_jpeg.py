@@ -144,11 +144,13 @@ def test_grayscale_shape_and_values():
     assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
 
 
-def test_progressive_raises_typed_boundary():
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+def test_non_baseline_sof_raises_typed_boundary():
+    # SOF2 is handled in-repo now (codecs_jpeg_progressive); lossless
+    # SOF3 remains the typed boundary
+    sof3 = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b"
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        J.decode_jpeg(sof2)
+        J.decode_jpeg(sof3)
     with pytest.raises(ValueError):
         J.decode_jpeg(b"notjpeg")
 
