@@ -396,12 +396,16 @@ def _enc_ac_refine(bw, zz, ss, se, al, ac_enc):
             bw.write(bit, 1)
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
     """Encode uint8 RGB (H, W, 3) or grayscale (H, W) as a progressive
-    JPEG (4:4:4, 5-phase scan script exercising spectral selection AND
-    successive approximation in both DC and AC). Coefficients are
-    quantized identically to ``encode_jpeg`` at the same quality, so
-    both decode to the same pixels."""
+    JPEG (5-phase scan script exercising spectral selection AND
+    successive approximation in both DC and AC; ``subsample=True`` uses
+    4:2:0 chroma, which also exercises the decoder's padded-MCU-grid
+    vs full-grid distinction between interleaved DC and non-interleaved
+    AC scans). Coefficients are quantized identically to
+    ``encode_jpeg`` at the same quality, so both decode to the same
+    (cropped) pixels."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -409,6 +413,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     qc = _quality_scale(QUANT_CHROMA, quality)
     if gray:
         planes = [img - 128.0]
+        samp = [(1, 1)]
         qts = [0]
     else:
         r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
@@ -416,18 +421,39 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b
         planes = [y - 128.0, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else \
+               [(1, 1), (1, 1), (1, 1)]
         qts = [0, 1, 1]
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     dq = [qy] if gray else [qy, qc]
 
-    # quantized zigzag coefficients per component
+    # quantized zigzag coefficients per component, on the PADDED (MCU)
+    # grid — interleaved DC scans cover it all; AC scans only the
+    # ceil() prefix (full grid), matching the decoder
     zzs = []
+    full_dims = []
     for ci, p in enumerate(planes):
-        p = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        sh, sv = samp[ci]
+        if (sh, sv) != (hmax, vmax):  # box-average subsampled chroma
+            fy, fx = vmax // sv, hmax // sh
+            ph = ((h + fy - 1) // fy) * fy
+            pw = ((w + fx - 1) // fx) * fx
+            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        cby, cbx = mcuy * sv, mcux * sh
+        full_dims.append((
+            ((h * sv + vmax - 1) // vmax + 7) // 8,
+            ((w * sh + hmax - 1) // hmax + 7) // 8,
+        ))
+        p = np.pad(p, ((0, cby * 8 - p.shape[0]), (0, cbx * 8 - p.shape[1])),
+                   mode="edge")
         q = dq[qts[ci]]
-        arr = np.zeros((nby, nbx, 64), np.int32)
-        for by in range(nby):
-            for bx in range(nbx):
+        arr = np.zeros((cby, cbx, 64), np.int32)
+        for by in range(cby):
+            for bx in range(cbx):
                 block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 coef = np.round(fdct2(block) / q).astype(np.int32)
                 arr[by, bx] = coef.reshape(-1)[ZIGZAG]
@@ -450,7 +476,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
             int(x) for x in q.reshape(-1)[ZIGZAG]))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, qts[ci]])
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qts[ci]])
     out += seg(0xC2, sof)
     huf_specs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
                  (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -469,38 +495,47 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         bw.flush()
         return seg(0xDA, body) + bytes(bw.out)
 
+    def mcu_blocks():
+        """Interleaved (DC) data-unit order: MCU raster, per component
+        in sampling-factor order, over the PADDED grid."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, zzs[ci][my * sv + v, mx * sh + hh]
+
     # scan 1: DC first, Al=1, interleaved
     bw = _BitWriter()
     pred = [0] * nc
-    for by in range(nby):
-        for bx in range(nbx):
-            order = [(ci, zzs[ci][by, bx]) for ci in range(nc)]
-            _enc_dc_first(
-                bw, order, pred,
-                [dc_enc[tab_of[ci]] for ci in range(nc)], 1)
+    dc_encs = [dc_enc[tab_of[ci]] for ci in range(nc)]
+    for ci, zz in mcu_blocks():
+        _enc_dc_first(bw, [(ci, zz)], pred, dc_encs, 1)
     out += sos([(ci + 1, tab_of[ci] << 4) for ci in range(nc)],
                0, 0, 0, 1, bw)
-    # scans 2-3: AC first per component, bands 1-5 then 6-63, Al=1
+    # scans 2-3: AC first per component, bands 1-5 then 6-63, Al=1 —
+    # non-interleaved, FULL (non-padded) grid only
     for ss, se in ((1, 5), (6, 63)):
         for ci in range(nc):
+            nby_f, nbx_f = full_dims[ci]
             bw = _BitWriter()
-            for by in range(nby):
-                for bx in range(nbx):
+            for by in range(nby_f):
+                for bx in range(nbx_f):
                     _enc_ac_first(bw, zzs[ci][by, bx], ss, se, 1,
                                   ac_enc[tab_of[ci]])
             out += sos([(ci + 1, tab_of[ci])], ss, se, 0, 1, bw)
     # scan 4: DC refinement (Ah=1, Al=0), interleaved — raw bits
     bw = _BitWriter()
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(nc):
-                bw.write(int(zzs[ci][by, bx][0]) & 1, 1)
+    for ci, zz in mcu_blocks():
+        bw.write(int(zz[0]) & 1, 1)
     out += sos([(ci + 1, 0) for ci in range(nc)], 0, 0, 1, 0, bw)
     # scan 5: AC refinement per component, full band, Ah=1 -> Al=0
     for ci in range(nc):
+        nby_f, nbx_f = full_dims[ci]
         bw = _BitWriter()
-        for by in range(nby):
-            for bx in range(nbx):
+        for by in range(nby_f):
+            for bx in range(nbx_f):
                 _enc_ac_refine(bw, zzs[ci][by, bx], 1, 63, 0,
                                ac_enc[tab_of[ci]])
         out += sos([(ci + 1, tab_of[ci])], 1, 63, 1, 0, bw)

@@ -104,3 +104,21 @@ def test_successive_approximation_refines_low_bits():
     full = decode_jpeg_progressive(payload)
     assert partial.shape == full.shape
     assert not np.array_equal(partial, full)  # last scan carried info
+
+
+@pytest.mark.parametrize("quality", [50, 90])
+def test_progressive_420_equals_baseline(quality):
+    # 4:2:0 exercises the decoder's padded-MCU grid (interleaved DC)
+    # vs full-grid (non-interleaved AC) distinction; 20-wide luma has
+    # 4 padded but only 3 full block columns
+    rng = np.random.default_rng(21)
+    for shape in ((16, 16, 3), (12, 20, 3), (17, 23, 3), (9, 31, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        from pyhctsa_spark.operators.codecs_jpeg_progressive import (
+            encode_jpeg_progressive,
+        )
+
+        prog = J.decode_jpeg(encode_jpeg_progressive(img, quality,
+                                                     subsample=True))
+        base = J.decode_jpeg(J.encode_jpeg(img, quality, subsample=True))
+        assert np.array_equal(prog, base)
