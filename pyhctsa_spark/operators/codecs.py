@@ -78,8 +78,6 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         codes = np.frombuffer(data, dtype=np.uint8)
         x = ULAW_TABLE[codes].astype(np.float32) / 32768.0
     elif audio_fmt == 17:  # IMA/DVI ADPCM
-        if n_ch != 1:
-            raise NotImplementedError("multi-channel IMA ADPCM")
         # fmt extension carries wSamplesPerBlock; a final partial block
         # is zero-padded to block_align on disk, so without it (and the
         # fact count below) padding nibbles would decode as phantom
@@ -89,10 +87,28 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             cb = struct.unpack_from("<H", fmt, 16)[0]
             if cb >= 2:
                 spb = struct.unpack_from("<H", fmt, 18)[0]
-        ints = _ima_adpcm_decode_stream(data, block_align, spb)
+        if n_ch == 1:
+            ints = _ima_adpcm_decode_stream(data, block_align, spb)
+            if fact_samples is not None:
+                ints = ints[:fact_samples]
+            return ints.astype(np.float32) / 32768.0, int(rate)
+        blocks = []
+        for pos2 in range(0, len(data), block_align):
+            block = data[pos2 : pos2 + block_align]
+            if len(block) < 4 * n_ch:
+                break
+            frames = ima_adpcm_decode_block_multi(block, n_ch)
+            if spb is not None:
+                frames = frames[:spb]
+            blocks.append(frames)
+        frames = (
+            np.concatenate(blocks)
+            if blocks
+            else np.empty((0, n_ch), np.int16)
+        )
         if fact_samples is not None:
-            ints = ints[:fact_samples]
-        x = ints.astype(np.float32) / 32768.0
+            frames = frames[:fact_samples]
+        return frames.astype(np.float32) / 32768.0, int(rate)
     else:
         raise NotImplementedError(
             f"compressed WAVE format tag {audio_fmt} needs a real codec"
@@ -196,6 +212,48 @@ def ima_adpcm_decode_block(
             out[k] = predictor
             k += 1
     return out
+
+
+def ima_adpcm_decode_block_multi(
+    block: bytes, n_ch: int
+) -> np.ndarray:
+    """Decode one multi-channel IMA ADPCM block -> (n_frames, n_ch)
+    int16. Layout per the WAVE tag-0x11 spec: one 4-byte state header
+    per channel, then the nibble data in 4-byte (8-sample) units
+    round-robin across channels."""
+    preds = []
+    idxs = []
+    for c in range(n_ch):
+        p, i = struct.unpack_from("<hB", block, 4 * c)
+        preds.append(int(p))
+        idxs.append(max(0, min(88, int(i))))
+    data = block[4 * n_ch :]
+    chans: list[list[int]] = [[preds[c]] for c in range(n_ch)]
+    for g0 in range(0, len(data) - (len(data) % (4 * n_ch)), 4 * n_ch):
+        for c in range(n_ch):
+            predictor, index = preds[c], idxs[c]
+            for byte in data[g0 + 4 * c : g0 + 4 * c + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = int(_IMA_STEP[index])
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    predictor = (
+                        predictor - diff if nib & 8 else predictor + diff
+                    )
+                    predictor = max(-32768, min(32767, predictor))
+                    index = max(
+                        0, min(88, index + int(_IMA_INDEX[nib & 7]))
+                    )
+                    chans[c].append(predictor)
+            preds[c], idxs[c] = predictor, index
+    return np.stack(
+        [np.array(ch, dtype=np.int16) for ch in chans], axis=1
+    )
 
 
 def _ima_adpcm_decode_stream(

@@ -288,6 +288,10 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     for ci, c in enumerate(comps):
         nby, nbx, _ = coefs[ci].shape
         plane = np.zeros((nby * 8, nbx * 8), np.float64)
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"progressive JPEG missing quantization table {c['tq']}"
+            )
         q = qt[c["tq"]]
         for by in range(nby):
             for bx in range(nbx):

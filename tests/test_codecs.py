@@ -91,12 +91,12 @@ def test_ppm_stream_video():
 def test_compressed_boundaries_raise():
     # this container has Pillow/soundfile/pyav absent, so the typed
     # boundary must fire even after the optional-adapter ensure pass
-    # (PNG/GIF/baseline-JPEG now decode in-repo — PROGRESSIVE JPEG is
-    # the remaining image boundary: a minimal SOF2 stream)
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+    # (PNG/GIF/baseline+progressive-JPEG now decode in-repo — LOSSLESS
+    # JPEG (SOF3) is the remaining image boundary)
+    sof3 = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b"
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        C.sniff_and_decode(sof2, "image")
+        C.sniff_and_decode(sof3, "image")
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"ID3\x04...", "audio")
     with pytest.raises(NotImplementedError):
@@ -134,13 +134,13 @@ def test_codec_registry_dispatch_and_removal():
     finally:
         C.unregister_codec("image", "fake-jpeg")
     assert "fake-jpeg" not in C.registered_codecs("image")
-    # with the adapter gone, a PROGRESSIVE stream hits the in-repo
-    # baseline decoder's typed boundary (and would fall through to
-    # Pillow on a real cluster)
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+    # with the adapter gone, a LOSSLESS (SOF3) stream hits the in-repo
+    # decoder's typed boundary (and would fall through to Pillow on a
+    # real cluster)
+    sof3 = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b"
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError, match="Pillow"):
-        C.sniff_and_decode(sof2, "image")
+        C.sniff_and_decode(sof3, "image")
 
 
 def test_optional_adapter_registration_reports_environment():
@@ -461,3 +461,55 @@ def test_ima_adpcm_partial_final_block_truncated():
         ima_adpcm_decode_block(partial, -50, 3)[:5],
     ]).astype(np.float32) / 32768.0
     assert np.array_equal(x, want)
+
+
+def test_ima_adpcm_stereo_decode():
+    # stereo layout: per-channel 4-byte headers, then 4-byte nibble
+    # groups round-robin across channels; each channel's state stream
+    # must equal a mono decode of its own regrouped bytes
+    import struct
+
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import (
+        _wav_container, decode_wav, ima_adpcm_decode_block,
+    )
+
+    rng = np.random.default_rng(17)
+    n_groups = 6
+    ch_bytes = [
+        rng.integers(0, 256, 4 * n_groups).astype(np.uint8).tobytes()
+        for _ in range(2)
+    ]
+    heads = [(1200, 30), (-700, 55)]
+    block = b"".join(struct.pack("<hBB", p, i, 0) for p, i in heads)
+    for g in range(n_groups):
+        for c in range(2):
+            block += ch_bytes[c][4 * g : 4 * g + 4]
+    spb = 1 + 2 * 4 * n_groups
+    ext = struct.pack("<HH", 2, spb)
+    payload = _wav_container(0x11, 2, 8000, len(block), 4, block,
+                             ext=ext, fact_samples=spb)
+    x, rate = decode_wav(payload)
+    assert rate == 8000 and x.shape == (spb, 2)
+    for c in range(2):
+        want = ima_adpcm_decode_block(
+            ch_bytes[c], heads[c][0], heads[c][1]
+        ).astype(np.float32) / 32768.0
+        assert np.array_equal(x[:, c], want)
+
+
+def test_ima_adpcm_stereo_fact_truncation():
+    import struct
+
+    import numpy as np
+
+    from pyhctsa_spark.operators.codecs import _wav_container, decode_wav
+
+    rng = np.random.default_rng(18)
+    block = struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", 10, 5, 0)
+    block += rng.integers(0, 256, 8).astype(np.uint8).tobytes()
+    payload = _wav_container(0x11, 2, 8000, len(block), 4, block,
+                             fact_samples=3)
+    x, _ = decode_wav(payload)
+    assert x.shape == (3, 2)
