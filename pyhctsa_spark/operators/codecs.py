@@ -58,6 +58,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     (audio_fmt, n_ch, rate, _br, block_align, bits) = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if n_ch < 1:
+        raise ValueError(f"WAVE nChannels {n_ch} invalid")
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
@@ -229,7 +231,10 @@ def ima_adpcm_decode_block_multi(
         idxs.append(max(0, min(88, int(i))))
     data = block[4 * n_ch :]
     chans: list[list[int]] = [[preds[c]] for c in range(n_ch)]
-    for g0 in range(0, len(data) - (len(data) % (4 * n_ch)), 4 * n_ch):
+    # a truncated final group decodes whatever bytes each channel has
+    # (matching the mono path's partial-tail behavior); only complete
+    # frames are emitted below
+    for g0 in range(0, len(data), 4 * n_ch):
         for c in range(n_ch):
             predictor, index = preds[c], idxs[c]
             for byte in data[g0 + 4 * c : g0 + 4 * c + 4]:
@@ -251,8 +256,9 @@ def ima_adpcm_decode_block_multi(
                     )
                     chans[c].append(predictor)
             preds[c], idxs[c] = predictor, index
+    n_frames = min(len(ch) for ch in chans)
     return np.stack(
-        [np.array(ch, dtype=np.int16) for ch in chans], axis=1
+        [np.array(ch[:n_frames], dtype=np.int16) for ch in chans], axis=1
     )
 
 

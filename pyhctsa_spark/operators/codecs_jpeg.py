@@ -456,18 +456,17 @@ def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Encode uint8 RGB (H, W, 3) or grayscale (H, W) as baseline JPEG.
-    ``subsample=True`` uses 4:2:0 chroma (2x2 box average); otherwise
-    4:4:4."""
+def prepare_jpeg_planes(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder prep (baseline AND progressive — one copy, so a
+    subsampling/quantization fix can never drift between them): color
+    convert, sampling factors, quantization tables, and MCU-grid-padded
+    (box-averaged where subsampled) planes. Returns
+    (gray, h, w, prepped, samp, qts, dq, hmax, vmax, mcux, mcuy)."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
-
     if gray:
         planes = [img - 128.0]
         samp = [(1, 1)]
@@ -485,7 +484,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
     # pad each plane to its own MCU grid (edge replication), and box
     # average subsampled chroma
     prepped = []
@@ -501,8 +499,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
                    mode="edge")
         prepped.append(p)
-
     dq = [qy, qc] if not gray else [qy]
+    return gray, h, w, prepped, samp, qts, dq, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode uint8 RGB (H, W, 3) or grayscale (H, W) as baseline JPEG.
+    ``subsample=True`` uses 4:2:0 chroma (2x2 box average); otherwise
+    4:4:4."""
+    (gray, h, w, prepped, samp, qts, dq, hmax, vmax, mcux, mcuy) = \
+        prepare_jpeg_planes(img, quality, subsample)
     dc_tabs = [build_huffman_encoder(DC_LUMA_BITS, DC_LUMA_VALS),
                build_huffman_encoder(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_tabs = [build_huffman_encoder(AC_LUMA_BITS, AC_LUMA_VALS),
@@ -510,7 +518,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     tab_of = [0] if gray else [0, 1, 1]
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(prepped)
     rst = 0
     mcu_count = 0
     for my in range(mcuy):
@@ -520,7 +528,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                pred = [0] * len(planes)
+                pred = [0] * len(prepped)
             for ci, p in enumerate(prepped):
                 sh, sv = samp[ci]
                 q = dq[qts[ci]]

@@ -35,8 +35,8 @@ from pyhctsa_spark.operators.codecs_jpeg import (
     AC_CHROMA_BITS, AC_CHROMA_VALS, AC_LUMA_BITS, AC_LUMA_VALS,
     DC_CHROMA_BITS, DC_CHROMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
     QUANT_CHROMA, QUANT_LUMA, ZIGZAG, _BitReader, _BitWriter, _extend,
-    _mag_cat, _quality_scale, build_huffman_decoder,
-    build_huffman_encoder, fdct2, idct2,
+    _mag_cat, build_huffman_decoder,
+    build_huffman_encoder, fdct2, idct2, prepare_jpeg_planes,
 )
 
 # ---------------------------------------------------------------------------
@@ -46,14 +46,22 @@ from pyhctsa_spark.operators.codecs_jpeg import (
 
 def _next_marker(payload: bytes, pos: int) -> int:
     """First offset >= pos of a real marker (0xFF + non-stuffing,
-    non-RST byte)."""
+    non-RST, non-fill byte; T.81 B.1.1.2 allows any number of 0xFF
+    fill bytes before a marker — return the LAST 0xFF of the run)."""
     n = len(payload)
     while pos + 1 < n:
-        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) \
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF) \
                 and not (0xD0 <= payload[pos + 1] <= 0xD7):
             return pos
         pos += 1
     return n
+
+
+def _table(tabs: dict, idx: int, kind: str) -> dict:
+    if idx not in tabs:
+        raise ValueError(
+            f"progressive JPEG missing {kind} Huffman table {idx}")
+    return tabs[idx]
 
 
 def _dc_first(reader, block, pred, ci, dctab, al):
@@ -152,6 +160,9 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:
             break
@@ -216,8 +227,11 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
-                ci = next(i for i, cc in enumerate(frame["comps"])
-                          if cc["id"] == cs)
+                ci = next((i for i, cc in enumerate(frame["comps"])
+                           if cc["id"] == cs), None)
+                if ci is None:
+                    raise ValueError(
+                        f"SOS references unknown component id {cs}")
                 scan.append((ci, tdta >> 4, tdta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
@@ -238,15 +252,17 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                     if ss == 0:
                         if ah == 0:
                             _dc_first(reader, block, pred, ci,
-                                      huff_dc[td], al)
+                                      _table(huff_dc, td, "DC"), al)
                         else:
                             _dc_refine(reader, block, al)
                     elif ah == 0:
-                        eobrun = _ac_first(reader, block, huff_ac[ta],
-                                           ss, se, al, eobrun)
+                        eobrun = _ac_first(
+                            reader, block, _table(huff_ac, ta, "AC"),
+                            ss, se, al, eobrun)
                     else:
-                        eobrun = _ac_refine(reader, block, huff_ac[ta],
-                                            ss, se, al, eobrun)
+                        eobrun = _ac_refine(
+                            reader, block, _table(huff_ac, ta, "AC"),
+                            ss, se, al, eobrun)
             else:
                 if ss != 0:
                     raise ValueError("interleaved progressive AC scan")
@@ -264,8 +280,9 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                                     block = coefs[ci][my * c["v"] + v,
                                                       mx * c["h"] + hh]
                                     if ah == 0:
-                                        _dc_first(reader, block, pred,
-                                                  ci, huff_dc[td], al)
+                                        _dc_first(
+                                            reader, block, pred, ci,
+                                            _table(huff_dc, td, "DC"), al)
                                     else:
                                         _dc_refine(reader, block, al)
                         mcu += 1
@@ -287,18 +304,17 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     out_planes = []
     for ci, c in enumerate(comps):
         nby, nbx, _ = coefs[ci].shape
-        plane = np.zeros((nby * 8, nbx * 8), np.float64)
         if c["tq"] not in qt:
             raise ValueError(
                 f"progressive JPEG missing quantization table {c['tq']}"
             )
         q = qt[c["tq"]]
-        for by in range(nby):
-            for bx in range(nbx):
-                natural = np.zeros(64, np.int32)
-                natural[nat_idx] = coefs[ci][by, bx]
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = \
-                    idct2(natural.reshape(8, 8) * q) + 128.0
+        # vectorized: de-zigzag the whole (nby, nbx, 64) stack at once,
+        # batch-IDCT (idct2 accepts (..., 8, 8)), stitch block grid
+        natural = np.zeros((nby, nbx, 64), np.int32)
+        natural[..., nat_idx] = coefs[ci]
+        blocks = idct2(natural.reshape(nby, nbx, 8, 8) * q) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
@@ -410,50 +426,21 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     AC scans). Coefficients are quantized identically to
     ``encode_jpeg`` at the same quality, so both decode to the same
     (cropped) pixels."""
-    img = np.asarray(img, dtype=np.float64)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    qy = _quality_scale(QUANT_LUMA, quality)
-    qc = _quality_scale(QUANT_CHROMA, quality)
-    if gray:
-        planes = [img - 128.0]
-        samp = [(1, 1)]
-        qts = [0]
-    else:
-        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y - 128.0, cb, cr]
-        samp = [(2, 2), (1, 1), (1, 1)] if subsample else \
-               [(1, 1), (1, 1), (1, 1)]
-        qts = [0, 1, 1]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    dq = [qy] if gray else [qy, qc]
+    (gray, h, w, prepped, samp, qts, dq, hmax, vmax, mcux, mcuy) = \
+        prepare_jpeg_planes(img, quality, subsample)
 
     # quantized zigzag coefficients per component, on the PADDED (MCU)
     # grid — interleaved DC scans cover it all; AC scans only the
     # ceil() prefix (full grid), matching the decoder
     zzs = []
     full_dims = []
-    for ci, p in enumerate(planes):
+    for ci, p in enumerate(prepped):
         sh, sv = samp[ci]
-        if (sh, sv) != (hmax, vmax):  # box-average subsampled chroma
-            fy, fx = vmax // sv, hmax // sh
-            ph = ((h + fy - 1) // fy) * fy
-            pw = ((w + fx - 1) // fx) * fx
-            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-            p = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
         cby, cbx = mcuy * sv, mcux * sh
         full_dims.append((
             ((h * sv + vmax - 1) // vmax + 7) // 8,
             ((w * sh + hmax - 1) // hmax + 7) // 8,
         ))
-        p = np.pad(p, ((0, cby * 8 - p.shape[0]), (0, cbx * 8 - p.shape[1])),
-                   mode="edge")
         q = dq[qts[ci]]
         arr = np.zeros((cby, cbx, 64), np.int32)
         for by in range(cby):
@@ -468,7 +455,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     ac_enc = [build_huffman_encoder(AC_LUMA_BITS, AC_LUMA_VALS),
               build_huffman_encoder(AC_CHROMA_BITS, AC_CHROMA_VALS)]
     tab_of = [0] if gray else [0, 1, 1]
-    nc = len(planes)
+    nc = len(prepped)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
