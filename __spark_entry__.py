@@ -595,6 +595,29 @@ def _media_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_flac_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC (lossless compressed audio) decode end-to-end through the
+    in-repo Rice/fixed-predictor decoder (operators/codecs_flac.py).
+    Losslessness makes the oracle the strongest kind: the golden
+    (scripts/gen_media_flac_golden.py) recomputes features from the raw
+    CONTENT samples with no codec in the loop."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.multimodal import (
+        extract_media_features,
+        synth_flac_media_df,
+    )
+
+    feats = extract_media_features(
+        synth_flac_media_df(spark, 16), use_real_codecs=True
+    )
+    flat = [F.round(F.col("feat")[i], 6).alias(f"feat_{i}") for i in range(8)]
+    return feats.select(
+        "media_id", "modality",
+        _f6("mean"), _f6("std"), _f6("p01"), _f6("p99"), *flat,
+    )
+
+
 def _wet_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET web-crawl ingestion (sources/warc.py): binaryFile scan
     of the committed spec-derived .warc.wet.gz fixtures (one gzip
@@ -1203,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_lm_ppl"] = _lm_ppl_query
     out["doc_split"] = _dataset_split_query
     out["media_audio_compressed"] = _media_audio_query
+    out["media_flac_decode"] = _media_flac_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

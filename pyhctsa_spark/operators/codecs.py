@@ -8,7 +8,8 @@ multimodal pipeline genuinely end-to-end for uncompressed payloads.
 Compressed formats decoded in-repo: PNG, GIF (codecs_compressed.py),
 baseline AND progressive JPEG (codecs_jpeg.py,
 codecs_jpeg_progressive.py), G.711 mu-law/A-law and IMA ADPCM audio
-(this file), and MJPEG-in-AVI video (this file, frames through the
+(this file), FLAC (codecs_flac.py — Rice/fixed/LPC subframes, stereo
+decorrelation), and MJPEG-in-AVI video (this file, frames through the
 JPEG decoder). The NotImplementedError boundary now covers only
 perceptual/transform codecs (MP3/AAC/Vorbis, H.264/VP9, WebP —
 soundfile/pyav/Pillow territory on a real cluster).
@@ -614,9 +615,10 @@ _REGISTRY: dict[str, list[tuple[str, object, object]]] = {
     "audio": [], "image": [], "video": [],
 }
 _HINTS = {
-    "audio": "perceptual compressed audio (mp3/ogg/flac...) needs the "
-             "soundfile adapter (pip soundfile + libsndfile) on the "
-             "cluster (PCM/G.711/ADPCM WAV decode in-repo)",
+    "audio": "perceptual compressed audio (mp3/ogg-vorbis/aac...) "
+             "needs the soundfile adapter (pip soundfile + libsndfile) "
+             "on the cluster (PCM/G.711/ADPCM WAV + FLAC decode "
+             "in-repo)",
     "image": "exotic compressed images (webp/jpeg-lossless...) need "
              "the Pillow adapter on the cluster (png/gif/baseline+"
              "progressive-jpeg decode in-repo)",
@@ -682,6 +684,13 @@ register_codec("image", "jpeg", lambda p: p[:3] == b"\xff\xd8\xff",
 register_codec("video", "avi-mjpeg",
                lambda p: p[:4] == b"RIFF" and p[8:12] == b"AVI ",
                decode_avi_mjpeg)
+
+# in-repo compressed AUDIO: FLAC (constant/verbatim/fixed/LPC
+# subframes, Rice residuals, stereo decorrelation — codecs_flac.py).
+from pyhctsa_spark.operators.codecs_flac import decode_flac  # noqa: E402
+
+register_codec("audio", "flac", lambda p: p[:4] == b"fLaC",
+               lambda p: decode_flac(p)[0])
 
 _OPTIONAL_DONE = False
 

@@ -200,6 +200,52 @@ def synth_g711_media_df(spark, n: int = 24, partitions: int = 4) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_flac_media_df(spark, n: int = 16, partitions: int = 4) -> DataFrame:
+    """Deterministic media table with FLAC audio payloads (the lossless
+    compressed-audio format): int16 content from
+    ``default_rng(9000 + i)`` in a fixed call order, rotating subframe
+    modes (verbatim / fixed1 / fixed2 / constant) and mono/stereo.
+    FLAC is lossless, so decoded samples equal the content exactly —
+    the golden oracle (scripts/gen_media_flac_golden.py) recomputes
+    features from the CONTENT with no codec in the loop at all."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyhctsa_spark.operators.codecs_flac import encode_flac
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(9000 + i)
+                mode = ["verbatim", "fixed1", "fixed2", "constant"][i % 4]
+                stereo = i % 3 == 2
+                n_smp = 400 + (i * 37) % 300
+                if mode == "constant":
+                    base = np.full(n_smp, int(rng.integers(-20000, 20000)),
+                                   np.int32)
+                else:
+                    base = (
+                        np.sin(np.linspace(0, 15 + i, n_smp)) * 12000
+                        + rng.integers(-800, 800, n_smp)
+                    ).astype(np.int32)
+                if stereo and mode != "constant":
+                    content = np.stack(
+                        [base, np.roll(base, 7) // 2], axis=1
+                    ).astype(np.int32)
+                else:
+                    content = base
+                payload = encode_flac(content, 8000, mode=mode,
+                                      block_size=256)
+                meta = {"sample_rate": "8000", "codec": "flac",
+                        "mode": mode}
+                rows.append((f"f{i:06d}", "audio", payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-random content seeded by
     the payload bytes, shaped per metadata."""

@@ -7756,3 +7756,11 @@ FROM documents
 ENGINE_ORACLES["media_audio_compressed"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_audio_24.parquet')
 """
+
+# media_flac_decode: FLAC is lossless, so the golden
+# (scripts/gen_media_flac_golden.py) recomputes features from the raw
+# content samples — no codec in the loop; the engine decode must
+# reproduce the content bit-for-bit.
+ENGINE_ORACLES["media_flac_decode"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_flac_16.parquet')
+"""
