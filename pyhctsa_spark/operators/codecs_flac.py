@@ -144,6 +144,27 @@ def _read_coded_number(br: _Bits) -> int:
     return v
 
 
+def _write_coded_number(bw: "_BitsW", v: int) -> None:
+    """UTF-8-style coded number, 1-7 bytes (inverse of
+    _read_coded_number) — covers every legal frame number."""
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    if v >= (1 << 36):
+        raise ValueError(f"FLAC coded number {v} exceeds 36 bits")
+    for nbytes in range(2, 8):
+        # payload bits: (7 - nbytes) in the lead byte (0 for 7 bytes),
+        # plus 6 per continuation byte
+        payload_bits = 6 * (nbytes - 1) + (7 - nbytes if nbytes < 7 else 0)
+        if v < (1 << payload_bits):
+            break
+    lead_bits = 7 - nbytes if nbytes < 7 else 0
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    bw.write(lead | ((v >> (6 * (nbytes - 1))) & ((1 << lead_bits) - 1)), 8)
+    for k in range(nbytes - 2, -1, -1):
+        bw.write(0x80 | ((v >> (6 * k)) & 0x3F), 8)
+
+
 _FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
@@ -192,16 +213,17 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
                      dtype=np.int64)
     elif 8 <= t <= 12:  # FIXED
         order = t - 8
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = np.array([br.read_signed(bps) for _ in range(order)],
+                        dtype=np.int64)
         res = _decode_residual(br, blocksize, order)
-        s = np.empty(blocksize, dtype=np.int64)
-        s[:order] = warm
-        coef = _FIXED_COEF[order]
-        for i in range(order, blocksize):
-            pred = 0
-            for j, c in enumerate(coef):
-                pred += c * s[i - 1 - j]
-            s[i] = res[i - order] + pred
+        # order-k fixed prediction inverts as k successive cumsums:
+        # res = D^k(s), and each cumsum integrates one difference level
+        # seeded by the warmup's (level)-th difference
+        cur = res
+        for j in range(order - 1, -1, -1):
+            seed = int(np.diff(warm, n=j)[0])
+            cur = np.cumsum(np.concatenate([[seed], cur]))
+        s = cur if order else res.copy()
     elif t >= 32:  # LPC
         order = t - 31
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -285,8 +307,12 @@ def decode_flac_int(payload: bytes) -> tuple[np.ndarray, int, int]:
             br.read(8)
         elif sr_code in (0b1101, 0b1110):
             br.read(16)
-        frame_bps = _SAMPLE_SIZE_BITS.get(size_code, bps) if size_code \
-            else bps
+        if size_code == 0:
+            frame_bps = bps
+        elif size_code in _SAMPLE_SIZE_BITS:
+            frame_bps = _SAMPLE_SIZE_BITS[size_code]
+        else:
+            raise ValueError(f"reserved FLAC sample size code {size_code}")
         # all header fields are byte-aligned, so br.pos now points at
         # the CRC-8 byte itself
         if _crc8(payload[frame_start : br.pos]) != br.read(8):
@@ -324,7 +350,14 @@ def decode_flac_int(payload: bytes) -> tuple[np.ndarray, int, int]:
             chans[c].append(subs[c])
         got += blocksize
 
-    cols = [np.concatenate(ch).astype(np.int32) for ch in chans]
+    if total and got < total:
+        raise ValueError(
+            f"FLAC stream truncated: decoded {got} of {total} samples")
+    cols = [
+        np.concatenate(ch).astype(np.int32) if ch
+        else np.empty(0, np.int32)
+        for ch in chans
+    ]
     if total:
         cols = [c[:total] for c in cols]
     x = cols[0] if n_ch == 1 else np.stack(cols, axis=1)
@@ -345,8 +378,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _best_rice_param(res: np.ndarray, pbits: int = 4) -> int:
     best, best_cost = 0, None
+    u = np.abs(res * 2) - (res < 0)
     for param in range(min(15, (1 << pbits) - 1)):
-        u = np.abs(res * 2) - (res < 0)
         cost = int(np.sum((u >> param) + 1 + param))
         if best_cost is None or cost < best_cost:
             best, best_cost = param, cost
@@ -427,11 +460,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
         hdr.write(n_ch - 1, 4)
         hdr.write(_SAMPLE_SIZE_CODE[bps], 3)
         hdr.write(0, 1)
-        if frame_no < 0x80:
-            hdr.write(frame_no, 8)
-        else:
-            hdr.write(0xC0 | (frame_no >> 6), 8)
-            hdr.write(0x80 | (frame_no & 0x3F), 8)
+        _write_coded_number(hdr, frame_no)
         if bs_code is None:
             if blocksize <= 256:
                 hdr.write(blocksize - 1, 8)

@@ -69,7 +69,7 @@ def _stream(n_ch: int, bps: int, total: int, frames: bytes) -> bytes:
             + info + frames)
 
 
-def _frame_header(blocksize: int, chan_code: int, n_ch_code_is_assign: bool,
+def _frame_header(blocksize: int, chan_code: int,
                   bps_code: int = 0b100) -> bytearray:
     hdr = _BitsW()
     hdr.write(0b11111111111110, 14)
@@ -117,7 +117,7 @@ def test_hand_built_lpc_subframe():
         u = (abs(v) << 1) - (1 if v < 0 else 0)
         body.write_unary(u >> 2)
         body.write(u & 3, 2)
-    payload = _stream(1, 16, n, _finish_frame(_frame_header(n, 0, True), body))
+    payload = _stream(1, 16, n, _finish_frame(_frame_header(n, 0), body))
     got, _rate, _bps = decode_flac_int(payload)
     want = list(warm)
     for r in res:
@@ -153,7 +153,7 @@ def test_hand_built_stereo_decorrelation(chan_code):
         _verbatim_subframe(body, mid, 16)
         _verbatim_subframe(body, side, 17)
     payload = _stream(
-        2, 16, n, _finish_frame(_frame_header(n, chan_code, False), body))
+        2, 16, n, _finish_frame(_frame_header(n, chan_code), body))
     got, _rate, _bps = decode_flac_int(payload)
     assert np.array_equal(got[:, 0], left)
     assert np.array_equal(got[:, 1], right)
@@ -172,7 +172,7 @@ def test_hand_built_wasted_bits_and_rice_escape():
     body.write_unary(1)       # wasted = 1 + 1 = 2
     for v in vals >> 2:
         body.write_signed(int(v), 14)  # bps 16 - 2 wasted
-    frame = _finish_frame(_frame_header(n, 0, True), body)
+    frame = _finish_frame(_frame_header(n, 0), body)
     got, _rate, _bps = decode_flac_int(_stream(1, 16, n, frame))
     assert np.array_equal(got, vals)
 
@@ -189,7 +189,7 @@ def test_hand_built_wasted_bits_and_rice_escape():
     body.write(6, 5)          # 6 raw bits per value
     for v in res:
         body.write_signed(int(v), 6)
-    frame = _finish_frame(_frame_header(len(res), 0, True), body)
+    frame = _finish_frame(_frame_header(len(res), 0), body)
     got, _rate, _bps = decode_flac_int(_stream(1, 16, len(res), frame))
     assert np.array_equal(got, res)
 
@@ -203,3 +203,26 @@ def test_media_flac_golden_is_current():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_many_frames_coded_number_roundtrip():
+    # frame numbers past the 2-byte UTF-8 range (>= 2048 frames) must
+    # still round-trip; regression for the coded-number overflow
+    x = np.arange(33600, dtype=np.int32) % 251 - 125
+    y, _rate, _bps = decode_flac_int(encode_flac(x, block_size=16))
+    assert np.array_equal(y, x)
+
+
+def test_truncated_at_frame_boundary_raises():
+    x = np.arange(1000, dtype=np.int32)
+    payload = encode_flac(x, block_size=256, mode="verbatim")
+    # find the start of the last frame (sync FF F8) and cut there
+    cut = payload.rfind(b"\xff\xf8")
+    assert cut > 0
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac_int(payload[:cut])
+
+
+def test_empty_stream_roundtrip():
+    y, rate, bps = decode_flac_int(encode_flac(np.zeros(0, np.int32)))
+    assert y.shape == (0,) and rate == 8000
