@@ -278,6 +278,22 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     out["curation10_tokens_packed"] = int(cstats["tokens_packed"])
     out["curation10_sequences"] = int(cstats["sequences"])
     segments.unpersist()
+    # LM perplexity gate on the 10x corpus: train on the distinct
+    # originals' vocabulary slice + broadcast-score all 10x docs — the
+    # skew-proof shape's wall at crawl multiplicity
+    from pyspark.sql import functions as F2
+
+    from pyhctsa_spark.operators.lm import lm_perplexity, train_bigram_lm
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    bi, ctx, v = train_bigram_lm(big.where(F2.col("doc_id") % 100 == 0))
+    lm_perplexity(big, bi, ctx, v).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["lm10_sec"] = round(time.perf_counter() - t0, 3)
+    out["lm10_vocab"] = int(v)
+    bi.unpersist()
     return out
 
 
@@ -517,7 +533,7 @@ def bench_queries(spark) -> dict:
                     "doc_pack_sequences", "doc_source_mix",
                     "doc_pii_redact", "doc_global_shuffle",
                     "doc_passage_dedup", "doc_lm_ppl", "doc_split",
-                    "media_audio_compressed")
+                    "media_audio_compressed", "media_flac_decode")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):
