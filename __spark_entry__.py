@@ -595,6 +595,19 @@ def _media_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (curation.exact_substring_dedup):
+    every 8-word window occurring elsewhere in the corpus is removed
+    from all but its globally-first (doc_id, pos) occurrence —
+    Lee et al. 2022 span-removal semantics over rolling grams. The
+    oracle replays it in SQL INCLUDING the reconstructed clean text, so
+    the hash pins exactly which words were cut."""
+    from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substring_dedup(docs, span_words=8)
+
+
 def _media_flac_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC (lossless compressed audio) decode end-to-end through the
     in-repo Rice/fixed-predictor decoder (operators/codecs_flac.py).
@@ -1227,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_split"] = _dataset_split_query
     out["media_audio_compressed"] = _media_audio_query
     out["media_flac_decode"] = _media_flac_query
+    out["doc_substring_dedup"] = _substring_dedup_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

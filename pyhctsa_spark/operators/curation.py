@@ -315,3 +315,153 @@ def passage_dedup_stats(
         )
     )
     return out
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    span_words: int = 8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span dedup at word granularity (the
+    remove-duplicated-spans stage of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-expressed as
+    rolling-window grams instead of a suffix array): every
+    ``span_words``-word window whose text occurs anywhere else in the
+    corpus is removed from all but its globally-first occurrence
+    (first by ``(doc_id, pos)`` per gram), overlapping duplicate spans
+    merge by coverage union, and the surviving words are re-joined.
+
+    Returns one row per input document:
+    ``doc_id, n_words, tokens_removed, dup_frac, clean_text``.
+    A document shorter than ``span_words`` words is passed through
+    unchanged; a NULL text yields NULL stats (kept, never dropped).
+
+    Scale shape: the gram table is O(total words) rows of
+    ``(doc_id, pos, md5)`` — the standard linear cost of exact-substring
+    dedup. Two shuffles: the per-gram first-occurrence rank (hash key:
+    uniform by construction, no skew) and the per-doc regroup of
+    duplicate positions. The text-cut step is one Arrow-batched pass
+    (coverage union via a numpy difference array), never per-row Python
+    in a scan. At crawl multiplicity, pre-collapse exact duplicate
+    documents first (``dedup.exact_duplicates``) so byte-identical
+    copies don't multiply the gram table — the same pre-collapse that
+    carries MinHash at 10x (BENCH.md).
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    L = int(span_words)
+    if L < 2:
+        raise ValueError(f"span_words must be >= 2, got {span_words}")
+    words = df.select(
+        F.col(doc_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_w")
+    )
+    # docs shorter than L words have no L-grams — filter BEFORE the
+    # transform (sequence(0, negative) descends; element_at then reads
+    # index <= 0, an error under ANSI mode)
+    eligible = words.where(F.size("_w") >= L)
+    idx = F.sequence(F.lit(0), F.size("_w") - L)
+    grams = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda p: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("_w"), p + j + 1) for j in range(L)],
+                    )
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    rank_w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    marks = (
+        grams.select("doc_id", "pos", F.row_number().over(rank_w).alias("rn"))
+        .where(F.col("rn") > 1)
+    )
+    per_doc = marks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_dup_pos")
+    )
+    joined = df.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).join(per_doc, "doc_id", "left")
+
+    # doc_id keeps the INPUT column's type (string corpora and int64
+    # synthetic tables both pass through untouched)
+    id_type = joined.schema["doc_id"].dataType
+    id_pa = pa.from_numpy_dtype(np.int64) if isinstance(
+        id_type, T.LongType
+    ) else (
+        pa.int32() if isinstance(id_type, T.IntegerType) else pa.string()
+    )
+    if not isinstance(id_type, (T.LongType, T.IntegerType, T.StringType)):
+        raise TypeError(f"unsupported doc_id type {id_type}")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("tokens_removed", T.IntegerType()),
+            T.StructField("clean_text", T.StringType()),
+        ]
+    )
+    pa_schema = pa.schema(
+        [
+            ("doc_id", id_pa),
+            ("n_words", pa.int32()),
+            ("tokens_removed", pa.int32()),
+            ("clean_text", pa.string()),
+        ]
+    )
+
+    def cut(batches):
+        for rb in batches:
+            names = rb.schema.names
+            ids = rb.column(names.index("doc_id"))
+            texts = rb.column(names.index("_text")).to_pylist()
+            poss = rb.column(names.index("_dup_pos")).to_pylist()
+            nw: list = []
+            rm: list = []
+            clean: list = []
+            for t, ps in zip(texts, poss):
+                if t is None:
+                    nw.append(None)
+                    rm.append(None)
+                    clean.append(None)
+                    continue
+                wl = np.array(t.split(" "), dtype=object)
+                n = len(wl)
+                nw.append(n)
+                if not ps:
+                    rm.append(0)
+                    clean.append(" ".join(wl))
+                    continue
+                p = np.asarray(ps, dtype=np.int64)
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, p, 1)
+                np.add.at(diff, np.minimum(p + L, n), -1)
+                cov = np.cumsum(diff[:n]) > 0
+                rm.append(int(cov.sum()))
+                clean.append(" ".join(wl[~cov]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(nw, pa.int32()),
+                    pa.array(rm, pa.int32()),
+                    pa.array(clean, pa.string()),
+                ],
+                schema=pa_schema,
+            )
+
+    cut_df = joined.mapInArrow(cut, out_schema)
+    return cut_df.select(
+        "doc_id",
+        "n_words",
+        "tokens_removed",
+        F.round(
+            F.col("tokens_removed").cast("double") / F.col("n_words"), 6
+        ).alias("dup_frac"),
+        "clean_text",
+    )

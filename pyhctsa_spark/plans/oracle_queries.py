@@ -7764,3 +7764,56 @@ SELECT * FROM read_parquet('/root/repo/tests/golden/media_audio_24.parquet')
 ENGINE_ORACLES["media_flac_decode"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_flac_16.parquet')
 """
+
+# exact_substring_dedup (operators/curation.py): Lee-et-al-style span
+# removal — every 8-word gram occurring elsewhere in the corpus is cut
+# from all but its globally-first (doc_id, pos) occurrence; overlapping
+# spans merge by coverage union. The oracle replays the whole thing in
+# SQL including the RECONSTRUCTED clean text (string_agg over the
+# uncovered words in position order), so the value hash pins the exact
+# words removed, not just the counts.
+ENGINE_ORACLES["doc_substring_dedup"] = """
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n - 8)) AS p,
+         unnest(list_transform(generate_series(0, n - 8),
+                q -> md5(array_to_string(w[q + 1:q + 8], ' ')))) AS h
+  FROM docs WHERE n >= 8
+),
+marks AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+words AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS pos, unnest(w) AS word
+  FROM docs
+),
+cov AS (
+  SELECT wd.doc_id AS doc_id, wd.pos AS pos, wd.word AS word,
+         max(CASE WHEN m.p IS NOT NULL THEN 1 ELSE 0 END) AS c
+  FROM words wd
+  LEFT JOIN marks m
+    ON wd.doc_id = m.doc_id AND m.p <= wd.pos AND wd.pos < m.p + 8
+  GROUP BY wd.doc_id, wd.pos, wd.word
+),
+agg AS (
+  SELECT doc_id, sum(c) AS removed,
+         COALESCE(string_agg(word, ' ' ORDER BY pos)
+                  FILTER (WHERE c = 0), '') AS clean
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(d.n AS INTEGER) AS n_words,
+       CAST(a.removed AS INTEGER) AS tokens_removed,
+       round(CAST(a.removed AS DOUBLE) / d.n, 6) AS dup_frac,
+       a.clean AS clean_text
+FROM docs d JOIN agg a ON d.doc_id = a.doc_id
+"""

@@ -175,3 +175,90 @@ def test_split_weights_must_sum_to_one():
         split_thresholds((("train", 0.6), ("val", 0.2), ("test", 0.1)))
     with pytest.raises(ValueError, match="sum to 1"):
         split_thresholds((("a", 0.9), ("b", 0.2)))
+
+
+# -- exact_substring_dedup ---------------------------------------------
+
+
+def _xs_rows(spark, rows):
+    from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = exact_substring_dedup(df, span_words=3)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_substring_dedup_keeps_first_occurrence_only(spark):
+    # doc a and doc b share the exact 5-word run "p q r s t"; with
+    # span_words=3 every covered word of the SECOND (lexicographically
+    # later) occurrence is removed, the first is untouched
+    shared = "p q r s t"
+    res = _xs_rows(
+        spark,
+        [("a", f"x1 {shared} x2"), ("b", f"y1 y2 {shared} y3")],
+    )
+    assert res["a"]["tokens_removed"] == 0
+    assert res["a"]["clean_text"] == f"x1 {shared} x2"
+    assert res["b"]["tokens_removed"] == 5
+    assert res["b"]["clean_text"] == "y1 y2 y3"
+
+
+def test_substring_dedup_overlapping_spans_merge(spark):
+    # two duplicated 3-grams overlapping by 2 words in the same doc
+    # cover a 4-word union, not 6
+    res = _xs_rows(
+        spark,
+        [
+            ("a", "m n o p filler1 filler2"),   # first occurrence of both grams
+            ("b", "z1 m n o p z2"),             # m n o + n o p overlap
+        ],
+    )
+    assert res["b"]["tokens_removed"] == 4
+    assert res["b"]["clean_text"] == "z1 z2"
+
+
+def test_substring_dedup_short_and_unique_docs_pass_through(spark):
+    res = _xs_rows(
+        spark,
+        [("a", "u1 u2"), ("b", "v1 v2 v3 v4"), ("c", "")],
+    )
+    for k, n in (("a", 2), ("b", 4), ("c", 1)):   # '' splits to ['']
+        assert res[k]["tokens_removed"] == 0
+        assert res[k]["n_words"] == n
+    assert res["b"]["clean_text"] == "v1 v2 v3 v4"
+    assert res["b"]["dup_frac"] == 0.0
+
+
+def test_substring_dedup_fully_duplicated_doc_empties(spark):
+    res = _xs_rows(
+        spark,
+        [("a", "d1 d2 d3 d4"), ("b", "d1 d2 d3 d4")],
+    )
+    assert res["a"]["clean_text"] == "d1 d2 d3 d4"
+    assert res["b"]["clean_text"] == ""
+    assert res["b"]["dup_frac"] == 1.0
+
+
+def test_substring_dedup_null_text_kept_with_null_stats(spark):
+    from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4"), ("b", None)], "doc_id string, text string"
+    )
+    res = {r["doc_id"]: r.asDict() for r in
+           exact_substring_dedup(df, span_words=3).collect()}
+    assert res["b"]["n_words"] is None
+    assert res["b"]["tokens_removed"] is None
+    assert res["b"]["clean_text"] is None
+    assert res["a"]["tokens_removed"] == 0
+
+
+def test_substring_dedup_partitioning_invariance(spark):
+    from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+    df = _docs(spark, 40)
+    a = exact_substring_dedup(df.repartition(1), span_words=4)
+    b = exact_substring_dedup(df.repartition(8), span_words=4)
+    pa_ = a.orderBy("doc_id").toPandas()
+    pb = b.orderBy("doc_id").toPandas()
+    assert pa_.equals(pb)
