@@ -608,6 +608,30 @@ def _substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(docs, span_words=8)
 
 
+def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG (SOF3) decode end-to-end through the in-repo
+    Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
+    The golden (scripts/gen_media_jpegls_golden.py) recomputes features
+    from the raw CONTENT images and n_bytes from an independent scalar
+    replay of the spec's prediction + Huffman sizing — the value hash
+    pins both directions of the codec."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.multimodal import (
+        extract_media_features,
+        synth_jpeg_lossless_media_df,
+    )
+
+    feats = extract_media_features(
+        synth_jpeg_lossless_media_df(spark, 16), use_real_codecs=True
+    )
+    flat = [F.round(F.col("feat")[i], 6).alias(f"feat_{i}") for i in range(8)]
+    return feats.select(
+        "media_id", "modality", "n_bytes",
+        _f6("mean"), _f6("std"), _f6("p01"), _f6("p99"), *flat,
+    )
+
+
 def _media_flac_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC (lossless compressed audio) decode end-to-end through the
     in-repo Rice/fixed-predictor decoder (operators/codecs_flac.py).
@@ -1241,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_audio_compressed"] = _media_audio_query
     out["media_flac_decode"] = _media_flac_query
     out["doc_substring_dedup"] = _substring_dedup_query
+    out["media_jpeg_lossless"] = _media_jpegls_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

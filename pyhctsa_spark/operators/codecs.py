@@ -619,9 +619,9 @@ _HINTS = {
              "needs the soundfile adapter (pip soundfile + libsndfile) "
              "on the cluster (PCM/G.711/ADPCM WAV + FLAC decode "
              "in-repo)",
-    "image": "exotic compressed images (webp/jpeg-lossless...) need "
+    "image": "exotic compressed images (webp/jpeg-arithmetic...) need "
              "the Pillow adapter on the cluster (png/gif/baseline+"
-             "progressive-jpeg decode in-repo)",
+             "progressive+lossless-jpeg decode in-repo)",
     "video": "transform-coded video (h264/vp9...) needs the pyav/ffmpeg "
              "adapter on the cluster (mjpeg-avi/gif decode in-repo)",
 }

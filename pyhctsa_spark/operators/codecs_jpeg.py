@@ -10,9 +10,10 @@ Decoder scope — baseline sequential DCT, 8-bit samples (SOF0):
   form), level shift +128, clamp,
 - chroma upsampling by sample replication, JFIF YCbCr -> RGB.
 
-Progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
-raise NotImplementedError — the registry falls through to the Pillow
-adapter for those when present.
+Progressive (SOF2) dispatches to codecs_jpeg_progressive, lossless
+(SOF3) to codecs_jpeg_lossless; arithmetic coding, 12-bit DCT and
+hierarchical modes raise NotImplementedError — the registry falls
+through to the Pillow adapter for those when present.
 
 The encoder is fixture-grade: 4:4:4 or 4:2:0, Annex K example quant
 tables scaled by libjpeg's quality formula, Annex K typical Huffman
@@ -294,11 +295,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
 
             return decode_jpeg_progressive(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # lossless (Annex H): predictive decoder
+            from pyhctsa_spark.operators.codecs_jpeg_lossless import (
+                decode_jpeg_lossless,
+            )
+
+            return decode_jpeg_lossless(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) — "
-                "lossless/arithmetic/hierarchical need the Pillow "
+                "arithmetic/hierarchical modes need the Pillow "
                 "adapter")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]

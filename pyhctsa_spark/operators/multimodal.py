@@ -246,6 +246,56 @@ def synth_flac_media_df(spark, n: int = 16, partitions: int = 4) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_lossless_media_df(
+    spark, n: int = 16, partitions: int = 4
+) -> DataFrame:
+    """Deterministic media table with lossless-JPEG (SOF3) image
+    payloads rotating predictors 1..7 and gray-8 / RGB-8 / gray-16 /
+    gray-12 content. Lossless, so decoded samples equal the content
+    exactly; the golden (scripts/gen_media_jpegls_golden.py) recomputes
+    features from the CONTENT and n_bytes from an INDEPENDENT scalar
+    replay of the Annex H prediction + Huffman sizing — any wire-format
+    drift in the engine encoder/decoder breaks the value hash."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyhctsa_spark.operators.codecs_jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(7700 + i)
+                pred = 1 + i % 7
+                kind = ("gray8", "rgb8", "gray16", "gray12")[i % 4]
+                h = 8 + (i * 3) % 9
+                w = 8 + (i * 5) % 11
+                if kind == "gray8":
+                    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+                    prec = 8
+                elif kind == "rgb8":
+                    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+                    prec = 8
+                elif kind == "gray16":
+                    img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+                    prec = 16
+                else:
+                    img = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+                    prec = 12
+                payload = encode_jpeg_lossless(
+                    img, predictor=pred, precision=prec
+                )
+                meta = {"codec": "jpeg-lossless", "kind": kind,
+                        "predictor": str(pred)}
+                rows.append((f"j{i:06d}", "image", payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-random content seeded by
     the payload bytes, shaped per metadata."""

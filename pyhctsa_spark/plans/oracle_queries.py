@@ -7817,3 +7817,11 @@ SELECT d.doc_id AS doc_id,
        a.clean AS clean_text
 FROM docs d JOIN agg a ON d.doc_id = a.doc_id
 """
+
+# media_jpeg_lossless: SOF3 is lossless, so the golden
+# (scripts/gen_media_jpegls_golden.py) recomputes features from the raw
+# content images AND n_bytes from an independent scalar replay of the
+# Annex H prediction/Huffman wire size — no engine code in the loop.
+ENGINE_ORACLES["media_jpeg_lossless"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_jpegls_16.parquet')
+"""

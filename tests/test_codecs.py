@@ -91,12 +91,12 @@ def test_ppm_stream_video():
 def test_compressed_boundaries_raise():
     # this container has Pillow/soundfile/pyav absent, so the typed
     # boundary must fire even after the optional-adapter ensure pass
-    # (PNG/GIF/baseline+progressive-JPEG now decode in-repo — LOSSLESS
-    # JPEG (SOF3) is the remaining image boundary)
-    sof3 = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b"
+    # (PNG/GIF/baseline+progressive+lossless-JPEG now decode in-repo —
+    # ARITHMETIC-coded JPEG (SOF9) is the remaining image boundary)
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b"
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        C.sniff_and_decode(sof3, "image")
+        C.sniff_and_decode(sof9, "image")
     with pytest.raises(NotImplementedError):
         C.sniff_and_decode(b"ID3\x04...", "audio")
     with pytest.raises(NotImplementedError):
@@ -134,13 +134,13 @@ def test_codec_registry_dispatch_and_removal():
     finally:
         C.unregister_codec("image", "fake-jpeg")
     assert "fake-jpeg" not in C.registered_codecs("image")
-    # with the adapter gone, a LOSSLESS (SOF3) stream hits the in-repo
-    # decoder's typed boundary (and would fall through to Pillow on a
-    # real cluster)
-    sof3 = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b"
+    # with the adapter gone, an ARITHMETIC-coded (SOF9) stream hits the
+    # in-repo decoder's typed boundary (and would fall through to
+    # Pillow on a real cluster)
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b"
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError, match="Pillow"):
-        C.sniff_and_decode(sof3, "image")
+        C.sniff_and_decode(sof9, "image")
 
 
 def test_optional_adapter_registration_reports_environment():

@@ -145,12 +145,12 @@ def test_grayscale_shape_and_values():
 
 
 def test_non_baseline_sof_raises_typed_boundary():
-    # SOF2 is handled in-repo now (codecs_jpeg_progressive); lossless
-    # SOF3 remains the typed boundary
-    sof3 = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b"
+    # SOF2 (progressive) and SOF3 (lossless) are handled in-repo now;
+    # arithmetic-coded SOF9 remains the typed boundary
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b"
             + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        J.decode_jpeg(sof3)
+        J.decode_jpeg(sof9)
     with pytest.raises(ValueError):
         J.decode_jpeg(b"notjpeg")
 
