@@ -608,6 +608,20 @@ def _substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(docs, span_words=8)
 
 
+def _containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle containment
+    (dedup.containment_pairs): rare-shingle (df <= 64) candidate index,
+    exact pair-local verify over ALL shingles — catches the
+    subset/quote-expansion case Jaccard misses. Oracle replays the
+    index, verify and both directional containments in SQL."""
+    from pyhctsa_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(
+        docs, shingle_k=5, threshold=0.8, max_df=64
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1266,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_flac_decode"] = _media_flac_query
     out["doc_substring_dedup"] = _substring_dedup_query
     out["media_jpeg_lossless"] = _media_jpegls_query
+    out["doc_containment_pairs"] = _containment_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -533,7 +533,9 @@ def bench_queries(spark) -> dict:
                     "doc_pack_sequences", "doc_source_mix",
                     "doc_pii_redact", "doc_global_shuffle",
                     "doc_passage_dedup", "doc_lm_ppl", "doc_split",
-                    "media_audio_compressed", "media_flac_decode")
+                    "media_audio_compressed", "media_flac_decode",
+                    "doc_substring_dedup", "media_jpeg_lossless",
+                    "doc_containment_pairs")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

@@ -858,3 +858,158 @@ def near_dup_clusters(
             ),
         )
     )
+
+
+def _containment_core(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    threshold: float,
+    max_df: int,
+) -> DataFrame:
+    """Rare-shingle candidates + exact verify; see containment_pairs."""
+    sh_df = _shingle_df(df, text_col, id_col, shingle_k).persist()
+    tok = sh_df.select(F.col(id_col).alias("d"), F.explode("sh").alias("s"))
+    # candidate index: shingles shared by 2..max_df documents. The df
+    # cap bounds every index bucket, so the self-join below emits at
+    # most max_df^2/2 pairs per shingle — linear in corpus size, never
+    # quadratic in it. Ubiquitous (df > max_df) shingles carry no
+    # containment signal; the recall contract is "pairs sharing at
+    # least one rare shingle", stated in the caller docstring.
+    idx = (
+        tok.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= int(max_df)))
+        .select("s")
+    )
+    itok = tok.join(idx, "s").persist()
+    a = itok.select(F.col("s"), F.col("d").alias("d1"))
+    b = itok.select(F.col("s"), F.col("d").alias("d2"))
+    cands = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # exact verify, pair-local: true intersection over ALL shingles
+    # (the df cap prunes candidates only, never the measure)
+    sa = sh_df.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh_a"))
+    sb = sh_df.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh_b"))
+    ic = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = (
+        cands.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            ic.cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("n1"),
+            F.size("sh_b").cast("long").alias("n2"),
+        )
+        .withColumn(
+            "c1", F.round(F.col("inter") / F.col("n1").cast("double"), 6)
+        )
+        .withColumn(
+            "c2", F.round(F.col("inter") / F.col("n2").cast("double"), 6)
+        )
+        .where(
+            F.greatest("c1", "c2") >= F.lit(float(threshold)).cast("double")
+        )
+    )
+    return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (RefinedWeb-style): for each candidate pair, c1 = |A∩B| / |A| and
+    c2 = |A∩B| / |B| over distinct ``shingle_k``-word shingles; pairs
+    with max(c1, c2) >= threshold survive. Containment catches the
+    quote-expansion / subset case Jaccard misses — a short doc fully
+    embedded in a long one has J ≈ |A|/|B| (small) but c1 = 1.0.
+
+    Candidates are pairs sharing at least one RARE shingle
+    (document frequency 2..max_df): the df cap bounds every inverted-
+    index bucket, so candidate volume is linear in corpus size.
+    Ubiquitous shingles are pruned from candidacy only — the verify
+    step recomputes the intersection over ALL shingles pair-locally,
+    so surviving pairs carry exact containments. A pair sharing ONLY
+    df > max_df shingles is missed by construction; that happens when
+    every shared shingle also occurs in > max_df other documents,
+    i.e. the overlap is itself boilerplate.
+
+    ``collapse_exact`` (default on) mirrors minhash_verified_pairs:
+    byte-identical documents are collapsed to one representative before
+    the expensive stages, and representative pairs expand back to
+    member pairs (containment depends only on the shingle set, so
+    within-group pairs are exactly (1.0, 1.0) and cross-group pairs
+    inherit their representatives' values).
+
+    Returns (d1, d2, inter, n1, n2, c1, c2) with d1 < d2.
+    """
+    if not collapse_exact:
+        return _containment_core(
+            df, text_col, id_col, shingle_k, threshold, max_df
+        )
+    eligible = df.select(F.col(id_col), F.col(text_col)).where(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_k
+    )
+    with_rep = _rep_election(eligible, text_col, id_col)
+    members = with_rep.select(F.col("_rep"), F.col(id_col).alias("_m"))
+    reps = with_rep.where(F.col(id_col) == F.col("_rep")).select(
+        id_col, text_col
+    )
+    rep_pairs = _containment_core(
+        reps, text_col, id_col, shingle_k, threshold, max_df
+    )
+    # cross-group expansion: relabel by (least, greatest) member ids;
+    # the directional containments follow the swap
+    m1 = members.select(F.col("_rep").alias("d1"), F.col("_m").alias("m1"))
+    m2 = members.select(F.col("_rep").alias("d2"), F.col("_m").alias("m2"))
+    swapped = F.col("m1") > F.col("m2")
+    cross = (
+        rep_pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "inter",
+            F.when(swapped, F.col("n2")).otherwise(F.col("n1")).alias("n1"),
+            F.when(swapped, F.col("n1")).otherwise(F.col("n2")).alias("n2"),
+            F.when(swapped, F.col("c2")).otherwise(F.col("c1")).alias("c1"),
+            F.when(swapped, F.col("c1")).otherwise(F.col("c2")).alias("c2"),
+        )
+    )
+    # within-group: exact copies — containment (1.0, 1.0), inter = n
+    nsh = _shingle_df(reps, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("_rep"), F.size("sh").cast("long").alias("_n")
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x._rep") == F.col("y._rep"))
+            & (F.col("x._m") < F.col("y._m")),
+        )
+        .select(F.col("x._rep").alias("_rep"),
+                F.col("x._m").alias("d1"), F.col("y._m").alias("d2"))
+        .join(nsh, "_rep")
+        .select(
+            "d1",
+            "d2",
+            F.col("_n").alias("inter"),
+            F.col("_n").alias("n1"),
+            F.col("_n").alias("n2"),
+            F.lit(1.0).alias("c1"),
+            F.lit(1.0).alias("c2"),
+        )
+    )
+    return cross.unionByName(within)

@@ -7825,3 +7825,43 @@ FROM docs d JOIN agg a ON d.doc_id = a.doc_id
 ENGINE_ORACLES["media_jpeg_lossless"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_jpegls_16.parquet')
 """
+
+# containment_pairs (operators/dedup.py): asymmetric near-dup — pairs
+# sharing a rare (df 2..64) 5-word shingle, verified with the exact
+# intersection over ALL distinct shingles; both directional
+# containments reported, max >= 0.8 kept. The engine's exact-collapse
+# fast path must be invisible in the output (the oracle is the naive
+# full replay).
+ENGINE_ORACLES["doc_containment_pairs"] = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS d,
+         unnest(list_distinct(list_transform(generate_series(0, n - 5),
+                q -> array_to_string(w[q + 1:q + 5], ' ')))) AS s
+  FROM docs WHERE n >= 5
+),
+sizes AS (SELECT d, count(*) AS nsh FROM sh GROUP BY d),
+idx AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 64),
+cands AS (
+  SELECT DISTINCT a.d AS d1, b.d AS d2
+  FROM sh a JOIN idx USING (s) JOIN sh b USING (s)
+  WHERE a.d < b.d
+),
+inter AS (
+  SELECT a.d AS d1, b.d AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.d < b.d
+  JOIN cands c ON c.d1 = a.d AND c.d2 = b.d
+  GROUP BY a.d, b.d
+)
+SELECT i.d1 AS d1, i.d2 AS d2, CAST(i.i AS BIGINT) AS inter,
+       CAST(s1.nsh AS BIGINT) AS n1, CAST(s2.nsh AS BIGINT) AS n2,
+       round(CAST(i.i AS DOUBLE) / s1.nsh, 6) AS c1,
+       round(CAST(i.i AS DOUBLE) / s2.nsh, 6) AS c2
+FROM inter i JOIN sizes s1 ON i.d1 = s1.d JOIN sizes s2 ON i.d2 = s2.d
+WHERE greatest(round(CAST(i.i AS DOUBLE) / s1.nsh, 6),
+               round(CAST(i.i AS DOUBLE) / s2.nsh, 6)) >= 0.8
+"""

@@ -777,3 +777,58 @@ def test_simhash_collapse_is_invisible(spark, docs):
     assert ka == kb and len(ka) > 0
     # the planted triplicates appear as hamming-0 pairs
     assert (0, 100000, 0) in ka and (0, 200000, 0) in ka
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from pyhctsa_spark.operators.dedup import containment_pairs
+
+    # a 10-word doc fully embedded in a 60-word doc: J ~ 6/56 = 0.11
+    # (below any sane Jaccard threshold) but c1 = 1.0
+    small = " ".join(f"tok{j}" for j in range(10))
+    big = small + " " + " ".join(f"pad{j}_{j*7%13}" for j in range(50))
+    other = " ".join(f"oth{j}" for j in range(30))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_pairs(df, shingle_k=5, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert r["c1"] == 1.0 and r["c2"] < 0.2
+    assert r["inter"] == 6 and r["n1"] == 6
+
+
+def test_containment_collapse_is_invisible(spark, docs):
+    from pyhctsa_spark.operators.dedup import containment_pairs
+
+    # replicate a few docs so exact groups exist; collapse on/off must
+    # produce identical pairs
+    dup = docs.limit(8).withColumn("doc_id", F.col("doc_id") + 500000)
+    both = docs.unionByName(dup)
+    kw = dict(shingle_k=5, threshold=0.8, max_df=64)
+    a = containment_pairs(both, collapse_exact=True, **kw)
+    b = containment_pairs(both, collapse_exact=False, **kw)
+    pa_ = a.orderBy("d1", "d2").toPandas()
+    pb = b.orderBy("d1", "d2").toPandas()
+    assert len(pa_) == len(pb) and len(pa_) > 0
+    for col in pa_.columns:
+        assert (pa_[col] == pb[col]).all(), col
+
+
+def test_containment_df_cap_prunes_boilerplate_only_overlap(spark):
+    from pyhctsa_spark.operators.dedup import containment_pairs
+
+    # 10 docs all sharing the same boilerplate shingle stream (df=10 >
+    # max_df=4) plus unique tails: the shared shingles are ubiquitous,
+    # so no candidate forms — documented recall boundary
+    boiler = " ".join(f"b{j}" for j in range(8))
+    df = spark.createDataFrame(
+        [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(8)))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(df, shingle_k=5, threshold=0.5, max_df=4)
+    assert out.count() == 0
+    # raising the cap restores them
+    out2 = containment_pairs(df, shingle_k=5, threshold=0.3, max_df=32)
+    assert out2.count() > 0
