@@ -8,6 +8,10 @@
                                 optional: --max-ppl; self-trained on
                                 the deduplicated survivors, CCNet-style)
       -> passage-level dedup   (operators/curation.passage_dedup_stats)
+      -> substring span dedup  (operators/curation.exact_substring_dedup,
+                                optional: --substring-span; Lee et al.
+                                2022 span removal — rewrites text,
+                                drops docs left empty)
       -> PII redaction         (operators/curation.pii_redact)
       -> weighted source mix   (operators/curation.source_mix)
       -> sequence packing      (operators/curation.pack_sequences)
@@ -49,6 +53,7 @@ def curate(
     threshold: float = 0.3,
     max_ppl: float | None = None,
     max_dup_frac: float = 0.5,
+    substring_span: int | None = None,
     mix_rate: float = 1.0,
     seq_len: int = 2048,
     pack_shards: int = 4,
@@ -140,6 +145,41 @@ def curate(
     persisted.append(docs_p)
     stats["after_passage_dedup"] = docs_p.count()
 
+    if substring_span is not None:
+        # span-level dedup AFTER the doc-level collapse and passage
+        # filter: what remains duplicated now is sub-document
+        # boilerplate shared across distinct survivors. This stage
+        # REWRITES text (removes every covered word from all but the
+        # globally-first occurrence); documents left with no words are
+        # dropped, unmeasurable (NULL-text) rows pass through unchanged
+        # — the score-every-row contract.
+        from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+        cut = exact_substring_dedup(
+            docs_p, span_words=substring_span,
+            text_col=text_col, doc_col=id_col,
+        ).persist()
+        persisted.append(cut)
+        stats["substring_tokens_removed"] = int(
+            cut.select(F.sum("tokens_removed")).first()[0] or 0
+        )
+        docs_p = (
+            docs_p.drop(text_col)
+            .join(
+                cut.where(
+                    F.col("clean_text").isNull()
+                    | (F.length("clean_text") > 0)
+                ).select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("clean_text").alias(text_col),
+                ),
+                id_col,
+            )
+            .persist()
+        )
+        persisted.append(docs_p)
+        stats["after_substring"] = docs_p.count()
+
     docs_r = pii_redact(docs_p, text_col)
     stats_cols = docs_r.select(
         F.sum("n_emails").alias("e"),
@@ -186,6 +226,9 @@ def parse_args(argv):
     p.add_argument("--max-ppl", type=float, default=None,
                    help="LM perplexity ceiling (omit to skip the gate)")
     p.add_argument("--max-dup-frac", type=float, default=0.5)
+    p.add_argument("--substring-span", type=int, default=None,
+                   help="span-dedup window in words (omit to skip the "
+                        "Lee-et-al substring removal stage)")
     p.add_argument("--mix-rate", type=float, default=1.0)
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--pack-shards", type=int, default=4,
@@ -210,6 +253,7 @@ def main(argv=None) -> int:
         threshold=args.threshold,
         max_ppl=args.max_ppl,
         max_dup_frac=args.max_dup_frac,
+        substring_span=args.substring_span,
         mix_rate=args.mix_rate,
         seq_len=args.seq_len,
         pack_shards=args.pack_shards,

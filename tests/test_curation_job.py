@@ -122,3 +122,40 @@ def test_curation_funnel_lm_gate(spark):
         spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
     )
     assert "after_lm_ppl" not in stats2
+
+
+def test_curation_funnel_substring_stage(spark):
+    # plant a shared 12-word boilerplate run inside two otherwise-
+    # distinct good docs: the span stage must strip it from the later
+    # doc only, and a doc that is nothing but the boilerplate is
+    # dropped entirely (left empty after the cut)
+    stop = "the of and to in is that it was for"
+    boiler = " ".join(f"bp{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [
+            (i, f"{stop} item{i} "
+             + " ".join(f"tok{i}x{j}" for j in range(30)), f"src{i % 3}")
+            for i in range(40)
+        ]
+        + [
+            (200, f"{stop} first {boiler} "
+             + " ".join(f"a{j}" for j in range(20)), "src0"),
+            (201, f"{stop} second {boiler} "
+             + " ".join(f"b{j}" for j in range(20)), "src1"),
+            (202, f"{stop} {boiler}", "src2"),  # boilerplate-only tail
+        ],
+        "doc_id long, text string, source string",
+    )
+    seg, _addr, stats = curate(
+        spark, docs, substring_span=8, seq_len=32, pack_shards=2,
+        shuffle_shards=4,
+    )
+    assert stats["substring_tokens_removed"] >= 12
+    assert stats["after_substring"] <= stats["after_passage_dedup"]
+    # monotone + packing still conserves surviving tokens
+    assert stats["tokens_packed"] > 0
+    # without the stage, the keys are absent
+    _s2, _a2, s2 = curate(
+        spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
+    )
+    assert "after_substring" not in s2 and "substring_tokens_removed" not in s2
