@@ -173,8 +173,10 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
                         int(p[y - 1, x - 1]),
                     )
                 planes[ci, y, x] = (px + diff) & 0xFFFF
+    # P is the ORIGINAL sample precision (the encoder divides by 2^Al
+    # before coding), so re-shifted output fits prec bits exactly
     out = (planes.astype(np.int64) << pt).astype(
-        np.uint8 if prec + pt <= 8 else np.uint16
+        np.uint8 if prec <= 8 else np.uint16
     )
     return out[0] if nc == 1 else np.moveaxis(out, 0, 2)
 

@@ -1,12 +1,15 @@
 """Corpus-curation operators for training-data pipelines: sequence
 packing, deterministic weighted source mixing, PII redaction,
-deterministic global shuffle, and passage-level dedup statistics.
+deterministic global shuffle, passage-level dedup statistics,
+hash-range dataset splits, and exact-substring span dedup.
 
-All five are pure JVM expressions (no Python in the scan path) and all
-are deterministic — every random-looking decision (sampling, shuffle
-order, shard assignment) is derived from md5 of the row key, so the
-same input always produces the same output on any cluster size and both
-the engine and the DuckDB oracle compute identical answers.
+All are deterministic — every random-looking decision (sampling,
+shuffle order, shard assignment) is derived from md5 of the row key, so
+the same input always produces the same output on any cluster size and
+both the engine and the DuckDB oracle compute identical answers. All
+except ``exact_substring_dedup`` are pure JVM expressions (no Python in
+the scan path); the span-dedup text cut is one Arrow-batched
+``mapInArrow`` pass (never per-row Python).
 
 Scale notes (the 100 TB contract of each op):
 - ``pack_sequences``: the only stateful step is a running-sum window
@@ -25,6 +28,9 @@ Scale notes (the 100 TB contract of each op):
 - ``passage_dedup_stats``: explode fixed-width blocks -> hash-aggregate
   counts (map-side partial combine) -> join back. Same shape as exact
   dedup; nothing quadratic, nothing collected.
+- ``exact_substring_dedup``: gram rows are O(total words); the
+  first-occurrence rank and the per-doc regroup are the only shuffles,
+  and the coverage-union text cut is one Arrow-batched pass.
 """
 
 from __future__ import annotations

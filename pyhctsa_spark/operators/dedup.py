@@ -860,66 +860,6 @@ def near_dup_clusters(
     )
 
 
-def _containment_core(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    shingle_k: int,
-    threshold: float,
-    max_df: int,
-) -> DataFrame:
-    """Rare-shingle candidates + exact verify; see containment_pairs."""
-    sh_df = _shingle_df(df, text_col, id_col, shingle_k).persist()
-    tok = sh_df.select(F.col(id_col).alias("d"), F.explode("sh").alias("s"))
-    # candidate index: shingles shared by 2..max_df documents. The df
-    # cap bounds every index bucket, so the self-join below emits at
-    # most max_df^2/2 pairs per shingle — linear in corpus size, never
-    # quadratic in it. Ubiquitous (df > max_df) shingles carry no
-    # containment signal; the recall contract is "pairs sharing at
-    # least one rare shingle", stated in the caller docstring.
-    idx = (
-        tok.groupBy("s")
-        .agg(F.count("*").alias("_df"))
-        .where((F.col("_df") >= 2) & (F.col("_df") <= int(max_df)))
-        .select("s")
-    )
-    itok = tok.join(idx, "s").persist()
-    a = itok.select(F.col("s"), F.col("d").alias("d1"))
-    b = itok.select(F.col("s"), F.col("d").alias("d2"))
-    cands = (
-        a.join(b, "s")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    # exact verify, pair-local: true intersection over ALL shingles
-    # (the df cap prunes candidates only, never the measure)
-    sa = sh_df.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh_a"))
-    sb = sh_df.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh_b"))
-    ic = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = (
-        cands.join(sa, "d1")
-        .join(sb, "d2")
-        .select(
-            "d1",
-            "d2",
-            ic.cast("long").alias("inter"),
-            F.size("sh_a").cast("long").alias("n1"),
-            F.size("sh_b").cast("long").alias("n2"),
-        )
-        .withColumn(
-            "c1", F.round(F.col("inter") / F.col("n1").cast("double"), 6)
-        )
-        .withColumn(
-            "c2", F.round(F.col("inter") / F.col("n2").cast("double"), 6)
-        )
-        .where(
-            F.greatest("c1", "c2") >= F.lit(float(threshold)).cast("double")
-        )
-    )
-    return out
-
-
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -946,37 +886,99 @@ def containment_pairs(
     every shared shingle also occurs in > max_df other documents,
     i.e. the overlap is itself boilerplate.
 
-    ``collapse_exact`` (default on) mirrors minhash_verified_pairs:
-    byte-identical documents are collapsed to one representative before
-    the expensive stages, and representative pairs expand back to
-    member pairs (containment depends only on the shingle set, so
-    within-group pairs are exactly (1.0, 1.0) and cross-group pairs
-    inherit their representatives' values).
+    ``collapse_exact`` (default on) collapses byte-identical documents
+    to one representative before the expensive stages, exactly like
+    minhash_verified_pairs — with one containment-specific twist that
+    keeps the fast path OUTPUT-INVISIBLE: shingle document frequency is
+    counted over ORIGINAL documents (each representative contributes
+    its exact-duplicate group size), because the df candidacy cap is
+    defined against the uncollapsed corpus. A shingle carried by a
+    1000-copy crawl page is boilerplate (df >= 1000) whether or not the
+    copies were collapsed first; an unweighted count would resurrect it
+    as "rare". Representative pairs then expand back to member pairs,
+    and within-group pairs are emitted only for groups that still own
+    at least one indexable shingle (the naive pipeline's candidacy
+    condition for exact copies).
 
     Returns (d1, d2, inter, n1, n2, c1, c2) with d1 < d2.
     """
-    if not collapse_exact:
-        return _containment_core(
-            df, text_col, id_col, shingle_k, threshold, max_df
+    if collapse_exact:
+        eligible = df.select(F.col(id_col), F.col(text_col)).where(
+            F.size(F.split(F.col(text_col), " ")) >= shingle_k
         )
-    eligible = df.select(F.col(id_col), F.col(text_col)).where(
-        F.size(F.split(F.col(text_col), " ")) >= shingle_k
+        with_rep = _rep_election(eligible, text_col, id_col)
+        members = with_rep.select(F.col("_rep"), F.col(id_col).alias("_m"))
+        base = with_rep.where(F.col(id_col) == F.col("_rep")).select(
+            id_col, text_col
+        )
+        weights = members.groupBy("_rep").agg(F.count("*").alias("_w"))
+    else:
+        base, members, weights = df, None, None
+
+    # the shingle table feeds the index build AND both sides of the
+    # verify join AND (collapsed path) the within-group sizes —
+    # materialize once, tokenize once
+    sh_df = _shingle_df(base, text_col, id_col, shingle_k).persist()
+    tok = sh_df.select(F.col(id_col).alias("d"), F.explode("sh").alias("s"))
+    if weights is not None:
+        dfreq = (
+            tok.join(weights.select(F.col("_rep").alias("d"), "_w"), "d")
+            .groupBy("s")
+            .agg(F.sum("_w").alias("_df"))
+        )
+    else:
+        dfreq = tok.groupBy("s").agg(F.count("*").alias("_df"))
+    # candidate index: shingles carried by 2..max_df ORIGINAL documents.
+    # The cap bounds every index bucket, so the self-join below emits at
+    # most max_df^2/2 pairs per shingle — linear in corpus size, never
+    # quadratic in it.
+    idx = dfreq.where(
+        (F.col("_df") >= 2) & (F.col("_df") <= int(max_df))
+    ).select("s")
+    itok = tok.join(idx, "s").persist()
+    a = itok.select(F.col("s"), F.col("d").alias("d1"))
+    b = itok.select(F.col("s"), F.col("d").alias("d2"))
+    cands = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
     )
-    with_rep = _rep_election(eligible, text_col, id_col)
-    members = with_rep.select(F.col("_rep"), F.col(id_col).alias("_m"))
-    reps = with_rep.where(F.col(id_col) == F.col("_rep")).select(
-        id_col, text_col
+    # exact verify, pair-local: true intersection over ALL shingles
+    # (the df cap prunes candidates only, never the measure)
+    sa = sh_df.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh_a"))
+    sb = sh_df.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh_b"))
+    ic = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        cands.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            ic.cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("n1"),
+            F.size("sh_b").cast("long").alias("n2"),
+        )
+        .withColumn(
+            "c1", F.round(F.col("inter") / F.col("n1").cast("double"), 6)
+        )
+        .withColumn(
+            "c2", F.round(F.col("inter") / F.col("n2").cast("double"), 6)
+        )
+        .where(
+            F.greatest("c1", "c2") >= F.lit(float(threshold)).cast("double")
+        )
     )
-    rep_pairs = _containment_core(
-        reps, text_col, id_col, shingle_k, threshold, max_df
-    )
+    if not collapse_exact:
+        return pairs
+
     # cross-group expansion: relabel by (least, greatest) member ids;
     # the directional containments follow the swap
     m1 = members.select(F.col("_rep").alias("d1"), F.col("_m").alias("m1"))
     m2 = members.select(F.col("_rep").alias("d2"), F.col("_m").alias("m2"))
     swapped = F.col("m1") > F.col("m2")
     cross = (
-        rep_pairs.join(m1, "d1")
+        pairs.join(m1, "d1")
         .join(m2, "d2")
         .select(
             F.least("m1", "m2").alias("d1"),
@@ -988,8 +990,13 @@ def containment_pairs(
             F.when(swapped, F.col("c1")).otherwise(F.col("c2")).alias("c2"),
         )
     )
-    # within-group: exact copies — containment (1.0, 1.0), inter = n
-    nsh = _shingle_df(reps, text_col, id_col, shingle_k).select(
+    # within-group: exact copies — containment (1.0, 1.0), inter = n —
+    # but ONLY for groups with at least one indexable shingle: in the
+    # naive pipeline two exact copies are candidates iff some shingle
+    # of their shared content has df <= max_df (df >= group size always
+    # holds, so a > max_df-copy group can never pair even with itself)
+    idx_reps = itok.select(F.col("d").alias("_rep")).distinct()
+    nsh = sh_df.select(
         F.col(id_col).alias("_rep"), F.size("sh").cast("long").alias("_n")
     )
     x, y = members.alias("x"), members.alias("y")
@@ -1001,6 +1008,7 @@ def containment_pairs(
         )
         .select(F.col("x._rep").alias("_rep"),
                 F.col("x._m").alias("d1"), F.col("y._m").alias("d2"))
+        .join(idx_reps, "_rep")
         .join(nsh, "_rep")
         .select(
             "d1",

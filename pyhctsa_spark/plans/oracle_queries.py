@@ -7815,8 +7815,12 @@ SELECT d.doc_id AS doc_id,
        CAST(a.removed AS INTEGER) AS tokens_removed,
        round(CAST(a.removed AS DOUBLE) / d.n, 6) AS dup_frac,
        a.clean AS clean_text
-FROM docs d JOIN agg a ON d.doc_id = a.doc_id
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+# NULL-text note for doc_substring_dedup: the engine keeps unmeasurable
+# rows with NULL stats (score-every-row contract); a NULL text yields no
+# word rows, so the LEFT JOIN reproduces the all-NULL row instead of
+# dropping it (d.n is already NULL for those rows, matching n_words).
 
 # media_jpeg_lossless: SOF3 is lossless, so the golden
 # (scripts/gen_media_jpegls_golden.py) recomputes features from the raw

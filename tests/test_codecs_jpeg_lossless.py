@@ -57,6 +57,9 @@ def test_point_transform_drops_exactly_al_bits():
         encode_jpeg_lossless(img, predictor=2, point_transform=2)
     )
     assert np.array_equal(out, (img >> 2) << 2)
+    # P is the ORIGINAL precision: an 8-bit image stays uint8 even with
+    # a point transform (re-shifted samples fit 8 bits by definition)
+    assert out.dtype == np.uint8
 
 
 def test_decode_jpeg_dispatches_sof3():

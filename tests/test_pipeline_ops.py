@@ -815,6 +815,44 @@ def test_containment_collapse_is_invisible(spark, docs):
         assert (pa_[col] == pb[col]).all(), col
 
 
+def test_containment_collapse_invisible_at_high_multiplicity(spark):
+    from pyhctsa_spark.operators.dedup import containment_pairs
+
+    # duplicate multiplicity ABOVE max_df: every shingle of a 4-copy
+    # group has naive df >= 4 > max_df=2, so the naive pipeline emits
+    # NOTHING for those docs — the collapsed path must agree (shingle
+    # df is weighted by group size, and within-group pairs require an
+    # indexable shingle). A distinct pair of 2-copy groups sharing a
+    # rare shingle stays detectable under both paths.
+    body4 = " ".join(f"q{j}" for j in range(12))
+    rare = "r1 r2 r3 r4 r5"
+    g2a = rare + " " + " ".join(f"a{j}" for j in range(8))
+    g2b = rare + " " + " ".join(f"b{j}" for j in range(8))
+    rows = [(i, body4, "s") for i in range(4)]            # 4-copy group
+    rows += [(10, g2a, "s"), (11, g2a, "s")]              # 2-copy group A
+    rows += [(20, g2b, "s"), (21, g2b, "s")]              # 2-copy group B
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for max_df in (2, 3, 8):
+        kw = dict(shingle_k=5, threshold=0.3, max_df=max_df)
+        pa_ = (containment_pairs(df, collapse_exact=True, **kw)
+               .orderBy("d1", "d2").toPandas())
+        pb = (containment_pairs(df, collapse_exact=False, **kw)
+              .orderBy("d1", "d2").toPandas())
+        assert len(pa_) == len(pb), (max_df, len(pa_), len(pb))
+        for col in pa_.columns:
+            assert (pa_[col] == pb[col]).all(), (max_df, col)
+    # sanity of the fixture itself: at max_df=2 only the two 2-copy
+    # within-group pairs surface (their tail shingles have df=2); the
+    # 4-copy group stays silent, and the cross-group rare shingle
+    # (naive df=4) only becomes indexable at max_df >= 4
+    n2 = containment_pairs(df, shingle_k=5, threshold=0.3, max_df=2)
+    assert sorted((r["d1"], r["d2"]) for r in n2.collect()) == [
+        (10, 11), (20, 21)
+    ]
+    n8 = containment_pairs(df, shingle_k=5, threshold=0.3, max_df=8).count()
+    assert n8 > 2  # cross pairs between groups A and B appear
+
+
 def test_containment_df_cap_prunes_boilerplate_only_overlap(spark):
     from pyhctsa_spark.operators.dedup import containment_pairs
 
