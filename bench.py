@@ -294,6 +294,17 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     out["lm10_sec"] = round(time.perf_counter() - t0, 3)
     out["lm10_vocab"] = int(v)
     bi.unpersist()
+    # exact-substring span dedup on the 10x corpus: the exact-collapse
+    # fast path keeps the gram table at distinct-content size, so crawl
+    # multiplicity costs closed-form member rows, not 10x gram ranking
+    from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    exact_substring_dedup(big, span_words=8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["substring10_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -328,6 +328,7 @@ def exact_substring_dedup(
     span_words: int = 8,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact-substring span dedup at word granularity (the
     remove-duplicated-spans stage of Lee et al. 2022, "Deduplicating
@@ -349,10 +350,20 @@ def exact_substring_dedup(
     uniform by construction, no skew) and the per-doc regroup of
     duplicate positions. The text-cut step is one Arrow-batched pass
     (coverage union via a numpy difference array), never per-row Python
-    in a scan. At crawl multiplicity, pre-collapse exact duplicate
-    documents first (``dedup.exact_duplicates``) so byte-identical
-    copies don't multiply the gram table — the same pre-collapse that
-    carries MinHash at 10x (BENCH.md).
+    in a scan.
+
+    ``collapse_exact`` (default on) is the crawl-multiplicity fast
+    path, OUTPUT-INVISIBLE by construction: grams are built and ranked
+    over one representative per byte-identical content group only.
+    That is exact because (a) identical texts carry identical grams at
+    identical positions, so the globally-first occurrence of any gram
+    always lies in a representative (each group's min id), meaning the
+    rep-only ranking marks exactly what the naive ranking marks; and
+    (b) every eligible non-representative copy trails its
+    representative at every position, so it is fully covered — emitted
+    closed-form as (n_words, n_words, 1.0, ''). Byte-identical copies
+    therefore never multiply the gram table (the same pre-collapse
+    that carries MinHash at 10x, BENCH.md).
     """
     import numpy as np
     import pyarrow as pa
@@ -361,8 +372,36 @@ def exact_substring_dedup(
     L = int(span_words)
     if L < 2:
         raise ValueError(f"span_words must be >= 2, got {span_words}")
-    words = df.select(
-        F.col(doc_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_w")
+    base = df.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    member_rows = None
+    if collapse_exact:
+        elig = base.where(F.size(F.split(F.col("_text"), " ")) >= L)
+        grp = Window.partitionBy(F.md5(F.col("_text")))
+        with_rep = elig.withColumn(
+            "_rep", F.min("doc_id").over(grp)
+        ).persist()
+        members = with_rep.where(F.col("doc_id") != F.col("_rep"))
+        nw = F.size(F.split(F.col("_text"), " ")).cast("int")
+        member_rows = members.select(
+            "doc_id",
+            nw.alias("n_words"),
+            nw.alias("tokens_removed"),
+            F.lit(1.0).alias("dup_frac"),
+            F.lit("").alias("clean_text"),
+        )
+        rep_ids = with_rep.where(
+            F.col("doc_id") == F.col("_rep")
+        ).select("doc_id")
+        gram_source = base.join(rep_ids, "doc_id")
+        cut_input = base.join(
+            members.select("doc_id"), "doc_id", "left_anti"
+        )
+    else:
+        gram_source, cut_input = base, base
+    words = gram_source.select(
+        "doc_id", F.split(F.col("_text"), " ").alias("_w")
     )
     # docs shorter than L words have no L-grams — filter BEFORE the
     # transform (sequence(0, negative) descends; element_at then reads
@@ -391,9 +430,7 @@ def exact_substring_dedup(
     per_doc = marks.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("_dup_pos")
     )
-    joined = df.select(
-        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("_text")
-    ).join(per_doc, "doc_id", "left")
+    joined = cut_input.join(per_doc, "doc_id", "left")
 
     # doc_id keeps the INPUT column's type (string corpora and int64
     # synthetic tables both pass through untouched)
@@ -462,7 +499,7 @@ def exact_substring_dedup(
             )
 
     cut_df = joined.mapInArrow(cut, out_schema)
-    return cut_df.select(
+    out = cut_df.select(
         "doc_id",
         "n_words",
         "tokens_removed",
@@ -471,3 +508,6 @@ def exact_substring_dedup(
         ).alias("dup_frac"),
         "clean_text",
     )
+    if member_rows is not None:
+        out = out.unionByName(member_rows)
+    return out

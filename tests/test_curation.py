@@ -262,3 +262,34 @@ def test_substring_dedup_partitioning_invariance(spark):
     pa_ = a.orderBy("doc_id").toPandas()
     pb = b.orderBy("doc_id").toPandas()
     assert pa_.equals(pb)
+
+
+def test_substring_dedup_collapse_is_invisible(spark):
+    from pyhctsa_spark.operators.curation import exact_substring_dedup
+
+    # exact copies at multiplicity 4 (fully removed except the first),
+    # a cross-content shared span, a short copy pair (< span_words,
+    # pass-through), and a NULL text
+    boiler = " ".join(f"s{j}" for j in range(6))
+    rows = [(i, f"head{i} " + boiler + f" tail{i} t{i}x", "s")
+            for i in range(3)]                    # share a 6-word run
+    rows += [(10 + i, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "s") for i in range(4)]
+    rows += [(20, "sh or t", "s"), (21, "sh or t", "s")]   # short copies
+    rows += [(30, None, "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = exact_substring_dedup(df, span_words=4, collapse_exact=True)
+    b = exact_substring_dedup(df, span_words=4, collapse_exact=False)
+    pa_ = a.orderBy("doc_id").toPandas().reset_index(drop=True)
+    pb = b.orderBy("doc_id").toPandas().reset_index(drop=True)
+    assert len(pa_) == len(pb) == len(rows)
+    for col in pa_.columns:
+        sa, sb = pa_[col].astype(str), pb[col].astype(str)
+        assert (sa == sb).all(), (col, pa_[sa != sb], pb[sa != sb])
+    # the copies after the first are fully removed; the first is intact
+    by_id = {r["doc_id"]: r.asDict() for r in a.collect()}
+    assert by_id[10]["tokens_removed"] == 0
+    for i in (11, 12, 13):
+        assert by_id[i]["dup_frac"] == 1.0 and by_id[i]["clean_text"] == ""
+    assert by_id[20]["tokens_removed"] == 0  # short: no grams, untouched
+    assert by_id[21]["clean_text"] == "sh or t"
+    assert by_id[30]["clean_text"] is None
