@@ -1176,6 +1176,22 @@ def _lm_ppl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(docs, bi, ctx, v, alpha=0.5)
 
 
+def _dsir_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py, Xie et al. 2023): hashed
+    unigram+bigram bucket model (target = lang 'en' vs raw = all),
+    per-doc log importance weight, deterministic md5-Gumbel
+    perturbation, fixed-threshold keep. Oracle replays the exact
+    count + ln arithmetic and the gumbel hash in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_select(
+        docs, F.col("lang") == "en", threshold=0.0, n_buckets=1024, alpha=1.0
+    )
+
+
 def _dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-range train/val/test split
     (curation.dataset_split): integer md5 thresholds, insertion-stable,
@@ -1220,6 +1236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scored in the engine core (it is the materialize+refresh
     # lifecycle the engine is FOR).
     out["user_cagg_refresh"] = _cagg_refresh_query
+    # DSIR importance-resampling selection (operators/dsir.py, round-5
+    # continuation): scored with the pipeline core — it is a brand-new
+    # first-class curation operator this round.
+    out["doc_dsir_select"] = _dsir_query
     # Round-5 rotation (positions 21-50): the driver scores only the
     # first 50 entries, so each round rotates a different slice of the
     # 160+-query oracle catalog through the scored window. Rounds 1-4

@@ -7869,3 +7869,62 @@ FROM inter i JOIN sizes s1 ON i.d1 = s1.d JOIN sizes s2 ON i.d2 = s2.d
 WHERE greatest(round(CAST(i.i AS DOUBLE) / s1.nsh, 6),
                round(CAST(i.i AS DOUBLE) / s2.nsh, 6)) >= 0.8
 """
+
+# DSIR data selection (operators/dsir.py): hashed unigram+bigram bag,
+# add-alpha bucket model target-vs-raw, per-doc log importance weight,
+# deterministic md5-Gumbel perturbation, fixed-threshold selection.
+# Target slice = lang 'en'; n_buckets=1024, alpha=1.0, threshold=0.0.
+# ln() of the same exact-integer counts on both engines; round(6)
+# BEFORE the >= comparison pins the boundary to 6 decimals (engine
+# does the same).
+ENGINE_ORACLES["doc_dsir_select"] = f"""
+WITH words AS (
+  SELECT doc_id, (lang = 'en') AS tgt, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, tgt, unnest(ws) AS gram FROM words
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(ws[1:len(ws) - 1]) || ' ' || unnest(ws[2:len(ws)]) AS gram
+  FROM words WHERE len(ws) >= 2
+),
+hashed AS (
+  SELECT doc_id, tgt,
+         CAST({_duck_md5_u32('gram', 'dsir:')} % 1024 AS BIGINT) AS bucket
+  FROM grams
+),
+bstats AS (
+  SELECT bucket,
+         count(*) AS c_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM hashed GROUP BY bucket
+),
+tot AS (SELECT sum(c_raw) AS r_tot, sum(c_tgt) AS t_tot FROM bstats),
+ratio AS (
+  SELECT bucket,
+         ln(CAST(c_tgt AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         - ln(CAST(t.t_tot AS DOUBLE) + CAST(1024.0 AS DOUBLE))
+         - ln(CAST(c_raw AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         + ln(CAST(t.r_tot AS DOUBLE) + CAST(1024.0 AS DOUBLE)) AS lr
+  FROM bstats CROSS JOIN tot t
+),
+w AS (
+  SELECT h.doc_id, sum(r.lr) AS logw
+  FROM hashed h JOIN ratio r USING (bucket)
+  GROUP BY h.doc_id
+),
+scored AS (
+  SELECT w.doc_id, w.logw,
+         w.logw - ln(-ln((CAST({_duck_md5_u32('w.doc_id', 'dsir-g:')} AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE))
+                         / CAST(4294967296.0 AS DOUBLE))) AS gscore
+  FROM w
+)
+SELECT d.doc_id,
+       round(s.logw, 6)   AS logw6,
+       round(s.gscore, 6) AS gscore6,
+       COALESCE(round(s.gscore, 6) >= CAST(0.0 AS DOUBLE), FALSE) AS selected
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
