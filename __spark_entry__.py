@@ -646,6 +646,29 @@ def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_webp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless WebP (VP8L) decode end-to-end through the in-repo
+    decoder (operators/codecs_webp.py: all four transforms, palette
+    bundling, alpha). Lossless, so the golden
+    (scripts/gen_media_webp_golden.py) recomputes features from the raw
+    CONTENT pixels with no codec in the loop."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.multimodal import (
+        extract_media_features,
+        synth_webp_media_df,
+    )
+
+    feats = extract_media_features(
+        synth_webp_media_df(spark, 16), use_real_codecs=True
+    )
+    flat = [F.round(F.col("feat")[i], 6).alias(f"feat_{i}") for i in range(8)]
+    return feats.select(
+        "media_id", "modality",
+        _f6("mean"), _f6("std"), _f6("p01"), _f6("p99"), *flat,
+    )
+
+
 def _media_flac_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC (lossless compressed audio) decode end-to-end through the
     in-repo Rice/fixed-predictor decoder (operators/codecs_flac.py).
@@ -1301,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_substring_dedup"] = _substring_dedup_query
     out["media_jpeg_lossless"] = _media_jpegls_query
     out["doc_containment_pairs"] = _containment_query
+    out["media_webp_decode"] = _media_webp_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

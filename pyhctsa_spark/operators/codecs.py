@@ -692,6 +692,15 @@ from pyhctsa_spark.operators.codecs_flac import decode_flac  # noqa: E402
 register_codec("audio", "flac", lambda p: p[:4] == b"fLaC",
                lambda p: decode_flac(p)[0])
 
+# in-repo lossless WebP (VP8L: all four transforms, color cache,
+# meta-prefix, LZ77 2D distance map — codecs_webp.py). Lossy VP8 /
+# extended VP8X raise NotImplementedError and fall through to Pillow.
+from pyhctsa_spark.operators.codecs_webp import decode_webp  # noqa: E402
+
+register_codec("image", "webp",
+               lambda p: p[:4] == b"RIFF" and p[8:12] == b"WEBP",
+               decode_webp)
+
 _OPTIONAL_DONE = False
 
 

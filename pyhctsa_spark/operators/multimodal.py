@@ -296,6 +296,57 @@ def synth_jpeg_lossless_media_df(
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_webp_media_df(spark, n: int = 16, partitions: int = 4) -> DataFrame:
+    """Deterministic media table with lossless-WebP (VP8L) image
+    payloads rotating the encoder's transform coverage: plain RGB,
+    SUBTRACT_GREEN, constant-mode PREDICTOR (with/without sg),
+    COLOR_INDEXING palettes of 2/3/5 colors (all three sub-byte
+    bundling widths), and RGBA with a real alpha channel. Content from
+    ``default_rng(6600 + i)`` in a fixed call order; VP8L is lossless,
+    so the golden (scripts/gen_media_webp_golden.py) recomputes
+    features from the CONTENT with no codec in the loop."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyhctsa_spark.operators.codecs_webp import encode_webp_lossless
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.default_rng(6600 + i)
+                h = 8 + (i * 3) % 9
+                w = 8 + (i * 5) % 11
+                variant = ("plain", "sg", "pred", "palette", "rgba")[i % 5]
+                if variant == "palette":
+                    ncol = (2, 3, 5)[(i // 5) % 3]
+                    pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+                    idx = rng.integers(0, ncol, (h, w))
+                    img = pal[idx]
+                    payload = encode_webp_lossless(img, palette=True)
+                elif variant == "rgba":
+                    img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+                    payload = encode_webp_lossless(img)
+                else:
+                    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+                    if variant == "sg":
+                        payload = encode_webp_lossless(img, subtract_green=True)
+                    elif variant == "pred":
+                        payload = encode_webp_lossless(
+                            img,
+                            subtract_green=(i % 2 == 0),
+                            predictor_mode=i % 14,
+                        )
+                    else:
+                        payload = encode_webp_lossless(img)
+                meta = {"codec": "webp-lossless", "variant": variant}
+                rows.append((f"w{i:06d}", "image", payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-random content seeded by
     the payload bytes, shaped per metadata."""

@@ -7928,3 +7928,11 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
+
+# media_webp_decode: VP8L is lossless, so the golden
+# (scripts/gen_media_webp_golden.py) recomputes features from the raw
+# content pixels — no codec in the loop; the engine decode must
+# reproduce the content bit-for-bit.
+ENGINE_ORACLES["media_webp_decode"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/media_webp_16.parquet')
+"""
