@@ -622,6 +622,29 @@ def _containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/semdedup.py): md5-anchor
+    cosine clustering (train_iters=0 — the oracle-replayable quantizer),
+    per-cluster upper-triangular max-prior-similarity under the paper's
+    (cent_sim asc, id asc) ordering, keep = max_prior < eps. eps=0.30
+    sits inside the synthetic table's similarity range (max pairwise
+    cosine ~0.51) so real drops occur; production text corpora run
+    ~0.5-0.95. Oracle replays clustering + assignment + the triangular
+    max in plain SQL."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(emb, num_clusters=8, eps=0.30)
+    return out.select(
+        "vec_id", "cid",
+        F.round("cent_sim", 6).alias("cent_sim"),
+        F.round("max_prior_sim", 6).alias("max_prior_sim"),
+        "keep",
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1325,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_jpeg_lossless"] = _media_jpegls_query
     out["doc_containment_pairs"] = _containment_query
     out["media_webp_decode"] = _media_webp_query
+    out["doc_semdedup"] = _semdedup_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

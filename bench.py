@@ -546,7 +546,8 @@ def bench_queries(spark) -> dict:
                     "doc_passage_dedup", "doc_lm_ppl", "doc_split",
                     "media_audio_compressed", "media_flac_decode",
                     "doc_substring_dedup", "media_jpeg_lossless",
-                    "doc_containment_pairs")
+                    "doc_containment_pairs", "media_webp_decode",
+                    "doc_semdedup")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

@@ -7936,3 +7936,58 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id
 ENGINE_ORACLES["media_webp_decode"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/media_webp_16.parquet')
 """
+
+# doc_semdedup: SemDeDup (operators/semdedup.py) with the
+# oracle-replayable quantizer (train_iters=0): anchors are the 8
+# corpus vectors with the smallest (md5(id), id); assignment is
+# nearest-anchor by cosine (ties -> smallest cid); within a cluster,
+# max_prior_sim is the max cosine to any member ordered earlier under
+# (cent_sim ASC NULLS LAST, id ASC); keep = no prior above eps=0.30.
+ENGINE_ORACLES["doc_semdedup"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+anch AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid,
+         e, nrm
+  FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 8
+),
+scored AS (
+  SELECT vv.vec_id, a.cid,
+         list_dot_product(vv.e, a.e) / nullif(vv.nrm * a.nrm, 0) AS cs
+  FROM v vv CROSS JOIN anch a
+),
+asg AS (
+  SELECT vec_id, cid, cs AS cent_sim FROM (
+    SELECT vec_id, cid, cs,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC NULLS LAST, cid) AS rk
+    FROM scored
+  ) q WHERE rk = 1
+),
+ordm AS (
+  SELECT vec_id, cid, cent_sim,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY cent_sim ASC NULLS LAST, vec_id) AS pos
+  FROM asg
+),
+prior AS (
+  SELECT a.vec_id,
+         max(list_dot_product(va.e, vb.e) / nullif(va.nrm * vb.nrm, 0)) AS mps
+  FROM ordm a
+  JOIN ordm b ON b.cid = a.cid AND b.pos < a.pos
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  GROUP BY a.vec_id
+)
+SELECT o.vec_id, o.cid,
+       round(o.cent_sim, 6) AS cent_sim,
+       round(p.mps, 6) AS max_prior_sim,
+       coalesce(p.mps < CAST(0.30 AS DOUBLE), TRUE) AS keep
+FROM ordm o LEFT JOIN prior p ON p.vec_id = o.vec_id
+"""
