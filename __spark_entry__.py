@@ -645,6 +645,24 @@ def _semdedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-3 (operators/pq.py) with the
+    oracle-replayable codebooks (train_iters=0: codewords are the 16
+    md5-ordered sample subvectors per 8-dim subspace). The oracle
+    replays normalize -> argmin encode (distance expansion) -> per-query
+    LUT sums -> top-3 in plain SQL; Spark and SQL share the identical
+    approximation, so values hash-match."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.pq import knn_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_pq(emb, emb.where("vec_id < 20"), k=3, m=8, ksub=16)
+    return out.select(
+        "qid", "nid", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1349,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_containment_pairs"] = _containment_query
     out["media_webp_decode"] = _media_webp_query
     out["doc_semdedup"] = _semdedup_query
+    out["knn_pq_top3"] = _pq_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

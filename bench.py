@@ -505,6 +505,87 @@ def bench_ann_1m(spark, k: int = 10, n_queries: int = 20,
     return out
 
 
+def bench_pq_1m(spark, k: int = 10, n_queries: int = 20,
+                reps: int = 3) -> dict:
+    """PQ at 1M vectors: trained codebooks (m=8, ksub=256 -> 8 int16
+    codes per 64-dim float32 vector, a 16x scan-size cut), encode cost,
+    the full ADC scan wall, IVFPQ (nprobe=16 of 1000 lists) wall, and
+    recall@10 for both against the exact ground truth. Walls are
+    min-of-reps interleaved (noisy host)."""
+    import numpy as np
+
+    from pyhctsa_spark.operators.pq import knn_ivfpq, knn_pq, pq_encode, pq_train
+    from pyhctsa_spark.operators.similarity import ivf_build
+
+    corpus_path = _ensure_ann1m(spark, ANN1M_N)
+    corpus = spark.read.parquet(corpus_path)
+
+    X = _ann_vec_block(np.arange(ANN1M_N, dtype=np.int64))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn[:n_queries].T
+    truth = {}
+    for q in range(n_queries):
+        s = sims[:, q].copy()
+        s[q] = -np.inf
+        idx = np.lexsort((np.arange(ANN1M_N), -s))[:k]
+        truth[q] = set(int(i) for i in idx)
+    del X, Xn, sims
+
+    out: dict = {}
+    t0 = time.perf_counter()
+    books = pq_train(corpus, m=8, ksub=256, train_iters=10)
+    out["pq1m_train_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    codes = pq_encode(corpus, books).persist()
+    codes.count()
+    out["pq1m_encode_sec"] = round(time.perf_counter() - t0, 3)
+    out["pq1m_bytes_per_vec"] = 8 * 2  # vs 64 * 4 = 256 raw
+
+    from pyspark.sql import functions as F
+
+    qs = corpus.where(F.col("vec_id") < n_queries)
+    cents, assigned = ivf_build(corpus, num_centroids=1000)
+    assigned = assigned.persist()
+    assigned.count()
+
+    def recall(df):
+        pdf = df.toPandas()
+        return sum(
+            len(truth[qid] & set(int(n) for n in g.nid)) / k
+            for qid, g in pdf.groupby("qid")
+        ) / max(1, n_queries)
+
+    # the corpus is 256 tight clusters (~3.9k members each): raw ADC
+    # tie-collapses inside a quantization cell, so recall@10 needs the
+    # refine step (exact re-rank of the ADC shortlist) with R above the
+    # cell occupancy — the faiss IndexRefineFlat pattern. Raw-ADC recall
+    # is reported too, as the honest floor.
+    walls = {"adc": float("inf"), "rerank": float("inf"),
+             "ivfpq16": float("inf")}
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        adc = knn_pq(corpus, qs, k=k, prebuilt=(books, codes))
+        out["pq1m_adc_recall"] = round(recall(adc), 3)
+        walls["adc"] = min(walls["adc"], time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ref = knn_pq(corpus, qs, k=k, prebuilt=(books, codes),
+                     rerank=4096)
+        out["pq1m_rerank_recall"] = round(recall(ref), 3)
+        walls["rerank"] = min(walls["rerank"], time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ivfpq = knn_ivfpq(corpus, qs, k=k, nprobe=16,
+                          prebuilt=(cents, assigned, books, codes),
+                          rerank=4096)
+        out["pq1m_ivfpq16_recall"] = round(recall(ivfpq), 3)
+        walls["ivfpq16"] = min(walls["ivfpq16"], time.perf_counter() - t0)
+    out["pq1m_adc_sec"] = round(walls["adc"], 3)
+    out["pq1m_rerank_sec"] = round(walls["rerank"], 3)
+    out["pq1m_ivfpq16_sec"] = round(walls["ivfpq16"], 3)
+    codes.unpersist()
+    assigned.unpersist()
+    return out
+
+
 def bench_queries(spark) -> dict:
     OQ.register_views(spark, SF_DIR)
     # doc_ngram_jaccard is deliberately excluded: it is the exhaustive
@@ -547,7 +628,7 @@ def bench_queries(spark) -> dict:
                     "media_audio_compressed", "media_flac_decode",
                     "doc_substring_dedup", "media_jpeg_lossless",
                     "doc_containment_pairs", "media_webp_decode",
-                    "doc_semdedup")
+                    "doc_semdedup", "knn_pq_top3")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):
@@ -591,6 +672,7 @@ def main() -> None:
     simblock = bench_simhash_blocking(spark)
     ann = bench_ann(spark)
     ann1m = bench_ann_1m(spark)
+    pq1m = bench_pq_1m(spark)
     streamroll = bench_streaming_rollup(spark, seq_path)
     scale10 = bench_scale10(spark)
     result = {
@@ -606,6 +688,7 @@ def main() -> None:
         **simblock,
         **ann,
         **ann1m,
+        **pq1m,
         **streamroll,
         **scale10,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),

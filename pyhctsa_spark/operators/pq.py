@@ -1,0 +1,450 @@
+"""Product quantization (PQ) for embedding search at 100 TB
+(Jégou et al. 2011, "Product quantization for nearest neighbor
+search"; the faiss IndexPQ / IndexIVFPQ scan strategy).
+
+Plain IVF (operators/similarity.py) prunes WHICH vectors are scored;
+PQ shrinks WHAT is scanned: each L2-normalized vector is split into
+``m`` subvectors, each quantized to its nearest codeword in a
+per-subspace codebook of ``ksub`` entries, so the corpus compresses to
+``m`` small ints per vector (64-dim float32 = 256 B -> m=8 codes =
+8-16 B, a 16-32x scan-size cut). Queries stay full precision:
+asymmetric distance computation (ADC) precomputes, per query and
+subspace, the inner products against all ``ksub`` codewords (an
+``m x ksub`` lookup table), and a candidate's approximate cosine is m
+table lookups + adds — no per-candidate float vector ever read.
+
+Scale shape, mirroring the IVF contracts:
+
+- codebooks train driver-side on a bounded md5-ordered sample (build
+  cost independent of corpus size); ``train_iters=0`` uses the sample
+  subvectors themselves as codewords, which makes encode + ADC + top-k
+  fully replayable in ANSI SQL — the ``knn_pq_top3`` value oracle;
+- encoding is MAP-SIDE (one Arrow-batched distance matmul per batch
+  against the broadcast (m, ksub, dsub) codebook tensor) — no shuffle;
+- ADC scoring streams over the codes scan with the same bounded
+  per-partition top-k carry as similarity._score_and_rank, so the
+  global rank exchange moves partitions x Q x k rows;
+- ``knn_ivfpq`` composes the two prunings: IVF routes each query to
+  ``nprobe`` inverted lists, PQ codes are what those lists store, and
+  probing every list reproduces ``knn_pq`` exactly (the machinery
+  check, pytest-enforced).
+
+Distances use the ||x||^2 + ||c||^2 - 2 x.c expansion on BOTH the
+numpy and SQL sides so the argmin decisions agree to fp noise.
+
+No reference counterpart: pyhctsa has no similarity-search surface
+(SURVEY §2.0); this is the scale path the LLM-pipeline inventory
+lists next to brute-force and IVF ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pyhctsa_spark.operators.similarity import _as_double, _norm
+
+
+def _md5_sample(embeddings: DataFrame, n: int, vec_col: str, id_col: str):
+    """The ``n`` corpus vectors with the smallest (md5(id), id), L2
+    normalized, as a numpy (n, d) matrix — the deterministic bounded
+    train sample shared with semdedup/IVF (md5 so SQL can replay it)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("_h", F.md5(F.col("vid").cast("string").cast("binary")))
+        .orderBy("_h", "vid")
+        .limit(n)
+        .select("v")
+        .collect()  # bounded train sample, never the corpus
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    return np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iters: int = 0,
+    train_sample: int | None = None,
+):
+    """Per-subspace codebooks as a numpy (m, ksub, d/m) tensor.
+    ``train_iters=0``: codewords are the first ``ksub`` md5-ordered
+    sample subvectors (oracle-replayable). ``train_iters>0``: standard
+    per-subspace Lloyd k-means from that init (production path; empty
+    cells keep their previous codeword, deterministic)."""
+    import numpy as np
+
+    if train_sample is None:
+        train_sample = (
+            ksub if train_iters == 0 else min(131072, max(4096, 32 * ksub))
+        )
+    X = _md5_sample(embeddings, train_sample, vec_col, id_col)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(ksub, len(X))
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        C = sub[:k].copy()
+        for _ in range(train_iters):
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * sub @ C.T
+            )
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k)
+            ok = counts > 0
+            C[ok] = sums[ok] / counts[ok, None]
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-side PQ encode -> ``(nid, code array<smallint>)``: normalize
+    each vector, then per subspace take the argmin squared-L2 codeword
+    (ties -> smallest index). One Arrow batch matmul per subspace; the
+    corpus is never shuffled. The codes column is the ENTIRE stored
+    index payload — m*2 bytes per vector."""
+    import numpy as np
+    import pyarrow as pa
+
+    B = np.ascontiguousarray(codebooks)
+    m, _ksub, dsub = B.shape
+    cc = [(B[s] * B[s]).sum(1) for s in range(m)]  # ||c||^2 per subspace
+
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    id_type = dict(base.dtypes)["nid"]
+
+    def fn(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = rb.to_pandas()
+            M = np.stack(tbl["v"].to_numpy())
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            U = np.divide(M, nrm, out=np.zeros_like(M), where=nrm > 0)
+            codes = np.empty((len(U), m), dtype=np.int16)
+            for s in range(m):
+                x = U[:, s * dsub : (s + 1) * dsub]
+                d2 = (x * x).sum(1)[:, None] + cc[s][None, :] - 2.0 * x @ B[s].T
+                codes[:, s] = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tbl["nid"], from_pandas=True),
+                    pa.array(list(codes), type=pa.list_(pa.int16())),
+                ],
+                names=["nid", "code"],
+            )
+
+    return base.mapInArrow(fn, schema=f"nid {id_type}, code array<smallint>")
+
+
+def _collect_queries(queries: DataFrame, vec_col, id_col, max_q: int):
+    import numpy as np
+
+    rows = (
+        queries.select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .limit(max_q + 1)
+        .collect()
+    )
+    if len(rows) > max_q:
+        raise ValueError(
+            f"query batch exceeds max_broadcast_queries={max_q}; split the "
+            "queries into batches against one codebook/encoding"
+        )
+    qids = [r["qid"] for r in rows]
+    Q = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+    return qids, np.divide(Q, nrm, out=np.zeros_like(Q), where=nrm > 0)
+
+
+def _adc_topk(codes: DataFrame, qids, Qn, codebooks, k: int) -> DataFrame:
+    """ADC scan: per-partition bounded top-k over the codes stream.
+    LUT[s] = Qn_sub @ codebook[s]^T (Q x ksub per subspace) is broadcast
+    in the task closure; a candidate's score is m gathers + adds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    B = np.ascontiguousarray(codebooks)
+    m, _ksub, dsub = B.shape
+    lut = np.stack(
+        [Qn[:, s * dsub : (s + 1) * dsub] @ B[s].T for s in range(m)]
+    )  # (m, Q, ksub)
+    qid_arr = np.asarray(qids)
+    types = dict(codes.dtypes)
+    out_ddl = f"qid {types['nid']}, nid {types['nid']}, score double"
+
+    def fn(batches):
+        carry = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = rb.to_pandas()
+            codes_mat = np.stack(tbl["code"].to_numpy())  # (B, m)
+            S = lut[0][:, codes_mat[:, 0]]
+            for s in range(1, m):
+                S = S + lut[s][:, codes_mat[:, s]]  # (Q, B)
+            nid = tbl["nid"].to_numpy()
+            qf = np.repeat(qid_arr, len(nid))
+            nf = np.tile(nid, len(qid_arr))
+            sc = pd.DataFrame(
+                {"qid": qf, "nid": nf, "score": S.reshape(-1)}
+            )
+            sc = sc[sc["qid"] != sc["nid"]]
+            if carry is not None:
+                sc = pd.concat([carry, sc], ignore_index=True)
+            sc = sc.sort_values(
+                ["qid", "score", "nid"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            carry = sc.groupby("qid", sort=False).head(k)
+        if carry is not None and len(carry):
+            carry = carry.reset_index(drop=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(carry["qid"], from_pandas=True),
+                    pa.array(carry["nid"], from_pandas=True),
+                    pa.array(carry["score"], type=pa.float64(),
+                             from_pandas=True),
+                ],
+                names=["qid", "nid", "score"],
+            )
+
+    local = codes.select("nid", "code").mapInArrow(fn, schema=out_ddl)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    shortlist: DataFrame,
+    qids,
+    Qn,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Refine step (faiss IndexRefineFlat): re-score the bounded ADC
+    shortlist with exact cosine. The full vectors of ONLY the
+    shortlisted ids are read back — the id set is a literal IN filter,
+    so predicate pushdown keeps the refine scan ~Q x R rows of real
+    I/O — and the (qid, nid) pairs are broadcast onto it."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    pairs = shortlist.select("qid", "nid").persist()
+    try:
+        ids = [r["nid"] for r in pairs.select("nid").distinct().collect()]
+        sub = corpus.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+        ).where(F.col("nid").isin(ids))
+        cand = F.broadcast(pairs).join(sub, "nid")
+
+        qpos = pd.Series({q: i for i, q in enumerate(qids)})
+        types = dict(pairs.dtypes)
+        out_ddl = f"qid {types['qid']}, nid {types['nid']}, score double"
+
+        def fn(batches):
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                tbl = rb.to_pandas()
+                V = np.stack(tbl["v"].to_numpy())
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                U = np.divide(V, nrm, out=np.zeros_like(V), where=nrm > 0)
+                qi = qpos[tbl["qid"]].to_numpy()
+                sc = np.einsum("ij,ij->i", Qn[qi], U)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(tbl["qid"], from_pandas=True),
+                        pa.array(tbl["nid"], from_pandas=True),
+                        pa.array(sc, type=pa.float64()),
+                    ],
+                    names=["qid", "nid", "score"],
+                )
+
+        local = cand.select("qid", "nid", "v").mapInArrow(fn, schema=out_ddl)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+        out = (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        out = out.localCheckpoint()  # materialize before unpersisting pairs
+    finally:
+        pairs.unpersist()
+    return out
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iters: int = 0,
+    train_sample: int | None = None,
+    max_broadcast_queries: int = 100_000,
+    prebuilt: tuple | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k by cosine: ``(qid, nid, score, rank)``
+    where score is the asymmetric inner product of the normalized query
+    with the candidate's PQ reconstruction. ``prebuilt`` =
+    (codebooks, codes_df) from pq_train/pq_encode for multi-batch reuse
+    (otherwise each call retrains + re-encodes identically).
+
+    ``rerank=R`` adds the refine step: the ADC scan shortlists the
+    top-R codes per query, then ONLY those Q x R vectors are read back
+    full-precision and re-scored exactly. Quantization cells coarser
+    than the true top-k gaps (tight clusters, near-duplicates) make raw
+    ADC ranks tie-collapse — size R above the expected quantization-cell
+    occupancy."""
+    if prebuilt is not None:
+        books, codes = prebuilt
+    else:
+        books = pq_train(corpus, m, ksub, vec_col, id_col,
+                         train_iters, train_sample)
+        codes = pq_encode(corpus, books, vec_col, id_col)
+    qids, Qn = _collect_queries(queries, vec_col, id_col,
+                                max_broadcast_queries)
+    adc = _adc_topk(codes, qids, Qn, books, rerank or k)
+    if rerank is None:
+        return adc
+    return _exact_rerank(corpus, adc, qids, Qn, k, vec_col, id_col)
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    num_centroids: int | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_queries: int = 100_000,
+    prebuilt: tuple | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF + PQ composed (the faiss IndexIVFPQ scan): IVF routes each
+    query to ``nprobe`` inverted lists (coarse pruning of WHICH rows),
+    the lists store PQ codes (compression of WHAT is scanned), and ADC
+    scores only the probed candidates. The probe side is explicitly
+    broadcast onto the codes scan — the corpus is never shuffled at
+    query time (same contract as similarity.knn_ivf). ``rerank=R``
+    re-scores the top-R shortlist exactly (see knn_pq).
+
+    ``prebuilt`` = (cents, assigned, codebooks, codes) from
+    ivf_build + pq_train + pq_encode. ``nprobe == num_centroids``
+    probes everything and reproduces ``knn_pq`` exactly."""
+    from pyhctsa_spark.operators.similarity import _probes_for, ivf_build
+
+    if prebuilt is not None:
+        cents, assigned, books, codes = prebuilt
+    else:
+        cents, assigned = ivf_build(corpus, num_centroids, vec_col, id_col)
+        books = pq_train(corpus, m, ksub, vec_col, id_col)
+        codes = pq_encode(corpus, books, vec_col, id_col)
+    qids, Qn = _collect_queries(queries, vec_col, id_col,
+                                max_broadcast_queries)
+    probes = _probes_for(queries, cents, nprobe, vec_col, id_col)
+    coded_lists = codes.join(
+        assigned.select("nid", "cid"), "nid"
+    )  # at index-build time this join is the materialized list store
+    probe_cids = F.broadcast(probes.select("qid", "cid"))
+    # each nid lives in exactly one list, so (qid, nid) pairs are unique
+    cand = probe_cids.join(coded_lists, "cid").select("qid", "nid", "code")
+    adc = _adc_topk_pairs(cand, qids, Qn, books, rerank or k)
+    if rerank is None:
+        return adc
+    return _exact_rerank(corpus, adc, qids, Qn, k, vec_col, id_col)
+
+
+def _adc_topk_pairs(cand: DataFrame, qids, Qn, codebooks, k: int) -> DataFrame:
+    """ADC over routed (qid, nid, code) pairs — each query scores ONLY
+    its own probed candidates (faiss IVFPQ semantics). Same bounded
+    per-partition top-k carry; per-row sums run subspace-by-subspace in
+    the same order as the broadcast scan, so a full probe is
+    bit-identical to ``knn_pq``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    B = np.ascontiguousarray(codebooks)
+    m, _ksub, dsub = B.shape
+    lut = np.stack(
+        [Qn[:, s * dsub : (s + 1) * dsub] @ B[s].T for s in range(m)]
+    )  # (m, Q, ksub)
+    qpos = pd.Series({q: i for i, q in enumerate(qids)})
+    types = dict(cand.dtypes)
+    out_ddl = f"qid {types['qid']}, nid {types['nid']}, score double"
+
+    def fn(batches):
+        carry = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = rb.to_pandas()
+            codes_mat = np.stack(tbl["code"].to_numpy())  # (B, m)
+            qi = qpos[tbl["qid"]].to_numpy()
+            S = lut[0][qi, codes_mat[:, 0]]
+            for s in range(1, m):
+                S = S + lut[s][qi, codes_mat[:, s]]
+            sc = pd.DataFrame(
+                {"qid": tbl["qid"], "nid": tbl["nid"], "score": S}
+            )
+            sc = sc[sc["qid"] != sc["nid"]]
+            if carry is not None:
+                sc = pd.concat([carry, sc], ignore_index=True)
+            sc = sc.sort_values(
+                ["qid", "score", "nid"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            carry = sc.groupby("qid", sort=False).head(k)
+        if carry is not None and len(carry):
+            carry = carry.reset_index(drop=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(carry["qid"], from_pandas=True),
+                    pa.array(carry["nid"], from_pandas=True),
+                    pa.array(carry["score"], type=pa.float64(),
+                             from_pandas=True),
+                ],
+                names=["qid", "nid", "score"],
+            )
+
+    local = cand.select("qid", "nid", "code").mapInArrow(fn, schema=out_ddl)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -7991,3 +7991,71 @@ SELECT o.vec_id, o.cid,
        coalesce(p.mps < CAST(0.30 AS DOUBLE), TRUE) AS keep
 FROM ordm o LEFT JOIN prior p ON p.vec_id = o.vec_id
 """
+
+# knn_pq_top3: product-quantization ADC (operators/pq.py) with the
+# oracle-replayable codebooks (train_iters=0): per 8-dim subspace the
+# codewords are the subvectors of the 16 corpus vectors with the
+# smallest (md5(id), id), L2-normalized row-wise first. Encode picks
+# the argmin ||x - c||^2 codeword via the |x|^2+|c|^2-2xc expansion
+# (ties -> smallest codeword index), a query's score is the sum of its
+# 8 subspace inner products with the assigned codewords, top-3 by
+# (score desc, nid asc), self-matches excluded.
+ENGINE_ORACLES["knn_pq_top3"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+              ELSE list_transform(e, x -> CAST(0 AS DOUBLE)) END AS u
+  FROM v
+),
+samp AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS j,
+         u
+  FROM vn
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+cw AS (
+  SELECT sb.s, p.j, p.u[sb.s * 8 + 1 : sb.s * 8 + 8] AS c
+  FROM subs sb CROSS JOIN samp p
+),
+sv AS (
+  SELECT n.vec_id, sb.s, n.u[sb.s * 8 + 1 : sb.s * 8 + 8] AS x
+  FROM vn n CROSS JOIN subs sb
+),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT sv.vec_id, sv.s, cw.j,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.s
+             ORDER BY list_dot_product(sv.x, sv.x)
+                      + list_dot_product(cw.c, cw.c)
+                      - 2 * list_dot_product(sv.x, cw.c) ASC, cw.j) AS rk
+    FROM sv JOIN cw ON cw.s = sv.s
+  ) q WHERE rk = 1
+),
+qs AS (
+  SELECT vec_id AS qid, s, x AS qx FROM sv WHERE vec_id < 20
+),
+scores AS (
+  SELECT qs.qid, e.vec_id AS nid,
+         sum(list_dot_product(qs.qx, cw.c)) AS score
+  FROM enc e
+  JOIN cw ON cw.s = e.s AND cw.j = e.code
+  JOIN qs ON qs.s = e.s
+  WHERE qs.qid <> e.vec_id
+  GROUP BY qs.qid, e.vec_id
+)
+SELECT qid, nid, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT qid, nid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, nid) AS rank
+  FROM scores
+) q WHERE rank <= 3
+"""
