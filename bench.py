@@ -628,7 +628,9 @@ def bench_queries(spark) -> dict:
                     "media_audio_compressed", "media_flac_decode",
                     "doc_substring_dedup", "media_jpeg_lossless",
                     "doc_containment_pairs", "media_webp_decode",
-                    "doc_semdedup", "knn_pq_top3")
+                    "doc_semdedup", "knn_pq_top3",
+                    "rollup_hll_distinct", "rollup_hll_cascade",
+                    "hll_distinct_by_source")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

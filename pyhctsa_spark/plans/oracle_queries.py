@@ -8059,3 +8059,158 @@ FROM (
   FROM scores
 ) q WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog rollup oracles (operators/hll_rollup.py). The engine's
+# splitmix64 hash is replayed EXACTLY in SQL: DuckDB raises on 64-bit
+# multiply overflow, so the two wraparound multiplies are done in
+# 32-bit halves with HUGEINT intermediates and an explicit mod 2^64
+# (verified bit-equal to the numpy uint64 path over the full token
+# domain in tests/test_hll_rollup.py). rho uses length(bin(w)) —
+# DuckDB's bin() of a UBIGINT is its minimal binary string, so its
+# length IS bit_length, exactly; the engine's numpy side uses integer
+# binary search for the same reason (float log2 misrounds above 2^53).
+# All derived register quantities (harmonic denominator, zero count)
+# are integers; the only doubles are one shared pre-multiplied alpha
+# constant, an IEEE int->double conversion, and libm ln on the 256
+# possible linear-counting inputs — each bit-identical across engines.
+
+def _sm64_mulmod_sql(a: str, c: int) -> str:
+    """(a * c) mod 2^64 with HUGEINT-safe 32-bit-half products."""
+    clo, chi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"CAST((CAST(({a}) % 4294967296 AS HUGEINT) * {clo} + "
+        f"((CAST(({a}) // 4294967296 AS HUGEINT) * {clo} + "
+        f"CAST(({a}) % 4294967296 AS HUGEINT) * {chi}) % 4294967296) "
+        f"* 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _sm64_chain_sql(src: str, keys: str) -> str:
+    """CTE chain hashing column ``tok`` of CTE ``src`` -> CTE ``hll_br``
+    with (keys..., bucket, rho). p=8, 56 rho bits."""
+    return f"""
+hx0 AS (SELECT {keys}, tok,
+        CAST((CAST(tok AS HUGEINT) + 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT) AS z0 FROM {src}),
+hx1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM hx0),
+hx2 AS (SELECT *, {_sm64_mulmod_sql('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM hx1),
+hx3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM hx2),
+hx4 AS (SELECT *, {_sm64_mulmod_sql('z3', 0x94D049BB133111EB)} AS z4 FROM hx3),
+hsh AS (SELECT {keys}, xor(z4, z4 >> 31) AS h FROM hx4),
+hll_br AS (SELECT {keys},
+       CAST(h >> 56 AS INTEGER) AS bucket,
+       CASE WHEN h % CAST(72057594037927936 AS UBIGINT) = 0
+            THEN 57
+            ELSE 57 - length(bin(h % CAST(72057594037927936 AS UBIGINT)))
+       END AS rho
+FROM hsh)"""
+
+
+_HLL_ALPHA_NUM = "CAST('1.3249790702834051e+19' AS DOUBLE)"
+
+_HLL_EST = f"""round(CASE
+    WHEN {_HLL_ALPHA_NUM} / hll_denom <= CAST(640 AS DOUBLE)
+         AND hll_zeros > 0
+    THEN CAST(256 AS DOUBLE)
+         * ln(CAST(256 AS DOUBLE) / CAST(hll_zeros AS DOUBLE))
+    ELSE {_HLL_ALPHA_NUM} / hll_denom
+END, 6)"""
+
+_HLL_SERIES = """series AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id) AS BIGINT) - 1 AS rn,
+         CAST(round(value) AS BIGINT) AS tok
+  FROM events
+)"""
+
+ENGINE_ORACLES["rollup_hll_distinct"] = f"""
+WITH {_HLL_SERIES},
+{_sm64_chain_sql('series', 'doc_id, source, rn')},
+tiers AS (
+  SELECT CAST(0 AS INTEGER) AS tier, 16 AS wlen
+  UNION ALL SELECT CAST(1 AS INTEGER), 64
+),
+w AS (
+  SELECT b.doc_id, b.source, t.tier, t.wlen,
+         CAST(floor(b.rn / t.wlen) AS BIGINT) AS window_idx,
+         b.bucket, b.rho
+  FROM hll_br b CROSS JOIN tiers t
+),
+regs AS (
+  SELECT doc_id, source, tier, wlen, window_idx, bucket,
+         max(rho) AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY ALL
+),
+tot AS (
+  SELECT doc_id, source, tier, window_idx,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(256 - count(*) AS INTEGER) AS hll_zeros,
+         CAST(sum(CAST(1 AS BIGINT) << (48 - least(r, 48)))
+              + (256 - count(*)) * CAST(281474976710656 AS BIGINT)
+              AS BIGINT) AS hll_denom
+  FROM regs GROUP BY doc_id, source, tier, window_idx, wlen
+  HAVING sum(cnt) = wlen
+)
+SELECT doc_id, source, tier, window_idx, n, hll_zeros, hll_denom,
+       {_HLL_EST} AS est_distinct
+FROM tot
+"""
+
+# Retention path: tier 1 recomputed directly from raw events — the
+# engine computes it ONLY by max-merging the materialized tier-0
+# register blobs (hll_cascade_from_store), and register max is exact,
+# so the two must agree bit-for-bit on every column.
+ENGINE_ORACLES["rollup_hll_cascade"] = f"""
+WITH {_HLL_SERIES},
+{_sm64_chain_sql('series', 'doc_id, source, rn')},
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 64) AS BIGINT) AS window_idx, bucket, rho
+  FROM hll_br
+),
+regs AS (
+  SELECT doc_id, source, window_idx, bucket,
+         max(rho) AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY ALL
+),
+tot AS (
+  SELECT doc_id, source, window_idx,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(256 - count(*) AS INTEGER) AS hll_zeros,
+         CAST(sum(CAST(1 AS BIGINT) << (48 - least(r, 48)))
+              + (256 - count(*)) * CAST(281474976710656 AS BIGINT)
+              AS BIGINT) AS hll_denom
+  FROM regs GROUP BY doc_id, source, window_idx
+  HAVING sum(cnt) = 64
+)
+SELECT doc_id, source, CAST(1 AS INTEGER) AS tier, window_idx, n,
+       hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
+FROM tot
+"""
+
+# Cross-document sketch union: distinct tokens per SOURCE, registers
+# max-merged across every document of the source (the combiner-friendly
+# distributed-union shape; shuffle volume O(sources x 256) per task).
+ENGINE_ORACLES["hll_distinct_by_source"] = f"""
+WITH {_HLL_SERIES},
+{_sm64_chain_sql('series', 'source')},
+regs AS (
+  SELECT source, bucket, max(rho) AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM hll_br GROUP BY ALL
+),
+tot AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(256 - count(*) AS INTEGER) AS hll_zeros,
+         CAST(sum(CAST(1 AS BIGINT) << (48 - least(r, 48)))
+              + (256 - count(*)) * CAST(281474976710656 AS BIGINT)
+              AS BIGINT) AS hll_denom
+  FROM regs GROUP BY source
+)
+SELECT source, n, hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
+FROM tot
+"""
