@@ -727,6 +727,30 @@ def _hll_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_30m_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-windowed HLL continuous aggregate over raw events
+    (operators/hll_rollup.hll_partial -> hll_merge -> hll_estimates):
+    approx distinct rounded values per user per 30-minute window, the
+    relational sparse-register state the snapshot store commits. One
+    vectorized hash hop + pure-JVM max aggregation."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.hll_rollup import (
+        hll_estimates,
+        hll_merge,
+        hll_partial,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    states = hll_merge(hll_partial(ev))
+    return hll_estimates(states).select(
+        "user_id", "widx", "hll_zeros", "hll_denom",
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1439,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_hll_distinct"] = _hll_distinct_query
     out["rollup_hll_cascade"] = _hll_cascade_query
     out["hll_distinct_by_source"] = _hll_by_source_query
+    out["user_hll_30m"] = _hll_30m_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -189,6 +189,98 @@ def hll_cascade_from_store(tier_df: DataFrame, group: int = 16) -> DataFrame:
     )
 
 
+def _hash_struct_udf():
+    """Arrow-batched (token -> struct(j, r)): register index and rank
+    from one splitmix64 pass. The hash cannot be a JVM expression under
+    ANSI mode (64-bit wraparound multiply raises), so this is the one
+    vectorized Python hop; everything downstream is JVM aggregation."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def jr(tok):
+        t = tok.to_numpy(dtype=np.int64, na_value=0)
+        h = HLL.splitmix64(t)
+        j = (h >> np.uint64(HLL.Q)).astype(np.int32)
+        wlow = h & np.uint64((1 << HLL.Q) - 1)
+        rho = (HLL.Q + 1 - HLL.bit_length_u64(wlow)).astype(np.int32)
+        return pd.DataFrame({"j": j, "r": rho})
+
+    # real annotation objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot resolve
+    jr.__annotations__ = {"tok": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(jr, "j int, r int")
+
+
+def hll_partial(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    value_col: str = "value",
+    window_micros: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """(by, widx, j, r) occupied-register rows — the relational HLL
+    state, one hash-aggregate per batch (same sparse-state shape as
+    hist_percentile.hist_partial). Tokens are round(value) as BIGINT.
+    merge(partial(A) ∪ partial(B)) == partial(A ∪ B) because max is
+    associative, commutative and idempotent — the snapshot store's
+    plug contract, and the reason duplicate replays are harmless."""
+    by = list(by or ["user_id"])
+    tus = F.unix_micros(F.col(on))
+    tok = F.round(F.col(value_col).cast("double")).cast("long")
+    events = events.where(F.col(value_col).isNotNull())
+    hashed = events.select(
+        *by,
+        F.floor(tus / F.lit(int(window_micros))).alias("widx"),
+        _hash_struct_udf()(tok).alias("_jr"),
+    )
+    return (
+        hashed.select(*by, "widx", F.col("_jr.j").alias("j"),
+                      F.col("_jr.r").alias("r"))
+        .groupBy(*by, "widx", "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    by = list(by or ["user_id"])
+    return states.groupBy(*by, "widx", "j").agg(F.max("r").alias("r"))
+
+
+def hll_estimates(states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Per (by, widx): integer register summary + the distinct estimate
+    from the relational state rows — all-JVM (one grouped fold + a
+    broadcast libm lookup join for the linear-counting branch)."""
+    by = list(by or ["user_id"])
+    keys = [*by, "widx"]
+    denom_expr = (
+        F.sum(F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {HLL.RSCALE} - least(r, {HLL.RSCALE}))"
+        ))
+        + (F.lit(HLL.M) - F.count("*")).cast("long")
+        * F.lit(int(1) << HLL.RSCALE).cast("long")
+    )
+    out = states.groupBy(*keys).agg(
+        denom_expr.cast("long").alias("hll_denom"),
+        (F.lit(HLL.M) - F.count("*")).cast("int").alias("hll_zeros"),
+    )
+    spark = states.sparkSession
+    lut = spark.createDataFrame(
+        [(v, float(HLL.LC_TABLE[v])) for v in range(1, HLL.M + 1)],
+        "hll_zeros int, lc double",
+    )
+    alpha_num = F.lit(HLL.ALPHA * (HLL.M * HLL.M) * (2.0 ** HLL.RSCALE))
+    raw_est = alpha_num / F.col("hll_denom").cast("double")
+    est = F.when(
+        (raw_est <= F.lit(2.5 * HLL.M)) & (F.col("hll_zeros") > 0),
+        F.col("lc"),
+    ).otherwise(raw_est)
+    return (
+        out.join(F.broadcast(lut), "hll_zeros", "left")
+        .withColumn("est_distinct", est)
+        .drop("lc")
+    )
+
+
 _SRC_SCHEMA = "source string, n long, j int, r int"
 
 

@@ -8214,3 +8214,33 @@ tot AS (
 SELECT source, n, hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
 FROM tot
 """
+
+
+# Timestamp-windowed HLL continuous aggregate (hll_partial ->
+# hll_merge -> hll_estimates over raw events): approx distinct rounded
+# values per user per 30-minute window. Same exact-integer replay as
+# the rollup_hll_* family, windowed by epoch_us like the other cagg
+# oracles.
+ENGINE_ORACLES["user_hll_30m"] = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS widx,
+         CAST(round(value) AS BIGINT) AS tok
+  FROM events WHERE value IS NOT NULL
+),
+{_sm64_chain_sql('ev', 'user_id, widx')},
+regs AS (
+  SELECT user_id, widx, bucket, max(rho) AS r
+  FROM hll_br GROUP BY ALL
+),
+tot AS (
+  SELECT user_id, widx,
+         CAST(256 - count(*) AS INTEGER) AS hll_zeros,
+         CAST(sum(CAST(1 AS BIGINT) << (48 - least(r, 48)))
+              + (256 - count(*)) * CAST(281474976710656 AS BIGINT)
+              AS BIGINT) AS hll_denom
+  FROM regs GROUP BY user_id, widx
+)
+SELECT user_id, widx, hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
+FROM tot
+"""

@@ -92,6 +92,41 @@ def stream_quantile_rollup(
     return writer.start()
 
 
+def stream_hll_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: int = 32,
+    group: int = 16,
+    n_tiers: int = 3,
+    binary: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming approximate-distinct tier rollup: the stateless HLL
+    mapInArrow kernel (operators/hll_rollup) under Structured Streaming
+    — per-window register state + estimate, exactly-once into the sink.
+    Because register merge is idempotent max, even a REPLAYED batch
+    merged into downstream state is harmless (strictly stronger than
+    the histogram's add-merge, which relies on the sink's exactly-once
+    file tracking alone)."""
+    from pyhctsa_spark.operators.hll_rollup import rollup_hll_tiers
+
+    schema = SEQ_BIN_SCHEMA if binary else SEQ_SCHEMA
+    seq = spark.readStream.schema(schema).parquet(source_dir)
+    tiers = rollup_hll_tiers(seq, window=window, group=group,
+                             n_tiers=n_tiers)
+    writer = (
+        tiers.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup_chunks(
     spark: SparkSession,
     source_dir: str,

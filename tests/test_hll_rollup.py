@@ -167,3 +167,114 @@ def test_by_source_matches_numpy_replay(spark, seq):
         assert got[s]["est_distinct"] == pytest.approx(
             float(fin["est"][0]), abs=0.0
         )
+
+
+WIN = 30 * 60 * 1_000_000
+
+
+def _events(spark, n=3000):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        "id",
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 913_789_123
+        ).alias("ts"),
+        ((F.sin(F.col("id") / 7.0) + 1) * 40
+         + (F.col("id") % 23).cast("double")).alias("value"),
+    )
+
+
+def test_hll_merge_equals_partial_of_union(spark):
+    import pandas as pd
+
+    from pyhctsa_spark.operators.hll_rollup import hll_merge, hll_partial
+
+    ev = _events(spark)
+    a, b = ev.where("id % 2 = 0"), ev.where("id % 2 = 1")
+    merged = hll_merge(
+        hll_partial(a, window_micros=WIN).unionByName(
+            hll_partial(b, window_micros=WIN))
+    )
+    direct = hll_partial(ev, window_micros=WIN)
+    key = ["user_id", "widx", "j"]
+    pd.testing.assert_frame_equal(
+        merged.orderBy(*key).toPandas(), direct.orderBy(*key).toPandas()
+    )
+    # idempotent: merging the same partial twice changes nothing
+    twice = hll_merge(direct.unionByName(direct))
+    pd.testing.assert_frame_equal(
+        twice.orderBy(*key).toPandas(), direct.orderBy(*key).toPandas()
+    )
+
+
+def test_hll_estimates_match_state_finalize(spark):
+    from pyhctsa_spark.operators.hll_rollup import hll_estimates, hll_partial
+
+    ev = _events(spark, 800)
+    states = hll_partial(ev, window_micros=WIN)
+    got = {(r["user_id"], r["widx"]): r
+           for r in hll_estimates(states).collect()}
+    rows = states.collect()
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault((r["user_id"], r["widx"]), []).append(
+            (r["j"], r["r"]))
+    for k, jr in per_key.items():
+        regs = np.zeros((1, H.M), dtype=np.uint8)
+        for j, r in jr:
+            regs[0, j] = r
+        fin = H.finalize(regs)
+        assert got[k]["hll_denom"] == int(fin["hll_denom"][0])
+        assert got[k]["hll_zeros"] == int(fin["hll_zeros"][0])
+        assert got[k]["est_distinct"] == float(fin["est"][0])
+
+
+def test_hll_states_through_snapshot_store(spark, tmp_path):
+    import pandas as pd
+
+    from pyhctsa_spark.operators.cagg import CaggSnapshotStore
+    from pyhctsa_spark.operators.hll_rollup import (
+        hll_estimates,
+        hll_merge,
+        hll_partial,
+    )
+
+    store = CaggSnapshotStore(
+        str(tmp_path / "hllsnap"), window_micros=WIN, chunk_windows=16,
+        partial_fn=hll_partial, merge_fn=hll_merge,
+    )
+    ev = _events(spark)
+    store.materialize(ev.where("id % 3 != 0"))
+    info = store.refresh(spark, ev.where("id % 3 = 0"), batch_id=0)
+    assert info["delta_states"] > 0
+    got = hll_estimates(store.read(spark).drop("chunk"))
+    want = hll_estimates(hll_partial(ev, window_micros=WIN))
+    key = ["user_id", "widx"]
+    pd.testing.assert_frame_equal(
+        got.orderBy(*key).toPandas(), want.orderBy(*key).toPandas()
+    )
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path_factory):
+    import pandas as pd
+
+    from pyhctsa_spark.operators.hll_rollup import rollup_hll_tiers
+    from pyhctsa_spark.sources.synthetic import sequences_df
+    from pyhctsa_spark.streaming.rollup_stream import stream_hll_rollup
+
+    base = tmp_path_factory.mktemp("hllstream")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    sequences_df(spark, 10, partitions=2, binary=True).write.parquet(src)
+    q = stream_hll_rollup(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+    )
+    want = (
+        rollup_hll_tiers(spark.read.parquet(src)).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
