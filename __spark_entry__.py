@@ -751,6 +751,44 @@ def _hll_30m_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch per source (operators/kmv_sketch):
+    exact token count, sketch occupancy, k-th smallest 63-bit hash and
+    the distinct estimate (exact below saturation, (k-1)*2^63/tau
+    above). All-integer compared state; the estimate has no
+    transcendentals, so the oracle is bit-exact."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.kmv_sketch import kmv_distinct_by
+
+    seq = _sequences_from_events(spark, sf_dir)
+    out = kmv_distinct_by(seq, k=128)
+    return out.select(
+        "source", "n", "kmv_size", "kmv_kth",
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+
+
+def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary set algebra between sources from the KMV
+    sketches alone (corpora never joined): union sketch, match count,
+    union/Jaccard/intersection estimates — the set operations HLL
+    registers cannot answer. O(pairs x k) post-sketch work."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.kmv_sketch import kmv_group_overlap
+
+    seq = _sequences_from_events(spark, sf_dir)
+    out = kmv_group_overlap(seq, k=128)
+    return out.select(
+        F.col("a").alias("source_a"), F.col("b").alias("source_b"),
+        "union_size", "union_kth", "inter_matches",
+        F.round("union_est", 6).alias("union_est"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("inter_est", 6).alias("inter_est"),
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1464,6 +1502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_hll_cascade"] = _hll_cascade_query
     out["hll_distinct_by_source"] = _hll_by_source_query
     out["user_hll_30m"] = _hll_30m_query
+    # KMV bottom-k sketches (operators/kmv_sketch.py): distinct + set
+    # algebra between source vocabularies — catalog tail
+    out["kmv_distinct_by_source"] = _kmv_by_source_query
+    out["kmv_source_overlap"] = _kmv_overlap_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -8087,9 +8087,9 @@ def _sm64_mulmod_sql(a: str, c: int) -> str:
     )
 
 
-def _sm64_chain_sql(src: str, keys: str) -> str:
-    """CTE chain hashing column ``tok`` of CTE ``src`` -> CTE ``hll_br``
-    with (keys..., bucket, rho). p=8, 56 rho bits."""
+def _sm64_hash_sql(src: str, keys: str) -> str:
+    """CTE chain hashing column ``tok`` of CTE ``src`` -> CTE ``hsh``
+    with (keys..., h) where h is the full splitmix64 UBIGINT."""
     return f"""
 hx0 AS (SELECT {keys}, tok,
         CAST((CAST(tok AS HUGEINT) + 11400714819323198485)
@@ -8098,7 +8098,13 @@ hx1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM hx0),
 hx2 AS (SELECT *, {_sm64_mulmod_sql('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM hx1),
 hx3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM hx2),
 hx4 AS (SELECT *, {_sm64_mulmod_sql('z3', 0x94D049BB133111EB)} AS z4 FROM hx3),
-hsh AS (SELECT {keys}, xor(z4, z4 >> 31) AS h FROM hx4),
+hsh AS (SELECT {keys}, xor(z4, z4 >> 31) AS h FROM hx4)"""
+
+
+def _sm64_chain_sql(src: str, keys: str) -> str:
+    """CTE chain hashing column ``tok`` of CTE ``src`` -> CTE ``hll_br``
+    with (keys..., bucket, rho). p=8, 56 rho bits."""
+    return f"""{_sm64_hash_sql(src, keys)},
 hll_br AS (SELECT {keys},
        CAST(h >> 56 AS INTEGER) AS bucket,
        CASE WHEN h % CAST(72057594037927936 AS UBIGINT) = 0
@@ -8243,4 +8249,76 @@ tot AS (
 )
 SELECT user_id, widx, hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
 FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch oracles (operators/kmv_sketch.py). Hashes are
+# splitmix64 >> 1 (63-bit, BIGINT-safe in both engines with unsigned
+# order preserved); every compared quantity is an integer and the only
+# doubles are the exact constant (k-1)*2^63 and IEEE divisions — no
+# transcendentals, no rounding boundary to defend.
+
+_KMV_K = 128
+_KMV_CONST = "CAST('1.1713682486805565e+21' AS DOUBLE)"  # (128-1)*2^63
+
+_KMV_TOP = f"""{_HLL_SERIES},
+{_sm64_hash_sql('series', 'source')},
+hs AS (SELECT DISTINCT source, CAST(h >> 1 AS BIGINT) AS h63 FROM hsh),
+rk AS (SELECT source, h63,
+              row_number() OVER (PARTITION BY source ORDER BY h63) AS rn
+       FROM hs),
+top AS (SELECT * FROM rk WHERE rn <= {_KMV_K})"""
+
+ENGINE_ORACLES["kmv_distinct_by_source"] = f"""
+WITH {_KMV_TOP},
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM series GROUP BY source),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS kmv_size,
+               max(h63) AS kmv_kth
+        FROM top GROUP BY source)
+SELECT n.source, n.n, agg.kmv_size, agg.kmv_kth,
+       round(CASE WHEN agg.kmv_size < {_KMV_K}
+                  THEN CAST(agg.kmv_size AS DOUBLE)
+                  ELSE {_KMV_CONST} / agg.kmv_kth END, 6) AS est_distinct
+FROM n JOIN agg USING (source)
+"""
+
+ENGINE_ORACLES["kmv_source_overlap"] = f"""
+WITH {_KMV_TOP},
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM top) a
+  JOIN (SELECT DISTINCT source FROM top) b ON a.source < b.source
+),
+u0 AS (
+  SELECT p.sa, p.sb, t.h63,
+         max(CASE WHEN t.source = p.sa THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN t.source = p.sb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN top t ON t.source IN (p.sa, p.sb)
+  GROUP BY p.sa, p.sb, t.h63
+),
+ur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h63) AS rn
+       FROM u0),
+uk AS (SELECT * FROM ur WHERE rn <= {_KMV_K}),
+agg AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS union_size,
+         max(h63) AS union_kth,
+         CAST(sum(ia * ib) AS BIGINT) AS inter_matches
+  FROM uk GROUP BY sa, sb
+),
+est AS (
+  SELECT *, CASE WHEN union_size < {_KMV_K}
+                 THEN CAST(union_size AS DOUBLE)
+                 ELSE {_KMV_CONST} / union_kth END AS union_est_raw,
+            CAST(inter_matches AS DOUBLE)
+            / CAST(union_size AS DOUBLE) AS jacc_raw
+  FROM agg
+)
+SELECT sa AS source_a, sb AS source_b, union_size, union_kth,
+       inter_matches,
+       round(union_est_raw, 6) AS union_est,
+       round(jacc_raw, 6) AS jaccard_est,
+       round(jacc_raw * union_est_raw, 6) AS inter_est
+FROM est
 """
