@@ -789,6 +789,23 @@ def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_freq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency estimates per source
+    (operators/cms_sketch): fixed d=4 x w=256 integer counter state,
+    relational sum-merge, point estimates for probe tokens 0..19 via a
+    broadcast routing table + min-over-rows. Integer end-to-end."""
+    from pyhctsa_spark.operators.cms_sketch import (
+        cms_point_estimates,
+        cms_sketch_by,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    states = cms_sketch_by(seq)
+    return cms_point_estimates(states, list(range(20))).select(
+        "source", "token", "est_count"
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1506,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # algebra between source vocabularies — catalog tail
     out["kmv_distinct_by_source"] = _kmv_by_source_query
     out["kmv_source_overlap"] = _kmv_overlap_query
+    out["cms_token_freq_by_source"] = _cms_freq_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

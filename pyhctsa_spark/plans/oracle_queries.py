@@ -8087,18 +8087,20 @@ def _sm64_mulmod_sql(a: str, c: int) -> str:
     )
 
 
-def _sm64_hash_sql(src: str, keys: str) -> str:
-    """CTE chain hashing column ``tok`` of CTE ``src`` -> CTE ``hsh``
-    with (keys..., h) where h is the full splitmix64 UBIGINT."""
+def _sm64_hash_sql(src: str, keys: str, pfx: str = "") -> str:
+    """CTE chain hashing column ``tok`` of CTE ``src`` -> CTE
+    ``{pfx}hsh`` with (keys..., h) where h is the full splitmix64
+    UBIGINT. ``pfx`` namespaces the chain so one query can hash two
+    different token sources (e.g. corpus + probe set)."""
     return f"""
-hx0 AS (SELECT {keys}, tok,
+{pfx}hx0 AS (SELECT {keys}, tok,
         CAST((CAST(tok AS HUGEINT) + 11400714819323198485)
              % 18446744073709551616 AS UBIGINT) AS z0 FROM {src}),
-hx1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM hx0),
-hx2 AS (SELECT *, {_sm64_mulmod_sql('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM hx1),
-hx3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM hx2),
-hx4 AS (SELECT *, {_sm64_mulmod_sql('z3', 0x94D049BB133111EB)} AS z4 FROM hx3),
-hsh AS (SELECT {keys}, xor(z4, z4 >> 31) AS h FROM hx4)"""
+{pfx}hx1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM {pfx}hx0),
+{pfx}hx2 AS (SELECT *, {_sm64_mulmod_sql('z1', 0xBF58476D1CE4E5B9)} AS z2 FROM {pfx}hx1),
+{pfx}hx3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM {pfx}hx2),
+{pfx}hx4 AS (SELECT *, {_sm64_mulmod_sql('z3', 0x94D049BB133111EB)} AS z4 FROM {pfx}hx3),
+{pfx}hsh AS (SELECT {keys}, xor(z4, z4 >> 31) AS h FROM {pfx}hx4)"""
 
 
 def _sm64_chain_sql(src: str, keys: str) -> str:
@@ -8321,4 +8323,39 @@ SELECT sa AS source_a, sb AS source_b, union_size, union_kth,
        round(jacc_raw, 6) AS jaccard_est,
        round(jacc_raw * union_est_raw, 6) AS inter_est
 FROM est
+"""
+
+
+# Count-min sketch oracle (operators/cms_sketch.py): d=4 byte-hash rows
+# x w=256 counters, state and estimates integer end-to-end. The corpus
+# and the probe set are hashed by two namespaced copies of the same
+# splitmix64 chain; estimates are min over rows with absent counters as
+# exact zeros.
+ENGINE_ORACLES["cms_token_freq_by_source"] = f"""
+WITH {_HLL_SERIES},
+{_sm64_hash_sql('series', 'source')},
+irange AS (SELECT unnest(generate_series(0, 3)) AS i),
+cms AS (
+  SELECT source, i.i AS i,
+         CAST((h >> (8 * i.i)) % 256 AS INTEGER) AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM hsh CROSS JOIN irange i
+  GROUP BY source, i.i, col
+),
+probe_toks AS (
+  SELECT CAST(unnest(generate_series(0, 19)) AS BIGINT) AS token,
+         CAST(unnest(generate_series(0, 19)) AS BIGINT) AS tok
+),
+{_sm64_hash_sql('probe_toks', 'token', 'p')},
+pr AS (
+  SELECT token, i.i AS i,
+         CAST((h >> (8 * i.i)) % 256 AS INTEGER) AS col
+  FROM phsh CROSS JOIN irange i
+),
+grps AS (SELECT DISTINCT source FROM series)
+SELECT g.source, p.token,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM grps g CROSS JOIN pr p
+LEFT JOIN cms c ON c.source = g.source AND c.i = p.i AND c.col = p.col
+GROUP BY g.source, p.token
 """
