@@ -806,6 +806,22 @@ def _cms_freq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/bloom.py): the eval set
+    (docs < 20) compressed into a 128 KB broadcast bitmap, corpus
+    n-grams screened map-side with k=5 md5 double-hash probes — no
+    join node, eval-state size capped at m/8 bytes regardless of
+    benchmark size. Deterministic hashing makes even the false
+    positives oracle-replayable."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.bloom import contamination_check_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") < 20)
+    return contamination_check_bloom(docs, ev)
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1524,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kmv_distinct_by_source"] = _kmv_by_source_query
     out["kmv_source_overlap"] = _kmv_overlap_query
     out["cms_token_freq_by_source"] = _cms_freq_query
+    out["doc_contamination_bloom"] = _bloom_contamination_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -8359,3 +8359,49 @@ FROM grps g CROSS JOIN pr p
 LEFT JOIN cms c ON c.source = g.source AND c.i = p.i AND c.col = p.col
 GROUP BY g.source, p.token
 """
+
+
+# Bloom-filter decontamination oracle (operators/bloom.py): replays the
+# bitmap semantics exactly — an n-gram is flagged iff ALL k=5 of its
+# Kirsch-Mitzenmacher positions (md5 split into two 60-bit halves,
+# idx_i = (h1 + i*h2) mod 2^20) are present in the eval position set —
+# so even the deterministic false positives agree between engines.
+ENGINE_ORACLES["doc_contamination_bloom"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 7),
+                  idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2]
+                         || ' ' || ws[idx + 3] || ' ' || ws[idx + 4]
+                         || ' ' || ws[idx + 5] || ' ' || ws[idx + 6]
+                         || ' ' || ws[idx + 7])) AS sh
+    FROM words WHERE len(ws) >= 8
+  ) t
+),
+pos AS (
+  SELECT doc_id, sh, i.i AS i,
+         (('0x' || substr(md5(sh), 1, 15))::BIGINT
+          + i.i * ('0x' || substr(md5(sh), 16, 15))::BIGINT) % 1048576 AS p
+  FROM ng CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) i
+),
+evpos AS (SELECT DISTINCT p FROM pos WHERE doc_id < 20),
+hitng AS (
+  SELECT pos.doc_id, pos.sh
+  FROM pos JOIN evpos ON evpos.p = pos.p
+  GROUP BY pos.doc_id, pos.sh
+  HAVING count(*) = 5
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM hitng GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
