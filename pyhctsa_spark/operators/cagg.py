@@ -265,6 +265,7 @@ class CaggSnapshotStore:
 
     MANIFEST = "_MANIFEST.json"
     WRITER_LOCK = "_WRITER.lock"
+    SNAPSHOT_DIR = "_snapshots"
     LEASE_SEC = 300.0
 
     def __init__(
@@ -277,6 +278,7 @@ class CaggSnapshotStore:
         chunk_windows: int = 48,
         partial_fn=None,
         merge_fn=None,
+        snapshot_retain: int = 2,
     ) -> None:
         """``partial_fn(events, on, by, value_col, window_micros)`` and
         ``merge_fn(states, by)`` default to the OHLC/moments cagg
@@ -294,6 +296,11 @@ class CaggSnapshotStore:
         self.chunk_windows = chunk_windows
         self._partial = partial_fn or cagg_partial
         self._merge = merge_fn or cagg_merge
+        # how many committed snapshots stay readable (time travel +
+        # reader grace). 2 == the original current+previous contract;
+        # raising it trades disk for a deeper read_at() horizon,
+        # exactly Iceberg's snapshot-expiry retention knob.
+        self.snapshot_retain = max(2, int(snapshot_retain))
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -339,6 +346,82 @@ class CaggSnapshotStore:
         with open(tmp, "w") as f:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+        # record the committed snapshot for time travel: a copy of the
+        # chunk map keyed by generation, written AFTER the commit point
+        # (a crash between the two leaves the store fully consistent —
+        # the snapshot is then recorded lazily by _snapshot_maps's
+        # current-manifest fallback)
+        sdir = os.path.join(self.path, self.SNAPSHOT_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, f"gen={man['gen']}.json.tmp"), "w") as f:
+            json.dump({"gen": man["gen"],
+                       "chunks": dict(man["chunks"]),
+                       "last_batch": man.get("last_batch"),
+                       "committed_at": time.time()}, f)
+        os.replace(os.path.join(sdir, f"gen={man['gen']}.json.tmp"),
+                   os.path.join(sdir, f"gen={man['gen']}.json"))
+
+    # -- snapshots (time travel) -------------------------------------------
+    def _snapshot_maps(self) -> dict[int, dict]:
+        """gen -> snapshot descriptor for every retained snapshot file,
+        always including the current manifest (covers stores written
+        before snapshots existed and the crash window above)."""
+        import json
+
+        out: dict[int, dict] = {}
+        sdir = os.path.join(self.path, self.SNAPSHOT_DIR)
+        if os.path.isdir(sdir):
+            for fn in os.listdir(sdir):
+                if fn.startswith("gen=") and fn.endswith(".json"):
+                    try:
+                        with open(os.path.join(sdir, fn)) as f:
+                            s = json.load(f)
+                        out[int(s["gen"])] = s
+                    except (OSError, ValueError, KeyError):
+                        continue
+            out.pop(-1, None)
+        man = self.manifest()
+        if man["gen"] >= 0 and man["gen"] not in out:
+            out[man["gen"]] = {"gen": man["gen"],
+                               "chunks": dict(man["chunks"]),
+                               "last_batch": man.get("last_batch"),
+                               "committed_at": None}
+        return out
+
+    def snapshots(self) -> list[dict]:
+        """Retained snapshot descriptors, oldest first — the read_at()
+        horizon."""
+        maps = self._snapshot_maps()
+        gens = sorted(maps)[-self.snapshot_retain:]
+        return [
+            {"gen": g, "n_chunks": len(maps[g]["chunks"]),
+             "committed_at": maps[g].get("committed_at"),
+             "last_batch": maps[g].get("last_batch")}
+            for g in gens
+        ]
+
+    def read_at(self, spark: SparkSession, gen: int) -> DataFrame:
+        """Time travel: the committed view AS OF generation ``gen``.
+        Any generation still inside the retention window resolves to
+        its exact chunk versions — a refresh after a bad delta can be
+        audited against the pre-refresh snapshot, the Iceberg
+        ``VERSION AS OF`` read."""
+        maps = self._snapshot_maps()
+        retained = sorted(maps)[-self.snapshot_retain:]
+        if gen not in retained:
+            raise ValueError(
+                f"generation {gen} is not a retained snapshot "
+                f"(retained: {retained}; snapshot_retain="
+                f"{self.snapshot_retain})"
+            )
+        paths = self._chunk_paths({"chunks": maps[gen]["chunks"]})
+        if not paths:
+            raise ValueError(f"snapshot gen={gen} references no chunks")
+        return (
+            spark.read.option("basePath", self.path)
+            .parquet(*paths)
+            .drop("gen")
+        )
 
     # -- writer lease --------------------------------------------------------
     def _lock_path(self) -> str:
@@ -479,16 +562,36 @@ class CaggSnapshotStore:
         )
 
     def _gc(self, man: dict) -> None:
-        """Delete chunk dirs neither the current manifest nor the
-        immediately previous one references (orphans from crashed
-        refreshes + twice-superseded versions). The previous manifest's
-        chunks get a one-commit grace period so a reader that resolved
-        paths from it never has files removed mid-scan. Best-effort."""
+        """Delete chunk dirs no RETAINED snapshot references (orphans
+        from crashed refreshes + versions superseded beyond the
+        retention window), and expire snapshot files that fell out of
+        the window. With the default snapshot_retain=2 this is the
+        original contract: the previous manifest's chunks get a
+        one-commit grace period so a reader that resolved paths from it
+        never has files removed mid-scan. Best-effort."""
         if not os.path.isdir(self.path):
             return
         live = {(str(c), int(g)) for c, g in man["chunks"].items()}
         live |= {(str(c), int(g))
                  for c, g in man.get("prev_chunks", {}).items()}
+        maps = self._snapshot_maps()
+        retained = sorted(maps)[-self.snapshot_retain:]
+        for g0 in retained:
+            live |= {(str(c), int(g))
+                     for c, g in maps[g0]["chunks"].items()}
+        sdir = os.path.join(self.path, self.SNAPSHOT_DIR)
+        if os.path.isdir(sdir):
+            for fn in os.listdir(sdir):
+                if fn.startswith("gen=") and fn.endswith(".json"):
+                    try:
+                        g = int(fn[len("gen="):-len(".json")])
+                    except ValueError:
+                        continue
+                    if g not in retained:
+                        try:
+                            os.unlink(os.path.join(sdir, fn))
+                        except OSError:
+                            pass
         for gdir in os.listdir(self.path):
             if not gdir.startswith("gen="):
                 continue
@@ -505,6 +608,12 @@ class CaggSnapshotStore:
     # -- operations ---------------------------------------------------------
     def materialize(self, events: DataFrame) -> None:
         with self._writer_lease():
+            # a (re-)materialize starts a new history: stale snapshot
+            # descriptors from a previous store life must not leak into
+            # the new retention window
+            sdir = os.path.join(self.path, self.SNAPSHOT_DIR)
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir, ignore_errors=True)
             states = _with_chunk(
                 self._partial(events, self.on, self.by, self.value_col,
                               self.window_micros),
@@ -596,6 +705,11 @@ class CaggSnapshotStore:
             prev = {"chunks": dict(man["chunks"])}
             for c in doomed:
                 del man["chunks"][str(c)]
+            # an eviction is a COMMIT: bump the manifest generation so
+            # its snapshot gets its own id instead of overwriting the
+            # last refresh's (no gen=N data directory is written — gen
+            # directory numbers may skip, which readers never see)
+            man["gen"] = man["gen"] + 1
             self._publish(man, prev=prev)
             self._gc(man)
             return doomed
