@@ -822,6 +822,37 @@ def _bloom_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check_bloom(docs, ev)
 
 
+def _delete_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation end-to-end (operators/deletion.py): the
+    quantile tier rollup is materialized chunk-partitioned, every doc
+    with id % 7 == 3 is erased via touched-chunk-only dynamic
+    overwrite (+ audit log + fully-dead-chunk sweep + verify_erased
+    compliance check), and the surviving store is read back. The
+    oracle recomputes the rollup from raw events EXCLUDING the erased
+    users — the store after erasure must be indistinguishable from a
+    world where those docs never existed."""
+    import tempfile
+
+    from pyhctsa_spark.operators.deletion import delete_docs, verify_erased
+    from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
+    from pyhctsa_spark.operators.retention import write_tier_chunked
+
+    seq = _sequences_from_events(spark, sf_dir)
+    tiers = rollup_quantile_tiers(seq, window=4, group=4, n_tiers=3)
+    d = tempfile.mkdtemp(prefix="delstore_")
+    write_tier_chunked(tiers, d, chunk_windows=8)
+    doomed = [
+        str(r["doc_id"])
+        for r in seq.select("doc_id").collect()
+        if int(r["doc_id"]) % 7 == 3
+    ]
+    delete_docs(spark, d, doomed)
+    left = verify_erased(spark, d, doomed)
+    if left:
+        raise AssertionError(f"erasure incomplete: {left} rows remain")
+    return spark.read.parquet(d).select(*_QROLLUP_OUT)
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1541,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kmv_source_overlap"] = _kmv_overlap_query
     out["cms_token_freq_by_source"] = _cms_freq_query
     out["doc_contamination_bloom"] = _bloom_contamination_query
+    out["user_delete_docs"] = _delete_docs_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

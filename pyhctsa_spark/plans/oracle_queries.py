@@ -8405,3 +8405,13 @@ SELECT d.doc_id,
             AS INTEGER) AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
+
+
+# Deletion propagation (operators/deletion.py): the store after erasing
+# users with id % 7 == 3 must equal the rollup computed from raw events
+# WITHOUT those users — derived mechanically from the rollup_quantiles
+# oracle by filtering its series CTE.
+assert ENGINE_ORACLES["rollup_quantiles"].count("FROM events") == 1
+ENGINE_ORACLES["user_delete_docs"] = ENGINE_ORACLES[
+    "rollup_quantiles"
+].replace("FROM events", "FROM events WHERE user_id % 7 <> 3")

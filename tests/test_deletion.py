@@ -1,0 +1,106 @@
+"""Deletion propagation: exactness, touched-chunk-only rewrites, audit
+trail, dead-chunk sweep, idempotence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyhctsa_spark.operators.deletion import (
+    delete_docs,
+    deletion_log,
+    verify_erased,
+)
+from pyhctsa_spark.operators.retention import write_tier_chunked
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from pyhctsa_spark.operators.quantile_rollup import rollup_quantile_tiers
+    from pyhctsa_spark.sources.synthetic import sequences_df
+
+    seq = sequences_df(spark, 24)
+    tiers = rollup_quantile_tiers(seq, window=8, group=4, n_tiers=2)
+    d = str(tmp_path / "store")
+    write_tier_chunked(tiers, d, chunk_windows=16)
+    return d
+
+
+def test_delete_is_exact_and_verified(spark, store):
+    before = spark.read.parquet(store)
+    doomed = [r["doc_id"] for r in
+              before.select("doc_id").distinct().limit(3).orderBy("doc_id").collect()]
+    # snapshot the expected survivors BEFORE the store is rewritten
+    b = (
+        before.where(~F.col("doc_id").isin(doomed))
+        .orderBy("doc_id", "tier", "window_idx").drop("hist_bin").collect()
+    )
+    info = delete_docs(spark, store, doomed)
+    assert info["rows_deleted"] > 0 and info["touched_chunks"]
+    assert verify_erased(spark, store, doomed) == 0
+    # survivors are bit-identical: deletion == filter of the old store
+    a = (
+        spark.read.parquet(store)
+        .orderBy("doc_id", "tier", "window_idx").drop("hist_bin").collect()
+    )
+    assert a == b
+
+
+def test_untouched_chunks_never_rewritten(spark, store):
+    # every chunk's current file set, by mtime+size
+    def snap():
+        out = {}
+        for root, _dirs, files in os.walk(store):
+            if "_deletion_log" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snap()
+    doomed = [r["doc_id"] for r in
+              spark.read.parquet(store).select("doc_id").distinct()
+              .orderBy("doc_id").limit(1).collect()]
+    info = delete_docs(spark, store, doomed)
+    after = snap()
+    touched_dirs = {
+        os.path.join(store, f"tier={t}", f"chunk={c}")
+        for t, c in info["touched_chunks"]
+    }
+    for p, m in before.items():
+        d = os.path.dirname(p)
+        if d not in touched_dirs:
+            assert after.get(p) == m, f"untouched file rewritten: {p}"
+
+
+def test_audit_log_and_idempotence(spark, store):
+    doomed = [r["doc_id"] for r in
+              spark.read.parquet(store).select("doc_id").distinct()
+              .orderBy("doc_id").limit(2).collect()]
+    info1 = delete_docs(spark, store, doomed)
+    log = deletion_log(spark, store)
+    assert set(r["doc_id"] for r in log.collect()) == set(doomed)
+    assert log.agg(F.sum("n_rows")).first()[0] == info1["rows_deleted"]
+    # re-run: converged no-op, no extra log rows
+    info2 = delete_docs(spark, store, doomed)
+    assert info2 == {"touched_chunks": [], "rows_deleted": 0,
+                     "chunks_removed": []}
+    assert deletion_log(spark, store).count() == log.count()
+
+
+def test_fully_dead_chunk_is_swept(spark, tmp_path):
+    rows = [(f"d{i}", "s", 0, w, 1) for i in range(2) for w in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tier int, window_idx long, n long"
+    )
+    d = str(tmp_path / "tiny")
+    write_tier_chunked(df, d, chunk_windows=2)
+    # delete every doc -> every chunk dies
+    info = delete_docs(spark, d, ["d0", "d1"])
+    assert info["chunks_removed"]
+    assert not any(
+        c.startswith("chunk=")
+        for t in os.listdir(d) if t.startswith("tier=")
+        for c in os.listdir(os.path.join(d, t))
+    )
