@@ -260,10 +260,18 @@ def _exact_rerank(
 
     pairs = shortlist.select("qid", "nid").persist()
     try:
-        ids = [r["nid"] for r in pairs.select("nid").distinct().collect()]
         sub = corpus.select(
             F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
-        ).where(F.col("nid").isin(ids))
+        )
+        ids = [r["nid"] for r in pairs.select("nid").distinct().collect()]
+        if len(ids) <= 2048:
+            # literal IN filter -> parquet predicate pushdown: the
+            # refine scan reads ~|ids| rows of real I/O
+            sub = sub.where(F.col("nid").isin(ids))
+        # else: a Q x R shortlist can be ~100k ids, and a 100k-deep IN
+        # expression tree costs Catalyst ~a minute of planning (measured
+        # 59 s at 20 x 4096) — let the broadcast join below do the
+        # filtering; the scan stays columnar and the join is map-side
         cand = F.broadcast(pairs).join(sub, "nid")
 
         qpos = pd.Series({q: i for i, q in enumerate(qids)})
