@@ -853,6 +853,23 @@ def _delete_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(d).select(*_QROLLUP_OUT)
 
 
+def _emb_covariance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-PCA sufficient statistics (operators/pca.py): the
+    64x64 embedding covariance from ONE Arrow pass of (sum, Gram,
+    count) partials — d*(d+1) doubles per task regardless of corpus
+    size, merged by combiner-friendly SUM. The eigendecomposition /
+    projection stage is pytest-verified (test_pca) since LAPACK cannot
+    be replayed in SQL."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.pca import covariance_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_stats(emb).select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1573,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cms_token_freq_by_source"] = _cms_freq_query
     out["doc_contamination_bloom"] = _bloom_contamination_query
     out["user_delete_docs"] = _delete_docs_query
+    out["emb_covariance"] = _emb_covariance_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

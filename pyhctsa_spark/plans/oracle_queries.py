@@ -8415,3 +8415,89 @@ assert ENGINE_ORACLES["rollup_quantiles"].count("FROM events") == 1
 ENGINE_ORACLES["user_delete_docs"] = ENGINE_ORACLES[
     "rollup_quantiles"
 ].replace("FROM events", "FROM events WHERE user_id % 7 <> 3")
+
+
+# --- PMI skip-gram co-occurrence (corpus statistics) ------------------------
+# Token-pair association within a +-4 offset window over each user's
+# series: c_xy ordered-pair counts via lead(), marginals, and the PMI
+# RATIO c_xy * N / (c_x * c_y) — ln is monotone, so ranking by the
+# rational ratio IS ranking by PMI while staying transcendental-free
+# (one IEEE division, bit-stable across engines; ties broken by
+# (x, y)). Top 50 pairs with support >= 5.
+_PMI_BODY = """
+pairs0 AS (
+  SELECT tok AS x,
+         lead(tok, 1) OVER (PARTITION BY user_id ORDER BY rn) AS y
+  FROM series
+  UNION ALL
+  SELECT tok, lead(tok, 2) OVER (PARTITION BY user_id ORDER BY rn)
+  FROM series
+  UNION ALL
+  SELECT tok, lead(tok, 3) OVER (PARTITION BY user_id ORDER BY rn)
+  FROM series
+  UNION ALL
+  SELECT tok, lead(tok, 4) OVER (PARTITION BY user_id ORDER BY rn)
+  FROM series
+),
+p AS (SELECT x, y FROM pairs0 WHERE y IS NOT NULL),
+cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY x, y),
+cx AS (SELECT x, CAST(count(*) AS BIGINT) AS cl FROM p GROUP BY x),
+cy AS (SELECT y, CAST(count(*) AS BIGINT) AS cr FROM p GROUP BY y),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p)
+SELECT cxy.x, cxy.y, cxy.c,
+       round(CAST(cxy.c * tot.t AS DOUBLE)
+             / CAST(cx.cl * cy.cr AS DOUBLE), 6) AS pmi_ratio
+FROM cxy
+JOIN cx ON cx.x = cxy.x
+JOIN cy ON cy.y = cxy.y
+CROSS JOIN tot
+WHERE cxy.c >= 5
+ORDER BY pmi_ratio DESC, cxy.x, cxy.y
+LIMIT 50
+"""
+
+QUERIES["user_pmi_pairs"] = _q2(
+    """
+WITH series AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         CAST(round(value) AS INT) AS tok
+  FROM events
+),""" + _PMI_BODY,
+    """
+WITH series AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         CAST(round(value) AS INTEGER) AS tok
+  FROM events
+),""" + _PMI_BODY,
+)
+
+
+# Distributed-PCA sufficient statistics (operators/pca.py): the d x d
+# covariance assembled from one Arrow pass of (sum, Gram, count)
+# partials. Both engines compute sum(xi*xj)/n - (sum(xi)/n)*(sum(xj)/n)
+# in the same operation order; summation-order noise (~1e-13 relative)
+# is absorbed by the shared round(,6). The eigendecomposition itself is
+# NOT SQL-expressible — it is pytest-verified through algebraic
+# invariants (tests/test_pca.py) instead of driver-oracled.
+ENGINE_ORACLES["emb_covariance"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+x AS (SELECT e.vec_id, i.i, v[i.i] AS xi FROM e CROSS JOIN idx i),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+m AS (SELECT i, sum(xi) AS s FROM x GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+)
+SELECT g.i - 1 AS i, g.j - 1 AS j,
+       round(g.s / nn.n - (ma.s / nn.n) * (mb.s / nn.n), 6) AS cov
+FROM g
+JOIN m ma ON ma.i = g.i
+JOIN m mb ON mb.i = g.j
+CROSS JOIN nn
+"""
