@@ -54,6 +54,7 @@ def curate(
     max_ppl: float | None = None,
     max_dup_frac: float = 0.5,
     substring_span: int | None = None,
+    eval_docs=None,
     mix_rate: float = 1.0,
     seq_len: int = 2048,
     pack_shards: int = 4,
@@ -85,6 +86,22 @@ def curate(
     kept_q = quality_filter(docs, text_col, id_col).where("keep = 1").select(id_col)
     docs_q = docs.join(kept_q, id_col).persist()
     stats["after_quality"] = docs_q.count()
+
+    if eval_docs is not None:
+        # benchmark decontamination via the Bloom bitmap screen: the
+        # eval set ships as a fixed 128 KB broadcast regardless of its
+        # size; one-sided error only quarantines extra training docs
+        from pyhctsa_spark.operators.bloom import contamination_check_bloom
+
+        clean = (
+            contamination_check_bloom(
+                docs_q, eval_docs, text_col=text_col, id_col=id_col
+            )
+            .where("contaminated = 0")
+            .select(id_col)
+        )
+        docs_q = docs_q.join(clean, id_col).persist()
+        stats["after_decontam"] = docs_q.count()
 
     # near-dup collapse BEFORE passage-level filtering: clustering keeps
     # one representative per duplicate group, while the passage filter
@@ -229,6 +246,9 @@ def parse_args(argv):
     p.add_argument("--substring-span", type=int, default=None,
                    help="span-dedup window in words (omit to skip the "
                         "Lee-et-al substring removal stage)")
+    p.add_argument("--eval-input", default=None,
+                   help="parquet of benchmark/eval docs — enables the "
+                        "Bloom decontamination stage (omit to skip)")
     p.add_argument("--mix-rate", type=float, default=1.0)
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--pack-shards", type=int, default=4,
@@ -254,6 +274,8 @@ def main(argv=None) -> int:
         max_ppl=args.max_ppl,
         max_dup_frac=args.max_dup_frac,
         substring_span=args.substring_span,
+        eval_docs=(spark.read.parquet(args.eval_input)
+                   if args.eval_input else None),
         mix_rate=args.mix_rate,
         seq_len=args.seq_len,
         pack_shards=args.pack_shards,

@@ -94,16 +94,21 @@ def write_tier_chunked(
     in fresh chunk directories (time moves forward), so appends never
     rewrite history; the small files they accrete are the compaction
     operator's job, and retention ages them out chunk-wise like any
-    other data."""
-    (
-        tier_df.withColumn(
-            "chunk",
-            (F.col("window_idx") / F.lit(int(chunk_windows))).cast("long"),
-        )
-        .write.mode(mode)
-        .partitionBy("tier", "chunk")
-        .parquet(path)
+    other data.
+
+    Rows are sorted (doc_id, window_idx) within each write task so
+    parquet row-group min/max statistics on doc_id are TIGHT — a
+    doc-targeted read (deletion.delete_docs probe, per-doc backfill)
+    then skips most row groups instead of scanning every chunk. Same
+    zone-map discipline as compaction's in-partition sort."""
+    keyed = tier_df.withColumn(
+        "chunk",
+        (F.col("window_idx") / F.lit(int(chunk_windows))).cast("long"),
     )
+    sort_cols = [c for c in ("doc_id", "window_idx") if c in keyed.columns]
+    if sort_cols:
+        keyed = keyed.sortWithinPartitions(*sort_cols)
+    keyed.write.mode(mode).partitionBy("tier", "chunk").parquet(path)
 
 
 def read_tier_chunked(spark: SparkSession, path: str) -> DataFrame:

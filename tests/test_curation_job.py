@@ -159,3 +159,24 @@ def test_curation_funnel_substring_stage(spark):
         spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
     )
     assert "after_substring" not in s2 and "substring_tokens_removed" not in s2
+
+
+def test_curation_funnel_decontam_stage(spark):
+    docs = _corpus(spark)
+    # eval set = an 8-gram unique to doc 7 (the shared stopword prefix
+    # would legitimately flag EVERY doc): only doc 7 must be removed
+    # between quality and near-dup
+    ev = spark.createDataFrame(
+        [(999, " ".join(f"tok7x{j}" for j in range(5, 13)))],
+        "doc_id long, text string",
+    )
+    _seg, _addr, stats = curate(
+        spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4,
+        eval_docs=ev,
+    )
+    assert stats["after_decontam"] == stats["after_quality"] - 1
+    # without the stage the key is absent entirely
+    _s2, _a2, s2 = curate(
+        spark, docs, seq_len=32, pack_shards=2, shuffle_shards=4
+    )
+    assert "after_decontam" not in s2
