@@ -456,3 +456,120 @@ def _adc_topk_pairs(cand: DataFrame, qids, Qn, codebooks, k: int) -> DataFrame:
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 256,
+    num_centroids: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    write_salt: int = 8,
+    pq_train_iters: int = 10,
+    ivf_train_iters: int = 10,
+    train_sample: int | None = None,
+) -> dict:
+    """Materialize the composed index (faiss IndexIVFPQ on disk):
+    cid-partitioned inverted lists holding ONLY (nid, code) — m*2 bytes
+    of payload per vector — plus the centroid table and the PQ
+    codebooks. The one corpus shuffle (codes -> lists) happens here,
+    once, salted so a skewed list fans out over ``write_salt`` write
+    tasks. Raw vectors are NOT stored: that is the point of PQ — a
+    100 TB float corpus becomes a ~3-6 TB code index; exact rerank at
+    query time reads the shortlisted ids back from the original corpus
+    table (stats-pruned point lookups).
+
+    Returns inverted-list skew stats (ivf_list_stats)."""
+    from pyhctsa_spark.operators.similarity import ivf_build, ivf_list_stats
+
+    cents, assigned = ivf_build(
+        corpus, num_centroids, vec_col, id_col,
+        train_sample=train_sample, train_iters=ivf_train_iters,
+    )
+    books = pq_train(corpus, m, ksub, vec_col, id_col,
+                     train_iters=pq_train_iters,
+                     train_sample=train_sample)
+    codes = pq_encode(corpus, books, vec_col, id_col)
+    lists = codes.join(assigned.select("nid", "cid"), "nid")
+    lists = lists.repartition(
+        F.col("cid"),
+        F.pmod(F.xxhash64(F.col("nid").cast("string")), F.lit(write_salt)),
+    )
+    lists.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    mm, kk, dsub = books.shape
+    spark.createDataFrame(
+        [(int(s), int(j), [float(x) for x in books[s, j]])
+         for s in range(mm) for j in range(kk)],
+        "s int, j int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return ivf_list_stats(spark.read.parquet(f"{path}/lists"))
+
+
+def read_codebooks(spark: SparkSession, path: str):
+    """Codebook parquet -> the numpy (m, ksub, dsub) tensor, bit-exact
+    (doubles round-trip parquet losslessly)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r["s"] for r in rows) + 1
+    kk = max(r["j"] for r in rows) + 1
+    dsub = len(rows[0]["c"])
+    B = np.zeros((mm, kk, dsub))
+    for r in rows:
+        B[r["s"], r["j"]] = r["c"]
+    return B
+
+
+def knn_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_queries: int = 100_000,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """ANN against the materialized IVFPQ index: reads ONLY the probed
+    inverted lists (cid partition pruning — the nprobe/nlist scan
+    fraction is real I/O, of 16-byte code rows rather than 256-byte
+    vectors), ADC-scores them, and optionally rerank=R re-scores the
+    shortlist exactly against ``corpus`` (required for rerank: the
+    index stores no raw vectors by design)."""
+    if rerank is not None and corpus is None:
+        raise ValueError(
+            "rerank needs the raw corpus DataFrame — the IVFPQ index "
+            "stores only PQ codes (pass corpus=, or rerank=None)"
+        )
+    from pyhctsa_spark.operators.similarity import _probes_for
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = read_codebooks(spark, path)
+    qids, Qn = _collect_queries(queries, vec_col, id_col,
+                                max_broadcast_queries)
+    probes = _probes_for(queries, cents, nprobe, vec_col, id_col).persist()
+    try:
+        probed = sorted(
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        )  # bounded: <= nlist values
+        lists = spark.read.parquet(f"{path}/lists").where(
+            F.col("cid").isin(probed)
+        )
+        cand = F.broadcast(probes.select("qid", "cid")).join(
+            lists, "cid"
+        ).select("qid", "nid", "code")
+        adc = _adc_topk_pairs(cand, qids, Qn, books, rerank or k)
+        if rerank is not None:
+            adc = _exact_rerank(corpus, adc, qids, Qn, k, vec_col, id_col)
+        out = adc.localCheckpoint()
+    finally:
+        probes.unpersist()
+    return out

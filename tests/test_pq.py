@@ -194,3 +194,68 @@ def test_rerank_recovers_tie_collapsed_ranks(spark):
     r2 = knn_ivfpq(df, q, k=5, m=4, ksub=4, num_centroids=2, nprobe=2,
                    rerank=60)
     assert len({r["nid"] for r in r2.collect()} & exact) == 5
+
+
+def test_ivfpq_index_roundtrip_and_full_probe_exact(spark, tmp_path):
+    import numpy as np
+
+    from pyhctsa_spark.operators.pq import (
+        ivfpq_write_index,
+        knn_ivfpq,
+        knn_ivfpq_index,
+        pq_train,
+        read_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where("vec_id < 5")
+    idx = str(tmp_path / "ivfpq")
+    stats = ivfpq_write_index(emb, idx, m=8, ksub=16, num_centroids=4,
+                              pq_train_iters=0, ivf_train_iters=2)
+    assert stats["nlist"] == 4
+
+    # codebooks round-trip parquet bit-exactly
+    books = pq_train(emb, m=8, ksub=16, train_iters=0)
+    got = read_codebooks(spark, idx)
+    assert got.shape == books.shape and (got == books).all()
+
+    # full probe against the index == the in-memory composition
+    want = {
+        (r["qid"], r["rank"]): (r["nid"], round(r["score"], 9))
+        for r in knn_ivfpq(emb, qs, k=3, m=8, ksub=16, num_centroids=4,
+                           nprobe=4).collect()
+    }
+    gotq = {
+        (r["qid"], r["rank"]): (r["nid"], round(r["score"], 9))
+        for r in knn_ivfpq_index(spark, idx, qs, k=3, nprobe=4).collect()
+    }
+    # full probe + a corpus-wide rerank shortlist must equal exact
+    # cosine top-k (a narrow shortlist may legitimately miss true
+    # neighbors when the ksub=16 codebook quantizes coarsely)
+    from pyhctsa_spark.operators.similarity import knn_bruteforce
+
+    exact = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_bruteforce(emb, qs, k=3).collect()
+    }
+    rr = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_ivfpq_index(spark, idx, qs, k=3, nprobe=4,
+                                 rerank=500, corpus=emb).collect()
+    }
+    assert rr == exact
+    assert set(gotq) == set(want)
+
+
+def test_ivfpq_index_rerank_requires_corpus(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyhctsa_spark.operators.pq import ivfpq_write_index, knn_ivfpq_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq2")
+    ivfpq_write_index(emb, idx, m=8, ksub=16, num_centroids=4,
+                      pq_train_iters=0, ivf_train_iters=2)
+    with _pytest.raises(ValueError, match="raw corpus"):
+        knn_ivfpq_index(spark, idx, emb.where("vec_id < 3"),
+                        rerank=16)
