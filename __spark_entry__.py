@@ -870,6 +870,30 @@ def _emb_covariance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_resolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution router over HLL state (operators/hll_rollup.
+    hll_at_resolution): buckets of 8 base windows (64 tokens) served
+    from stored tier 1 (32-token windows) with a residual 2-way
+    register merge — reads 1/4 of the tier-0 rows and, unlike the ALG
+    router, EVERY column stays exact after the merge. The oracle
+    recomputes 64-token windows directly from raw events."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.hll_rollup import (
+        hll_at_resolution,
+        rollup_hll_tiers,
+    )
+
+    seq = _sequences_from_events(spark, sf_dir)
+    store = rollup_hll_tiers(seq, window=8, group=4, n_tiers=2)
+    out = hll_at_resolution(store, bucket_windows=8, group=4, n_tiers=2)
+    return out.select(
+        "doc_id", "source", "tier", "window_idx", "n",
+        "hll_zeros", "hll_denom",
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1591,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_contamination_bloom"] = _bloom_contamination_query
     out["user_delete_docs"] = _delete_docs_query
     out["emb_covariance"] = _emb_covariance_query
+    out["rollup_hll_resolution_8"] = _hll_resolution_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -295,6 +295,36 @@ def hll_estimates(states: DataFrame, by: list[str] | None = None) -> DataFrame:
     )
 
 
+def hll_at_resolution(
+    tiers: DataFrame,
+    bucket_windows: int,
+    group: int = 16,
+    n_tiers: int = 3,
+) -> DataFrame:
+    """Distinct-count buckets of B base windows served from the
+    COARSEST stored tier that divides B — the continuous-aggregate
+    router (operators/rollup.rollup_at_resolution) applied to HLL
+    state. Unlike the ALG router, EVERY output column stays exact
+    after the residual merge (register max loses nothing), so any
+    resolution a tier divides is answered with full fidelity from
+    1/group**t of the tier-0 rows.
+
+    Output rows carry ``tier`` = the SERVING tier and ``window_idx`` =
+    bucket index at resolution B."""
+    if bucket_windows < 1:
+        raise ValueError("bucket_windows must be >= 1")
+    t = max(
+        k for k in range(n_tiers) if bucket_windows % (group ** k) == 0
+    )
+    residual = bucket_windows // group ** t
+    sel = tiers.where(F.col("tier") == t)
+    if residual == 1:
+        return sel
+    return hll_cascade_from_store(sel, group=residual).withColumn(
+        "tier", F.lit(t).cast("int")
+    )
+
+
 _SRC_SCHEMA = "source string, n long, j int, r int"
 
 

@@ -8501,3 +8501,37 @@ JOIN m ma ON ma.i = g.i
 JOIN m mb ON mb.i = g.j
 CROSS JOIN nn
 """
+
+
+# HLL resolution router: 64-token buckets (engine: window=8 store,
+# tier-1 = 32-token registers, residual 2-way merge) recomputed from raw
+# events; the engine serves them from stored tier-1 (64-token) register
+# state with a residual 2-way max merge — exactness of the merge means
+# the two must agree bit-for-bit. tier column = the SERVING tier (1).
+ENGINE_ORACLES["rollup_hll_resolution_8"] = f"""
+WITH {_HLL_SERIES},
+{_sm64_chain_sql('series', 'doc_id, source, rn')},
+w AS (
+  SELECT doc_id, source,
+         CAST(floor(rn / 64) AS BIGINT) AS window_idx, bucket, rho
+  FROM hll_br
+),
+regs AS (
+  SELECT doc_id, source, window_idx, bucket,
+         max(rho) AS r, CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY ALL
+),
+tot AS (
+  SELECT doc_id, source, window_idx,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(256 - count(*) AS INTEGER) AS hll_zeros,
+         CAST(sum(CAST(1 AS BIGINT) << (48 - least(r, 48)))
+              + (256 - count(*)) * CAST(281474976710656 AS BIGINT)
+              AS BIGINT) AS hll_denom
+  FROM regs GROUP BY doc_id, source, window_idx
+  HAVING sum(cnt) = 64
+)
+SELECT doc_id, source, CAST(1 AS INTEGER) AS tier, window_idx, n,
+       hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
+FROM tot
+"""

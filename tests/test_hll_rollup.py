@@ -278,3 +278,33 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path_factory):
         .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_hll_at_resolution_serves_from_coarsest_tier(spark, seq):
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.hll_rollup import (
+        hll_at_resolution,
+        rollup_hll_tiers,
+    )
+
+    store = rollup_hll_tiers(seq, window=8, group=4, n_tiers=3).cache()
+    # bucket of 16 base windows = tier 2 exactly (residual 1)
+    direct = hll_at_resolution(store, 16, group=4, n_tiers=3)
+    assert direct.where("tier != 2").count() == 0
+    # bucket of 8 base windows: tier 1 + residual 2-way merge must be
+    # bit-identical to a fresh rollup at 64-token windows
+    routed = hll_at_resolution(store, 8, group=4, n_tiers=3)
+    fresh = rollup_hll_tiers(seq, window=64, group=4, n_tiers=1)
+
+    def key(rows):
+        return {
+            (r["doc_id"], r["window_idx"]):
+                (r["n"], r["hll_zeros"], r["hll_denom"],
+                 r["est_distinct"], bytes(r["hll_bin"]))
+            for r in rows
+        }
+
+    a, b = key(routed.collect()), key(fresh.collect())
+    assert a == b and len(a) > 0
+    store.unpersist()
