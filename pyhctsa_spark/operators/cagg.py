@@ -688,6 +688,73 @@ class CaggSnapshotStore:
         dp.unpersist()
         return {"touched_chunks": sorted(touched), "delta_states": n_delta}
 
+    def delete_keys(
+        self, spark: SparkSession, keys: list, key_col: str | None = None,
+        purge_history: bool = True,
+    ) -> dict:
+        """Right-to-be-forgotten on the snapshot store: rewrite every
+        chunk containing states of the given keys, committed through
+        the normal snapshot path (a crash mid-erasure leaves the prior
+        snapshot fully intact; re-run converges).
+
+        ``purge_history=True`` (the compliance default) also truncates
+        the time-travel history to THIS commit — retained snapshots
+        would otherwise keep resolving chunk versions that still
+        contain the erased keys. ``False`` preserves the read_at()
+        window (audit use; the erased data stays readable until the
+        older snapshots age out of the retention window)."""
+        key_col = key_col or self.by[0]
+        ks = sorted({k for k in keys})
+        if not ks:
+            return {"touched_chunks": [], "states_deleted": 0}
+        with self._writer_lease():
+            man = self.manifest()
+            store = self.read(spark)
+            doomed = store.where(F.col(key_col).isin(ks))
+            touched = sorted(
+                int(r["chunk"])
+                for r in doomed.select("chunk").distinct().collect()
+            )
+            if not touched:
+                return {"touched_chunks": [], "states_deleted": 0}
+            n_del = doomed.count()
+            kept = self.read(spark, chunks=touched).where(
+                ~F.col(key_col).isin(ks)
+            )
+            gen = man["gen"] + 1
+            self._write_generation(kept, gen)
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(os.path.join(self.path, f"gen={gen}"))
+                if d.startswith("chunk=")
+            }
+            prev = {"chunks": dict(man["chunks"])}
+            man["gen"] = gen
+            for c in touched:
+                if c in written:
+                    man["chunks"][str(c)] = gen
+                else:
+                    # every state in the chunk belonged to erased keys
+                    del man["chunks"][str(c)]
+            self._publish(man, prev=prev)
+            if purge_history:
+                sdir = os.path.join(self.path, self.SNAPSHOT_DIR)
+                if os.path.isdir(sdir):
+                    for fn in os.listdir(sdir):
+                        if (fn.startswith("gen=") and fn.endswith(".json")
+                                and fn != f"gen={gen}.json"):
+                            try:
+                                os.unlink(os.path.join(sdir, fn))
+                            except OSError:
+                                pass
+                # prev_chunks would also grant the superseded (dirty)
+                # chunk versions a one-commit GC grace — drop it so the
+                # erased bytes leave disk NOW
+                man.pop("prev_chunks", None)
+                self._publish(man)
+            self._gc(man)
+            return {"touched_chunks": touched, "states_deleted": int(n_del)}
+
     def expire(self, keep_from_widx: int) -> list[int]:
         """Retention on the snapshot store: drop every chunk whose LAST
         window is older than ``keep_from_widx``. Eviction here is a

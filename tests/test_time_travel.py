@@ -99,3 +99,45 @@ def test_time_travel_values_finalize_consistently(spark, tmp_path):
 
     want = cagg_finalize(cagg_partial(ev0, "ts", ["user_id"], "value", WIN))
     pd.testing.assert_frame_equal(_frame(got), _frame(want))
+
+
+def test_delete_keys_erases_and_purges_history(spark, tmp_path):
+    store = CaggSnapshotStore(str(tmp_path / "dk"), window_micros=WIN,
+                              chunk_windows=8, snapshot_retain=4)
+    ev = _events(spark, 0, 2000)
+    store.materialize(ev)
+    store.refresh(spark, _events(spark, 2000, 2600), batch_id=0)
+    info = store.delete_keys(spark, [1])
+    assert info["states_deleted"] > 0 and info["touched_chunks"]
+    assert store.read(spark).where("user_id = 1").count() == 0
+    # compliance default: the time-travel horizon is truncated to the
+    # erasure commit — no retained snapshot can resolve the old chunks
+    snaps = store.snapshots()
+    assert [s["gen"] for s in snaps] == [2]
+    with pytest.raises(ValueError, match="not a retained snapshot"):
+        store.read_at(spark, 1)
+    # survivors equal a world that never had user 1
+    want = cagg_finalize(
+        CaggSnapshotStore(str(tmp_path / "ref"), window_micros=WIN,
+                          chunk_windows=8)._partial(
+            _events(spark, 0, 2600).where("user_id != 1"),
+            "ts", ["user_id"], "value", WIN)
+    )
+    got = cagg_finalize(store.read(spark).drop("chunk"))
+    pd.testing.assert_frame_equal(_frame(got), _frame(want))
+    # idempotent
+    info2 = store.delete_keys(spark, [1])
+    assert info2 == {"touched_chunks": [], "states_deleted": 0}
+
+
+def test_delete_keys_audit_mode_keeps_history(spark, tmp_path):
+    store = CaggSnapshotStore(str(tmp_path / "dk2"), window_micros=WIN,
+                              chunk_windows=8, snapshot_retain=4)
+    store.materialize(_events(spark, 0, 1500))
+    store.delete_keys(spark, [2], purge_history=False)
+    assert store.read(spark).where("user_id = 2").count() == 0
+    # audit mode: the pre-erasure snapshot is still readable and still
+    # contains the key (ages out with the retention window instead)
+    gens = [s["gen"] for s in store.snapshots()]
+    assert gens == [0, 1]
+    assert store.read_at(spark, 0).where("user_id = 2").count() > 0
