@@ -894,6 +894,30 @@ def _hll_resolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused rollup (operators/fused_rollup.py): ALG moments + exact
+    order statistics + HLL distinct in ONE shuffle-free scan — the
+    scan-dominance play (three families re-pay the parquet decode and
+    token reshape three times when run separately; bench.py records
+    fused wall vs the three-pass sum). ac1_td is pytest-asserted
+    (fused == rollup_tiers bit-exact) and excluded from the SQL
+    compare; every other column is value-oracled in one query."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.fused_rollup import rollup_fused_tiers
+
+    seq = _sequences_from_events(spark, sf_dir)
+    r = rollup_fused_tiers(seq, window=16, group=4, n_tiers=2)
+    return r.select(
+        "doc_id", "source", "tier", "window_idx", "n",
+        _f6("mean", "mean_v"), _f6("variance", "var_v"),
+        _f6("spread_std", "std_v"), _f6("burst_b"), _f6("burst_b_kim"),
+        "n_distinct", "mode_tok", "p50",
+        "hll_zeros", "hll_denom",
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1616,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_delete_docs"] = _delete_docs_query
     out["emb_covariance"] = _emb_covariance_query
     out["rollup_hll_resolution_8"] = _hll_resolution_query
+    out["rollup_fused"] = _fused_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -107,6 +107,36 @@ def bench_quantile_rollup(spark, seq_path: str) -> dict:
     }
 
 
+def bench_fused_rollup(spark, seq_path: str) -> dict:
+    """Fused three-family pass (ALG + exact hist + HLL in one scan) vs
+    the sum of the three specialized passes. The ratio measures scan
+    dominance: if decode + reshape is the real cost, fused ~= the most
+    expensive single pass and the three-pass sum is ~3x worse."""
+    from pyhctsa_spark.operators.fused_rollup import rollup_fused_tiers
+    from pyhctsa_spark.operators.hll_rollup import rollup_hll_tiers
+
+    df = spark.read.parquet(seq_path)
+    total_points = df.selectExpr("sum(n_tok)").first()[0]
+    fused = float("inf")
+    hll = float("inf")
+    for _ in range(3):
+        out_dir = tempfile.mkdtemp(prefix="fused_store_")
+        t0 = time.perf_counter()
+        rollup_fused_tiers(df).write.mode("overwrite").parquet(out_dir)
+        fused = min(fused, time.perf_counter() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir = tempfile.mkdtemp(prefix="hllroll_store_")
+        t0 = time.perf_counter()
+        rollup_hll_tiers(df).write.mode("overwrite").parquet(out_dir)
+        hll = min(hll, time.perf_counter() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "fused_rollup_sec": round(fused, 3),
+        "fused_points_per_sec": round(total_points / fused, 1),
+        "hllrollup_sec": round(hll, 3),
+    }
+
+
 def bench_feature_matrix(spark, seq_path: str, n_docs_cap: int = 600) -> dict:
     """hctsa-style feature extraction throughput: a 24-op registry subset
     over whole doc series (the reference's extract() analogue)."""
@@ -630,7 +660,11 @@ def bench_queries(spark) -> dict:
                     "doc_containment_pairs", "media_webp_decode",
                     "doc_semdedup", "knn_pq_top3",
                     "rollup_hll_distinct", "rollup_hll_cascade",
-                    "hll_distinct_by_source")
+                    "hll_distinct_by_source", "user_hll_30m",
+                    "kmv_distinct_by_source", "kmv_source_overlap",
+                    "cms_token_freq_by_source", "doc_contamination_bloom",
+                    "user_delete_docs", "emb_covariance", "user_pmi_pairs",
+                    "rollup_fused")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):
@@ -669,6 +703,7 @@ def main() -> None:
     spark.read.parquet(seq_path).limit(10).count()
     roll = bench_rollup(spark, seq_path)
     qroll = bench_quantile_rollup(spark, seq_path)
+    fusedroll = bench_fused_rollup(spark, seq_path)
     featmat = bench_feature_matrix(spark, seq_path)
     queries = bench_queries(spark)
     simblock = bench_simhash_blocking(spark)
@@ -686,6 +721,7 @@ def main() -> None:
         "n_docs": n_docs,
         **roll,
         **qroll,
+        **fusedroll,
         **featmat,
         **simblock,
         **ann,

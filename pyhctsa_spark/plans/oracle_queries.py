@@ -8535,3 +8535,104 @@ SELECT doc_id, source, CAST(1 AS INTEGER) AS tier, window_idx, n,
        hll_zeros, hll_denom, {_HLL_EST} AS est_distinct
 FROM tot
 """
+
+
+# Fused rollup oracle (operators/fused_rollup.py): ONE SQL query
+# recomputes all three aggregate families per window — ALG moments
+# (integer-token sums are exact in float64, same finalize op order as
+# the flagship oracle), exact order statistics (integer threshold
+# arithmetic), and the HLL register summary (shared splitmix chain).
+# ac1_td is excluded here (pytest asserts fused == rollup_tiers
+# bit-exact for it); everything else is value-compared.
+ENGINE_ORACLES["rollup_fused"] = f"""
+WITH {_HLL_SERIES},
+{_sm64_chain_sql('series', 'doc_id, source, rn')},
+tiers AS (
+  SELECT CAST(0 AS INTEGER) AS tier, 16 AS wlen
+  UNION ALL SELECT CAST(1 AS INTEGER), 64
+),
+w AS (
+  SELECT s.doc_id, s.source, t.tier, t.wlen,
+         CAST(floor(s.rn / t.wlen) AS BIGINT) AS window_idx, s.tok
+  FROM series s CROSS JOIN tiers t
+),
+alg AS (
+  SELECT doc_id, source, tier, wlen, window_idx,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tok) AS DOUBLE) AS s1,
+         CAST(sum(tok * tok) AS DOUBLE) AS s2,
+         CAST(count(*) AS DOUBLE) AS nd
+  FROM w GROUP BY doc_id, source, tier, wlen, window_idx
+  HAVING count(*) = wlen
+),
+a1 AS (SELECT *, s1 / nd AS mean FROM alg),
+a2 AS (
+  SELECT *, greatest((s2 - nd * (mean * mean)) / (nd - 1.0), 0.0) AS var
+  FROM a1
+),
+a3 AS (
+  SELECT *, sqrt(var) AS std,
+         sqrt(var) / nullif(mean, 0.0) AS r
+  FROM a2
+),
+vc AS (
+  SELECT doc_id, tier, window_idx, tok, CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY doc_id, tier, window_idx, tok
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY doc_id, tier, window_idx
+                         ORDER BY tok) AS cumc
+  FROM vc
+),
+hstat AS (
+  SELECT doc_id, tier, window_idx,
+         CAST(sum(c) AS BIGINT) AS hn,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS maxc
+  FROM vc GROUP BY doc_id, tier, window_idx
+),
+hist AS (
+  SELECT h.doc_id, h.tier, h.window_idx, h.n_distinct,
+         CAST(min(c.tok) FILTER (WHERE c.c = h.maxc) AS INTEGER)
+           AS mode_tok,
+         CAST(min(c.tok) FILTER (WHERE 100 * c.cumc >= 50 * h.hn)
+              AS INTEGER) AS p50
+  FROM hstat h
+  JOIN cum c ON c.doc_id = h.doc_id AND c.tier = h.tier
+            AND c.window_idx = h.window_idx
+  GROUP BY h.doc_id, h.tier, h.window_idx, h.n_distinct
+),
+hw AS (
+  SELECT b.doc_id, t.tier, t.wlen,
+         CAST(floor(b.rn / t.wlen) AS BIGINT) AS window_idx,
+         b.bucket, b.rho
+  FROM hll_br b CROSS JOIN tiers t
+),
+hregs AS (
+  SELECT doc_id, tier, window_idx, bucket, max(rho) AS r
+  FROM hw GROUP BY ALL
+),
+hll AS (
+  SELECT doc_id, tier, window_idx,
+         CAST(256 - count(*) AS INTEGER) AS hll_zeros,
+         CAST(sum(CAST(1 AS BIGINT) << (48 - least(r, 48)))
+              + (256 - count(*)) * CAST(281474976710656 AS BIGINT)
+              AS BIGINT) AS hll_denom
+  FROM hregs GROUP BY doc_id, tier, window_idx
+)
+SELECT a.doc_id, a.source, a.tier, a.window_idx, a.n,
+       round(a.mean, 6) AS mean_v,
+       round(a.var, 6) AS var_v,
+       round(a.std, 6) AS std_v,
+       round((a.r - 1.0) / (a.r + 1.0), 6) AS burst_b,
+       round((sqrt(a.nd + 1.0) * a.r - sqrt(a.nd - 1.0))
+             / nullif((sqrt(a.nd + 1.0) - 2.0) * a.r
+                      + sqrt(a.nd - 1.0), 0.0), 6) AS burst_b_kim,
+       h.n_distinct, h.mode_tok, h.p50,
+       l.hll_zeros, l.hll_denom, {_HLL_EST.replace('hll_denom', 'l.hll_denom').replace('hll_zeros', 'l.hll_zeros')} AS est_distinct
+FROM a3 a
+JOIN hist h ON h.doc_id = a.doc_id AND h.tier = a.tier
+           AND h.window_idx = a.window_idx
+JOIN hll l ON l.doc_id = a.doc_id AND l.tier = a.tier
+          AND l.window_idx = a.window_idx
+"""
