@@ -166,9 +166,12 @@ def kmv_group_overlap(df: DataFrame, k: int = K_DEFAULT,
 
     Work after the sketch pass is O(groups^2 x k) rows — independent of
     corpus size, the whole point of sketch-level set operations."""
+    # the sketch feeds BOTH sides of the pair construction —
+    # materialize it (localCheckpoint: blocks are released when the
+    # result drops) or the whole corpus map pass runs twice
     sk = kmv_sketch_by(df, k, group_col).select(
         F.col(group_col).alias("g"), "h"
-    )
+    ).localCheckpoint()
     tagged = (
         sk.alias("x")
         .join(sk.select(F.col("g").alias("g2")).distinct(), F.col("x.g") < F.col("g2"))

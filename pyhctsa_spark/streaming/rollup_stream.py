@@ -127,6 +127,38 @@ def stream_hll_rollup(
     return writer.start()
 
 
+def stream_fused_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: int = 32,
+    group: int = 16,
+    n_tiers: int = 3,
+    binary: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming fused three-family rollup (operators/fused_rollup):
+    ALG moments + exact order statistics + HLL distinct, one stateless
+    scan per micro-batch, exactly-once into the sink — the one-pass
+    answer surface under continuous ingestion."""
+    from pyhctsa_spark.operators.fused_rollup import rollup_fused_tiers
+
+    schema = SEQ_BIN_SCHEMA if binary else SEQ_SCHEMA
+    seq = spark.readStream.schema(schema).parquet(source_dir)
+    tiers = rollup_fused_tiers(seq, window=window, group=group,
+                               n_tiers=n_tiers)
+    writer = (
+        tiers.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup_chunks(
     spark: SparkSession,
     source_dir: str,

@@ -67,3 +67,26 @@ def test_fused_short_docs_and_empty(spark):
         "doc_id string, source string, tokens array<int>",
     )
     assert rollup_fused_tiers(df, window=8).count() == 0
+
+
+def test_streaming_fused_rollup_matches_batch(spark, tmp_path_factory):
+    import pandas as pd
+
+    from pyhctsa_spark.operators.fused_rollup import rollup_fused_tiers
+    from pyhctsa_spark.sources.synthetic import sequences_df
+    from pyhctsa_spark.streaming.rollup_stream import stream_fused_rollup
+
+    base = tmp_path_factory.mktemp("fstream")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    sequences_df(spark, 10, partitions=2, binary=True).write.parquet(src)
+    q = stream_fused_rollup(spark, src, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+    )
+    want = (
+        rollup_fused_tiers(spark.read.parquet(src)).toPandas()
+        .sort_values(["doc_id", "tier", "window_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
