@@ -61,7 +61,31 @@ def delete_docs(
         return {"touched_chunks": [], "rows_deleted": 0,
                 "chunks_removed": []}
     store = spark.read.parquet(path)
-    doomed = store.where(F.col(id_col).isin(ids))
+
+    # a literal IN keeps parquet predicate pushdown (row groups whose
+    # doc_id range misses every id are skipped), but Catalyst planning
+    # cost grows with the expression tree — large erasure batches
+    # switch to broadcast joins (same threshold rationale as
+    # pq._exact_rerank, where a 100k-id IN cost ~a minute of planning)
+    use_isin = len(ids) <= 2048
+    ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
+
+    def _doomed(df):
+        if use_isin:
+            return df.where(F.col(id_col).isin(ids))
+        return df.join(
+            F.broadcast(ids_df.withColumnRenamed(id_col, "_del_id")),
+            F.col(id_col).cast("string") == F.col("_del_id"),
+        ).drop("_del_id")
+
+    def _kept(df):
+        return df.join(
+            F.broadcast(ids_df.withColumnRenamed(id_col, "_del_id")),
+            F.col(id_col).cast("string") == F.col("_del_id"),
+            "left_anti",
+        )
+
+    doomed = _doomed(store)
     # PROBE: per-(doc, tier, chunk) row counts — doubles as the audit
     # payload. Column-pruned: only id + partition columns are read.
     probe = (
@@ -91,7 +115,7 @@ def delete_docs(
         os.path.join(path, f"tier={t}", f"chunk={c}") for t, c in touched
     ]
     sub = spark.read.option("basePath", path).parquet(*paths)
-    kept = sub.where(~F.col(id_col).isin(ids))
+    kept = _kept(sub)
     # chunks with survivors get rewritten; fully-dead ones are swept
     survivors = {
         (int(r["tier"]), int(r["chunk"]))
@@ -140,9 +164,12 @@ def verify_erased(
 ) -> int:
     """Compliance check: remaining row count for the given ids (0 after
     a completed erasure). Column-pruned + stats-skipped scan."""
-    ids = [str(d) for d in doc_ids]
-    return (
-        spark.read.parquet(path)
-        .where(F.col(id_col).isin(ids))
-        .count()
-    )
+    ids = sorted({str(d) for d in doc_ids})
+    store = spark.read.parquet(path)
+    if len(ids) <= 2048:
+        return store.where(F.col(id_col).isin(ids)).count()
+    ids_df = spark.createDataFrame([(i,) for i in ids], "_del_id string")
+    return store.join(
+        F.broadcast(ids_df),
+        F.col(id_col).cast("string") == F.col("_del_id"),
+    ).count()
