@@ -918,6 +918,28 @@ def _fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature source rebalancing (curation.temperature_mix,
+    tau=0.5): rates sqrt(n_min/n_group) from one tiny broadcast count,
+    md5-uniform keep decision, map-side. The uniform synthetic corpus
+    gets derived skew by grouping sources mod 7."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.curation import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("g"),
+            (F.substring("source", 4, 10).cast("int") % 7).cast("string"),
+        ).alias("sgroup"),
+    )
+    out = temperature_mix(docs, tau=0.5, source_col="sgroup")
+    return out.select(
+        "doc_id", "source", "sgroup", F.round("rate", 6).alias("rate")
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1641,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["emb_covariance"] = _emb_covariance_query
     out["rollup_hll_resolution_8"] = _hll_resolution_query
     out["rollup_fused"] = _fused_query
+    out["doc_temperature_mix"] = _temperature_mix_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -131,6 +131,44 @@ def pack_sequences(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    tau: float = 0.5,
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual /
+    UniMax-style mixing rule): source s is downsampled at rate
+    (n_min / n_s)^(1-tau), so the smallest source keeps everything and
+    large sources flatten toward it — tau=1 keeps natural proportions,
+    tau=0 equalizes expected counts. The keep decision is the same
+    md5-uniform as source_mix (reproducible row-for-row, map-side);
+    the per-source rates come from one tiny count aggregate broadcast
+    back onto the scan.
+
+    tau=0.5 routes through sqrt — IEEE-correctly-rounded in every
+    engine, which is what makes the doc_temperature_mix value oracle
+    bit-stable (general tau uses pow; see the libm note in
+    functions/hll_state.py before oracling other taus).
+
+    Returns the surviving rows plus their source's ``rate``."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("_n").cast("double")
+    if tau == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - float(tau)))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col, rate.alias("rate")
+    )
+    u = md5_u32(F.col(doc_col), "tmix:") / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(u < F.col("rate"))
+    )
+
+
 def source_mix(
     df: DataFrame,
     weight: Column | dict[str, float],

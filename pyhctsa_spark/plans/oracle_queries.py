@@ -8636,3 +8636,27 @@ JOIN hist h ON h.doc_id = a.doc_id AND h.tier = a.tier
 JOIN hll l ON l.doc_id = a.doc_id AND l.tier = a.tier
           AND l.window_idx = a.window_idx
 """
+
+
+# Temperature mixing (curation.temperature_mix, tau=0.5): sources are
+# grouped src-number mod 7 (the uniform synthetic corpus needs derived
+# skew: groups of 3 sources vs 2), rate = sqrt(n_min/n_g), keep iff the
+# md5-uniform < rate. sqrt is correctly rounded in every engine, so the
+# comparison is bit-stable.
+ENGINE_ORACLES["doc_temperature_mix"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         'g' || CAST(CAST(substr(source, 4) AS INT) % 7 AS VARCHAR)
+           AS sgroup
+  FROM documents
+),
+c AS (SELECT sgroup, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY sgroup),
+mn AS (SELECT min(n) AS nmin FROM c),
+r AS (
+  SELECT sgroup, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+  FROM c CROSS JOIN mn
+)
+SELECT d.doc_id, d.source, d.sgroup, round(r.rate, 6) AS rate
+FROM d JOIN r ON r.sgroup = d.sgroup
+WHERE {_duck_md5_u32('doc_id', 'tmix:')} / 4294967296.0 < r.rate
+"""

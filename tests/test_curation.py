@@ -293,3 +293,31 @@ def test_substring_dedup_collapse_is_invisible(spark):
     assert by_id[20]["tokens_removed"] == 0  # short: no grams, untouched
     assert by_id[21]["clean_text"] == "sh or t"
     assert by_id[30]["clean_text"] is None
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.curation import temperature_mix
+
+    rows = ([(f"a{i}", "big") for i in range(900)]
+            + [(f"b{i}", "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = temperature_mix(df, tau=0.5).cache()
+    rates = {r["source"]: r["rate"]
+             for r in out.select("source", "rate").distinct().collect()}
+    assert rates["small"] == 1.0
+    assert rates["big"] == float(np.sqrt(100 / 900))
+    # smallest source keeps EVERYTHING; big source lands near rate*n
+    kept = {r["source"]: r["cnt"] for r in
+            out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert kept["small"] == 100
+    assert abs(kept["big"] - 300) < 60  # md5-uniform, ~sqrt(1/9)*900
+    # deterministic: re-run identical
+    again = temperature_mix(df, tau=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+    # tau=1 keeps natural proportions (rate 1 everywhere)
+    assert temperature_mix(df, tau=1.0).count() == 1000
+    out.unpersist()
