@@ -1,0 +1,122 @@
+"""spark-submit entrypoint for deletion propagation (GDPR /
+right-to-be-forgotten) over the materialized stores.
+
+Usage (cluster; run per erasure batch):
+
+    scripts/package.py                       # builds dist/pyhctsa_spark.zip
+    spark-submit --py-files dist/pyhctsa_spark.zip \\
+        jobs/erasure_job.py \\
+        --store s3://bucket/rollup_chunked/ \\
+        --ids-file requests.txt              # one doc_id per line
+    # or: --ids doc1,doc2,doc3
+    # cagg snapshot store instead: --cagg-store path --key-col user_id
+
+Tier-store semantics (operators/deletion.delete_docs): audit rows land
+in `_deletion_log` BEFORE any data is touched; only chunks containing
+the doomed ids are rewritten (dynamic partition overwrite, job-commit
+atomic); fully-dead chunks are swept; the run ends with a
+`verify_erased` compliance check and FAILS (non-zero exit) if any row
+survives. Re-running a partially-applied batch converges.
+
+Cagg-store semantics (CaggSnapshotStore.delete_keys): the erasure is a
+snapshot COMMIT; by default the time-travel history is purged so no
+retained snapshot still resolves the erased bytes (--keep-history
+preserves the read_at window for audit workflows instead).
+
+Prints one JSON line of lineage counters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", default=None,
+                   help="(tier, chunk)-partitioned rollup store path")
+    p.add_argument("--cagg-store", default=None,
+                   help="CaggSnapshotStore path (mutually exclusive)")
+    p.add_argument("--ids", default=None, help="comma-separated ids")
+    p.add_argument("--ids-file", default=None, help="one id per line")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--key-col", default="user_id",
+                   help="state key column for --cagg-store")
+    p.add_argument("--keep-history", action="store_true",
+                   help="cagg store: keep time-travel snapshots (audit "
+                        "mode) instead of purging them")
+    args = p.parse_args(argv)
+    if bool(args.store) == bool(args.cagg_store):
+        p.error("exactly one of --store / --cagg-store is required")
+    if bool(args.ids) == bool(args.ids_file):
+        p.error("exactly one of --ids / --ids-file is required")
+    return args
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.ids:
+        ids = [s for s in args.ids.split(",") if s]
+    else:
+        with open(args.ids_file) as f:
+            ids = [line.strip() for line in f if line.strip()]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pyhctsa-erasure").getOrCreate()
+    t0 = time.perf_counter()
+    if args.store:
+        from pyhctsa_spark.operators.deletion import delete_docs, verify_erased
+
+        info = delete_docs(spark, args.store, ids, id_col=args.id_col)
+        left = verify_erased(spark, args.store, ids, id_col=args.id_col)
+        out = {
+            "store": args.store,
+            "n_ids": len(ids),
+            "rows_deleted": info["rows_deleted"],
+            "touched_chunks": len(info["touched_chunks"]),
+            "chunks_removed": len(info["chunks_removed"]),
+            "rows_remaining": int(left),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps(out))
+        return 0 if left == 0 else 2
+    from pyhctsa_spark.operators.cagg import CaggSnapshotStore
+
+    store = CaggSnapshotStore(args.cagg_store, by=[args.key_col])
+    # key column type follows the stored states; ints arrive as strings
+    typed = []
+    for i in ids:
+        try:
+            typed.append(int(i))
+        except ValueError:
+            typed.append(i)
+    info = store.delete_keys(
+        spark, typed, key_col=args.key_col,
+        purge_history=not args.keep_history,
+    )
+    from pyspark.sql import functions as F
+
+    left = (
+        store.read(spark)
+        .where(F.col(args.key_col).cast("string").isin(
+            [str(k) for k in typed]))
+        .count()
+    )
+    out = {
+        "cagg_store": args.cagg_store,
+        "n_ids": len(ids),
+        "states_deleted": info["states_deleted"],
+        "touched_chunks": len(info["touched_chunks"]),
+        "history_purged": not args.keep_history,
+        "states_remaining": int(left),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    print(json.dumps(out))
+    return 0 if left == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

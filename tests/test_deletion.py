@@ -104,3 +104,47 @@ def test_fully_dead_chunk_is_swept(spark, tmp_path):
         for t in os.listdir(d) if t.startswith("tier=")
         for c in os.listdir(os.path.join(d, t))
     )
+
+
+def test_erasure_job_cli_tier_store(spark, store, capsys, monkeypatch, tmp_path):
+    import json
+
+    # reuse the running test session instead of building a new one
+    from pyspark.sql import SparkSession
+
+    from jobs.erasure_job import main
+
+    doomed = [r["doc_id"] for r in
+              spark.read.parquet(store).select("doc_id").distinct()
+              .orderBy("doc_id").limit(2).collect()]
+    ids_file = tmp_path / "ids.txt"
+    ids_file.write_text("\n".join(doomed) + "\n")
+    rc = main(["--store", store, "--ids-file", str(ids_file)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_deleted"] > 0 and out["rows_remaining"] == 0
+    assert out["n_ids"] == 2
+
+
+def test_erasure_job_cli_cagg_store(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from jobs.erasure_job import main
+    from pyhctsa_spark.operators.cagg import CaggSnapshotStore
+
+    ev = spark.range(1500).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 913_789_123
+        ).alias("ts"),
+        (F.col("id") % 50).cast("double").alias("value"),
+    )
+    path = str(tmp_path / "cs")
+    CaggSnapshotStore(path).materialize(ev)
+    rc = main(["--cagg-store", path, "--ids", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["states_deleted"] > 0 and out["states_remaining"] == 0
+    assert out["history_purged"] is True
