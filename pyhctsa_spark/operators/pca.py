@@ -86,9 +86,11 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(i, j, cov) rows of the d x d covariance matrix
     C_ij = E[x_i x_j] - mean_i * mean_j — the SQL-oracled surface."""
     parts = _suffstat_partials(df, vec_col)
+    # d^2+d+1 rows — materialize once (localCheckpoint: released when
+    # the result drops) since three branches below read it
     agg = parts.groupBy("i", "j").agg(
         F.sum("s").alias("s"), F.sum("n").alias("n")
-    ).persist()
+    ).localCheckpoint()
     cnt = agg.where("i = -1 AND j = -1").select("n")
     means = agg.where("j = -1 AND i >= 0").select(
         F.col("i").alias("mi"), F.col("s").alias("ms")
