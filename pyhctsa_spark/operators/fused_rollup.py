@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame
 
 from pyhctsa_spark.functions import hist_state as H
 from pyhctsa_spark.functions import hll_state as HLL
-from pyhctsa_spark.functions import kernels as K
 from pyhctsa_spark.functions import stats_state as S
 from pyhctsa_spark.operators.rollup import _var_width_view
 
