@@ -940,6 +940,26 @@ def _temperature_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token PageRank (operators/token_graph.py): weighted skip-gram
+    co-occurrence edges (one combiner-friendly aggregation — the only
+    corpus-sized work), then 4 fixed power iterations driver-side on
+    the vocabulary-bounded graph. The oracle unrolls the iterations as
+    SQL layers with the identical float operation order."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.token_graph import (
+        cooccurrence_edges,
+        token_pagerank,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = cooccurrence_edges(ev, max_dist=4)
+    return token_pagerank(edges, iters=4).select(
+        "token", F.round("rank", 6).alias("rank")
+    )
+
+
 def _media_jpegls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless JPEG (SOF3) decode end-to-end through the in-repo
     Annex-H predictive decoder (operators/codecs_jpeg_lossless.py).
@@ -1664,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_hll_resolution_8"] = _hll_resolution_query
     out["rollup_fused"] = _fused_query
     out["doc_temperature_mix"] = _temperature_mix_query
+    out["user_token_pagerank"] = _token_pagerank_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -8660,3 +8660,73 @@ SELECT d.doc_id, d.source, d.sgroup, round(r.rate, 6) AS rate
 FROM d JOIN r ON r.sgroup = d.sgroup
 WHERE {_duck_md5_u32('doc_id', 'tmix:')} / 4294967296.0 < r.rate
 """
+
+
+# Token PageRank oracle (operators/token_graph.py): the 4 fixed power
+# iterations UNROLLED as SQL layers (a float convergence test would be
+# engine-dependent; a recursive CTE cannot aggregate per step). Same
+# operation order as the numpy iteration — (1-d)/n + d*(contrib +
+# dangling/n), edge contribution w * (r/out_w) — with summation-order
+# noise absorbed by the shared round(,6).
+
+def _pagerank_sql(iters: int = 4) -> str:
+    d = "CAST('0.85' AS DOUBLE)"
+    head = f"""
+WITH series AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         CAST(round(value) AS BIGINT) AS tok
+  FROM events
+),
+p AS (
+  SELECT tok AS x, lead(tok, 1) OVER (PARTITION BY user_id ORDER BY rn) AS y FROM series
+  UNION ALL
+  SELECT tok, lead(tok, 2) OVER (PARTITION BY user_id ORDER BY rn) FROM series
+  UNION ALL
+  SELECT tok, lead(tok, 3) OVER (PARTITION BY user_id ORDER BY rn) FROM series
+  UNION ALL
+  SELECT tok, lead(tok, 4) OVER (PARTITION BY user_id ORDER BY rn) FROM series
+),
+e AS (
+  SELECT x, y, CAST(count(*) AS DOUBLE) AS w
+  FROM p WHERE y IS NOT NULL GROUP BY x, y
+),
+nodes AS (
+  SELECT DISTINCT t FROM (
+    SELECT x AS t FROM e UNION ALL SELECT y FROM e
+  ) u
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT x, sum(w) AS ow FROM e GROUP BY x),
+r0 AS (
+  SELECT t, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn
+)"""
+    layers = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        layers.append(f""",
+c{k} AS (
+  SELECT e.y AS t, sum(e.w * ({prev}.r / ow.ow)) AS c
+  FROM e JOIN {prev} ON {prev}.t = e.x JOIN ow ON ow.x = e.x
+  GROUP BY e.y
+),
+d{k} AS (
+  SELECT coalesce(sum({prev}.r), CAST(0 AS DOUBLE)) AS dang
+  FROM {prev} LEFT JOIN ow ON ow.x = {prev}.t
+  WHERE ow.x IS NULL
+),
+r{k} AS (
+  SELECT nodes.t,
+         (CAST(1 AS DOUBLE) - {d}) / nn.n
+         + {d} * (coalesce(c{k}.c, CAST(0 AS DOUBLE)) + d{k}.dang / nn.n)
+           AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN c{k} ON c{k}.t = nodes.t
+)""")
+    tail = f"""
+SELECT t AS token, round(r, 6) AS rank FROM r{iters}
+"""
+    return head + "".join(layers) + tail
+
+
+ENGINE_ORACLES["user_token_pagerank"] = _pagerank_sql(4)
