@@ -8730,3 +8730,87 @@ SELECT t AS token, round(r, 6) AS rank FROM r{iters}
 
 
 ENGINE_ORACLES["user_token_pagerank"] = _pagerank_sql(4)
+
+
+# --- corpus vocabulary diagnostics ------------------------------------------
+# Head coverage (Zipf diagnostic): fraction of a source's token mass
+# carried by its 10 most frequent tokens (count desc, token asc ties).
+# Integer counts + one final division.
+QUERIES["user_head_mass"] = _q2(
+    """
+WITH series AS (
+  SELECT concat('evt', CAST(pmod(user_id, 4) AS STRING)) AS source,
+         CAST(round(value) AS INT) AS tok
+  FROM events
+),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM series GROUP BY source, tok),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY cnt DESC, tok) AS rn
+      FROM c),
+t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+               AS head
+      FROM r GROUP BY source)
+SELECT source, total, head,
+       round(CAST(head AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS head_mass
+FROM t
+""",
+    """
+WITH series AS (
+  SELECT 'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(round(value) AS INTEGER) AS tok
+  FROM events
+),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM series GROUP BY source, tok),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY cnt DESC, tok) AS rn
+      FROM c),
+t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+               AS head
+      FROM r GROUP BY source)
+SELECT source, total, head,
+       round(CAST(head AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS head_mass
+FROM t
+""",
+)
+
+# Embedding hygiene per label: count, zero-norm count, and the norm
+# range (the gate a pipeline applies before ANN indexing — zero-norm
+# vectors cosine as NULL everywhere). Norms via the same
+# sum-of-squares + sqrt on both sides; round absorbs fold-order noise.
+QUERIES["emb_norm_stats"] = _q2(
+    """
+WITH n AS (
+  SELECT label,
+         sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+                        (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+""",
+    """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+""",
+)
