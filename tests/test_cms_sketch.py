@@ -103,3 +103,13 @@ def test_cms_merge_equals_partial_of_union(spark, seq):
         merged.orderBy(*key).toPandas()[["source", "i", "col", "cnt"]],
         direct.orderBy(*key).toPandas()[["source", "i", "col", "cnt"]],
     )
+
+
+def test_sketch_by_plan_is_combiner_friendly(spark, seq):
+    from pyhctsa_spark.operators.cms_sketch import cms_sketch_by
+
+    plan = (
+        cms_sketch_by(seq)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_sum" in plan  # map-side combine before the shuffle

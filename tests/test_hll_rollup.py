@@ -308,3 +308,18 @@ def test_hll_at_resolution_serves_from_coarsest_tier(spark, seq):
     a, b = key(routed.collect()), key(fresh.collect())
     assert a == b and len(a) > 0
     store.unpersist()
+
+
+def test_by_source_plan_is_combiner_friendly(spark, seq):
+    """The register union must pre-combine map-side: a partial_max
+    before the (source, j) exchange means shuffle rows are bounded by
+    tasks x sources x 256, not corpus size; and the LC lookup join is
+    a broadcast."""
+    from pyhctsa_spark.operators.hll_rollup import hll_distinct_by_source
+
+    plan = (
+        hll_distinct_by_source(seq)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan
+    assert "BroadcastExchange" in plan  # the libm LUT join
