@@ -36,6 +36,10 @@ def parse_args(argv):
                    help="comma-separated autocorrelation lags")
     p.add_argument("--buckets", type=int, default=8,
                    help="salt buckets = units of restartable work")
+    p.add_argument("--family", default="alg",
+                   choices=["alg", "quantile", "hll", "fused"],
+                   help="tier aggregate family (moments / exact order "
+                        "statistics / HLL distinct / all three fused)")
     p.add_argument("--gapped", action="store_true",
                    help="input is sparse (offsets, values) — gap-fill first")
     p.add_argument("--stream-chunks", action="store_true",
@@ -78,6 +82,7 @@ def main(argv=None) -> int:
         group=args.group,
         n_tiers=args.tiers,
         lags=[int(v) for v in args.lags.split(",")],
+        family=args.family,
     )
     snapshot = job.run(spark, seq)
     print(json.dumps(snapshot))

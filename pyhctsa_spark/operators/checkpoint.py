@@ -35,13 +35,17 @@ class RollupJob:
         group: int = 16,
         n_tiers: int = 3,
         lags: list[int] | None = None,
+        family: str = "alg",
     ) -> None:
+        if family not in ("alg", "quantile", "hll", "fused"):
+            raise ValueError(f"unknown rollup family {family!r}")
         self.store_path = store_path
         self.n_buckets = n_buckets
         self.window = window
         self.group = group
         self.n_tiers = n_tiers
         self.lags = lags or [1, 2]
+        self.family = family
         self.manifest_dir = os.path.join(store_path, "_manifest")
 
     # -- manifest ----------------------------------------------------------
@@ -85,14 +89,42 @@ class RollupJob:
                 continue
             counters = make_counters(spark)
             t0 = time.perf_counter()
-            out = rollup_tiers(
-                bucketed.where(F.col("_bucket") == b).drop("_bucket"),
-                window=self.window,
-                group=self.group,
-                n_tiers=self.n_tiers,
-                lags=self.lags,
-                counters=counters,
-            )
+            part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
+            # any tier family runs under the same bucket manifest; the
+            # per-row lineage counters are the ALG kernel's surface
+            if self.family == "alg":
+                out = rollup_tiers(
+                    part, window=self.window, group=self.group,
+                    n_tiers=self.n_tiers, lags=self.lags,
+                    counters=counters,
+                )
+            elif self.family == "quantile":
+                from pyhctsa_spark.operators.quantile_rollup import (
+                    rollup_quantile_tiers,
+                )
+
+                out = rollup_quantile_tiers(
+                    part, window=self.window, group=self.group,
+                    n_tiers=self.n_tiers,
+                )
+            elif self.family == "hll":
+                from pyhctsa_spark.operators.hll_rollup import (
+                    rollup_hll_tiers,
+                )
+
+                out = rollup_hll_tiers(
+                    part, window=self.window, group=self.group,
+                    n_tiers=self.n_tiers,
+                )
+            else:
+                from pyhctsa_spark.operators.fused_rollup import (
+                    rollup_fused_tiers,
+                )
+
+                out = rollup_fused_tiers(
+                    part, window=self.window, group=self.group,
+                    n_tiers=self.n_tiers, lags=self.lags,
+                )
             dest = os.path.join(self.store_path, "tier_data", f"bucket={b}")
             out.write.mode("overwrite").parquet(dest)
             wall = time.perf_counter() - t0
@@ -104,6 +136,9 @@ class RollupJob:
             self._commit(
                 {
                     "bucket": b,
+                    "family": self.family,
+                    # per-row lineage counters are the ALG kernel's
+                    # surface; other families record zeros here
                     "rows_read": counters["rows_read"].value,
                     "windows_emitted": counters["windows_emitted"].value,
                     "checksum_mismatches": counters["checksum_mismatches"].value,

@@ -133,3 +133,35 @@ def test_packaged_zip_imports_and_job_cli_runs(spark, tmp_path):
     out = spark.read.parquet(store + "/tier_data")
     assert out.count() > 0
     assert set(out.select("tier").distinct().toPandas()["tier"]) == {0, 1}
+
+
+def test_rollup_job_families(spark, tmp_path):
+    """Every tier family runs under the same bucket-manifest resume
+    machinery; the bucketed result equals the direct single-pass
+    operator."""
+    from pyhctsa_spark.operators.checkpoint import RollupJob
+    from pyhctsa_spark.operators.fused_rollup import rollup_fused_tiers
+    from pyhctsa_spark.sources.synthetic import sequences_df
+
+    seq = sequences_df(spark, 12, binary=True).cache()
+    job = RollupJob(str(tmp_path / "fstore"), n_buckets=3, window=16,
+                    group=4, n_tiers=2, lags=[1], family="fused")
+    snap = job.run(spark, seq)
+    assert snap["complete"]
+    got = sorted(
+        (r["doc_id"], r["tier"], r["window_idx"], r["mean"],
+         r["n_distinct"], r["hll_denom"])
+        for r in spark.read.parquet(
+            str(tmp_path / "fstore" / "tier_data")).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["tier"], r["window_idx"], r["mean"],
+         r["n_distinct"], r["hll_denom"])
+        for r in rollup_fused_tiers(seq, window=16, group=4,
+                                    n_tiers=2, lags=[1]).collect()
+    )
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rollup family"):
+        RollupJob(str(tmp_path / "x"), family="nope")
