@@ -8814,3 +8814,31 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM n GROUP BY label
 """,
 )
+
+
+# Deterministic fixed-size per-source sample (eval-slice carving): the
+# 3 docs per source with the smallest md5(doc_id) — a uniform sample
+# that is reproducible across runs, engines and cluster sizes, and
+# insertion-stable in expectation (a new doc displaces at most one).
+QUERIES["doc_sample_per_source"] = _q2(
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+""",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3
+""",
+)
