@@ -50,15 +50,20 @@ def stream_cagg(
     chunk_windows: int = 48,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    partial_fn=None,
+    merge_fn=None,
 ) -> StreamingQuery:
     """Start the streaming refresh; returns the StreamingQuery handle.
 
     The store is created by the first batch; an existing snapshot store
     at ``store_path`` is resumed (its committed batch ids survive even
-    a wiped streaming checkpoint)."""
+    a wiped streaming checkpoint). ``partial_fn``/``merge_fn`` plug any
+    mergeable aggregate pair (default OHLC/moments; hist bins and HLL
+    registers both stream through the same lifecycle — tested)."""
     store = CaggSnapshotStore(
         store_path, by=by, on=on, value_col=value_col,
         window_micros=window_micros, chunk_windows=chunk_windows,
+        partial_fn=partial_fn, merge_fn=merge_fn,
     )
 
     def _refresh_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -323,3 +323,53 @@ def test_by_source_plan_is_combiner_friendly(spark, seq):
     )
     assert "partial_max" in plan
     assert "BroadcastExchange" in plan  # the libm LUT join
+
+
+def test_streaming_hll_cagg_matches_batch(spark, tmp_path_factory):
+    """HLL register states through the STREAMING snapshot-commit path:
+    two micro-batch file drops, late rows included, final estimates ==
+    one batch pass over everything."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.hll_rollup import (
+        hll_estimates,
+        hll_merge,
+        hll_partial,
+    )
+    from pyhctsa_spark.streaming.cagg_stream import stream_cagg
+
+    base = tmp_path_factory.mktemp("hllcs")
+    src = str(base / "src")
+    store_path, ckpt = str(base / "store"), str(base / "ckpt")
+
+    def ev(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 913_789_123
+            ).alias("ts"),
+            (F.col("id") % 4).alias("user_id"),
+            ((F.sin(F.col("id") / 7.0) + 1) * 40).alias("value"),
+        )
+
+    ev(0, 1200).write.mode("overwrite").parquet(src)
+    q = stream_cagg(spark, src, store_path, ckpt, available_now=True,
+                    partial_fn=hll_partial, merge_fn=hll_merge)
+    q.awaitTermination(120)
+    # second drop includes LATE rows (ids 1200.. overlap old windows)
+    ev(1200, 2000).write.mode("append").parquet(src)
+    q = stream_cagg(spark, src, store_path, ckpt, available_now=True,
+                    partial_fn=hll_partial, merge_fn=hll_merge)
+    q.awaitTermination(120)
+
+    from pyhctsa_spark.operators.cagg import CaggSnapshotStore
+
+    store = CaggSnapshotStore(store_path, partial_fn=hll_partial,
+                              merge_fn=hll_merge)
+    got = hll_estimates(store.read(spark).drop("chunk"))
+    want = hll_estimates(hll_partial(ev(0, 2000)))
+    key = ["user_id", "widx"]
+    pd.testing.assert_frame_equal(
+        got.orderBy(*key).toPandas(), want.orderBy(*key).toPandas()
+    )
