@@ -664,7 +664,9 @@ def bench_queries(spark) -> dict:
                     "kmv_distinct_by_source", "kmv_source_overlap",
                     "cms_token_freq_by_source", "doc_contamination_bloom",
                     "user_delete_docs", "emb_covariance", "user_pmi_pairs",
-                    "rollup_fused")
+                    "rollup_fused", "doc_temperature_mix",
+                    "user_token_pagerank", "user_head_mass",
+                    "emb_norm_stats", "doc_sample_per_source")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):
