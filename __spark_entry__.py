@@ -1051,6 +1051,31 @@ def _wet_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> clean-text extraction (operators/html_extract.py): the
+    WARC-response-to-curation bridge — stdlib state-machine tokenizer
+    (raw-text elements, comments/CDATA, quoted '>' in attributes,
+    entity decode), block-level line assembly, link-density boilerplate
+    drop; Arrow-batched mapInPandas, zero Exchange. The fixture corpus
+    + golden are written by scripts/gen_html_fixtures.py, whose ground
+    truth is known BY CONSTRUCTION (documents are assembled around
+    known canonical text; no second extractor exists)."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.html_extract import html_extract
+
+    docs = spark.read.parquet("/root/repo/tests/fixtures/html_docs.parquet")
+    out = html_extract(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round("link_density", 6).alias("link_density_r6"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hctsa-style feature-matrix extraction through the registry path
     (plans/registry.FeatureSet -> operators/features.extract_features)
@@ -1685,6 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rollup_fused"] = _fused_query
     out["doc_temperature_mix"] = _temperature_mix_query
     out["user_token_pagerank"] = _token_pagerank_query
+    # HTML->text extraction (round 5, session 3): the crawl-ingestion
+    # bridge between read_warc_responses and the curation family
+    out["doc_html_extract"] = _html_extract_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -1957,6 +1957,15 @@ ENGINE_ORACLES["wet_ingest"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/wet_ingest_90.parquet')
 """
 
+# HTML -> clean-text extraction: fixture corpus AND golden are written
+# by scripts/gen_html_fixtures.py, where the expected text is known BY
+# CONSTRUCTION (documents are templated around known canonical
+# paragraphs; markup/entity/boilerplate noise must canonicalize back) —
+# no second extractor implementation exists anywhere.
+ENGINE_ORACLES["doc_html_extract"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/html_extract_60.parquet')
+"""
+
 # Full rollup schema at the flagship window=8 configuration (wlen
 # 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
 # rank arithmetic (pos = p*n + 0.5, linear interpolation between the

@@ -1,0 +1,153 @@
+"""HTML -> text extraction (operators/html_extract.py).
+
+Unit edge cases on the tokenizer/extractor, the 60-doc fixture corpus
+vs the by-construction golden, the Spark mapInPandas wiring, and the
+zero-Exchange plan gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyhctsa_spark.operators.html_extract import extract_text, html_extract
+
+FIX = "/root/repo/tests/fixtures/html_docs.parquet"
+GOLD = "/root/repo/tests/golden/html_extract_60.parquet"
+
+
+def txt(s: str) -> str:
+    return extract_text(s)[0]
+
+
+class TestExtractUnit:
+    def test_basic_blocks(self):
+        assert txt("<p>hello world</p><p>second</p>") == "hello world\nsecond"
+
+    def test_inline_tags_no_break(self):
+        assert txt("<p>a <b>bold</b> and <i>italic</i> c</p>") == (
+            "a bold and italic c"
+        )
+
+    def test_entities_decoded(self):
+        assert txt("<p>x &amp; y &lt;z&gt; caf&eacute; &#8212;</p>") == (
+            "x & y <z> café —"
+        )
+
+    def test_entity_cannot_create_tag(self):
+        # '&lt;script&gt;' decodes AFTER tokenization: stays literal text
+        assert txt("<p>&lt;script&gt;alert()&lt;/script&gt;</p>") == (
+            "<script>alert()</script>"
+        )
+
+    def test_script_style_dropped_with_fake_tags(self):
+        s = ("<p>before</p><script>var a = '<div>no</div>'; if (a<b) x();"
+             "</script><style>p>b { }</style><p>after</p>")
+        assert txt(s) == "before\nafter"
+
+    def test_script_close_case_insensitive(self):
+        assert txt("<p>a</p><SCRIPT>junk()</ScRiPt><p>b</p>") == "a\nb"
+
+    def test_unterminated_script_drops_rest(self):
+        assert txt("<p>a</p><script>never closed <p>x</p>") == "a"
+
+    def test_comments_and_doctype_and_cdata(self):
+        s = ("<!DOCTYPE html><!-- c <p>fake</p> --><p>a"
+             "<![CDATA[ raw <b>bits</b> ]]> b</p>")
+        assert txt(s) == "a b"
+
+    def test_unterminated_comment(self):
+        assert txt("<p>a</p><!-- open forever <p>b</p>") == "a"
+
+    def test_quoted_gt_in_attribute(self):
+        assert txt('<p data-x="a>b">text</p>') == "text"
+
+    def test_bare_lt_is_text(self):
+        assert txt("<p>a < b and c <3 d</p>") == "a < b and c <3 d"
+
+    def test_br_variants(self):
+        assert txt("<p>a<br>b<br/>c<br />d</p>") == "a\nb\nc\nd"
+
+    def test_table_cells_space_separated(self):
+        s = "<table><tr><td>c1</td><td>c2</td><th>c3</th></tr></table>"
+        assert txt(s) == "c1 c2 c3"
+
+    def test_whitespace_squeeze(self):
+        assert txt("<p>  a \n\t b&nbsp;  c  </p>") == "a b c"
+
+    def test_boilerplate_dropped_by_link_density(self):
+        nav = ('<nav><a href="/">home</a> &#183; <a href="/a">about</a>'
+               " &#183; <a href='/c'>contact</a></nav>")
+        text, kept, dropped, ld = extract_text(nav + "<p>real content here</p>")
+        assert text == "real content here"
+        assert (kept, dropped) == (1, 1)
+        assert ld == 0.0
+
+    def test_inline_link_kept_below_threshold(self):
+        text, kept, dropped, ld = extract_text(
+            '<p>lots of ordinary words with one <a href="/x">link</a> inside</p>'
+        )
+        assert kept == 1 and dropped == 0
+        assert text == "lots of ordinary words with one link inside"
+        assert 0.0 < ld < 0.2
+
+    def test_nested_anchor_depth(self):
+        # malformed nesting: depth never goes negative, text still flows
+        text, _, _, _ = extract_text("<p></a>stray close <a>in</a> ok</p>")
+        assert text == "stray close in ok"
+
+    def test_empty_and_whitespace_doc(self):
+        assert extract_text("") == ("", 0, 0, 0.0)
+        assert extract_text("  \n <div> \t </div>") == ("", 0, 0, 0.0)
+
+    def test_title_is_a_line(self):
+        s = "<html><head><title>My Title</title></head><body><p>b</p></body></html>"
+        assert txt(s) == "My Title\nb"
+
+
+class TestFixtureCorpus:
+    def test_all_docs_match_golden(self):
+        docs = pq.read_table(FIX).to_pylist()
+        gold = {g["doc_id"]: g for g in pq.read_table(GOLD).to_pylist()}
+        assert len(docs) == len(gold) == 60
+        for d in docs:
+            text, kept, dropped, ld = extract_text(d["html"])
+            g = gold[d["doc_id"]]
+            assert hashlib.md5(text.encode()).hexdigest() == g["text_md5"], d["doc_id"]
+            assert kept == g["n_lines_kept"]
+            assert dropped == g["n_lines_dropped"]
+            assert len(text) == g["n_chars"]
+            assert round(ld, 6) == g["link_density_r6"]
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkWiring:
+    def test_df_op_matches_golden(self, spark):
+        from pyspark.sql import functions as F
+
+        out = html_extract(spark.read.parquet(FIX)).select(
+            "doc_id", "url", "n_lines_kept", "n_lines_dropped",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        gold = pq.read_table(GOLD).to_pylist()
+        assert len(rows) == 60
+        for g in gold:
+            r = rows[g["doc_id"]]
+            assert r["text_md5"] == g["text_md5"]
+            assert r["n_lines_kept"] == g["n_lines_kept"]
+            assert r["n_lines_dropped"] == g["n_lines_dropped"]
+
+    def test_plan_is_scan_side_only(self, spark):
+        out = html_extract(spark.read.parquet(FIX))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_passthrough_columns_preserved(self, spark):
+        out = html_extract(spark.read.parquet(FIX))
+        assert out.columns == [
+            "doc_id", "url", "text", "n_lines_kept", "n_lines_dropped",
+            "link_density",
+        ]
