@@ -1076,6 +1076,33 @@ def _html_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_html_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete crawl-ingestion path end-to-end: binaryFile scan of
+    a spec-side .warc.gz archive (written by scripts/gen_html_fixtures
+    with its own serializer) -> read_warc_responses (record parse +
+    HTTP header strip) -> html_extract (tokenize, boilerplate drop) —
+    two chained mapInPandas stages, zero Exchange. Must reproduce the
+    SAME by-construction golden as doc_html_extract: the WARC framing
+    and HTTP strip must be byte-transparent to the extraction."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.html_extract import html_extract
+    from pyhctsa_spark.sources.warc import read_warc_responses
+
+    docs = read_warc_responses(
+        spark, "/root/repo/tests/fixtures/html_warc/*.warc.gz"
+    ).select("url", F.col("text").alias("html"))
+    out = html_extract(docs)
+    return out.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round("link_density", 6).alias("link_density_r6"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def _feature_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hctsa-style feature-matrix extraction through the registry path
     (plans/registry.FeatureSet -> operators/features.extract_features)
@@ -1711,8 +1738,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_temperature_mix"] = _temperature_mix_query
     out["user_token_pagerank"] = _token_pagerank_query
     # HTML->text extraction (round 5, session 3): the crawl-ingestion
-    # bridge between read_warc_responses and the curation family
+    # bridge between read_warc_responses and the curation family, plus
+    # the full WARC-archive -> response-parse -> extract path (same
+    # by-construction golden — the framing must be byte-transparent)
     out["doc_html_extract"] = _html_extract_query
+    out["doc_warc_html_extract"] = _warc_html_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -666,7 +666,8 @@ def bench_queries(spark) -> dict:
                     "user_delete_docs", "emb_covariance", "user_pmi_pairs",
                     "rollup_fused", "doc_temperature_mix",
                     "user_token_pagerank", "user_head_mass",
-                    "emb_norm_stats", "doc_sample_per_source")
+                    "emb_norm_stats", "doc_sample_per_source",
+                    "doc_warc_html_extract")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

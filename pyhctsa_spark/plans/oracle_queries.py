@@ -1966,6 +1966,11 @@ ENGINE_ORACLES["doc_html_extract"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/html_extract_60.parquet')
 """
 
+# Full crawl path (WARC archive -> response parse -> HTTP strip ->
+# HTML extraction) must land on the SAME golden: the archive framing
+# is byte-transparent to the extraction.
+ENGINE_ORACLES["doc_warc_html_extract"] = ENGINE_ORACLES["doc_html_extract"]
+
 # Full rollup schema at the flagship window=8 configuration (wlen
 # 8/32/128), INCLUDING the HOL column: hazen spread_iqr is order-stat
 # rank arithmetic (pos = p*n + 0.5, linear interpolation between the

@@ -13,19 +13,60 @@ and content lines whose density stays far below (<0.5). The expected
 arithmetic over the generator's own knowledge of which words are
 anchor text.
 
-Writes tests/fixtures/html_docs.parquet (doc_id, url, html) and
-tests/golden/html_extract_60.parquet.
+Writes tests/fixtures/html_docs.parquet (doc_id, url, html),
+tests/golden/html_extract_60.parquet, AND a spec-side WARC archive
+tests/fixtures/html_warc/part-00000.warc.gz holding the same 60
+documents as HTTP response records (own minimal serializer, no engine
+import — same methodology as gen_wet_fixtures.py), so the complete
+crawl path read_warc_responses -> html_extract is verifiable against
+the same golden.
 
 Run: python scripts/gen_html_fixtures.py
 """
 
 from __future__ import annotations
 
+import gzip
 import hashlib
+import io
+import os
 import random
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def _warc_record(rec_type: str, headers: dict[str, str],
+                 payload: bytes) -> bytes:
+    head = ["WARC/1.0", f"WARC-Type: {rec_type}"]
+    head += [f"{k}: {v}" for k, v in headers.items()]
+    head.append(f"Content-Length: {len(payload)}")
+    return "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def write_warc_archive(docs: list[dict], path: str) -> None:
+    """One gzip member per record (the Common Crawl layout, mtime=0):
+    a warcinfo record, then one HTTP 200 response record per doc."""
+    records = [_warc_record("warcinfo", {
+        "WARC-Record-ID": "<urn:uuid:00000000-0000-0000-0000-0000000000ff>",
+        "Content-Type": "application/warc-fields",
+    }, b"software: html fixture writer\r\n")]
+    for d in docs:
+        body = d["html"].encode("utf-8")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=utf-8\r\n\r\n" + body)
+        records.append(_warc_record("response", {
+            "WARC-Target-URI": d["url"],
+            "WARC-Date": "2026-08-19T00:00:00Z",
+            "WARC-Record-ID": f"<urn:uuid:{d['doc_id']:032x}>",
+            "Content-Type": "application/http; msgtype=response",
+        }, http))
+    buf = io.BytesIO()
+    for chunk in records:
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(chunk)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
 
 WORDS = (
     "signal window rollup tier retention token stream lattice spark "
@@ -241,6 +282,10 @@ def main() -> None:
     pq.write_table(
         pa.Table.from_pylist(goldens),
         "/root/repo/tests/golden/html_extract_60.parquet",
+    )
+    os.makedirs("/root/repo/tests/fixtures/html_warc", exist_ok=True)
+    write_warc_archive(
+        docs, "/root/repo/tests/fixtures/html_warc/part-00000.warc.gz"
     )
     print(f"wrote {len(docs)} docs; kept-lines total "
           f"{sum(g['n_lines_kept'] for g in goldens)}, dropped "

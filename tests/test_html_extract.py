@@ -151,3 +151,32 @@ class TestSparkWiring:
             "doc_id", "url", "text", "n_lines_kept", "n_lines_dropped",
             "link_density",
         ]
+
+    def test_warc_end_to_end_matches_golden(self, spark):
+        """Full crawl path: .warc.gz archive -> read_warc_responses
+        (record parse + HTTP header strip) -> html_extract. The WARC
+        framing must be byte-transparent: same golden as the parquet
+        path, and the plan stays Exchange-free."""
+        from pyspark.sql import functions as F
+
+        from pyhctsa_spark.sources.warc import read_warc_responses
+
+        docs = read_warc_responses(
+            spark, "/root/repo/tests/fixtures/html_warc/*.warc.gz"
+        ).select("url", F.col("text").alias("html"))
+        out = html_extract(docs).select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            "n_lines_kept", "n_lines_dropped",
+        )
+        assert "Exchange" not in (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        gold = pq.read_table(GOLD).to_pylist()
+        assert len(rows) == 60
+        for g in gold:
+            r = rows[g["doc_id"]]
+            assert r["text_md5"] == g["text_md5"]
+            assert r["n_lines_kept"] == g["n_lines_kept"]
+            assert r["n_lines_dropped"] == g["n_lines_dropped"]
