@@ -335,6 +335,30 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
         "overwrite"
     ).save()
     out["substring10_sec"] = round(time.perf_counter() - t0, 3)
+    # HTML->text extraction throughput on the 10x corpus: each doc
+    # wrapped in markup JVM-side (nav boilerplate + per-paragraph tags),
+    # then the state-machine extractor — the crawl-ingestion CPU cost
+    from pyhctsa_spark.operators.html_extract import html_extract
+
+    html10 = big.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>doc</title><style>p{margin:0}'
+                  '</style></head><body><nav><a href="/a">home</a> '
+                  '&#183; <a href="/b">about</a> &#183; '
+                  '<a href="/c">more</a></nav><p>'),
+            F.regexp_replace("text", r"\.\s+", ".</p><p>"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    mb = html10.select(F.sum(F.length("html"))).first()[0] / 1e6
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    html_extract(html10).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    out["html10_sec"] = round(wall, 3)
+    out["html10_mb"] = round(mb, 1)
+    out["html10_mb_per_sec"] = round(mb / wall, 1)
     return out
 
 
