@@ -22,6 +22,7 @@ crawl path read_warc_responses -> html_extract is verifiable against
 the same golden.
 
 Run: python scripts/gen_html_fixtures.py
+Verify only: python scripts/gen_html_fixtures.py --check
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ import hashlib
 import io
 import os
 import random
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -44,7 +46,7 @@ def _warc_record(rec_type: str, headers: dict[str, str],
     return "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
 
-def write_warc_archive(docs: list[dict], path: str) -> None:
+def build_warc_bytes(docs: list[dict]) -> bytes:
     """One gzip member per record (the Common Crawl layout, mtime=0):
     a warcinfo record, then one HTTP 200 response record per doc."""
     records = [_warc_record("warcinfo", {
@@ -65,8 +67,7 @@ def write_warc_archive(docs: list[dict], path: str) -> None:
     for chunk in records:
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
             gz.write(chunk)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    return buf.getvalue()
 
 WORDS = (
     "signal window rollup tier retention token stream lattice spark "
@@ -275,18 +276,23 @@ def main() -> None:
         })
         goldens.append(golden)
 
-    pq.write_table(
-        pa.Table.from_pylist(docs),
-        "/root/repo/tests/fixtures/html_docs.parquet",
-    )
-    pq.write_table(
-        pa.Table.from_pylist(goldens),
-        "/root/repo/tests/golden/html_extract_60.parquet",
-    )
-    os.makedirs("/root/repo/tests/fixtures/html_warc", exist_ok=True)
-    write_warc_archive(
-        docs, "/root/repo/tests/fixtures/html_warc/part-00000.warc.gz"
-    )
+    warc_bytes = build_warc_bytes(docs)
+    fix = "/root/repo/tests/fixtures/html_docs.parquet"
+    gold = "/root/repo/tests/golden/html_extract_60.parquet"
+    warc = "/root/repo/tests/fixtures/html_warc/part-00000.warc.gz"
+    if "--check" in sys.argv:
+        old_docs = pq.read_table(fix).to_pylist()
+        old_gold = pq.read_table(gold).to_pylist()
+        with open(warc, "rb") as f:
+            old_warc = f.read()
+        ok = old_docs == docs and old_gold == goldens and old_warc == warc_bytes
+        print(f"fixtures+golden+archive match vs committed: {ok}")
+        raise SystemExit(0 if ok else 1)
+    pq.write_table(pa.Table.from_pylist(docs), fix)
+    pq.write_table(pa.Table.from_pylist(goldens), gold)
+    os.makedirs(os.path.dirname(warc), exist_ok=True)
+    with open(warc, "wb") as f:
+        f.write(warc_bytes)
     print(f"wrote {len(docs)} docs; kept-lines total "
           f"{sum(g['n_lines_kept'] for g in goldens)}, dropped "
           f"{sum(g['n_lines_dropped'] for g in goldens)}")
