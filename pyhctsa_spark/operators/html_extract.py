@@ -36,7 +36,7 @@ is known BY CONSTRUCTION — no second extractor implementation):
 No reference counterpart: pyhctsa has no ingestion surface (SURVEY
 §2.0); this is engine-native pipeline machinery.
 
-Throughput: ~8 MB/s/core single-threaded on markup-heavy fixtures
+Throughput: ~7 MB/s/core single-threaded on markup-heavy fixtures
 (min-of-3; the normal band for pure-Python extractors — trafilatura
 is ~2-10). Extraction is embarrassingly parallel and scan-side, so a
 1000-core cluster sustains ~8 GB/s; swap in a C-backed extractor via
@@ -81,6 +81,12 @@ def _scan_tag(s: str, i: int) -> tuple[int, str, bool]:
     c = s[i + 1] if i + 1 < n else ""
     if c == "!":
         if s.startswith("<!--", i):
+            # abruptly-closed comments '<!-->' and '<!--->' are COMPLETE
+            # comments per HTML5, not unterminated ones
+            if s.startswith(">", i + 4):
+                return i + 5, "", False
+            if s.startswith("->", i + 4):
+                return i + 6, "", False
             end = s.find("-->", i + 4)
             return (n if end < 0 else end + 3), "", False
         if s.startswith("<![CDATA[", i):
@@ -107,17 +113,25 @@ def _scan_tag(s: str, i: int) -> tuple[int, str, bool]:
     while k < n and (s[k].isascii() and (s[k].isalnum() or s[k] in "-")):
         k += 1
     name = s[j:k].lower()
-    # scan to '>' honoring quoted attribute values
+    # scan to '>' honoring quoted attribute VALUES: a quote only opens
+    # quoted mode right after '=' (HTML5 before-attribute-value state);
+    # quotes inside unquoted values (alt=don't) are literal characters
     quote = ""
+    after_eq = False
     while k < n:
         c = s[k]
         if quote:
             if c == quote:
                 quote = ""
-        elif c in "\"'":
+        elif c in "\"'" and after_eq:
             quote = c
+            after_eq = False
         elif c == ">":
             return k + 1, name, closing
+        elif c == "=":
+            after_eq = True
+        elif not c.isspace():
+            after_eq = False
         k += 1
     return n, name, closing
 
@@ -148,20 +162,33 @@ def extract_text(
             i = j
             continue
         if name and not closing and name in RAW_TEXT_ELEMENTS:
-            # raw-text content: skip to the matching close tag
+            # raw-text content: skip to the matching close tag — the
+            # name must be followed by whitespace, '/' or '>' (HTML5
+            # end-tag rule), so '</scriptfoo>' does NOT end a <script>
             if not low:
                 low = raw.lower()
-            close = low.find("</" + name, j)
+            probe = "</" + name
+            pos = j
+            close = -1
+            while True:
+                cand = low.find(probe, pos)
+                if cand < 0:
+                    break
+                nxt = cand + len(probe)
+                if nxt >= n or low[nxt] in " \t\n\r\f/>":
+                    close = cand
+                    break
+                pos = cand + 1
             if close < 0:
                 break  # eof inside raw text: rest of document is dropped
             j2, _, _ = _scan_tag(raw, close)
             i = j2
-            breaks.append(len(runs))
-            continue
+            continue  # no line break: raw-text elements are not blocks
         if name == "a":
-            anchor_depth = anchor_depth + 1 if not closing else max(
-                0, anchor_depth - 1
-            )
+            # a second <a> while one is open implicitly closes the
+            # first (HTML5), so unbalanced anchors can't mark the rest
+            # of the document as link text; depth is only ever 0 or 1
+            anchor_depth = 1 if not closing else 0
         if name in BLOCK_ELEMENTS:
             breaks.append(len(runs))
         elif name in CELL_ELEMENTS:
@@ -214,6 +241,13 @@ def html_extract(
     Arrow-batched mapInPandas; passthrough columns preserved. The plan
     is scan-side only — no Exchange (asserted in tests)."""
     passthrough = [f for f in df.schema.fields if f.name != html_col]
+    added = {"text", "n_lines_kept", "n_lines_dropped", "link_density"}
+    clash = added & {f.name for f in passthrough}
+    if clash:
+        raise ValueError(
+            f"html_extract output columns collide with input columns "
+            f"{sorted(clash)}; rename or drop them first"
+        )
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in passthrough]
         + ["text string", "n_lines_kept int", "n_lines_dropped int",

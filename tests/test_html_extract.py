@@ -102,6 +102,40 @@ class TestExtractUnit:
         assert extract_text("") == ("", 0, 0, 0.0)
         assert extract_text("  \n <div> \t </div>") == ("", 0, 0, 0.0)
 
+    # -- regression tests from the round-5 adversarial review: real-web
+    # malformed markup the by-construction fixtures never exercise
+    def test_unquoted_attr_value_with_apostrophe(self):
+        # a quote NOT after '=' must not open quoted mode (HTML5
+        # unquoted attribute values keep quotes as literal chars)
+        assert txt("<p class=don't>hello</p><p>world</p>") == "hello\nworld"
+        assert txt('<img alt=O\'Brien><p>text</p>') == "text"
+
+    def test_nested_anchor_implicit_close(self):
+        # a second <a> implicitly closes the first: trailing plain
+        # words must NOT count as link text (and the line survives)
+        text, kept, dropped, _ = extract_text(
+            "<p><a href=/1>x</a> plain words here <a href=/2>y "
+            "<a href=/3>z</a> trailing words that are not links at all</p>"
+        )
+        assert kept == 1 and dropped == 0
+        assert text.endswith("trailing words that are not links at all")
+
+    def test_abruptly_closed_comments(self):
+        # <!--> and <!---> are COMPLETE comments per HTML5
+        assert txt("<p>a</p><!--> <p>rest</p>") == "a\nrest"
+        assert txt("<p>a</p><!---> <p>rest</p>") == "a\nrest"
+
+    def test_rawtext_close_requires_tag_boundary(self):
+        # '</scriptfoo>' must not terminate a <script> block
+        s = "<p>a</p><script>x</scriptfoo>leak</script><p>b</p>"
+        assert txt(s) == "a\nb"
+        # but '</script >' and '</script/>' do terminate it
+        assert txt("<p>a</p><script>x</script ><p>b</p>") == "a\nb"
+
+    def test_inline_script_does_not_break_line(self):
+        # raw-text elements are not block elements: no line break
+        assert txt("<p>foo <script>x()</script> bar</p>") == "foo bar"
+
     def test_title_is_a_line(self):
         s = "<html><head><title>My Title</title></head><body><p>b</p></body></html>"
         assert txt(s) == "My Title\nb"
@@ -151,6 +185,13 @@ class TestSparkWiring:
             "doc_id", "url", "text", "n_lines_kept", "n_lines_dropped",
             "link_density",
         ]
+
+    def test_output_column_collision_raises(self, spark):
+        import pytest as _pytest
+
+        df = spark.read.parquet(FIX).withColumnRenamed("url", "text")
+        with _pytest.raises(ValueError, match="collide"):
+            html_extract(df)
 
     def test_warc_end_to_end_matches_golden(self, spark):
         """Full crawl path: .warc.gz archive -> read_warc_responses
