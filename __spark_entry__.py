@@ -1653,12 +1653,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # continuation): scored with the pipeline core — it is a brand-new
     # first-class curation operator this round.
     out["doc_dsir_select"] = _dsir_query
-    # Round-5 rotation (positions 21-50): the driver scores only the
+    # Round-5 rotation (positions 24-50): the driver scores only the
     # first 50 entries, so each round rotates a different slice of the
-    # 160+-query oracle catalog through the scored window. Rounds 1-4
-    # graded 98 distinct queries; these 30 have NEVER been inside the
-    # driver's CORRECTNESS artifact (all are continuously value-gated
-    # by scripts/check_oracle.py regardless). Families: spectral DFT,
+    # oracle catalog through the scored window. Rounds 1-4 graded 98
+    # distinct queries; the queries listed here have NEVER been inside
+    # the driver's CORRECTNESS artifact (all are continuously
+    # value-gated by scripts/check_oracle.py regardless). NOTE: the
+    # head above grew to 23 entries (media_compressed_decode,
+    # wet_ingest, doc_dsir_select — themselves never-graded round-5
+    # additions), so the LAST 3 of these 30 (user_rangeevolve,
+    # user_binarystats_diff, user_timerev1) land at positions 51-53,
+    # outside this round's window — they lead the round-6 rotation. Families: spectral DFT,
     # wavelets, transition matrices, walker/surprise dynamics,
     # entropies (ApEn/MSE/RPDE/MS-Shannon), DFA, HRV, AMI stats,
     # model-fit (KPSS/AR), and the remaining stationarity/automutual

@@ -86,13 +86,16 @@ def main(argv=None) -> int:
     from pyhctsa_spark.operators.cagg import CaggSnapshotStore
 
     store = CaggSnapshotStore(args.cagg_store, by=[args.key_col])
-    # key column type follows the stored states; ints arrive as strings
-    typed = []
-    for i in ids:
-        try:
-            typed.append(int(i))
-        except ValueError:
-            typed.append(i)
+    # coerce ALL ids to the STORE's key-column type (per-id best-effort
+    # coercion built mixed int/str batches that crashed sorting and
+    # compared int literals against string columns): numeric key column
+    # -> every id must parse as int (a clear error beats a silent
+    # non-match); string key column -> ids stay strings verbatim
+    kdt = store.read(spark).schema[args.key_col].dataType.simpleString()
+    if kdt in ("tinyint", "smallint", "int", "bigint"):
+        typed: list = [int(i) for i in ids]
+    else:
+        typed = list(ids)
     info = store.delete_keys(
         spark, typed, key_col=args.key_col,
         purge_history=not args.keep_history,

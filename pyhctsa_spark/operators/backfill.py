@@ -66,7 +66,9 @@ def backfill_docs(
             F.col(id_col).cast("string") == F.col("_bf_id"),
             "left_semi",
         )
-    fresh = rollup_fn(target)
+    # localCheckpoint: the Arrow rollup scan over corrected_seq is the
+    # dominant cost — count() then write would otherwise run it twice
+    fresh = rollup_fn(target).localCheckpoint(eager=True)
     n_new = fresh.count()
     if n_new:
         write_tier_chunked(fresh, path, chunk_windows=chunk_windows,

@@ -704,13 +704,64 @@ class CaggSnapshotStore:
         window (audit use; the erased data stays readable until the
         older snapshots age out of the retention window)."""
         key_col = key_col or self.by[0]
-        ks = sorted({k for k in keys})
-        if not ks:
+        raw_keys = set(keys)
+        if not raw_keys:
             return {"touched_chunks": [], "states_deleted": 0}
         with self._writer_lease():
             man = self.manifest()
             store = self.read(spark)
-            doomed = store.where(F.col(key_col).isin(ks))
+            # normalize the batch against the STORE's key type: a mixed
+            # int/str list must neither crash Python's cross-type sort
+            # nor reach Catalyst as an ANSI-cast landmine — a key that
+            # cannot be the column's type is a caller bug, reported as
+            # a typed error (compliance code must not silently skip)
+            from pyspark.sql.types import IntegralType, StringType
+
+            kdt = store.schema[key_col].dataType
+            if isinstance(kdt, IntegralType):
+                try:
+                    ks = sorted({int(k) for k in raw_keys})
+                except (TypeError, ValueError) as exc:
+                    raise TypeError(
+                        f"delete_keys: key column {key_col!r} is {kdt}; "
+                        f"every key must be integer-coercible ({exc})"
+                    ) from exc
+            elif isinstance(kdt, StringType):
+                ks = sorted(str(k) for k in raw_keys)
+            else:
+                ks = sorted(raw_keys,
+                            key=lambda k: (k.__class__.__name__, str(k)))
+            if len(ks) <= 2048:
+                # literal IN keeps parquet row-group pruning; large
+                # batches switch to broadcast joins (Catalyst planning
+                # cost grows with the expression tree — same threshold
+                # as deletion.delete_docs and pq._exact_rerank)
+                def _doomed(df: DataFrame) -> DataFrame:
+                    return df.where(F.col(key_col).isin(ks))
+
+                def _kept(df: DataFrame) -> DataFrame:
+                    return df.where(~F.col(key_col).isin(ks))
+            else:
+                from pyspark.sql.types import StructField, StructType
+
+                ks_df = spark.createDataFrame(
+                    [(k,) for k in ks],
+                    StructType([StructField("_del_key", kdt)]),
+                )
+
+                def _doomed(df: DataFrame) -> DataFrame:
+                    return df.join(
+                        F.broadcast(ks_df),
+                        F.col(key_col) == F.col("_del_key"), "left_semi",
+                    )
+
+                def _kept(df: DataFrame) -> DataFrame:
+                    return df.join(
+                        F.broadcast(ks_df),
+                        F.col(key_col) == F.col("_del_key"), "left_anti",
+                    )
+
+            doomed = _doomed(store)
             touched = sorted(
                 int(r["chunk"])
                 for r in doomed.select("chunk").distinct().collect()
@@ -718,9 +769,7 @@ class CaggSnapshotStore:
             if not touched:
                 return {"touched_chunks": [], "states_deleted": 0}
             n_del = doomed.count()
-            kept = self.read(spark, chunks=touched).where(
-                ~F.col(key_col).isin(ks)
-            )
+            kept = _kept(self.read(spark, chunks=touched))
             gen = man["gen"] + 1
             self._write_generation(kept, gen)
             written = {

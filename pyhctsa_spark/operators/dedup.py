@@ -220,7 +220,14 @@ def _rep_election(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     re-hashing the corpus text. Shared by minhash_verified_pairs'
     exact-collapse and near_dup_clusters so the content-hash and
     rep-tie-break conventions cannot drift between the pair path and
-    the cluster path."""
+    the cluster path.
+
+    Lifecycle note: the persist is released by session teardown (the
+    spark-submit jobs) or ``spark.catalog.clearCache()`` (bench does
+    this between reps) — a long-lived interactive session running
+    dedup repeatedly should do the same, since the returned DataFrame
+    is lazy and the operator cannot know when both consumers have
+    materialized."""
     w = Window.partitionBy(F.md5(F.col(text_col)))
     return df.withColumn("_rep", F.min(id_col).over(w)).persist()
 
@@ -509,8 +516,15 @@ def simhash_near_pairs_collapsed(
     expand — within-group pairs at hamming 0 (identical text), and
     cross-group member pairs inheriting their representatives' hamming
     (identical fingerprints ⇒ identical distances)."""
+    # NULL-text rows never get a fingerprint on the naive path (explode
+    # of split(NULL) drops them), so they must not form an
+    # "exact-duplicate group" here either: md5(NULL) is NULL, and the
+    # window over it would lump ALL null-text docs into one bogus
+    # hamming-0 clique
     with_rep = _rep_election(
-        df.select(F.col(id_col), F.col(text_col)), text_col, id_col
+        df.select(F.col(id_col), F.col(text_col))
+        .where(F.col(text_col).isNotNull()),
+        text_col, id_col,
     )
     members = with_rep.select("_rep", F.col(id_col).alias("_m"))
     reps = with_rep.where(F.col(id_col) == F.col("_rep")).select(

@@ -46,6 +46,19 @@ _LOG_SCHEMA = (
 )
 
 
+def _store_has_data(path: str) -> bool:
+    """True when any parquet data file remains under the store. A
+    TOTAL erasure can sweep every chunk directory, and a bare
+    spark.read.parquet on the emptied store raises
+    UNABLE_TO_INFER_SCHEMA — the callers must treat that state as
+    'zero rows', not crash."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def delete_docs(
     spark: SparkSession,
     path: str,
@@ -55,9 +68,9 @@ def delete_docs(
     """Erase all rows of ``doc_ids`` from the (tier, chunk)-partitioned
     store at ``path``. Returns {touched_chunks, rows_deleted,
     chunks_removed}. Idempotent: re-running with the same ids is a
-    no-op."""
+    no-op (including on a store a prior total erasure fully emptied)."""
     ids = sorted({str(d) for d in doc_ids})
-    if not ids:
+    if not ids or not _store_has_data(path):
         return {"touched_chunks": [], "rows_deleted": 0,
                 "chunks_removed": []}
     store = spark.read.parquet(path)
@@ -163,8 +176,12 @@ def verify_erased(
     id_col: str = "doc_id",
 ) -> int:
     """Compliance check: remaining row count for the given ids (0 after
-    a completed erasure). Column-pruned + stats-skipped scan."""
+    a completed erasure). Column-pruned + stats-skipped scan; a store a
+    total erasure fully emptied verifies as 0 instead of crashing the
+    schema-less read."""
     ids = sorted({str(d) for d in doc_ids})
+    if not _store_has_data(path):
+        return 0
     store = spark.read.parquet(path)
     if len(ids) <= 2048:
         return store.where(F.col(id_col).isin(ids)).count()

@@ -70,6 +70,14 @@ CELL_ELEMENTS = frozenset({"td", "th"})
 
 DEFAULT_MAX_LINK_DENSITY = 0.66
 
+# ASCII-only lowercase map: str.lower() is NOT length-preserving
+# ('İ'.lower() is two characters), so indices found in a lower()ed view
+# would misalign against the raw string. Tag names are ASCII by the
+# HTML5 grammar, so ASCII folding is all the close-tag scan needs.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 
 def _scan_tag(s: str, i: int) -> tuple[int, str, bool]:
     """Parse a tag starting at ``s[i] == '<'``. Returns
@@ -166,7 +174,7 @@ def extract_text(
             # name must be followed by whitespace, '/' or '>' (HTML5
             # end-tag rule), so '</scriptfoo>' does NOT end a <script>
             if not low:
-                low = raw.lower()
+                low = raw.translate(_ASCII_LOWER)  # length-preserving
             probe = "</" + name
             pos = j
             close = -1

@@ -26,6 +26,20 @@ def store(spark, tmp_path):
     return d
 
 
+def test_total_erasure_then_verify_and_rerun(spark, store):
+    """Erasing EVERY doc sweeps every chunk; the emptied store must
+    verify as 0 remaining and a re-run must be a no-op — not crash the
+    schema-less parquet read (UNABLE_TO_INFER_SCHEMA)."""
+    all_ids = [r["doc_id"] for r in
+               spark.read.parquet(store).select("doc_id").distinct().collect()]
+    info = delete_docs(spark, store, all_ids)
+    assert info["rows_deleted"] > 0 and info["chunks_removed"]
+    assert verify_erased(spark, store, all_ids) == 0
+    again = delete_docs(spark, store, all_ids)
+    assert again == {"touched_chunks": [], "rows_deleted": 0,
+                     "chunks_removed": []}
+
+
 def test_delete_is_exact_and_verified(spark, store):
     before = spark.read.parquet(store)
     doomed = [r["doc_id"] for r in

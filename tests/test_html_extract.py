@@ -132,6 +132,15 @@ class TestExtractUnit:
         # but '</script >' and '</script/>' do terminate it
         assert txt("<p>a</p><script>x</script ><p>b</p>") == "a\nb"
 
+    def test_length_changing_case_chars_before_rawtext(self):
+        # 'İ'.lower() is TWO chars: a lower()ed scan view would misalign
+        # close-tag indices; the ASCII-only fold must not
+        s = ("<p>" + "İ" * 10 + "</p><script>var s=1;</script>"
+             "<p>hello world</p><p>more</p>")
+        assert txt(s) == "İ" * 10 + "\nhello world\nmore"
+        s2 = "<p>" + "İ" * 10 + "</p><script>x</script><p>tail</p>"
+        assert txt(s2) == "İ" * 10 + "\ntail"
+
     def test_inline_script_does_not_break_line(self):
         # raw-text elements are not block elements: no line break
         assert txt("<p>foo <script>x()</script> bar</p>") == "foo bar"

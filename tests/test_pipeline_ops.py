@@ -779,6 +779,35 @@ def test_simhash_collapse_is_invisible(spark, docs):
     assert (0, 100000, 0) in ka and (0, 200000, 0) in ka
 
 
+def test_simhash_collapse_ignores_null_text(spark, docs):
+    """NULL-text rows get no fingerprint on the naive path, so the
+    collapsed path must not lump them into a bogus hamming-0 clique
+    (md5(NULL) is NULL — one window partition for ALL of them)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pyhctsa_spark.operators.dedup import (
+        simhash_md5,
+        simhash_near_pairs_2x32,
+        simhash_near_pairs_collapsed,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    nulls = spark.createDataFrame(
+        [(900001, None), (900002, None), (900003, None)], schema
+    )
+    corpus = docs.limit(20).select("doc_id", "text").unionByName(nulls)
+    a = simhash_near_pairs_collapsed(corpus, max_hamming=3).toPandas()
+    b = simhash_near_pairs_2x32(simhash_md5(corpus), max_hamming=3).toPandas()
+    ka = set(map(tuple, a[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    kb = set(map(tuple, b[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    assert ka == kb
+    assert not any(i >= 900001 or j >= 900001 for i, j, _ in ka)
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     from pyhctsa_spark.operators.dedup import containment_pairs
 

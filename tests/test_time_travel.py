@@ -130,6 +130,28 @@ def test_delete_keys_erases_and_purges_history(spark, tmp_path):
     assert info2 == {"touched_chunks": [], "states_deleted": 0}
 
 
+def test_delete_keys_mixed_types_and_large_batch(spark, tmp_path):
+    """A mixed int/str key batch (erasure jobs coerce per-id) must not
+    crash Python's cross-type sort, and a >2048-key batch must route
+    through the broadcast-join fallback with the same result."""
+    store = CaggSnapshotStore(str(tmp_path / "dk3"), window_micros=WIN,
+                              chunk_windows=8, snapshot_retain=4)
+    store.materialize(_events(spark, 0, 2000))
+    # numeric-string keys coerce to the bigint column; a key that can't
+    # be the column type is a TYPED error, not a Catalyst cast landmine
+    info = store.delete_keys(spark, ["1", 1])
+    assert info["states_deleted"] > 0
+    assert store.read(spark).where("user_id = 1").count() == 0
+    with pytest.raises(TypeError, match="integer-coercible"):
+        store.delete_keys(spark, [2, "not-a-key"])
+    # large batch: 3000 keys (one real, rest absent) -> broadcast path
+    big = [2] + list(range(10_000, 12_999))
+    info2 = store.delete_keys(spark, big)
+    assert info2["states_deleted"] > 0
+    assert store.read(spark).where("user_id = 2").count() == 0
+    assert store.read(spark).count() > 0  # other users survive
+
+
 def test_delete_keys_audit_mode_keeps_history(spark, tmp_path):
     store = CaggSnapshotStore(str(tmp_path / "dk2"), window_micros=WIN,
                               chunk_windows=8, snapshot_retain=4)
