@@ -26,13 +26,25 @@ N_DOCS = int(os.environ.get("SCALING_N_DOCS", "40000"))
 N_LOW = int(os.environ.get("SCALING_N", "4"))
 N_HIGH = 4 * N_LOW
 REPS = int(os.environ.get("SCALING_REPS", "3"))
+# which tier-rollup family carries the scaling claim: "alg" (the
+# flagship moment-state pass) or "fused" (ALG + exact histograms + HLL
+# in one scan) — both are shuffle-free mapInArrow plans, so both must
+# scale; measuring the heavier fused pass diversifies the evidence.
+FAMILY = os.environ.get("SCALING_FAMILY", "alg")
 
 RUN_SNIPPET = r"""
 import json, sys, time, tempfile, shutil
 sys.path.insert(0, {repo!r})
 from pyhctsa_spark.session import get_spark
-from pyhctsa_spark.operators.rollup import make_counters, rollup_tiers
 from pyhctsa_spark.sources.synthetic import sequences_df
+
+FAMILY = {family!r}
+if FAMILY == "alg":
+    from pyhctsa_spark.operators.rollup import make_counters, rollup_tiers
+elif FAMILY == "fused":
+    from pyhctsa_spark.operators.fused_rollup import rollup_fused_tiers
+else:
+    raise SystemExit(f"unknown SCALING_FAMILY {{FAMILY!r}}")
 
 spark = get_spark("scaling", master="local[{cpus}]", extra_conf={{
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)}})
@@ -47,12 +59,21 @@ results = []
 # (codegen + worker pools), the min of the rest is kept
 for rep in range({reps}):
     out = tempfile.mkdtemp(prefix="scal_")
-    counters = make_counters(spark)
-    t0 = time.perf_counter()
-    rollup_tiers(df, counters=counters).write.mode("overwrite").parquet(out)
-    wall = time.perf_counter() - t0
+    if FAMILY == "alg":
+        counters = make_counters(spark)
+        t0 = time.perf_counter()
+        rollup_tiers(df, counters=counters).write.mode("overwrite").parquet(out)
+        wall = time.perf_counter() - t0
+        windows = counters["windows_emitted"].value
+    else:
+        t0 = time.perf_counter()
+        rollup_fused_tiers(df).write.mode("overwrite").parquet(out)
+        wall = time.perf_counter() - t0
+        # window-count equality check from the written output (outside
+        # the timed region; parquet footer-count scan)
+        windows = spark.read.parquet(out).count()
     shutil.rmtree(out, ignore_errors=True)
-    results.append({{"wall": wall, "windows": counters["windows_emitted"].value}})
+    results.append({{"wall": wall, "windows": windows}})
 print("RESULT " + json.dumps({{"cpus": {cpus}, "points": int(points),
                               "runs": results[2:]}}))
 spark.stop()
@@ -60,7 +81,8 @@ spark.stop()
 
 
 def run_at(cpus: int) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_docs=N_DOCS, reps=REPS)
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_docs=N_DOCS, reps=REPS,
+                              family=FAMILY)
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True, timeout=3600,
@@ -123,6 +145,7 @@ def main() -> None:
     best = max(rounds, key=lambda r: r["eff"])
     tlo, thi, eff = best["t_low"], best["t_high"], best["eff"]
     summary = {
+        "family": FAMILY,
         "n_docs": N_DOCS,
         "points": pts,
         "n_low": N_LOW,
@@ -140,7 +163,8 @@ def main() -> None:
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (n_docs={N_DOCS}, {pts:,} points, "
+            f"\n## Scaling run (family={FAMILY}, n_docs={N_DOCS}, "
+            f"{pts:,} points, "
             f"min of {max(REPS - 2, 1)} kept reps after 2 warm-ups)\n\n"
             f"| cores | wall (s) | points/sec |\n|---|---|---|\n"
             f"| {N_LOW} (N) | {tlo:.2f} | {pts / tlo:,.0f} |\n"
