@@ -91,8 +91,20 @@ def bpe_tokenize(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def load_merges(path: Optional[str] = None) -> list[tuple[str, str]]:
-    with open(path or MERGES_PATH) as f:
-        return [tuple(m) for m in json.load(f)["merges"]]
+    if path is not None:
+        with open(path) as f:
+            return [tuple(m) for m in json.load(f)["merges"]]
+    # importlib.resources (not open(MERGES_PATH)): a --py-files
+    # deployment imports the package FROM THE ZIP, where a filesystem
+    # path into the package directory does not exist
+    from importlib import resources
+
+    raw = (
+        resources.files("pyhctsa_spark.resources")
+        .joinpath("bpe_merges.json")
+        .read_text()
+    )
+    return [tuple(m) for m in json.loads(raw)["merges"]]
 
 
 def bpe_token_count(

@@ -22,7 +22,12 @@ def build(out_path: str = OUT) -> str:
     entries = []
     for dirpath, _, filenames in os.walk(pkg_root):
         for fn in filenames:
-            if not fn.endswith(".py"):
+            # .py modules plus committed data resources (resources/
+            # *.json — the BPE merges table is loaded via
+            # importlib.resources, which reads from the zip)
+            if not (fn.endswith(".py") or fn.endswith(".json")):
+                continue
+            if "__pycache__" in dirpath:
                 continue
             full = os.path.join(dirpath, fn)
             entries.append((os.path.relpath(full, REPO), full))

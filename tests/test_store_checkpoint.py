@@ -107,13 +107,18 @@ def test_packaged_zip_imports_and_job_cli_runs(spark, tmp_path):
     probe = subprocess.run(
         [sys.executable, "-c",
          "import sys; sys.path.insert(0, sys.argv[1]); "
+         "sys.path = [p for p in sys.path if p not in ('', '/root/repo')]; "
          "import pyhctsa_spark.functions.kernels as K; import numpy as np; "
-         "print(K.mean_(np.arange(10.0)))",
+         "print(K.mean_(np.arange(10.0))); "
+         # data resources must load from INSIDE the zip too
+         # (importlib.resources, not a filesystem path)
+         "from pyhctsa_spark.operators.bpe import load_merges; "
+         "print(len(load_merges()) > 0)",
          zip_path],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, cwd=str(tmp_path),
     )
     assert probe.returncode == 0, probe.stderr[-500:]
-    assert probe.stdout.strip() == "4.5"
+    assert probe.stdout.split() == ["4.5", "True"]
 
     from pyhctsa_spark.sources.synthetic import sequences_df
 
