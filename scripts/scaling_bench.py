@@ -129,6 +129,17 @@ def main() -> None:
     # minute timescales, so measuring the two arms back-to-back inside
     # each round (and taking the best round's PAIRED ratio) removes the
     # time-asymmetry bias that hits whichever arm runs later.
+    # Same-session HOST envelope: a pure-python CPU burn at N vs 4N
+    # procs bounds what ANY workload can score on this box (frequency
+    # scaling drops per-core clocks as workers grow; on an idle host
+    # the N-proc arm boosts higher, lowering the ratio for everything).
+    # The engine claim is "no parallel overhead of its own": its
+    # efficiency should track the envelope, whatever the envelope is.
+    # Measured INSIDE each round (right after the two engine arms) so
+    # every efficiency reading carries the envelope of its own host
+    # state, not a stale end-of-session one.
+    from burn_envelope import aggregate_rate  # noqa: E402 (sibling script)
+
     rounds = []
     pts = None
     rlo = rhi = None
@@ -138,12 +149,18 @@ def main() -> None:
         t_lo = min(r["wall"] for r in rlo["runs"])
         t_hi = min(r["wall"] for r in rhi["runs"])
         pts = rlo["points"]
+        env = aggregate_rate(N_HIGH) / (4.0 * aggregate_rate(N_LOW))
+        eff = t_lo / (4 * t_hi)
         rounds.append({"t_low": round(t_lo, 2), "t_high": round(t_hi, 2),
-                       "eff": round(t_lo / (4 * t_hi), 3),
+                       "eff": round(eff, 3),
+                       "envelope": round(env, 3),
+                       "eff_vs_envelope": round(eff / env, 3),
                        "host": host_quietness()})
         print(f"round {rnd}: {rounds[-1]}", flush=True)
     best = max(rounds, key=lambda r: r["eff"])
     tlo, thi, eff = best["t_low"], best["t_high"], best["eff"]
+    envelope = best["envelope"]
+    env_rounds = [r["envelope"] for r in rounds]
     summary = {
         "family": FAMILY,
         "n_docs": N_DOCS,
@@ -158,9 +175,14 @@ def main() -> None:
         "gate_ge_0.8": eff >= 0.8,
         "windows_equal": rlo["runs"][0]["windows"] == rhi["runs"][0]["windows"],
         "host_before": q_before,
+        "host_envelope_eff": envelope,
+        "host_envelope_rounds": env_rounds,
+        "eff_vs_envelope": round(eff / envelope, 3) if envelope else None,
         "rounds": rounds,
     }
     print(json.dumps(summary, indent=2))
+    if os.environ.get("SCALING_SKIP_MD"):  # smoke runs: don't pollute BENCH.md
+        return
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
             f"\n## Scaling run (family={FAMILY}, n_docs={N_DOCS}, "
@@ -172,7 +194,9 @@ def main() -> None:
             f"**efficiency = T_N / (4 * T_4N) = {eff:.3f}** "
             f"({'PASS' if eff >= 0.8 else 'FAIL'} vs >= 0.8 gate); "
             f"identical window counts at both levels: "
-            f"{summary['windows_equal']}\n"
+            f"{summary['windows_equal']}; same-session host burn "
+            f"envelope ({N_LOW}v{N_HIGH} pure-python) = {envelope:.3f}, "
+            f"engine/envelope = {summary['eff_vs_envelope']}\n"
         )
 
 
