@@ -8856,3 +8856,108 @@ WITH r AS (
 SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3
 """,
 )
+
+
+# Cross-source distribution drift (Jensen-Shannon divergence, bits):
+# the standard monitor a training pipeline runs when a new crawl slice
+# lands — how far has each source's token distribution moved from the
+# others? JSD = (KL(P||M) + KL(Q||M)) / 2 with M = (P+Q)/2 over the
+# UNION vocabulary (tokens absent from one side contribute their full
+# 0.5*p*log2(2) mass, so partial-overlap vocabularies are handled
+# exactly — no smoothing needed since JSD is finite at q=0).
+# Plan shape at scale: one shuffle to (source, tok) counts, then the
+# tiny source-pair table (s*(s-1)/2 rows) broadcast against the count
+# table and re-grouped — vocabulary is never collected, and nothing is
+# quadratic in tokens. Integer counts divide into probabilities only
+# once, so both engines see identical IEEE inputs; the final sum is
+# rounded in-query on both sides.
+QUERIES["source_drift_jsd"] = _q2(
+    """
+WITH series AS (
+  SELECT concat('evt', CAST(pmod(user_id, 4) AS STRING)) AS source,
+         CAST(round(value) AS INT) AS tok
+  FROM events
+),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM series GROUP BY source, tok),
+t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+      FROM c GROUP BY source),
+probs AS (
+  SELECT c.source, c.tok,
+         CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS pr
+  FROM c JOIN t ON c.source = t.source
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM c) a
+  JOIN (SELECT DISTINCT source FROM c) b ON a.source < b.source
+),
+u AS (
+  SELECT pr.sa, pr.sb, x.tok,
+         sum(CASE WHEN x.source = pr.sa THEN x.pr
+                  ELSE CAST(0 AS DOUBLE) END) AS p,
+         sum(CASE WHEN x.source = pr.sb THEN x.pr
+                  ELSE CAST(0 AS DOUBLE) END) AS q
+  FROM pairs pr JOIN probs x ON x.source IN (pr.sa, pr.sb)
+  GROUP BY pr.sa, pr.sb, x.tok
+)
+SELECT sa, sb,
+       CAST(count(*) AS BIGINT) AS union_tokens,
+       CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_tokens,
+       round(sum(
+           CASE WHEN p > 0
+                THEN 0.5 * p * ln(CAST(2 AS DOUBLE) * p / (p + q))
+                ELSE CAST(0 AS DOUBLE) END
+         + CASE WHEN q > 0
+                THEN 0.5 * q * ln(CAST(2 AS DOUBLE) * q / (p + q))
+                ELSE CAST(0 AS DOUBLE) END
+       ) / ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits
+FROM u
+GROUP BY sa, sb
+""",
+    """
+WITH series AS (
+  SELECT 'evt' || CAST(user_id % 4 AS VARCHAR) AS source,
+         CAST(round(value) AS INTEGER) AS tok
+  FROM events
+),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM series GROUP BY source, tok),
+t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+      FROM c GROUP BY source),
+probs AS (
+  SELECT c.source, c.tok,
+         CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS pr
+  FROM c JOIN t ON c.source = t.source
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM c) a
+  JOIN (SELECT DISTINCT source FROM c) b ON a.source < b.source
+),
+u AS (
+  SELECT pr.sa, pr.sb, x.tok,
+         sum(CASE WHEN x.source = pr.sa THEN x.pr
+                  ELSE CAST(0 AS DOUBLE) END) AS p,
+         sum(CASE WHEN x.source = pr.sb THEN x.pr
+                  ELSE CAST(0 AS DOUBLE) END) AS q
+  FROM pairs pr JOIN probs x ON x.source IN (pr.sa, pr.sb)
+  GROUP BY pr.sa, pr.sb, x.tok
+)
+SELECT sa, sb,
+       CAST(count(*) AS BIGINT) AS union_tokens,
+       CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_tokens,
+       round(sum(
+           CASE WHEN p > 0
+                THEN 0.5 * p * ln(CAST(2 AS DOUBLE) * p / (p + q))
+                ELSE CAST(0 AS DOUBLE) END
+         + CASE WHEN q > 0
+                THEN 0.5 * q * ln(CAST(2 AS DOUBLE) * q / (p + q))
+                ELSE CAST(0 AS DOUBLE) END
+       ) / ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits
+FROM u
+GROUP BY sa, sb
+""",
+)
