@@ -38,9 +38,11 @@ def cooccurrence_edges(
     value_col: str = "value",
 ) -> DataFrame:
     """Weighted ordered skip-gram edges (x, y, weight) over each key's
-    token series: one window pass per offset (lead), one hash
-    aggregation. Map-side partial sums make the shuffle O(distinct
-    pairs) regardless of corpus length."""
+    token series: ONE window pass computes all ``max_dist`` leads in a
+    single sort (a per-offset union would re-sort the corpus per offset
+    — ReuseExchange dedupes the shuffle but not the sorts), then one
+    explode + hash aggregation. Map-side partial sums make the shuffle
+    O(distinct pairs) regardless of corpus length."""
     tok = F.round(F.col(value_col).cast("double")).cast("long")
     base = events_series.select(
         F.col(key_col).alias("k"), F.col(order_col).alias("o"),
@@ -49,15 +51,17 @@ def cooccurrence_edges(
     from pyspark.sql import Window
 
     w = Window.partitionBy("k").orderBy("o")
-    parts = [
-        base.select("x", F.lead("x", d).over(w).alias("y"))
-        for d in range(1, max_dist + 1)
-    ]
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
+    leads = base.select(
+        "x",
+        F.array(
+            *[F.lead("x", d).over(w) for d in range(1, max_dist + 1)]
+        ).alias("ys"),
+    )
+    # explode emits null ELEMENTS (it only skips null/empty arrays):
+    # trailing positions yield null leads, filtered below
     return (
-        pairs.where(F.col("y").isNotNull())
+        leads.select("x", F.explode("ys").alias("y"))
+        .where(F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("weight"))
     )
