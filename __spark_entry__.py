@@ -438,6 +438,30 @@ def _minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(docs, threshold=0.3)
 
 
+def _minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening (operators/dedup_index.py): build
+    the persistent MinHash-LSH index over the base 4/5 of the corpus,
+    then probe the remaining 1/5 as the "new crawl batch" — the index's
+    bands scan is joined map-side against the broadcast delta bands, so
+    the indexed corpus is never shuffled. Verification is exact shingle
+    Jaccard, so the DuckDB oracle is the exhaustive cross-side
+    exact-Jaccard pair set (full LSH recall at this corpus's J>=0.9
+    near-dups, same argument as minhash_dedup_pairs)."""
+    import tempfile
+
+    from pyhctsa_spark.operators.dedup_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+    path = tempfile.mkdtemp(prefix="mh_index_") + "/idx"
+    build_minhash_index(base, path, threshold=0.3)
+    return query_minhash_index(delta, path, base)
+
+
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-bit SimHash + 4x16-bit pigeonhole blocking — the scale-safe
     default tier (65,536 buckets per chunk, full recall at hamming<=3;
@@ -1748,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by-construction golden — the framing must be byte-transparent)
     out["doc_html_extract"] = _html_extract_query
     out["doc_warc_html_extract"] = _warc_html_query
+    # incremental MinHash-LSH index (round 5, session 7): persist the
+    # corpus index once, probe each new batch map-side — catalog tail
+    out["minhash_index_delta_pairs"] = _minhash_index_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

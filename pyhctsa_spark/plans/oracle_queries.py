@@ -1875,6 +1875,41 @@ FROM fin
 # equals the exhaustive exact-Jaccard pair set this oracle computes.
 ENGINE_ORACLES["minhash_dedup_pairs"] = QUERIES["doc_ngram_jaccard"]["duck"]
 
+# Incremental MinHash-LSH index probe (operators/dedup_index.py): base
+# 4/5 of the corpus indexed, delta 1/5 probed against it. The engine
+# verifies every LSH candidate with EXACT shingle Jaccard, and this
+# corpus's qualifying cross pairs all have J >= 0.9 (where 32x2 derived
+# banding recall is 1 - (1 - 0.9^2)^32 ~ 1 - 2e-24), so the engine's
+# pair set equals the exhaustive cross-side exact-Jaccard set below.
+ENGINE_ORACLES["minhash_index_delta_pairs"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 2),
+                  idx -> ws[idx] || ' ' || ws[idx + 1] || ' ' || ws[idx + 2])) AS sh
+    FROM words WHERE len(ws) >= 3
+  ) t
+),
+card AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh
+  WHERE a.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.d1, i.d2,
+       round(i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN card ca ON ca.doc_id = i.d1
+JOIN card cb ON cb.doc_id = i.d2
+WHERE i.ic / CAST(ca.c + cb.c - i.ic AS DOUBLE) >= 0.3
+"""
+
 # SimHash near-dup pairs: the engine computes md5-bit SimHash fingerprints
 # (operators/dedup.simhash_md5) with 4x16-bit pigeonhole blocking — the
 # scale-safe default tier (65,536 buckets per chunk, exact full recall at
