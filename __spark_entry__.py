@@ -1658,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_dedup_pairs"] = _minhash_dedup_query
     out["simhash_near_pairs"] = _simhash_query
     out["doc_neardup_clusters"] = _neardup_clusters_query
+    out["minhash_index_delta_pairs"] = _minhash_index_query
     out["knn_ivf"] = _knn_ivf_query
     out["media_features"] = _media_features_query
     out["media_frames"] = _media_frames_query
@@ -1683,10 +1684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct queries; the queries listed here have NEVER been inside
     # the driver's CORRECTNESS artifact (all are continuously
     # value-gated by scripts/check_oracle.py regardless). NOTE: the
-    # head above grew to 23 entries (media_compressed_decode,
-    # wet_ingest, doc_dsir_select — themselves never-graded round-5
-    # additions), so the LAST 3 of these 30 (user_rangeevolve,
-    # user_binarystats_diff, user_timerev1) land at positions 51-53,
+    # head above grew to 24 entries (media_compressed_decode,
+    # wet_ingest, doc_dsir_select, minhash_index_delta_pairs —
+    # themselves never-graded round-5 additions), so the LAST 4 of
+    # these 30 (user_localdists, user_rangeevolve,
+    # user_binarystats_diff, user_timerev1) land at positions 51-54,
     # outside this round's window — they lead the round-6 rotation. Families: spectral DFT,
     # wavelets, transition matrices, walker/surprise dynamics,
     # entropies (ApEn/MSE/RPDE/MS-Shannon), DFA, HRV, AMI stats,
@@ -1772,9 +1774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by-construction golden — the framing must be byte-transparent)
     out["doc_html_extract"] = _html_extract_query
     out["doc_warc_html_extract"] = _warc_html_query
-    # incremental MinHash-LSH index (round 5, session 7): persist the
-    # corpus index once, probe each new batch map-side — catalog tail
-    out["minhash_index_delta_pairs"] = _minhash_index_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)
