@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -133,6 +134,78 @@ def read_index_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _swap_names(d: str) -> tuple[str, str]:
+    """Hidden tmp/old sibling names for the compact swap — same
+    convention as operators/compaction.py, so a half-swapped table can
+    never be mistaken for the live one."""
+    parent, base = os.path.dirname(d), os.path.basename(d)
+    return (
+        os.path.join(parent, f"_compact_tmp.{base}"),
+        os.path.join(parent, f"_compact_old.{base}"),
+    )
+
+
+def _recover_index(path: str) -> None:
+    """Repair leftovers from a compact_minhash_index crash: tmp exists
+    (crash before swap) -> drop; old exists and live missing (crash
+    between renames) -> restore; both exist (crash before cleanup) ->
+    drop old. Called by every entry point that touches the index."""
+    for table in ("sigs", "bands"):
+        d = os.path.join(path, table)
+        tmp, old = _swap_names(d)
+        if os.path.exists(old) and not os.path.exists(d):
+            os.rename(old, d)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Rewrite the index in place: de-duplicate rows left by replayed
+    appends (crash between an append and its commit marker) and, when
+    ``drop_ids`` is given, ERASE those documents from the index — the
+    right-to-be-forgotten path (operators/deletion.py removes the
+    documents; this removes their searchability). Atomic per table via
+    the tmp/old rename swap (crash-recoverable, see _recover_index);
+    a reader holding the old DataFrame may need to re-read after the
+    swap — same single-writer convention as the chunk-store compactor.
+
+    Returns {table: (rows_before, rows_after)} lineage counts.
+    """
+    _recover_index(path)
+    stats: dict = {}
+    drops = (
+        F.broadcast(drop_ids.select(F.col(id_col).alias("doc_id")).distinct())
+        if drop_ids is not None else None
+    )
+    for table in ("sigs", "bands"):
+        d = os.path.join(path, table)
+        df = spark.read.parquet(d)
+        before = df.count()
+        if table == "sigs":
+            # one signature per doc: crash-replayed appends duplicate
+            # whole rows, so any representative per id is exact
+            clean = df.dropDuplicates(["doc_id"])
+        else:
+            clean = df.dropDuplicates(["band_id", "band_hash", "doc_id"])
+        if drops is not None:
+            clean = clean.join(drops, "doc_id", "left_anti")
+        tmp, old = _swap_names(d)
+        clean.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        stats[table] = (int(before), int(after))
+    return stats
+
+
 def append_to_minhash_index(
     df: DataFrame,
     path: str,
@@ -144,7 +217,9 @@ def append_to_minhash_index(
     the INDEX's own parameters (read from meta — a mismatched banding
     would silently miss every cross-batch pair). Caller contract: ids
     not already present (re-appending a doc duplicates its band rows;
-    query-time pair dedup keeps results correct but wastes probes)."""
+    query-time pair dedup keeps results correct but wastes probes —
+    compact_minhash_index cleans them up)."""
+    _recover_index(path)
     meta = read_index_meta(path)
     sigs = minhash_signatures(
         df, text_col, id_col, meta["num_hashes"], meta["shingle_k"]
@@ -180,6 +255,7 @@ def query_minhash_index(
     the delta and its candidates.
     """
     spark: SparkSession = delta.sparkSession
+    _recover_index(path)
     meta = read_index_meta(path)
     if threshold is None:
         threshold = float(meta["threshold"])

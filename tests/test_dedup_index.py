@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from pyhctsa_spark.operators.dedup import minhash_verified_pairs
 from pyhctsa_spark.operators.dedup_index import (
+    _swap_names,
     append_to_minhash_index,
     build_minhash_index,
+    compact_minhash_index,
     query_minhash_index,
     read_index_meta,
 )
@@ -115,6 +117,55 @@ def test_bad_explicit_banding_rejected(spark, corpus, tmp_path):
     base, _ = corpus
     with pytest.raises(ValueError, match="do not divide"):
         build_minhash_index(base, str(tmp_path / "x"), bands=7)
+
+
+def test_compact_dedupes_replayed_appends_and_erases(spark, corpus, tmp_path):
+    base, delta = corpus
+    path = str(tmp_path / "idx")
+    build_minhash_index(base, path, threshold=0.3)
+    # a crash-replayed append: the same batch lands twice
+    append_to_minhash_index(delta, path)
+    append_to_minhash_index(delta, path)
+    bands = spark.read.parquet(path + "/bands")
+    dup_rows = bands.count()
+    stats = compact_minhash_index(spark, path)
+    assert stats["bands"][0] == dup_rows
+    assert stats["bands"][1] < dup_rows  # duplicates gone
+    clean = spark.read.parquet(path + "/bands")
+    assert clean.count() == clean.dropDuplicates().count()
+    # probe results unchanged by compaction
+    got = _pairs_set(query_minhash_index(
+        base.where("doc_id = 7")
+        .withColumn("doc_id", F.lit(100).cast("long")),
+        path, base.unionByName(delta),
+    ))
+    assert (7, 100, 1.0) in got
+    # erasure: doc 7 dropped from the index stops matching
+    drop = spark.createDataFrame([(7,)], "doc_id long")
+    compact_minhash_index(spark, path, drop_ids=drop)
+    got2 = _pairs_set(query_minhash_index(
+        base.where("doc_id = 7")
+        .withColumn("doc_id", F.lit(100).cast("long")),
+        path, base.unionByName(delta),
+    ))
+    assert all(d1 != 7 for d1, _d2, _j in got2)
+    assert spark.read.parquet(path + "/sigs").where(
+        "doc_id = 7"
+    ).count() == 0
+
+
+def test_crash_recovery_restores_live_tables(spark, corpus, tmp_path):
+    base, _ = corpus
+    path = str(tmp_path / "idx")
+    build_minhash_index(base, path, threshold=0.3)
+    live = os.path.join(path, "bands")
+    tmp, old = _swap_names(live)
+    # simulate a crash between the two renames: live missing, old present
+    os.rename(live, old)
+    assert not os.path.exists(live)
+    stats = compact_minhash_index(spark, path)  # entry recovers first
+    assert os.path.exists(live) and not os.path.exists(old)
+    assert stats["bands"][1] > 0
 
 
 def test_probe_plan_never_shuffles_the_index(spark, corpus, tmp_path):
