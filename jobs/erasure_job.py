@@ -40,6 +40,9 @@ def parse_args(argv):
                    help="(tier, chunk)-partitioned rollup store path")
     p.add_argument("--cagg-store", default=None,
                    help="CaggSnapshotStore path (mutually exclusive)")
+    p.add_argument("--minhash-index", default=None,
+                   help="dedup_index path: erase the ids' searchability "
+                        "(compact_minhash_index drop rewrite)")
     p.add_argument("--ids", default=None, help="comma-separated ids")
     p.add_argument("--ids-file", default=None, help="one id per line")
     p.add_argument("--id-col", default="doc_id")
@@ -49,8 +52,12 @@ def parse_args(argv):
                    help="cagg store: keep time-travel snapshots (audit "
                         "mode) instead of purging them")
     args = p.parse_args(argv)
-    if bool(args.store) == bool(args.cagg_store):
-        p.error("exactly one of --store / --cagg-store is required")
+    n_targets = sum(
+        1 for t in (args.store, args.cagg_store, args.minhash_index) if t
+    )
+    if n_targets != 1:
+        p.error("exactly one of --store / --cagg-store / --minhash-index "
+                "is required")
     if bool(args.ids) == bool(args.ids_file):
         p.error("exactly one of --ids / --ids-file is required")
     return args
@@ -78,6 +85,45 @@ def main(argv=None) -> int:
             "rows_deleted": info["rows_deleted"],
             "touched_chunks": len(info["touched_chunks"]),
             "chunks_removed": len(info["chunks_removed"]),
+            "rows_remaining": int(left),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps(out))
+        return 0 if left == 0 else 2
+    if args.minhash_index:
+        from pyspark.sql import functions as F
+
+        from pyhctsa_spark.operators.dedup_index import (
+            compact_minhash_index,
+            read_index_meta,
+        )
+
+        # ids coerced to the index's recorded id type (same rationale
+        # as the cagg key coercion below)
+        if read_index_meta(args.minhash_index)["id_type"] in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            typed_ids: list = [int(i) for i in ids]
+        else:
+            typed_ids = list(ids)
+        drop = spark.createDataFrame(
+            [(i,) for i in typed_ids],
+            f"doc_id {'long' if isinstance(typed_ids[0], int) else 'string'}",
+        )
+        stats = compact_minhash_index(
+            spark, args.minhash_index, drop_ids=drop, id_col="doc_id"
+        )
+        left = sum(
+            spark.read.parquet(f"{args.minhash_index}/{t}")
+            .where(F.col("doc_id").cast("string").isin(
+                [str(i) for i in typed_ids]))
+            .count()
+            for t in ("sigs", "bands")
+        )
+        out = {
+            "minhash_index": args.minhash_index,
+            "n_ids": len(ids),
+            "sigs": stats["sigs"], "bands": stats["bands"],
             "rows_remaining": int(left),
             "wall_sec": round(time.perf_counter() - t0, 3),
         }

@@ -162,3 +162,29 @@ def test_erasure_job_cli_cagg_store(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["states_deleted"] > 0 and out["states_remaining"] == 0
     assert out["history_purged"] is True
+
+
+def test_erasure_job_cli_minhash_index(spark, tmp_path, capsys):
+    import json
+
+    from jobs.erasure_job import main
+    from pyhctsa_spark.operators.dedup_index import build_minhash_index
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[(i + j) % 6] + str((i * 7 + j) % 23)
+                         for j in range(12)), "s")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(docs, idx, threshold=0.3)
+    rc = main(["--minhash-index", idx, "--ids", "3,5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_remaining"] == 0 and out["n_ids"] == 2
+    assert out["sigs"][1] == out["sigs"][0] - 2  # two docs erased
+    # untouched docs still searchable
+    assert spark.read.parquet(idx + "/sigs").count() == 6
