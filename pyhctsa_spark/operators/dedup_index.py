@@ -108,14 +108,20 @@ def build_minhash_index(
         if num_hashes % bands:
             raise ValueError(f"{bands} bands do not divide {num_hashes}")
         rpb = num_hashes // bands
+    # persist the shingle table before the signature explode: without
+    # the cache boundary, InferFiltersFromGenerate pushes a size(sh)>0
+    # predicate into the scan and every shingle is BUILT TWICE
+    # (measured 2x the whole build)
+    sh = _shingle_df(df, text_col, id_col, shingle_k).persist()
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k
+        df, text_col, id_col, num_hashes, shingle_k, shingles=sh
     ).persist()
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     _band_table(sigs, id_col, bands, rpb).write.mode("overwrite").parquet(
         os.path.join(path, "bands")
     )
     sigs.unpersist()
+    sh.unpersist()
     meta = {
         "num_hashes": int(num_hashes),
         "bands": int(bands),
@@ -221,14 +227,17 @@ def append_to_minhash_index(
     compact_minhash_index cleans them up)."""
     _recover_index(path)
     meta = read_index_meta(path)
+    sh = _shingle_df(df, text_col, id_col, meta["shingle_k"]).persist()
     sigs = minhash_signatures(
-        df, text_col, id_col, meta["num_hashes"], meta["shingle_k"]
+        df, text_col, id_col, meta["num_hashes"], meta["shingle_k"],
+        shingles=sh,
     ).persist()
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
     _band_table(
         sigs, id_col, meta["bands"], meta["rows_per_band"]
     ).write.mode("append").parquet(os.path.join(path, "bands"))
     sigs.unpersist()
+    sh.unpersist()
 
 
 def query_minhash_index(
