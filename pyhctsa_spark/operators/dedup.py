@@ -120,6 +120,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs,
     with the signature-estimated Jaccard attached.
@@ -146,6 +147,8 @@ def minhash_lsh_candidates(
     # aliases below would otherwise recompute the full signature pipeline
     # (at warehouse scale this is the persisted signature table)
     banded = banded.persist()
+    if cleanup is not None:
+        cleanup.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -252,6 +255,7 @@ def _verified_pairs_core(
     bands: int | None,
     shingle_k: int,
     threshold: float,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """The naive (no exact-collapse) LSH + verify pipeline; see
     ``minhash_verified_pairs`` for the contract."""
@@ -260,11 +264,13 @@ def _verified_pairs_core(
     # the shingle table feeds the signature build AND both sides of the
     # verify join — materialize once so the corpus is tokenized ONCE
     sh_df = _shingle_df(df, text_col, id_col, shingle_k).persist()
+    if cleanup is not None:
+        cleanup.append(sh_df)
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, shingles=sh_df
     )
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, num_hashes // bands
+        sigs, id_col, bands, num_hashes // bands, cleanup=cleanup
     ).select("id_a", "id_b")
     a = sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -292,6 +298,7 @@ def minhash_verified_pairs(
     shingle_k: int = 3,
     threshold: float = 0.3,
     collapse_exact: bool = True,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with EXACT shingle Jaccard.
 
@@ -322,7 +329,8 @@ def minhash_verified_pairs(
     """
     if not collapse_exact:
         return _verified_pairs_core(
-            df, text_col, id_col, num_hashes, bands, shingle_k, threshold
+            df, text_col, id_col, num_hashes, bands, shingle_k, threshold,
+            cleanup=cleanup,
         )
     # eligibility mirrors _shingle_df's pre-filter: docs with fewer
     # than k words have no shingles and are absent from naive output —
@@ -331,6 +339,8 @@ def minhash_verified_pairs(
         F.size(F.split(F.col(text_col), " ")) >= shingle_k
     )
     with_rep = _rep_election(eligible, text_col, id_col)
+    if cleanup is not None:
+        cleanup.append(with_rep)
     members = with_rep.select(
         F.col("_rep"), F.col(id_col).alias("_m")
     )
@@ -338,7 +348,8 @@ def minhash_verified_pairs(
         id_col, text_col
     )
     rep_pairs = _verified_pairs_core(
-        reps, text_col, id_col, num_hashes, bands, shingle_k, threshold
+        reps, text_col, id_col, num_hashes, bands, shingle_k, threshold,
+        cleanup=cleanup,
     )
     # cross-group: every member pair across two near-dup groups carries
     # the representatives' exact Jaccard (identical shingle sets)
@@ -839,6 +850,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.3,
     shingle_k: int = 3,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering — the production dedup
     deliverable with LINEAR output size (one (doc_id, cluster_id) row
@@ -860,11 +872,14 @@ def near_dup_clusters(
     threshold buys that completeness with more candidate pairs.
     """
     with_rep = _rep_election(df, text_col, id_col)
+    if cleanup is not None:
+        cleanup.append(with_rep)
     rep_map = with_rep.select(id_col, F.col("_rep").alias("rep_id"))
     reps = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
     pairs = minhash_verified_pairs(
         reps, text_col, id_col, shingle_k=shingle_k, threshold=threshold,
         collapse_exact=False,  # reps are already content-unique
+        cleanup=cleanup,
     )
     comp = dedup_components(
         pairs.select(

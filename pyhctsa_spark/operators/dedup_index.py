@@ -248,6 +248,7 @@ def query_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``delta`` docs and the indexed corpus:
     (d1 = indexed doc, d2 = delta doc, jaccard), exact shingle Jaccard
@@ -262,6 +263,12 @@ def query_minhash_index(
     Plan shape: index ``bands/`` scan joined map-side against the
     broadcast delta band table; every shuffle in the plan is bounded by
     the delta and its candidates.
+
+    The delta shingle table and the candidate pair table are persisted
+    (each feeds two consumers). One-shot callers can ignore that; a
+    caller probing REPEATEDLY in one session (the streaming screen)
+    passes ``cleanup=[]`` and unpersists the collected DataFrames once
+    the result is materialized, so per-batch cache does not accumulate.
     """
     spark: SparkSession = delta.sparkSession
     _recover_index(path)
@@ -294,6 +301,8 @@ def query_minhash_index(
     # the verify join — persist it so the INDEX is scanned once, not
     # once per consumer
     cands = cands.persist()
+    if cleanup is not None:
+        cleanup.extend([d_sh, cands])
 
     # fetch candidate index-doc texts from the base table: broadcast
     # semi-join (candidates are delta-bounded), then shingle just those

@@ -81,10 +81,14 @@ def process_neardup_batch(
     if threshold is None:
         threshold = float(meta["threshold"])
 
-    # 1. intra-batch collapse: one representative per near-dup cluster
+    # 1. intra-batch collapse: one representative per near-dup cluster;
+    # every frame the chain persists is collected for post-commit
+    # unpersist so a long-running stream's cache stays flat per batch
+    probe_cache: list = []
     clusters = near_dup_clusters(
         batch_df, text_col=text_col, id_col=id_col,
         threshold=threshold, shingle_k=meta["shingle_k"],
+        cleanup=probe_cache,
     )
     rep_ids = clusters.groupBy("cluster_id").agg(
         F.min(id_col).alias(id_col)
@@ -121,6 +125,7 @@ def process_neardup_batch(
             query_minhash_index(
                 reps, index_path, corpus,
                 text_col=text_col, id_col=id_col, threshold=threshold,
+                cleanup=probe_cache,
             )
             .select(F.col("d2").alias(id_col))
             .distinct()
@@ -144,6 +149,8 @@ def process_neardup_batch(
         )
     reps.unpersist()
     survivors.unpersist()
+    for df in probe_cache:  # per-batch probe caches must not accumulate
+        df.unpersist()
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:

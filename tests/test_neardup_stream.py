@@ -156,3 +156,18 @@ def test_streaming_query_end_to_end(spark, stores, tmp_path):
     for fam in families:
         assert len(got & fam) == 1, (fam, got)
     assert len(got) == len(families)
+
+
+def test_batches_do_not_accumulate_cache(spark, stores):
+    """A long-running stream must not leak persisted frames batch after
+    batch: the per-batch probe caches are unpersisted once the batch
+    commits, so the session's persistent-RDD census is flat."""
+    idx, sink = stores
+    build_minhash_index(_empty(spark), idx, threshold=0.3)
+    b0, b1, b2 = _batches(spark)
+    process_neardup_batch(b0, 0, index_path=idx, sink_dir=sink)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    process_neardup_batch(b1, 1, index_path=idx, sink_dir=sink)
+    process_neardup_batch(b2, 2, index_path=idx, sink_dir=sink)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
