@@ -1639,6 +1639,27 @@ def _dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(docs).select("doc_id", "source", "split")
 
 
+def _sample_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-source sampling
+    (curation.corpus_sample): k smallest md5 hashes per group; the
+    rn<=k filter compiles to WindowGroupLimit partial top-k, so the
+    shuffle carries O(groups x k) rows per task at any corpus size."""
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_sample(docs, k=10)
+
+
+def _sample_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (curation.corpus_sample, weight = n_chars): exponential-clock keys
+    -ln(u)/w, k smallest per source, round(key,12)+doc_id rank ties."""
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_sample(docs, k=10, weight_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Engine/flagship queries FIRST: the driver scores the first 50
     # entries in insertion order, and these are the headline claims.
@@ -1739,6 +1760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-5 late additions: LM-perplexity quality gate, hash split,
     # G.711/ADPCM compressed-audio decode
     out["doc_lm_ppl"] = _lm_ppl_query
+    # deterministic corpus sampling (round-5 session 8): uniform and
+    # Efraimidis–Spirakis weighted k-per-source — catalog tail
+    out["doc_sample_k"] = _sample_k_query
+    out["doc_sample_weighted"] = _sample_weighted_query
     out["doc_split"] = _dataset_split_query
     out["media_audio_compressed"] = _media_audio_query
     out["media_flac_decode"] = _media_flac_query

@@ -293,6 +293,65 @@ def dataset_split(
     return df.withColumn("split", expr)
 
 
+def corpus_sample(
+    df: DataFrame,
+    k: int,
+    by: str = "source",
+    weight_col: str | None = None,
+    salt: str = "sample:",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform / weighted sampling without replacement:
+    exactly ``k`` rows per ``by`` group (fewer if the group is smaller).
+
+    Unweighted: keep the k smallest md5(salt || doc_id) hashes per
+    group — a uniform k-subset that is reproducible across runs,
+    retries, and cluster sizes (the distributed analogue of
+    rng.choice(group, k, replace=False)).
+
+    Weighted (Efraimidis–Spirakis A-ES via exponential clocks): each
+    row draws u = (md5_u32 + 0.5) / 2^32 and is ranked by
+    key = -ln(u) / w ascending — equivalent to the classic top-k by
+    u^(1/w), and P(inclusion) is exactly the successive
+    weighted-without-replacement draw probability. Rows with w <= 0 or
+    NULL are never sampled (their clock never fires). Ranking compares
+    round(key, 12) with a doc_id tie-break so the engine and the DuckDB
+    oracle can never disagree on a libm-ULP boundary.
+
+    Scale: the only shuffle is the per-group window, and the
+    ``rn <= k`` filter is recognized by Spark's InferWindowGroupLimit
+    rule — each map task ships only its LOCAL top-k per group
+    (WindowGroupLimit(Partial) before the exchange, Final after), so
+    the shuffle volume is O(groups x k x tasks), not O(rows), no matter
+    how big the corpus is. ``tests/test_curation.py`` pins the
+    WindowGroupLimit plan shape.
+    """
+    u = md5_u32(F.col(doc_col), salt).alias("sample_u32")
+    cols = [F.col(doc_col).alias("doc_id"), F.col(by).alias(by), u]
+    if weight_col is None:
+        keyed = df.select(*cols)
+        order = [F.col("sample_u32").asc(), F.col("doc_id").asc()]
+    else:
+        uu = (F.col("sample_u32").cast("double") + F.lit(0.5).cast("double")) / F.lit(
+            4294967296.0
+        ).cast("double")
+        keyed = (
+            df.where(F.col(weight_col).cast("double") > 0)
+            .select(*cols, F.col(weight_col).cast("double").alias("_w"))
+            .withColumn("sample_key", -F.log(uu) / F.col("_w"))
+            .drop("_w")
+        )
+        order = [F.round("sample_key", 12).asc(), F.col("doc_id").asc()]
+    w = Window.partitionBy(by).orderBy(*order)
+    out = (
+        keyed.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+    if weight_col is not None:
+        out = out.withColumn("sample_key", F.round("sample_key", 6))
+    return out
+
+
 def passage_dedup_stats(
     df: DataFrame,
     block_words: int = 8,

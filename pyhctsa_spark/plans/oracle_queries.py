@@ -7797,6 +7797,45 @@ SELECT doc_id, source,
 FROM documents
 """
 
+# corpus_sample (operators/curation.py): deterministic k-per-source
+# sampling. Unweighted = k smallest md5 hashes (uniform without
+# replacement); weighted = Efraimidis–Spirakis exponential clocks
+# key = -ln((u32+0.5)/2^32) / n_chars, k smallest. Ranking compares
+# round(key, 12) with a doc_id tie-break on BOTH engines so a libm-ULP
+# difference in ln() can never flip the k-th/(k+1)-th boundary.
+ENGINE_ORACLES["doc_sample_k"] = f"""
+WITH s AS (
+  SELECT doc_id, source, {_duck_md5_u32("doc_id", "sample:")} AS sample_u32
+  FROM documents
+), r AS (
+  SELECT doc_id, source, sample_u32,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY sample_u32, doc_id) AS BIGINT) AS rn
+  FROM s
+)
+SELECT doc_id, source, sample_u32, rn FROM r WHERE rn <= 10
+"""
+
+ENGINE_ORACLES["doc_sample_weighted"] = f"""
+WITH s AS (
+  SELECT doc_id, source, {_duck_md5_u32("doc_id", "sample:")} AS sample_u32,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+  WHERE n_chars > 0
+), kx AS (
+  SELECT doc_id, source, sample_u32,
+         -ln((CAST(sample_u32 AS DOUBLE) + 0.5) / 4294967296.0) / w AS key
+  FROM s
+), r AS (
+  SELECT doc_id, source, sample_u32, key,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY round(key, 12), doc_id) AS BIGINT) AS rn
+  FROM kx
+)
+SELECT doc_id, source, sample_u32, round(key, 6) AS sample_key, rn
+FROM r WHERE rn <= 10
+"""
+
 # media_audio_compressed: golden parquet written by
 # scripts/gen_media_audio_golden.py — an INDEPENDENT scalar
 # implementation of the G.711 mu-law/A-law expansion and the IMA ADPCM

@@ -321,3 +321,110 @@ def test_temperature_mix_rates_and_determinism(spark):
     # tau=1 keeps natural proportions (rate 1 everywhere)
     assert temperature_mix(df, tau=1.0).count() == 1000
     out.unpersist()
+
+
+# --- corpus_sample: deterministic uniform / ES-weighted k-per-group ---------
+
+def _md5_u32_py(s: str, salt: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:8], 16)
+
+
+def test_corpus_sample_uniform_matches_bruteforce(spark, docs):
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    got = corpus_sample(docs, k=5).toPandas()
+    rows = docs.select("doc_id", "source").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (_md5_u32_py(str(r["doc_id"]), "sample:"), r["doc_id"])
+        )
+    want = set()
+    for src, lst in by_src.items():
+        for rn, (u, d) in enumerate(sorted(lst)[:5], start=1):
+            want.add((d, src, u, rn))
+    assert set(map(tuple, got[["doc_id", "source", "sample_u32", "rn"]]
+                   .itertuples(index=False))) == want
+
+
+def test_corpus_sample_weighted_matches_bruteforce(spark, docs):
+    import math
+
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    wdf = docs.withColumn("wt", (F.col("doc_id") % 7 + 1).cast("double"))
+    got = corpus_sample(wdf, k=4, weight_col="wt").toPandas()
+    by_src = {}
+    for r in wdf.select("doc_id", "source", "wt").collect():
+        u = _md5_u32_py(str(r["doc_id"]), "sample:")
+        key = -math.log((u + 0.5) / 4294967296.0) / r["wt"]
+        by_src.setdefault(r["source"], []).append(
+            (round(key, 12), r["doc_id"], u, key)
+        )
+    want = set()
+    for src, lst in by_src.items():
+        for rn, (_k12, d, u, key) in enumerate(sorted(lst)[:4], start=1):
+            want.add((d, src, u, round(key, 6), rn))
+    assert set(map(tuple,
+                   got[["doc_id", "source", "sample_u32", "sample_key", "rn"]]
+                   .itertuples(index=False))) == want
+
+
+def test_corpus_sample_exact_k_and_partitioning_invariance(spark, docs):
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    out = corpus_sample(docs, k=7).toPandas()
+    assert (out.groupby("source")["rn"].count() == 7).all()
+    assert (out.groupby("source")["rn"].max() == 7).all()
+    again = corpus_sample(docs.repartition(13), k=7).toPandas()
+    a = sorted(map(tuple, out[["doc_id", "rn"]].itertuples(index=False)))
+    b = sorted(map(tuple, again[["doc_id", "rn"]].itertuples(index=False)))
+    assert a == b
+
+
+def test_corpus_sample_zero_weight_rows_never_sampled(spark, docs):
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    wdf = docs.withColumn(
+        "wt", F.when(F.col("doc_id") % 2 == 0, 0.0).otherwise(1.0)
+    )
+    out = corpus_sample(wdf, k=100, weight_col="wt").toPandas()
+    assert (out["doc_id"] % 2 == 1).all()
+    # groups smaller than k return every eligible row, ranked
+    eligible = docs.where(F.col("doc_id") % 2 == 1).groupBy("source").count()
+    want = {r["source"]: r["count"] for r in eligible.collect()}
+    got = out.groupby("source")["rn"].count().to_dict()
+    assert got == want
+
+
+def test_corpus_sample_weighted_inclusion_tracks_weight(spark):
+    """Across many salts, a 9x-weight doc must be sampled far more
+    often than a 1x doc (ES property; exact probabilities are checked
+    by the brute-force test, this pins the direction at scale)."""
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    rows = [(i, "s", 9.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, wt double")
+    heavy = light = 0
+    for trial in range(30):
+        out = corpus_sample(df, k=10, weight_col="wt",
+                            salt=f"t{trial}:").toPandas()
+        heavy += int((out["doc_id"] < 10).sum())
+        light += int((out["doc_id"] >= 10).sum())
+    # 10 heavy docs hold 50% of total weight: expect roughly half of
+    # each draw despite being 10% of the rows
+    assert heavy > 3.0 * (light / 9.0) * 2.0
+
+
+def test_corpus_sample_plan_uses_window_group_limit(spark, docs):
+    """The rn<=k filter must compile to a partial (pre-shuffle) top-k:
+    WindowGroupLimit both before and after the Exchange, so the shuffle
+    ships O(k) rows per (task, group) at any corpus size."""
+    from pyhctsa_spark.operators.curation import corpus_sample
+
+    plan = corpus_sample(docs, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan.split("Exchange")[-1], plan
