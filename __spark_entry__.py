@@ -1629,6 +1629,27 @@ def _dsir_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/search.py bm25_topk) for the
+    query {dup, spark, hash, join}: Lucene-variant idf, k1=1.2 b=0.75.
+    Query-term filter runs on the token ARRAY before explode, df_t and
+    the 1-row corpus stats broadcast, top-k = TakeOrderedAndProject."""
+    from pyhctsa_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["dup", "spark", "hash", "join"], k=10)
+
+
+def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (search.tfidf_keywords):
+    tf * ln(N/df), per-doc WindowGroupLimit partial top-k so the window
+    shuffle ships O(docs x 3) rows at any vocabulary size."""
+    from pyhctsa_spark.operators.search import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, top_n=3)
+
+
 def _dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-range train/val/test split
     (curation.dataset_split): integer md5 thresholds, insertion-stable,
@@ -1799,6 +1820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by-construction golden — the framing must be byte-transparent)
     out["doc_html_extract"] = _html_extract_query
     out["doc_warc_html_extract"] = _warc_html_query
+    # full-text relevance search (operators/search.py, round-5
+    # session 8): BM25 top-k + TF-IDF keywords — catalog tail
+    out["doc_bm25_topk"] = _bm25_query
+    out["doc_tfidf_keywords"] = _tfidf_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -740,7 +740,9 @@ def bench_queries(spark) -> dict:
                     "rollup_fused", "doc_temperature_mix",
                     "user_token_pagerank", "user_head_mass",
                     "emb_norm_stats", "doc_sample_per_source",
-                    "doc_warc_html_extract")
+                    "doc_warc_html_extract",
+                    # full-text search (round-5 session 8)
+                    "doc_bm25_topk", "doc_tfidf_keywords")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

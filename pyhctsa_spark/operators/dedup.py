@@ -657,8 +657,39 @@ def simhash_near_pairs(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks.
+
+    ``DataFrame.unpersist()`` only talks to the SQL CacheManager and
+    does NOT release checkpoint RDD blocks, so per-batch checkpoints
+    accumulate in executor storage for the session's lifetime. The
+    blocks live on the RDD inside the checkpointed plan's LogicalRDD
+    node — reach it and unpersist there. After release the frame is
+    UNREADABLE (a local checkpoint keeps no lineage): call this only
+    on frames that will never be scanned again.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # non-LogicalRDD plan (not actually checkpointed) or a torn-
+        # down JVM during interpreter shutdown — nothing to release
+        pass
+
+
+class _CheckpointHandle:
+    """Adapter giving a localCheckpointed frame the same ``unpersist()``
+    surface the cleanup lists expect from persisted frames, releasing
+    the checkpoint blocks instead (see _release_local_checkpoint)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _release_local_checkpoint(self._df)
+
+
 def dedup_components(
-    pairs: DataFrame, max_iterations: int = 50
+    pairs: DataFrame, max_iterations: int = 50, cleanup: list | None = None
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: returns
     (doc_id, component_id) with component_id = the minimum doc id
@@ -668,6 +699,19 @@ def dedup_components(
     library is present).
 
     Input: any pair table with columns id_a, id_b.
+
+    Cache lifecycle: iteration state is localCheckpointed (truncating
+    the per-round plan lineage — persist alone lets the nested
+    cached-plan analysis cost blow up across rounds), and checkpoint
+    blocks are explicitly RELEASED: the edge table and each superseded
+    label round are dropped inside this function the moment the next
+    round is materialized, and the FINAL label table's release handle
+    is appended to ``cleanup`` so a long-running stream's per-batch
+    storage census stays flat (tests/test_neardup_stream.
+    test_batches_do_not_accumulate_cache). A released checkpoint cannot
+    be recomputed (no lineage), so callers must only unpersist the
+    cleanup handles after the batch's outputs are fully written —
+    exactly the contract the rest of the cleanup machinery already has.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -684,6 +728,13 @@ def dedup_components(
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
     )
+    cached_labels: DataFrame | None = None
+
+    def _retire_and_return(final: DataFrame) -> DataFrame:
+        _release_local_checkpoint(edges)
+        if cleanup is not None:
+            cleanup.append(_CheckpointHandle(final))
+        return final
     def _neighbor_min(lbl):
         # each node's minimum label among its neighbors
         return (
@@ -708,16 +759,23 @@ def dedup_components(
         # convergence check every few rounds (an action; cheap on the
         # label table which is tiny relative to the corpus)
         if i % 4 == 3 or i == max_iterations - 1:
+            # eager checkpoint materializes the new round FIRST; only
+            # then is the previous round's checkpoint released (a
+            # released local checkpoint has no lineage to recompute)
+            ckpt = updated.localCheckpoint(eager=True)
             changed = (
-                updated.alias("u")
+                ckpt.alias("u")
                 .join(labels.alias("l"), "doc_id")
                 .where(F.col("u.component_id") != F.col("l.component_id"))
                 .limit(1)
                 .count()
             )
-            labels = updated.localCheckpoint(eager=True)
+            if cached_labels is not None:
+                _release_local_checkpoint(cached_labels)
+            cached_labels = ckpt
+            labels = ckpt
             if changed == 0:
-                return labels
+                return _retire_and_return(labels)
         else:
             labels = updated
     # the final permitted round may have applied the LAST needed change:
@@ -730,9 +788,12 @@ def dedup_components(
         .count()
     )
     if still_changing == 0:
-        return labels
+        return _retire_and_return(labels)
     # never return silently-partial labels: a component whose diameter
     # exceeds the round budget would get a wrong, split component_id
+    _release_local_checkpoint(edges)
+    if cached_labels is not None:
+        _release_local_checkpoint(cached_labels)
     raise RuntimeError(
         f"connected components did not converge within {max_iterations} "
         "min-label rounds — raise max_iterations (graph diameter exceeds "
@@ -884,7 +945,8 @@ def near_dup_clusters(
     comp = dedup_components(
         pairs.select(
             F.col("d1").alias("id_a"), F.col("d2").alias("id_b")
-        )
+        ),
+        cleanup=cleanup,
     )
     return (
         rep_map.join(

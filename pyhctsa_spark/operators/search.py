@@ -1,0 +1,268 @@
+"""Full-text relevance search over the documents table: inverted-index
+construction, BM25 top-k retrieval, and TF-IDF keyword extraction.
+
+The reference repo has no search surface (SURVEY §2.0) — this is part of
+the training-data-pipeline layer: corpus search is how curation teams
+audit what a filter kept ("show me the top docs matching X"), and TF-IDF
+keywords are a standard cheap document-descriptor for clustering/
+diagnostics.
+
+Spark-first shape (everything JVM-side, no Python in the scan path):
+
+- The posting build is ``explode → groupBy(term, doc) count`` — partial
+  (map-side) aggregation keeps the shuffle at O(distinct (term, doc))
+  rather than O(token occurrences).
+- Query scoring filters the token ARRAY against the (tiny, literal)
+  query-term set BEFORE the explode, so the per-doc work after the scan
+  is proportional to query hits, not document length, and the filter
+  sits inside the same whole-stage-codegen span as the scan.
+- Per-term document frequencies and the (1-row) corpus stats are
+  broadcast — the only shuffles are the two aggregations.
+- Top-k is ``TakeOrderedAndProject`` (sort-limit pushed to partial
+  per-partition heaps), never a global single-partition window; the
+  rank column is attached by a window over the ≤ k surviving rows.
+
+Determinism across engines (DuckDB oracle): scores are rounded to 6
+decimals IN-QUERY on both sides and ordered by (rounded score DESC,
+doc_id ASC), so a libm ULP difference can never flip a boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _doc_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, _w: array<string>, dl: int) — whitespace tokenization,
+    the same split the rest of the text family uses (text.py)."""
+    w = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"), w.alias("_w"), F.size(w).alias("dl")
+    )
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full postings table ``(term, doc_id, tf, dl)``.
+
+    One explode + one groupBy: Spark's partial hash aggregation combines
+    (term, doc) counts map-side before the exchange, so the shuffle
+    carries one row per DISTINCT (term, doc) — for natural-language
+    corpora that is ~40-60% of raw token volume, and the postings can be
+    written out partitioned by a term hash for pruned query-time scans.
+    """
+    return (
+        _doc_words(df, text_col, id_col)
+        .select("doc_id", "dl", F.explode("_w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """1-row ``(n_docs, avgdl)`` — the BM25 normalization constants."""
+    return _doc_words(df, text_col, id_col).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to ``query_terms``.
+
+    Lucene-variant BM25 (always-positive idf):
+
+        idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d)   = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+
+    Duplicate query terms are collapsed (bag-of-terms query == set query
+    here, the standard retrieval convention). Returns
+    ``(rank, doc_id, score6, n_terms_hit)`` — score rounded to 6 in-query
+    so the DuckDB oracle agrees on tie boundaries.
+
+    Plan shape (asserted in tests/test_search.py): the query-term filter
+    runs on the token array BEFORE explode (scan-side prune); df_t
+    (≤ |q| rows) and the 1-row corpus stats are broadcast; the final
+    top-k is TakeOrderedAndProject, not a global window.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    base = _doc_words(df, text_col, id_col)
+    # corpus constants from the full table (df_t/N/avgdl must see every
+    # doc, matched or not)
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("_w", lambda w: F.array_contains(qarr, w))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    k1c = F.lit(float(k1)).cast("double")
+    bc = F.lit(float(b)).cast("double")
+    one = F.lit(1.0).cast("double")
+    half = F.lit(0.5).cast("double")
+    idf = F.log(
+        one
+        + (F.col("n_docs") - F.col("df_t") + half) / (F.col("df_t") + half)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1c + one)
+        / (
+            F.col("tf")
+            + k1c * (one - bc + bc * F.col("dl") / F.nullif(F.col("avgdl"), F.lit(0.0)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score6"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score6", "n_terms_hit"
+    )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batched retrieval: top-k per query for a (small) query table
+    ``(query_id, terms: array<string>)`` — the shape a curation audit
+    job uses (hundreds of probe queries over the corpus in ONE scan).
+
+    The query table is exploded to (query_id, term), deduped, and
+    broadcast into the postings stream; per-(query, doc) scores
+    aggregate in one shuffle and the per-query top-k uses a
+    WindowGroupLimit partial top-k (rn <= k recognized by Spark's
+    InferWindowGroupLimit), so shuffle volume is O(queries × k) per
+    task, independent of corpus size.
+    """
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    base = _doc_words(df, text_col, id_col)
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # all terms any query mentions — broadcast set, array-filter pre-explode
+    postings = (
+        base.select("doc_id", "dl", F.explode("_w").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = postings.groupBy("term").agg(F.count("*").alias("df_t"))
+    k1c = F.lit(float(k1)).cast("double")
+    bc = F.lit(float(b)).cast("double")
+    one = F.lit(1.0).cast("double")
+    half = F.lit(0.5).cast("double")
+    idf = F.log(
+        one
+        + (F.col("n_docs") - F.col("df_t") + half) / (F.col("df_t") + half)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1c + one)
+        / (
+            F.col("tf")
+            + k1c * (one - bc + bc * F.col("dl") / F.nullif(F.col("avgdl"), F.lit(0.0)))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score6"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score6", "n_terms_hit")
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-n TF-IDF keywords per document:
+    ``tfidf = tf · ln(N / df_t)`` (raw-count tf, plain idf).
+
+    Returns ``(doc_id, kw_rank, term, tfidf6)``. Per-doc ranking orders
+    by (rounded tfidf DESC, term ASC); the ``rn <= top_n`` filter
+    compiles to a WindowGroupLimit partial top-k, so the shuffle ships
+    O(docs × top_n) rows regardless of vocabulary size.
+    """
+    base = _doc_words(df, text_col, id_col)
+    stats = base.agg(F.count("*").alias("n_docs"))
+    tf = (
+        base.select("doc_id", F.explode("_w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    tfidf = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df_t").cast("double")
+                ),
+                6,
+            ).alias("tfidf6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf6").desc(), F.col("term").asc()
+    )
+    return (
+        tfidf.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("kw_rank") <= top_n)
+        .select("doc_id", "kw_rank", "term", "tfidf6")
+    )

@@ -9035,3 +9035,69 @@ FROM u
 GROUP BY sa, sb
 """,
 )
+
+# ---------------------------------------------------------------------------
+# Full-text relevance search (operators/search.py): BM25 top-k retrieval and
+# TF-IDF keyword extraction. Engine side is the operator (explode -> partial
+# aggregates, broadcast df_t/corpus stats, TakeOrderedAndProject /
+# WindowGroupLimit top-k); the oracle replays the exact scoring formula in
+# SQL. Scores rounded to 6 IN-QUERY on both sides; ordering uses the rounded
+# score with a deterministic tiebreak so libm ULPs cannot flip a boundary.
+
+ENGINE_ORACLES["doc_bm25_topk"] = """
+WITH bl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bl),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) t
+  WHERE term IN ('dup', 'spark', 'hash', 'join')
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (t.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+           ), 6) AS score6,
+         count(*) AS n_terms_hit
+  FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT rank, doc_id, score6, n_terms_hit FROM (
+  SELECT row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank,
+         doc_id, score6, n_terms_hit
+  FROM scored
+) q WHERE rank <= 10
+"""
+
+ENGINE_ORACLES["doc_tfidf_keywords"] = """
+WITH bl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+stats AS (SELECT count(*) AS n_docs FROM bl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM bl) t
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+sc AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df_t), 6) AS tfidf6
+  FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, kw_rank, term, tfidf6 FROM (
+  SELECT doc_id, term, tfidf6,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf6 DESC, term
+         ) AS kw_rank
+  FROM sc
+) q WHERE kw_rank <= 3
+"""

@@ -1,0 +1,182 @@
+"""Full-text search operators (operators/search.py): BM25 top-k,
+batched multi-query BM25, TF-IDF keywords — brute-force verified
+against a pure-Python scorer, plus plan-shape gates (broadcast stats,
+array-filter before explode, TakeOrderedAndProject / WindowGroupLimit
+top-k). The value-level DuckDB oracles are doc_bm25_topk /
+doc_tfidf_keywords in plans/oracle_queries.py."""
+
+import math
+
+import pytest
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (0, "spark shuffle join hash join join", "s0"),
+    (1, "dup dup scan table", "s0"),
+    (2, "the quick brown fox", "s1"),
+    (3, "hash hash hash hash hash hash", "s1"),
+    (4, "spark dup", "s2"),
+    (5, "join", "s2"),
+    (6, "scan filter project scan", "s3"),
+]
+
+
+def _brute_bm25(docs, terms, k1=K1, b=B):
+    """Reference scorer: Lucene-variant BM25, raw python floats."""
+    toks = {d: t.split(" ") for d, t, _s in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dft = {
+        t: sum(1 for w in toks.values() if t in w) for t in set(terms)
+    }
+    out = {}
+    for d, w in toks.items():
+        score, hits = 0.0, 0
+        for t in set(terms):
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            score += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(w) / avgdl)
+            )
+        if hits:
+            out[d] = (round(score, 6), hits)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, source string"
+    )
+
+
+def test_bm25_matches_brute_force(spark, docs_df):
+    from pyhctsa_spark.operators.search import bm25_topk
+
+    terms = ["spark", "hash", "dup"]
+    got = bm25_topk(docs_df, terms, k=10).collect()
+    want = _brute_bm25(DOCS, terms)
+    assert {r.doc_id: (r.score6, r.n_terms_hit) for r in got} == want
+    # ranks follow (score desc, doc_id asc) exactly
+    order = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        d for d, _ in order
+    ]
+
+
+def test_bm25_k_truncates(spark, docs_df):
+    from pyhctsa_spark.operators.search import bm25_topk
+
+    got = bm25_topk(docs_df, ["hash", "spark", "dup"], k=2).collect()
+    assert len(got) == 2 and sorted(r.rank for r in got) == [1, 2]
+
+
+def test_bm25_duplicate_query_terms_collapse(spark, docs_df):
+    from pyhctsa_spark.operators.search import bm25_topk
+
+    once = bm25_topk(docs_df, ["hash", "dup"], k=10).collect()
+    twice = bm25_topk(docs_df, ["hash", "dup", "hash"], k=10).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_bm25_unmatched_terms_and_empty_query(spark, docs_df):
+    from pyhctsa_spark.operators.search import bm25_topk
+
+    assert bm25_topk(docs_df, ["zzz"], k=5).count() == 0
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, [], k=5)
+
+
+def test_bm25_multi_agrees_with_single(spark, docs_df):
+    from pyhctsa_spark.operators.search import bm25_topk, bm25_topk_multi
+
+    queries = {
+        "qa": ["spark", "hash", "dup"],
+        "qb": ["join"],
+        "qc": ["scan", "filter"],
+    }
+    qdf = spark.createDataFrame(
+        [(q, ts) for q, ts in queries.items()],
+        "query_id string, terms array<string>",
+    )
+    multi = bm25_topk_multi(docs_df, qdf, k=3).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.score6, r.n_terms_hit)
+        )
+    for q, terms in queries.items():
+        single = [
+            (r.rank, r.doc_id, r.score6, r.n_terms_hit)
+            for r in bm25_topk(docs_df, terms, k=3).collect()
+        ]
+        assert sorted(by_q.get(q, [])) == sorted(single), q
+
+
+def test_tfidf_keywords_brute_force(spark, docs_df):
+    from pyhctsa_spark.operators.search import tfidf_keywords
+
+    got = tfidf_keywords(docs_df, top_n=2).collect()
+    toks = {d: t.split(" ") for d, t, _s in DOCS}
+    n = len(DOCS)
+    vocab = {t for w in toks.values() for t in w}
+    dft = {t: sum(1 for w in toks.values() if t in w) for t in vocab}
+    for d, w in toks.items():
+        scores = sorted(
+            (
+                (round(w.count(t) * math.log(n / dft[t]), 6), t)
+                for t in set(w)
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )[:2]
+        mine = sorted(
+            (r.kw_rank, r.term, r.tfidf6) for r in got if r.doc_id == d
+        )
+        assert mine == [
+            (i + 1, t, s) for i, (s, t) in enumerate(scores)
+        ], d
+
+
+def test_inverted_index_postings(spark, docs_df):
+    from pyhctsa_spark.operators.search import build_inverted_index
+
+    idx = {
+        (r.term, r.doc_id): (r.tf, r.dl)
+        for r in build_inverted_index(docs_df).collect()
+    }
+    assert idx[("join", 0)] == (3, 6)
+    assert idx[("hash", 3)] == (6, 6)
+    assert ("zzz", 0) not in idx
+    # every (term, doc) pair is distinct — grouped, not raw occurrences
+    assert len(idx) == len({k for k in idx})
+
+
+def test_bm25_plan_shape(spark, docs_df):
+    """Scale gates: query-term prune on the token array BEFORE the
+    explode (scan-side, inside codegen), df_t + corpus stats broadcast,
+    and the global top-k as TakeOrderedAndProject — never a
+    single-partition global window over all matching docs."""
+    from pyhctsa_spark.operators.search import bm25_topk
+
+    plan = (
+        bm25_topk(docs_df, ["hash", "dup"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    gen = plan.split("Generate explode")[-1]
+    assert "filter(" in gen, plan  # array filter below the explode
+
+
+def test_tfidf_plan_uses_window_group_limit(spark, docs_df):
+    from pyhctsa_spark.operators.search import tfidf_keywords
+
+    plan = (
+        tfidf_keywords(docs_df, top_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan
