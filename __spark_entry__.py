@@ -1650,6 +1650,28 @@ def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(docs, top_n=3)
 
 
+def _bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the PERSISTENT inverted index (search_index.py):
+    build over 80% of the corpus, delta-append the rest (exact integer
+    stats merge + df swap), then probe — the probe scan is partition-
+    pruned to the query's term buckets. Scores must equal the ad-hoc
+    corpus-scan scorer bit-for-bit at round-6, so the oracle is the
+    same SQL as doc_bm25_topk."""
+    import tempfile
+
+    from pyhctsa_spark.operators.search_index import (
+        append_to_search_index,
+        build_search_index,
+        query_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="search_index_") + "/idx"
+    build_search_index(docs.where("doc_id % 5 != 0"), path, n_buckets=16)
+    append_to_search_index(docs.where("doc_id % 5 = 0"), path)
+    return query_search_index(spark, path, ["dup", "spark", "hash", "join"], k=10)
+
+
 def _dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-range train/val/test split
     (curation.dataset_split): integer md5 thresholds, insertion-stable,
@@ -1824,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # session 8): BM25 top-k + TF-IDF keywords — catalog tail
     out["doc_bm25_topk"] = _bm25_query
     out["doc_tfidf_keywords"] = _tfidf_query
+    out["doc_bm25_index_topk"] = _bm25_index_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

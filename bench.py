@@ -408,6 +408,38 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     out["index_probe10_sec"] = round(wall, 3)
     out["index_probe10_pairs"] = int(pairs)
     shutil.rmtree(idx_root, ignore_errors=True)
+    # full-text search at 10x: ad-hoc corpus-scan BM25 (what a one-off
+    # audit pays) vs the persistent inverted index (one-time build,
+    # then every query is a partition-pruned probe over ~|q| of the
+    # term buckets — the steady-state cost).
+    from pyhctsa_spark.operators.search import bm25_topk
+    from pyhctsa_spark.operators.search_index import (
+        build_search_index,
+        query_search_index,
+    )
+
+    sq = ["dup", "spark", "hash", "join"]
+    wall = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        bm25_topk(big, sq, k=10).count()
+        wall = min(wall, time.perf_counter() - t0)
+    out["search_scan10_sec"] = round(wall, 3)
+    sidx_root = tempfile.mkdtemp(prefix="bench_sidx_")
+    sidx = sidx_root + "/idx"
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    build_search_index(big, sidx, n_buckets=64)
+    out["search_index_build10_sec"] = round(time.perf_counter() - t0, 3)
+    wall = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        query_search_index(spark, sidx, sq, k=10).count()
+        wall = min(wall, time.perf_counter() - t0)
+    out["search_probe10_sec"] = round(wall, 3)
+    shutil.rmtree(sidx_root, ignore_errors=True)
     return out
 
 

@@ -9101,3 +9101,9 @@ SELECT doc_id, kw_rank, term, tfidf6 FROM (
   FROM sc
 ) q WHERE kw_rank <= 3
 """
+
+# The persistent inverted index (operators/search_index.py) must score
+# IDENTICALLY to the ad-hoc corpus-scan scorer — so its oracle IS the
+# ad-hoc oracle, even though the Spark side runs build -> delta append
+# -> partition-pruned probe against the materialized postings.
+ENGINE_ORACLES["doc_bm25_index_topk"] = ENGINE_ORACLES["doc_bm25_topk"]
