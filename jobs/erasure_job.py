@@ -10,6 +10,7 @@ Usage (cluster; run per erasure batch):
         --ids-file requests.txt              # one doc_id per line
     # or: --ids doc1,doc2,doc3
     # cagg snapshot store instead: --cagg-store path --key-col user_id
+    # index searchability: --minhash-index path | --search-index path
 
 Tier-store semantics (operators/deletion.delete_docs): audit rows land
 in `_deletion_log` BEFORE any data is touched; only chunks containing
@@ -43,6 +44,10 @@ def parse_args(argv):
     p.add_argument("--minhash-index", default=None,
                    help="dedup_index path: erase the ids' searchability "
                         "(compact_minhash_index drop rewrite)")
+    p.add_argument("--search-index", default=None,
+                   help="search_index path: erase the ids from full-text "
+                        "retrieval (compact_search_index drop rewrite; "
+                        "df/stats recomputed from surviving postings)")
     p.add_argument("--ids", default=None, help="comma-separated ids")
     p.add_argument("--ids-file", default=None, help="one id per line")
     p.add_argument("--id-col", default="doc_id")
@@ -53,11 +58,16 @@ def parse_args(argv):
                         "mode) instead of purging them")
     args = p.parse_args(argv)
     n_targets = sum(
-        1 for t in (args.store, args.cagg_store, args.minhash_index) if t
+        1
+        for t in (
+            args.store, args.cagg_store, args.minhash_index,
+            args.search_index,
+        )
+        if t
     )
     if n_targets != 1:
         p.error("exactly one of --store / --cagg-store / --minhash-index "
-                "is required")
+                "/ --search-index is required")
     if bool(args.ids) == bool(args.ids_file):
         p.error("exactly one of --ids / --ids-file is required")
     return args
@@ -124,6 +134,42 @@ def main(argv=None) -> int:
             "minhash_index": args.minhash_index,
             "n_ids": len(ids),
             "sigs": stats["sigs"], "bands": stats["bands"],
+            "rows_remaining": int(left),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps(out))
+        return 0 if left == 0 else 2
+    if args.search_index:
+        from pyspark.sql import functions as F
+
+        from pyhctsa_spark.operators.search_index import (
+            compact_search_index,
+            read_index_meta,
+        )
+
+        if read_index_meta(args.search_index)["id_type"] in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            typed_ids = [int(i) for i in ids]
+        else:
+            typed_ids = list(ids)
+        drop = spark.createDataFrame(
+            [(i,) for i in typed_ids],
+            f"doc_id {'long' if isinstance(typed_ids[0], int) else 'string'}",
+        )
+        stats = compact_search_index(
+            spark, args.search_index, drop_ids=drop, id_col="doc_id"
+        )
+        left = (
+            spark.read.parquet(f"{args.search_index}/postings")
+            .where(F.col("doc_id").cast("string").isin(
+                [str(i) for i in typed_ids]))
+            .count()
+        )
+        out = {
+            "search_index": args.search_index,
+            "n_ids": len(ids),
+            "postings": stats["postings"],
             "rows_remaining": int(left),
             "wall_sec": round(time.perf_counter() - t0, 3),
         }

@@ -188,3 +188,40 @@ def test_erasure_job_cli_minhash_index(spark, tmp_path, capsys):
     assert out["sigs"][1] == out["sigs"][0] - 2  # two docs erased
     # untouched docs still searchable
     assert spark.read.parquet(idx + "/sigs").count() == 6
+
+
+def test_erasure_job_cli_search_index(spark, tmp_path, capsys):
+    import json
+
+    from jobs.erasure_job import main
+    from pyhctsa_spark.operators.search import bm25_topk
+    from pyhctsa_spark.operators.search_index import (
+        build_search_index,
+        query_search_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[(i + j) % 6] for j in range(10)), "s")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "sidx")
+    build_search_index(docs, idx, n_buckets=8)
+    rc = main(["--search-index", idx, "--ids", "3,5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_remaining"] == 0 and out["n_ids"] == 2
+    before, after = out["postings"]
+    assert before > after
+    # erased docs are unretrievable; survivors re-rank exactly like an
+    # ad-hoc run over the erased corpus
+    got = [tuple(r) for r in
+           query_search_index(spark, idx, ["alpha", "beta"], k=8).collect()]
+    want = [tuple(r) for r in
+            bm25_topk(docs.where("doc_id not in (3, 5)"),
+                      ["alpha", "beta"], k=8).collect()]
+    assert got == want
+    assert not {3, 5} & {r[1] for r in got}
