@@ -345,9 +345,14 @@ def append_to_search_index(
         .agg(F.sum("df_t").cast("long").alias("df_t"))
         .repartition("term_bucket")
     )
-    # materialize BEFORE the swap renames the table it reads from
+    # materialize BEFORE the swap renames the table it reads from, and
+    # release the checkpoint blocks once written (repeated appends in a
+    # long-running session must not accumulate executor storage)
+    from pyhctsa_spark.operators.dedup import _release_local_checkpoint
+
     merged_df = merged_df.localCheckpoint(eager=True)
     _swap_in(merged_df, os.path.join(path, "df"), partition_col="term_bucket")
+    _release_local_checkpoint(merged_df)
 
     d_stats_row = _stats_from_base(df, text_col, id_col).head()
     old_stats = spark.read.parquet(os.path.join(path, "stats")).head()
