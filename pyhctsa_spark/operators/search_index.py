@@ -170,7 +170,7 @@ def _stats_from_postings(postings: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.count("*").alias("n_dl"),
-            F.sum("dl").cast("long").alias("sum_dl"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
         )
     )
 
@@ -227,6 +227,24 @@ def read_index_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _postings_schema(meta: dict) -> str:
+    return (
+        f"term string, doc_id {meta['id_type']}, tf bigint, dl int, "
+        "term_bucket int"
+    )
+
+
+def _read_or_empty(spark: SparkSession, d: str, schema: str) -> DataFrame:
+    """Read a table dir, falling back to an empty frame with the known
+    schema. A partitionBy write of ZERO rows leaves only _SUCCESS (no
+    part files), so an index bootstrapped over an empty corpus — the
+    from-nothing streaming start — is unreadable by schema inference."""
+    try:
+        return spark.read.parquet(d)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
 def query_search_index(
     spark: SparkSession,
     path: str,
@@ -252,12 +270,15 @@ def query_search_index(
         raise ValueError("query_search_index needs at least one query term")
     buckets = _term_buckets(spark, terms, meta["n_buckets"])
 
-    post = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-    )
+    post = _read_or_empty(
+        spark, os.path.join(path, "postings"), _postings_schema(meta)
+    ).where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
     dft = (
-        spark.read.parquet(os.path.join(path, "df"))
+        _read_or_empty(
+            spark,
+            os.path.join(path, "df"),
+            "term string, df_t bigint, term_bucket int",
+        )
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "df_t")
     )
@@ -338,7 +359,11 @@ def append_to_search_index(
     # aggregation over postings).
     d_df = _df_from_postings(post)
     merged_df = (
-        spark.read.parquet(os.path.join(path, "df"))
+        _read_or_empty(
+            spark,
+            os.path.join(path, "df"),
+            "term string, df_t bigint, term_bucket int",
+        )
         .select("term_bucket", "term", "df_t")
         .unionByName(d_df)
         .groupBy("term_bucket", "term")
@@ -391,8 +416,9 @@ def compact_search_index(
     that matters.
     """
     _recover_index(path)
+    meta = read_index_meta(path)
     d = os.path.join(path, "postings")
-    post = spark.read.parquet(d)
+    post = _read_or_empty(spark, d, _postings_schema(meta))
     before = post.count()
     clean = post.dropDuplicates(["term", "doc_id"])
     if drop_ids is not None:
@@ -400,7 +426,11 @@ def compact_search_index(
             drop_ids.select(F.col(id_col).alias("doc_id")).distinct()
         )
         clean = clean.join(drops, "doc_id", "left_anti")
-    clean = clean.select("term_bucket", "term", "doc_id", "tf", "dl").persist()
+    # eager checkpoint severs lineage from the OLD postings directory —
+    # the swap below renames it away, so clean must never recompute
+    clean = clean.select(
+        "term_bucket", "term", "doc_id", "tf", "dl"
+    ).localCheckpoint(eager=True)
     after = clean.count()
 
     _swap_in(
@@ -409,15 +439,15 @@ def compact_search_index(
         partition_col="term_bucket",
     )
     _swap_in(
-        _df_from_postings(
-            spark.read.parquet(d)
-        ).repartition("term_bucket"),
+        _df_from_postings(clean).repartition("term_bucket"),
         os.path.join(path, "df"),
         partition_col="term_bucket",
     )
     _swap_in(
-        _stats_from_postings(spark.read.parquet(d)).coalesce(1),
+        _stats_from_postings(clean).coalesce(1),
         os.path.join(path, "stats"),
     )
-    clean.unpersist()
+    from pyhctsa_spark.operators.dedup import _release_local_checkpoint
+
+    _release_local_checkpoint(clean)
     return {"postings": (int(before), int(after))}
