@@ -12,7 +12,11 @@ Layout under ``path`` (plain parquet, the same manifest-less convention
 as the MinHash index in operators/dedup_index.py):
 
     postings/term_bucket=B/   (term, doc_id, tf, dl)  hash-partitioned
-    df/term_bucket=B/         (term, df_t)            same partitioning
+    df/term_bucket=B/         (term, df_t) PARTIAL rows, same
+                              partitioning — each build/append batch
+                              appends its own partial counts; readers
+                              SUM them (so appends never rewrite the
+                              vocabulary-sized table), compaction merges
     stats/                    1 row (n_docs, n_dl, sum_dl)  BM25 constants
     _search_meta.json         {n_buckets, k_shingle n/a, id_type, ...}
 
@@ -28,12 +32,12 @@ Scale contract:
   derives df_t from the pruned ``df/`` table (broadcast — ≤|q| rows)
   and the corpus constants from the 1-row ``stats/``; top-k is
   TakeOrderedAndProject. No shuffle in the plan touches the corpus.
-- ``append_to_search_index`` is delta-proportional: the batch's
-  postings append into the same partition layout; ``df/`` merges the
-  delta's term counts into the stored table (vocabulary-sized — tiny
-  next to the corpus) through a crash-recoverable tmp/old swap;
-  ``stats/`` merges exactly ((n·avg + Σdl) / (n+m) — sums, not
-  averages, are stored so the merge is associative and exact).
+- ``append_to_search_index`` is delta-proportional in EVERY table: the
+  batch's postings and its df PARTIALS append into the same partition
+  layout (a per-append rewrite of the full vocabulary table would be
+  the scale killer — web-corpus vocabularies run to billions of hapax
+  tokens); ``stats/`` merges exactly (sums, not averages, are stored
+  so the merge is associative) through a crash-recoverable swap.
 - ``compact_search_index(drop_ids=...)`` is the right-to-be-forgotten
   path (the searchability sibling of operators/deletion.py): rewrites
   postings without the dropped docs and RECOMPUTES df/stats from the
@@ -273,6 +277,8 @@ def query_search_index(
     post = _read_or_empty(
         spark, os.path.join(path, "postings"), _postings_schema(meta)
     ).where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+    # df rows are per-batch PARTIALS — sum them (pruned read: ≤|q|
+    # buckets, then ≤|q| grouped rows)
     dft = (
         _read_or_empty(
             spark,
@@ -280,7 +286,8 @@ def query_search_index(
             "term string, df_t bigint, term_bucket int",
         )
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df_t")
+        .groupBy("term")
+        .agg(F.sum("df_t").cast("long").alias("df_t"))
     )
     stats = spark.read.parquet(os.path.join(path, "stats")).select(
         "n_docs",
@@ -333,13 +340,14 @@ def append_to_search_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Add a document batch. Delta-proportional: the batch's postings
-    APPEND into the partition layout (no rewrite of existing files);
-    ``df/`` and ``stats/`` merge through crash-recoverable swaps.
+    """Add a document batch. Delta-proportional in every table: the
+    batch's postings and its df PARTIALS append into the partition
+    layout (no rewrite of any existing file); only the 1-row ``stats``
+    merges through a crash-recoverable swap.
 
     Caller contract (same as the MinHash index): ids not already
-    present. A replayed append duplicates (term, doc) rows and
-    double-counts df_t — ``compact_search_index`` repairs both.
+    present. A replayed append duplicates (term, doc) rows and df
+    partials — ``compact_search_index`` repairs both.
     """
     _recover_index(path)
     meta = read_index_meta(path)
@@ -354,30 +362,11 @@ def append_to_search_index(
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    # merge vocabulary df: stored ∪ delta, summed. Vocabulary-sized —
-    # OK to rewrite (it is the price of exact idf without a query-time
-    # aggregation over postings).
-    d_df = _df_from_postings(post)
-    merged_df = (
-        _read_or_empty(
-            spark,
-            os.path.join(path, "df"),
-            "term string, df_t bigint, term_bucket int",
-        )
-        .select("term_bucket", "term", "df_t")
-        .unionByName(d_df)
-        .groupBy("term_bucket", "term")
-        .agg(F.sum("df_t").cast("long").alias("df_t"))
-        .repartition("term_bucket")
-    )
-    # materialize BEFORE the swap renames the table it reads from, and
-    # release the checkpoint blocks once written (repeated appends in a
-    # long-running session must not accumulate executor storage)
-    from pyhctsa_spark.operators.dedup import _release_local_checkpoint
-
-    merged_df = merged_df.localCheckpoint(eager=True)
-    _swap_in(merged_df, os.path.join(path, "df"), partition_col="term_bucket")
-    _release_local_checkpoint(merged_df)
+    # df: append the DELTA's partial counts only — readers sum
+    # partials, so the vocabulary-sized table is never rewritten here
+    _df_from_postings(post).repartition("term_bucket").write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(os.path.join(path, "df"))
 
     d_stats_row = _stats_from_base(df, text_col, id_col).head()
     old_stats = spark.read.parquet(os.path.join(path, "stats")).head()
