@@ -492,6 +492,41 @@ def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_ivf_index_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF index lifecycle (round-5 session 9): build the
+    materialized index over 80% of the corpus, append_to_ivf_index the
+    remaining 20% (the "daily embedding batch", assigned map-side
+    against the index's OWN centroids and appended into the cid
+    partition layout — delta-proportional, like the MinHash and BM25
+    index appends), then answer at full probe. Must reproduce the exact
+    brute-force top-3 over the UNION corpus — same SQL oracle as
+    knn_ivf, now exercising the append path end-to-end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_write_index,
+        knn_ivf_index,
+        read_ivf_meta,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
+    ivf_write_index(base, path, num_centroids=16)
+    append_to_ivf_index(delta, path)
+    qs = emb.where(F.col("vec_id") < 5)
+    approx = knn_ivf_index(
+        spark, path, qs, k=3, nprobe=read_ivf_meta(path)["nlist"]
+    )
+    return approx.select(
+        "qid", "nid", F.round("cosine", 4).alias("cos_sim")
+    )
+
+
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode->featurize plumbing on the synthetic media table
     (deterministic seeded fake decoder). The feature vector is flattened
@@ -1852,6 +1887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # session 8): BM25 top-k + TF-IDF keywords — catalog tail
     out["doc_bm25_topk"] = _bm25_query
     out["doc_tfidf_keywords"] = _tfidf_query
+    # persistent IVF vector-index lifecycle (round-5 session 9):
+    # build -> delta-append -> full-probe, bit-equal to brute force
+    # over the union corpus — catalog tail
+    out["knn_ivf_index_delta"] = _knn_ivf_index_delta_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

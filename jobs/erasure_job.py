@@ -10,7 +10,7 @@ Usage (cluster; run per erasure batch):
         --ids-file requests.txt              # one doc_id per line
     # or: --ids doc1,doc2,doc3
     # cagg snapshot store instead: --cagg-store path --key-col user_id
-    # index searchability: --minhash-index path | --search-index path
+    # index searchability: --minhash-index | --search-index | --ivf-index
 
 Tier-store semantics (operators/deletion.delete_docs): audit rows land
 in `_deletion_log` BEFORE any data is touched; only chunks containing
@@ -48,6 +48,10 @@ def parse_args(argv):
                    help="search_index path: erase the ids from full-text "
                         "retrieval (compact_search_index drop rewrite; "
                         "df/stats recomputed from surviving postings)")
+    p.add_argument("--ivf-index", default=None,
+                   help="IVF vector-index path: erase the ids from ANN "
+                        "retrieval (compact_ivf_index drop rewrite of "
+                        "the inverted lists; centroids untouched)")
     p.add_argument("--ids", default=None, help="comma-separated ids")
     p.add_argument("--ids-file", default=None, help="one id per line")
     p.add_argument("--id-col", default="doc_id")
@@ -61,13 +65,13 @@ def parse_args(argv):
         1
         for t in (
             args.store, args.cagg_store, args.minhash_index,
-            args.search_index,
+            args.search_index, args.ivf_index,
         )
         if t
     )
     if n_targets != 1:
         p.error("exactly one of --store / --cagg-store / --minhash-index "
-                "/ --search-index is required")
+                "/ --search-index / --ivf-index is required")
     if bool(args.ids) == bool(args.ids_file):
         p.error("exactly one of --ids / --ids-file is required")
     return args
@@ -170,6 +174,42 @@ def main(argv=None) -> int:
             "search_index": args.search_index,
             "n_ids": len(ids),
             "postings": stats["postings"],
+            "rows_remaining": int(left),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps(out))
+        return 0 if left == 0 else 2
+    if args.ivf_index:
+        from pyspark.sql import functions as F
+
+        from pyhctsa_spark.operators.similarity import (
+            compact_ivf_index,
+            read_ivf_meta,
+        )
+
+        if read_ivf_meta(args.ivf_index)["id_type"] in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            typed_ids = [int(i) for i in ids]
+        else:
+            typed_ids = list(ids)
+        drop = spark.createDataFrame(
+            [(i,) for i in typed_ids],
+            f"vec_id {'long' if isinstance(typed_ids[0], int) else 'string'}",
+        )
+        stats = compact_ivf_index(
+            spark, args.ivf_index, drop_ids=drop, id_col="vec_id"
+        )
+        left = (
+            spark.read.parquet(f"{args.ivf_index}/lists")
+            .where(F.col("nid").cast("string").isin(
+                [str(i) for i in typed_ids]))
+            .count()
+        )
+        out = {
+            "ivf_index": args.ivf_index,
+            "n_ids": len(ids),
+            "lists": stats["lists"],
             "rows_remaining": int(left),
             "wall_sec": round(time.perf_counter() - t0, 3),
         }

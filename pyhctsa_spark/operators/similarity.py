@@ -23,7 +23,13 @@ lists as cid-partitioned parquet (salted at write time so a skewed
 list never serializes into one write task), and ``knn_ivf_index``
 reads back ONLY the probed lists — partition pruning turns the
 nprobe/nlist scan fraction into real I/O savings, the actual point of
-an IVF index at 100 TB.
+an IVF index at 100 TB. The materialized index has the full lifecycle
+of the sibling MinHash / BM25 indexes: ``append_to_ivf_index`` adds a
+vector batch delta-proportionally (map-side assignment against the
+index's own centroids, appended into the cid partition layout, with a
+quantizer-drift counter), and ``compact_ivf_index`` de-duplicates
+replayed appends and erases dropped ids (right-to-be-forgotten)
+through a crash-recoverable tmp/old swap.
 
 Everything stays in DataFrame expressions (zip_with/aggregate dot
 products in whole-stage codegen); the one Python stage is the
@@ -31,6 +37,9 @@ Arrow-batched centroid argmax / local-top-k, both O(batch).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -167,6 +176,17 @@ def ivf_build(
     # corpus x k rows, a non-starter at 10^12 vectors). Ties resolve to
     # the smallest cid (np.argmax first occurrence), matching the old
     # (desc sim, asc cid) ranking.
+    assigned = base.withColumn("cid", _nearest_cid_udf(C)(F.col("cv")))
+    return cents, assigned
+
+
+def _nearest_cid_udf(C):
+    """Arrow-batched nearest-centroid argmax over a broadcast numpy
+    centroid matrix — the ONE assignment expression, shared by the
+    initial build and every index append so a vector lands in the same
+    list no matter which path wrote it. Ties resolve to the smallest
+    cid (np.argmax first occurrence)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -177,10 +197,7 @@ def ivf_build(
     # real annotation objects: `from __future__ import annotations` would
     # stringify inline hints, which pandas_udf cannot resolve
     _nearest.__annotations__ = {"cv": pd.Series, "return": pd.Series}
-    _nearest_cid = pandas_udf(_nearest, "int")
-
-    assigned = base.withColumn("cid", _nearest_cid(F.col("cv")))
-    return cents, assigned
+    return pandas_udf(_nearest, "int")
 
 
 def ivf_list_stats(assigned: DataFrame) -> dict:
@@ -368,6 +385,7 @@ def ivf_write_index(
     ``write_salt`` write tasks instead of serializing into one
     straggler. Returns the list-size skew stats (``ivf_list_stats``)
     so the caller can gate on quantizer health at build time."""
+    _recover_ivf_index(path)
     cents, assigned = ivf_build(
         corpus, num_centroids, vec_col, id_col, train_sample, train_iters
     )
@@ -380,7 +398,196 @@ def ivf_write_index(
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = corpus.sparkSession
+    crows = cents.select("cid", "centroid").collect()  # <= nlist rows
+    # quantizer-health baseline on a bounded sample of the written
+    # lists: mean cosine(vector, assigned centroid). Appends report the
+    # same statistic for their delta, so drift (new data the centroids
+    # no longer describe -> falling assign cosine -> worse partial-probe
+    # recall) is visible without ever rescanning the corpus.
+    meta = {
+        "nlist": len(crows),
+        "dim": len(crows[0]["centroid"]),
+        "write_salt": int(write_salt),
+        "metric": "cosine",
+        "id_type": corpus.select(id_col).schema[0].dataType.simpleString(),
+        "build_assign_cos_mean": _assign_cos_mean(
+            spark.read.parquet(f"{path}/lists").limit(4096), spark, path
+        ),
+    }
+    import json
+
+    with open(os.path.join(path, _IVF_META), "w") as fh:
+        json.dump(meta, fh)
     return ivf_list_stats(spark.read.parquet(f"{path}/lists"))
+
+
+_IVF_META = "_ivf_meta.json"
+
+
+def read_ivf_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, _IVF_META)) as fh:
+        return json.load(fh)
+
+
+def _ivf_swap_names(d: str) -> tuple[str, str]:
+    """Hidden tmp/old sibling names for the compact swap — the same
+    convention as dedup_index/search_index, so a half-swapped table can
+    never be mistaken for the live one."""
+    parent, base = os.path.dirname(d), os.path.basename(d)
+    return (
+        os.path.join(parent, f"_compact_tmp.{base}"),
+        os.path.join(parent, f"_compact_old.{base}"),
+    )
+
+
+def _recover_ivf_index(path: str) -> None:
+    """Repair leftovers from a crashed compact: tmp exists (crash before
+    swap) -> drop; old exists and live missing (crash between renames)
+    -> restore; both exist (crash before cleanup) -> drop old. Called by
+    every entry point that touches the index."""
+    for table in ("lists", "centroids"):
+        d = os.path.join(path, table)
+        tmp, old = _ivf_swap_names(d)
+        if os.path.exists(old) and not os.path.exists(d):
+            os.rename(old, d)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def _centroid_matrix(spark: SparkSession, path: str):
+    """The index's centroid table as a cid-ordered numpy matrix —
+    bounded by nlist (<= 65536 rows), never the corpus."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    if [r["cid"] for r in rows] != list(range(len(rows))):
+        raise ValueError(f"centroid table at {path} has non-contiguous cids")
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def _assign_cos_mean(assigned: DataFrame, spark: SparkSession,
+                     path: str) -> float:
+    """Mean cosine(vector, its assigned centroid) over ``assigned``
+    rows (nid, cv, cnorm, cid) — the quantizer-drift statistic."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    denom = F.col("cnorm") * F.col("centnorm")
+    acos = F.when(
+        denom > 0, _dot(F.col("cv"), F.col("centroid")) / denom
+    )
+    row = (
+        assigned.join(F.broadcast(cents), "cid")
+        .agg(F.avg(acos).alias("m"))
+        .first()
+    )
+    return float(row["m"]) if row["m"] is not None else float("nan")
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Add a vector batch to a materialized IVF index — the "daily
+    embedding delta" path, completing the persistent-index triad
+    (MinHash dedup_index, BM25 search_index, this). Delta-proportional:
+    the batch is assigned map-side against the index's OWN centroids
+    (``_nearest_cid_udf``, bit-identical to the build assignment) and
+    APPENDED into the cid partition layout with the index's write salt
+    — no existing file is read or rewritten, so append cost is O(delta)
+    regardless of index size.
+
+    Caller contract (same as the sibling indexes): ids not already
+    present. A replayed append duplicates (cid, nid) rows — a
+    duplicated neighbor can occupy two top-k slots until
+    ``compact_ivf_index`` repairs the lists.
+
+    Returns lineage counters: rows appended, the delta's mean
+    assign-cosine, and the build-time baseline — a delta cosine well
+    below the baseline means the coarse quantizer no longer describes
+    the incoming data (drifted distribution): rebuild with fresh
+    centroids rather than continuing to append.
+    """
+    spark = df.sparkSession
+    _recover_ivf_index(path)
+    meta = read_ivf_meta(path)
+    C = _centroid_matrix(spark, path)
+    base = df.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    assigned = base.withColumn("cid", _nearest_cid_udf(C)(F.col("cv")))
+    assigned = assigned.repartition(
+        F.col("cid"),
+        F.pmod(
+            F.xxhash64(F.col("nid").cast("string")),
+            F.lit(meta["write_salt"]),
+        ),
+    ).persist()  # feeds the append write AND the drift aggregate
+    try:
+        assigned.write.mode("append").partitionBy("cid").parquet(
+            f"{path}/lists"
+        )
+        n = assigned.count()
+        drift = _assign_cos_mean(assigned, spark, path)
+    finally:
+        assigned.unpersist()
+    return {
+        "appended": int(n),
+        "assign_cos_mean": drift,
+        "build_assign_cos_mean": meta.get("build_assign_cos_mean"),
+    }
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Rewrite the inverted lists in place: de-duplicate rows left by
+    replayed appends and, when ``drop_ids`` is given, ERASE those
+    vectors — the right-to-be-forgotten path for the vector index (the
+    searchability sibling of operators/deletion.py, same as
+    compact_minhash_index / compact_search_index). Centroids are
+    untouched: removing vectors never moves an assignment. Atomic via
+    the tmp/old rename swap (crash-recoverable, see
+    _recover_ivf_index); single-writer convention as the chunk-store
+    compactor.
+
+    Returns {"lists": (rows_before, rows_after)} lineage counts.
+    """
+    _recover_ivf_index(path)
+    meta = read_ivf_meta(path)
+    d = f"{path}/lists"
+    df = spark.read.parquet(d)
+    before = df.count()
+    # one list per vector: assignment is deterministic, so replayed
+    # appends duplicate WHOLE rows and any representative per nid is
+    # exact
+    clean = df.dropDuplicates(["nid"])
+    if drop_ids is not None:
+        drops = F.broadcast(
+            drop_ids.select(F.col(id_col).alias("nid")).distinct()
+        )
+        clean = clean.join(drops, "nid", "left_anti")
+    clean = clean.repartition(
+        F.col("cid"),
+        F.pmod(
+            F.xxhash64(F.col("nid").cast("string")),
+            F.lit(meta["write_salt"]),
+        ),
+    )
+    tmp, old = _ivf_swap_names(d)
+    clean.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    os.rename(d, old)
+    os.rename(tmp, d)
+    shutil.rmtree(old)
+    return {"lists": (int(before), int(after))}
 
 
 def knn_ivf_index(
@@ -399,6 +606,7 @@ def knn_ivf_index(
     other nlist - |probed| directories entirely). Scan cost is
     ~nprobe/nlist of the corpus in actual I/O, not just in compute —
     the property that makes IVF worth materializing."""
+    _recover_ivf_index(path)
     if queries.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
         raise ValueError(
             f"query batch exceeds max_broadcast_queries="

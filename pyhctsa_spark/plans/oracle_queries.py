@@ -1956,6 +1956,16 @@ WHERE bit_count(xor(a.fp_lo, b2.fp_lo)) + bit_count(xor(a.fp_hi, b2.fp_hi)) <= 3
 # partial probe would be honest).
 ENGINE_ORACLES["knn_ivf"] = QUERIES["knn_cosine_top3"]["duck"]
 
+# Persistent IVF index LIFECYCLE (build over 80% of the corpus ->
+# append_to_ivf_index the remaining 20% "daily embedding batch" ->
+# full-probe knn_ivf_index): the appended index must answer queries
+# bit-identically to brute force over the UNION corpus — the same
+# oracle as knn_ivf, now additionally proving the delta-append path
+# (map-side assignment against the index's own centroids + partition
+# append) loses/garbles nothing. Partial-probe equivalence of appended
+# vs built vectors is pinned in tests/test_vector_index.py.
+ENGINE_ORACLES["knn_ivf_index_delta"] = QUERIES["knn_cosine_top3"]["duck"]
+
 # Multimodal decode->featurize: the fake decoder is seeded and
 # deterministic, so the engine output is reproducible bit-for-bit; the
 # oracle reads the committed golden snapshot (scripts/gen_media_golden.py).

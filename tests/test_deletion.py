@@ -225,3 +225,27 @@ def test_erasure_job_cli_search_index(spark, tmp_path, capsys):
                       ["alpha", "beta"], k=8).collect()]
     assert got == want
     assert not {3, 5} & {r[1] for r in got}
+
+
+def test_erasure_job_cli_ivf_index(spark, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    from jobs.erasure_job import main
+    from pyhctsa_spark.operators.similarity import ivf_write_index
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "vidx")
+    ivf_write_index(emb, idx, num_centroids=4)
+    rc = main(["--ivf-index", idx, "--ids", "3,5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_remaining"] == 0 and out["n_ids"] == 2
+    before, after = out["lists"]
+    assert (before, after) == (24, 22)
+    # survivors still retrievable
+    assert spark.read.parquet(idx + "/lists").count() == 22
