@@ -635,6 +635,42 @@ def bench_ann_1m(spark, k: int = 10, n_queries: int = 20,
                 out[f"ann1m_nprobe{nprobe}_recall"] = round(rec, 3)
         for nprobe, w in walls.items():
             out[f"ann1m_nprobe{nprobe}_sec"] = round(w, 3)
+
+        # index lifecycle at scale: append a 2% "daily batch" (20k new
+        # vectors from the same generator, ids past the corpus) — the
+        # wall must look like the delta, not like the build (the
+        # delta-proportional contract of append_to_ivf_index). Runs
+        # AFTER the recall loop so the extra ids can't perturb the
+        # ground-truth comparison; probe wall re-measured on the
+        # appended index.
+        import pyarrow as pa
+
+        from pyhctsa_spark.operators.similarity import append_to_ivf_index
+
+        n_delta = ANN1M_N // 50
+        ids = spark.range(ANN1M_N, ANN1M_N + n_delta).toDF("vec_id")
+
+        def _vec_rows(batches):
+            for b in batches:
+                vid = b.column("vec_id").to_numpy()
+                V = _ann_vec_block(vid)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vid), pa.array(list(V))],
+                    names=["vec_id", "embedding"],
+                )
+
+        delta = ids.mapInArrow(
+            _vec_rows, "vec_id long, embedding array<double>"
+        )
+        t0 = time.perf_counter()
+        counters = append_to_ivf_index(delta, idx_dir)
+        out["ann1m_append2pct_sec"] = round(time.perf_counter() - t0, 3)
+        out["ann1m_append_cos"] = round(counters["assign_cos_mean"], 4)
+        t0 = time.perf_counter()
+        knn_ivf_index(spark, idx_dir, qs, k=k, nprobe=16).toPandas()
+        out["ann1m_probe16_after_append_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     return out

@@ -74,8 +74,11 @@ def test_append_then_full_probe_equals_bruteforce(spark, emb, split,
     assert 0.0 < counters["assign_cos_mean"] <= 1.0
     assert counters["build_assign_cos_mean"] > 0.0
 
-    lists = spark.read.parquet(f"{path}/lists")
-    assert lists.count() == emb.count()
+    # the delta lands in the append heap; the partition tree is untouched
+    assert spark.read.parquet(f"{path}/lists").count() == base.count()
+    assert (
+        spark.read.parquet(f"{path}/lists_delta").count() == delta.count()
+    )
 
     q = emb.where(F.col("vec_id") < 5)
     nlist = read_ivf_meta(path)["nlist"]
@@ -101,11 +104,12 @@ def test_append_assignment_matches_build_centroids(spark, emb, split,
     )
     C = np.stack(cents.centroid.to_numpy())
     got = (
-        spark.read.parquet(f"{path}/lists")
+        spark.read.parquet(f"{path}/lists_delta")
         .join(delta.select(F.col("vec_id").alias("nid")), "nid", "semi")
         .select("nid", "cv", "cid")
         .toPandas()
     )
+    assert len(got) == delta.count()
     M = np.stack(got.cv.to_numpy())
     expect = np.argmax(M @ C.T, axis=1)
     assert (got.cid.to_numpy() == expect).all()
@@ -117,10 +121,16 @@ def test_compact_repairs_replayed_append(spark, emb, split, tmp_path):
     ivf_write_index(base, path, num_centroids=8)
     append_to_ivf_index(delta, path)
     append_to_ivf_index(delta, path)  # replay (crash-retry semantics)
-    n_dup = spark.read.parquet(f"{path}/lists").count()
+    n_dup = (
+        spark.read.parquet(f"{path}/lists").count()
+        + spark.read.parquet(f"{path}/lists_delta").count()
+    )
     assert n_dup == base.count() + 2 * delta.count()
     stats = compact_ivf_index(spark, path)
     assert stats["lists"] == (n_dup, emb.count())
+    # compaction folded the heap into the partition tree
+    assert not os.path.exists(f"{path}/lists_delta")
+    assert spark.read.parquet(f"{path}/lists").count() == emb.count()
     # post-compact full probe still exact
     q = emb.where(F.col("vec_id") < 3)
     nlist = read_ivf_meta(path)["nlist"]
@@ -161,36 +171,33 @@ def test_crash_recovery_restores_live_tables(spark, emb, tmp_path):
     assert stats["lists"][1] == emb.count()
 
 
-def test_append_preserves_pruned_layout(spark, emb, split, tmp_path):
-    """Appends must land INSIDE the cid=... partition directories —
-    an unpartitioned append file would silently defeat the partition
-    pruning that makes the materialized index worth its disk. Checked
-    at the layer pruning actually operates on: the file layout, and
-    the pruned scan's inputFiles set."""
+def test_append_heap_is_small_and_folds_away(spark, emb, split, tmp_path):
+    """The LSM contract: an append writes O(delta-bytes) files into the
+    heap — NEVER one file per touched list in the partition tree (the
+    tiny-file rot that kills repeated appends at nlist in the
+    thousands) — and compaction leaves the heap empty with every row
+    in the cid= layout."""
     base, delta = split
     path = str(tmp_path / "ivf")
     ivf_write_index(base, path, num_centroids=8)
     lists_dir = os.path.join(path, "lists")
+    heap_dir = os.path.join(path, "lists_delta")
+    tree_files0 = sum(len(fs) for _, _, fs in os.walk(lists_dir))
 
-    def layout():
-        stray = [
-            f for f in os.listdir(lists_dir)
-            if f.endswith(".parquet") and not f.startswith("cid=")
-        ]
-        n = sum(
-            len([p for p in os.listdir(os.path.join(lists_dir, d))
-                 if p.endswith(".parquet")])
-            for d in os.listdir(lists_dir) if d.startswith("cid=")
-        )
-        return stray, n
-
-    stray0, n0 = layout()
-    assert not stray0 and n0 > 0
     append_to_ivf_index(delta, path)
-    stray1, n1 = layout()
-    assert not stray1, f"append wrote unpartitioned files: {stray1}"
-    assert n1 > n0  # the delta's files joined the cid= layout
-    # and the partition-column read still resolves every row
+    # partition tree untouched; heap holds O(delta/0.5GB) files -> 1 here
+    assert sum(len(fs) for _, _, fs in os.walk(lists_dir)) == tree_files0
+    heap_files = [f for f in os.listdir(heap_dir) if f.endswith(".parquet")]
+    assert len(heap_files) == 1
+    # heap rows carry cid as a data column (probe-side filterable)
+    heap = spark.read.parquet(heap_dir)
+    assert heap.where(F.col("cid").isNull()).count() == 0
+
+    compact_ivf_index(spark, path)
+    assert not os.path.exists(heap_dir)
     lists = spark.read.parquet(lists_dir)
-    assert lists.where(F.col("cid").isNull()).count() == 0
     assert lists.count() == emb.count()
+    assert all(
+        f.startswith("cid=") or not f.endswith(".parquet")
+        for f in os.listdir(lists_dir)
+    )
