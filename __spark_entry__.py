@@ -1759,6 +1759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_neardup_clusters"] = _neardup_clusters_query
     out["minhash_index_delta_pairs"] = _minhash_index_query
     out["knn_ivf"] = _knn_ivf_query
+    # persistent IVF vector-index lifecycle (round-5 session 9): build
+    # -> LSM-heap delta append -> full probe, bit-equal to brute force
+    # over the union corpus — scored with the pipeline core (the
+    # index-lifecycle sibling of minhash_index_delta_pairs and
+    # doc_bm25_index_topk). user_arfit12 slides to position 51 and
+    # stays catalog-gated.
+    out["knn_ivf_index_delta"] = _knn_ivf_index_delta_query
     out["media_features"] = _media_features_query
     out["media_frames"] = _media_frames_query
     out["media_real_decode"] = _media_real_query
@@ -1788,13 +1795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct queries; the queries listed here have NEVER been inside
     # the driver's CORRECTNESS artifact (all are continuously
     # value-gated by scripts/check_oracle.py regardless). NOTE: the
-    # head above grew to 25 entries (media_compressed_decode,
+    # head above grew to 26 entries (media_compressed_decode,
     # wet_ingest, doc_dsir_select, minhash_index_delta_pairs,
-    # doc_bm25_index_topk — themselves never-graded round-5
-    # additions), so the LAST 5 of these 30 (user_dynwin,
-    # user_localdists, user_rangeevolve, user_binarystats_diff,
-    # user_timerev1) land at positions 50-54, outside this round's
-    # window — they lead the round-6 rotation. Families: spectral DFT,
+    # doc_bm25_index_topk, knn_ivf_index_delta — themselves
+    # never-graded round-5 additions), so the LAST 6 of these 30
+    # (user_arfit12, user_dynwin, user_localdists, user_rangeevolve,
+    # user_binarystats_diff, user_timerev1) land at positions 50-55,
+    # outside this round's window — they lead the next rotation (all
+    # stay value-gated by scripts/check_oracle.py). Families: spectral DFT,
     # wavelets, transition matrices, walker/surprise dynamics,
     # entropies (ApEn/MSE/RPDE/MS-Shannon), DFA, HRV, AMI stats,
     # model-fit (KPSS/AR), and the remaining stationarity/automutual
@@ -1887,10 +1895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # session 8): BM25 top-k + TF-IDF keywords — catalog tail
     out["doc_bm25_topk"] = _bm25_query
     out["doc_tfidf_keywords"] = _tfidf_query
-    # persistent IVF vector-index lifecycle (round-5 session 9):
-    # build -> delta-append -> full-probe, bit-equal to brute force
-    # over the union corpus — catalog tail
-    out["knn_ivf_index_delta"] = _knn_ivf_index_delta_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)
