@@ -272,28 +272,31 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
     big = spark.read.parquet(cache)
     n_docs10 = big.count()
     out["dedup10_docs"] = int(n_docs10)
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    minhash_verified_pairs(big, threshold=0.3).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["minhash10_sec"] = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    simhash_near_pairs_collapsed(big, max_hamming=3).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    out["simhash10_sec"] = round(time.perf_counter() - t0, 3)
+
     # production clustering path: exact-collapse first, so the 10x
     # duplicate multiplicity never becomes quadratic pair output
     from pyhctsa_spark.operators.dedup import near_dup_clusters
 
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    near_dup_clusters(big, threshold=0.3).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["neardup_clusters10_sec"] = round(time.perf_counter() - t0, 3)
+    def _min2(runner) -> float:
+        """min-of-2 on the noisy host (one stray neighbor burst
+        routinely triples a single-shot number — BENCH.md protocol)."""
+        w = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            runner().write.format("noop").mode("overwrite").save()
+            w = min(w, time.perf_counter() - t0)
+        return w
+
+    out["minhash10_sec"] = round(
+        _min2(lambda: minhash_verified_pairs(big, threshold=0.3)), 3
+    )
+    out["simhash10_sec"] = round(
+        _min2(lambda: simhash_near_pairs_collapsed(big, max_hamming=3)), 3
+    )
+    out["neardup_clusters10_sec"] = round(
+        _min2(lambda: near_dup_clusters(big, threshold=0.3)), 3
+    )
     # the full curation funnel (quality -> near-dup collapse -> passage
     # dedup -> PII -> mix -> pack -> shuffle) end-to-end on the same 10x
     # corpus — the number a pipeline owner actually plans around
@@ -317,26 +320,26 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
 
     from pyhctsa_spark.operators.lm import lm_perplexity, train_bigram_lm
 
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    bi, ctx, v = train_bigram_lm(big.where(F2.col("doc_id") % 100 == 0))
-    lm_perplexity(big, bi, ctx, v).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["lm10_sec"] = round(time.perf_counter() - t0, 3)
+    wall = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        bi, ctx, v = train_bigram_lm(big.where(F2.col("doc_id") % 100 == 0))
+        lm_perplexity(big, bi, ctx, v).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = min(wall, time.perf_counter() - t0)
+        bi.unpersist()
+    out["lm10_sec"] = round(wall, 3)
     out["lm10_vocab"] = int(v)
-    bi.unpersist()
     # exact-substring span dedup on the 10x corpus: the exact-collapse
     # fast path keeps the gram table at distinct-content size, so crawl
     # multiplicity costs closed-form member rows, not 10x gram ranking
     from pyhctsa_spark.operators.curation import exact_substring_dedup
 
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    exact_substring_dedup(big, span_words=8).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["substring10_sec"] = round(time.perf_counter() - t0, 3)
+    out["substring10_sec"] = round(
+        _min2(lambda: exact_substring_dedup(big, span_words=8)), 3
+    )
     # HTML->text extraction throughput: web-page-sized documents (the
     # sf docs are ~0.5 KB; a real page is ~5-50 KB, so each doc's text
     # is repeated 12x before wrapping in markup — nav boilerplate +
