@@ -39,6 +39,9 @@ lists next to brute-force and IVF ANN.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from pyhctsa_spark.operators.similarity import _as_double, _norm
@@ -484,6 +487,7 @@ def ivfpq_write_index(
     Returns inverted-list skew stats (ivf_list_stats)."""
     from pyhctsa_spark.operators.similarity import ivf_build, ivf_list_stats
 
+    _recover_pq_index(path)
     cents, assigned = ivf_build(
         corpus, num_centroids, vec_col, id_col,
         train_sample=train_sample, train_iters=ivf_train_iters,
@@ -508,7 +512,145 @@ def ivfpq_write_index(
          for s in range(mm) for j in range(kk)],
         "s int, j int, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    import json
+
+    n_cents = cents.count()
+    meta = {
+        "nlist": int(n_cents),
+        "m": int(mm), "ksub": int(kk), "dim": int(mm * dsub),
+        "write_salt": int(write_salt),
+        "id_type": corpus.select(id_col).schema[0].dataType.simpleString(),
+    }
+    with open(os.path.join(path, _PQ_META), "w") as fh:
+        json.dump(meta, fh)
     return ivf_list_stats(spark.read.parquet(f"{path}/lists"))
+
+
+_PQ_META = "_pq_meta.json"
+
+
+def read_pq_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, _PQ_META)) as fh:
+        return json.load(fh)
+
+
+def _recover_pq_index(path: str) -> None:
+    """Repair leftovers from a crashed compact swap — same protocol as
+    the IVF index (see similarity._recover_ivf_index). Called by every
+    entry point that touches the index."""
+    from pyhctsa_spark.operators.similarity import _ivf_swap_names
+
+    for table in ("lists", "centroids", "codebooks"):
+        d = os.path.join(path, table)
+        tmp, old = _ivf_swap_names(d)
+        if os.path.exists(old) and not os.path.exists(d):
+            os.rename(old, d)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Add a vector batch to a materialized IVFPQ index — the PQ
+    sibling of ``similarity.append_to_ivf_index``, same LSM shape:
+    the batch is assigned map-side against the index's own centroids
+    and encoded against its own CODEBOOKS (both frozen at build — the
+    faiss train-then-add contract), then the (nid, code, cid) rows
+    append into the ``lists_delta/`` heap. No existing file is read or
+    rewritten; probes union the heap; ``compact_ivfpq_index`` folds it.
+
+    Caller contract (same as the sibling indexes): ids not already
+    present; a replayed append duplicates rows until compaction.
+
+    Returns {appended, assign_cos_mean} — the drift counter reads
+    against the IVF quantizer; codebook drift shows up the same way
+    (both are trained on the same corpus snapshot)."""
+    from pyhctsa_spark.operators.similarity import (
+        _DELTA_ROWS_PER_FILE,
+        _assign_cos_mean,
+        _centroid_matrix,
+        _nearest_cid_udf,
+    )
+
+    spark = df.sparkSession
+    _recover_pq_index(path)
+    C = _centroid_matrix(spark, path)
+    books = read_codebooks(spark, path)
+    base = df.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    assigned = base.withColumn(
+        "cid", _nearest_cid_udf(C)(F.col("cv"))
+    ).persist()
+    try:
+        codes = pq_encode(df, books, vec_col, id_col)
+        delta = codes.join(assigned.select("nid", "cid"), "nid")
+        n = assigned.count()
+        files = max(1, -(-n // _DELTA_ROWS_PER_FILE))
+        (
+            delta.repartition(files)
+            .sortWithinPartitions("cid")  # row-group stats prune probes
+            .write.mode("append")
+            .parquet(os.path.join(path, "lists_delta"))
+        )
+        drift = _assign_cos_mean(assigned, spark, path)
+    finally:
+        assigned.unpersist()
+    return {"appended": int(n), "assign_cos_mean": drift}
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Fold the append heap into the cid= partition layout,
+    de-duplicate replayed appends, and erase ``drop_ids`` (the
+    right-to-be-forgotten path for the code index). Atomic via the
+    tmp/old rename swap; heap dropped only after the swap lands (a
+    crash in between leaves re-dedupable duplicates, never lost rows).
+
+    Returns {"lists": (rows_before, rows_after)} lineage counts."""
+    from pyhctsa_spark.operators.similarity import (
+        _ivf_swap_names,
+        _with_delta,
+    )
+
+    _recover_pq_index(path)
+    meta = read_pq_meta(path)
+    d = f"{path}/lists"
+    df = _with_delta(spark, path, spark.read.parquet(d))
+    before = df.count()
+    clean = df.dropDuplicates(["nid"])
+    if drop_ids is not None:
+        drops = F.broadcast(
+            drop_ids.select(F.col(id_col).alias("nid")).distinct()
+        )
+        clean = clean.join(drops, "nid", "left_anti")
+    clean = clean.repartition(
+        F.col("cid"),
+        F.pmod(
+            F.xxhash64(F.col("nid").cast("string")),
+            F.lit(meta["write_salt"]),
+        ),
+    )
+    tmp, old = _ivf_swap_names(d)
+    clean.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    os.rename(d, old)
+    os.rename(tmp, d)
+    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(path, "lists_delta"), ignore_errors=True)
+    return {"lists": (int(before), int(after))}
 
 
 def read_codebooks(spark: SparkSession, path: str):
@@ -549,7 +691,9 @@ def knn_ivfpq_index(
             "rerank needs the raw corpus DataFrame — the IVFPQ index "
             "stores only PQ codes (pass corpus=, or rerank=None)"
         )
-    from pyhctsa_spark.operators.similarity import _probes_for
+    from pyhctsa_spark.operators.similarity import _probes_for, _with_delta
+
+    _recover_pq_index(path)
 
     cents = spark.read.parquet(f"{path}/centroids")
     books = read_codebooks(spark, path)
@@ -563,6 +707,8 @@ def knn_ivfpq_index(
         lists = spark.read.parquet(f"{path}/lists").where(
             F.col("cid").isin(probed)
         )
+        # plus the append heap (codes added since the last compaction)
+        lists = _with_delta(spark, path, lists, cid_filter=probed)
         cand = F.broadcast(probes.select("qid", "cid")).join(
             lists, "cid"
         ).select("qid", "nid", "code")

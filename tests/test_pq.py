@@ -259,3 +259,66 @@ def test_ivfpq_index_rerank_requires_corpus(spark, tmp_path):
     with _pytest.raises(ValueError, match="raw corpus"):
         knn_ivfpq_index(spark, idx, emb.where("vec_id < 3"),
                         rerank=16)
+
+
+def test_ivfpq_index_append_erase_lifecycle(spark, tmp_path):
+    """The PQ sibling of the IVF lifecycle: build over 80% of the
+    corpus, append the rest (assigned + encoded against the FROZEN
+    build-time quantizer/codebooks — faiss train-then-add), and the
+    appended index with a corpus-wide rerank must equal exact cosine
+    top-k over the union. Compaction folds the heap; drop_ids erases."""
+    import os
+
+    from pyhctsa_spark.operators.pq import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_write_index,
+        knn_ivfpq_index,
+        read_pq_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where("vec_id % 5 != 0")
+    delta = emb.where("vec_id % 5 = 0")
+    qs = emb.where("vec_id < 5")
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_write_index(base, idx, m=8, ksub=16, num_centroids=4,
+                      pq_train_iters=0, ivf_train_iters=2)
+    meta = read_pq_meta(idx)
+    assert meta["nlist"] == 4 and meta["m"] == 8
+
+    counters = append_to_ivfpq_index(delta, idx)
+    assert counters["appended"] == delta.count()
+    assert 0.0 < counters["assign_cos_mean"] <= 1.0
+    # heap holds the delta's codes; the partition tree is untouched
+    assert spark.read.parquet(f"{idx}/lists").count() == base.count()
+    assert (
+        spark.read.parquet(f"{idx}/lists_delta").count() == delta.count()
+    )
+
+    exact = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_bruteforce(emb, qs, k=3).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_ivfpq_index(spark, idx, qs, k=3, nprobe=4,
+                                 rerank=500, corpus=emb).collect()
+    }
+    assert got == exact
+
+    # compact folds the heap; erasing the delta restores the base view
+    stats = compact_ivfpq_index(spark, idx,
+                                drop_ids=delta.select("vec_id"))
+    assert stats["lists"] == (emb.count(), base.count())
+    assert not os.path.exists(f"{idx}/lists_delta")
+    base_exact = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_bruteforce(base, qs, k=3).collect()
+    }
+    got2 = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_ivfpq_index(spark, idx, qs, k=3, nprobe=4,
+                                 rerank=500, corpus=base).collect()
+    }
+    assert got2 == base_exact
