@@ -10,7 +10,8 @@ Usage (cluster; run per erasure batch):
         --ids-file requests.txt              # one doc_id per line
     # or: --ids doc1,doc2,doc3
     # cagg snapshot store instead: --cagg-store path --key-col user_id
-    # index searchability: --minhash-index | --search-index | --ivf-index
+    # index searchability: --minhash-index | --search-index |
+    #                      --ivf-index | --ivfpq-index
 
 Tier-store semantics (operators/deletion.delete_docs): audit rows land
 in `_deletion_log` BEFORE any data is touched; only chunks containing
@@ -52,6 +53,10 @@ def parse_args(argv):
                    help="IVF vector-index path: erase the ids from ANN "
                         "retrieval (compact_ivf_index drop rewrite of "
                         "the inverted lists; centroids untouched)")
+    p.add_argument("--ivfpq-index", default=None,
+                   help="IVFPQ code-index path: erase the ids' PQ codes "
+                        "from ANN retrieval (compact_ivfpq_index drop "
+                        "rewrite; centroids/codebooks untouched)")
     p.add_argument("--ids", default=None, help="comma-separated ids")
     p.add_argument("--ids-file", default=None, help="one id per line")
     p.add_argument("--id-col", default="doc_id")
@@ -65,13 +70,14 @@ def parse_args(argv):
         1
         for t in (
             args.store, args.cagg_store, args.minhash_index,
-            args.search_index, args.ivf_index,
+            args.search_index, args.ivf_index, args.ivfpq_index,
         )
         if t
     )
     if n_targets != 1:
         p.error("exactly one of --store / --cagg-store / --minhash-index "
-                "/ --search-index / --ivf-index is required")
+                "/ --search-index / --ivf-index / --ivfpq-index is "
+                "required")
     if bool(args.ids) == bool(args.ids_file):
         p.error("exactly one of --ids / --ids-file is required")
     return args
@@ -208,6 +214,42 @@ def main(argv=None) -> int:
         )
         out = {
             "ivf_index": args.ivf_index,
+            "n_ids": len(ids),
+            "lists": stats["lists"],
+            "rows_remaining": int(left),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps(out))
+        return 0 if left == 0 else 2
+    if args.ivfpq_index:
+        from pyspark.sql import functions as F
+
+        from pyhctsa_spark.operators.pq import (
+            compact_ivfpq_index,
+            read_pq_meta,
+        )
+
+        if read_pq_meta(args.ivfpq_index)["id_type"] in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            typed_ids = [int(i) for i in ids]
+        else:
+            typed_ids = list(ids)
+        drop = spark.createDataFrame(
+            [(i,) for i in typed_ids],
+            f"vec_id {'long' if isinstance(typed_ids[0], int) else 'string'}",
+        )
+        stats = compact_ivfpq_index(
+            spark, args.ivfpq_index, drop_ids=drop, id_col="vec_id"
+        )
+        left = (
+            spark.read.parquet(f"{args.ivfpq_index}/lists")
+            .where(F.col("nid").cast("string").isin(
+                [str(i) for i in typed_ids]))
+            .count()
+        )
+        out = {
+            "ivfpq_index": args.ivfpq_index,
             "n_ids": len(ids),
             "lists": stats["lists"],
             "rows_remaining": int(left),

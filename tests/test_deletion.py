@@ -249,3 +249,25 @@ def test_erasure_job_cli_ivf_index(spark, tmp_path, capsys):
     assert (before, after) == (24, 22)
     # survivors still retrievable
     assert spark.read.parquet(idx + "/lists").count() == 22
+
+
+def test_erasure_job_cli_ivfpq_index(spark, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    from jobs.erasure_job import main
+    from pyhctsa_spark.operators.pq import ivfpq_write_index
+
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "pqidx")
+    ivfpq_write_index(emb, idx, m=4, ksub=8, num_centroids=4,
+                      pq_train_iters=0, ivf_train_iters=2)
+    rc = main(["--ivfpq-index", idx, "--ids", "3,5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_remaining"] == 0 and out["n_ids"] == 2
+    assert tuple(out["lists"]) == (24, 22)
