@@ -1675,6 +1675,21 @@ def _bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["dup", "spark", "hash", "join"], k=10)
 
 
+def _hybrid_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (search.hybrid_rrf_topk): reciprocal-rank
+    fusion (k_rrf=60) of the BM25 top-50 for {dup, spark, hash, join}
+    with the cosine top-50 around doc 0's embedding — the id-aligned
+    documents/embeddings tables are the two towers. One scan per
+    tower, pool-sized TakeOrderedAndProject each, <= 100-row fusion."""
+    from pyhctsa_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_rrf_topk(
+        docs, emb, ["dup", "spark", "hash", "join"], query_vec_id=0, k=10
+    )
+
+
 def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (search.tfidf_keywords):
     tf * ln(N/df), per-doc WindowGroupLimit partial top-k so the window
@@ -1895,6 +1910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # session 8): BM25 top-k + TF-IDF keywords — catalog tail
     out["doc_bm25_topk"] = _bm25_query
     out["doc_tfidf_keywords"] = _tfidf_query
+    # hybrid lexical+dense retrieval (round-5 session 10): RRF fusion
+    # of the BM25 and cosine towers — catalog tail
+    out["doc_hybrid_rrf"] = _hybrid_rrf_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -266,3 +266,110 @@ def tfidf_keywords(
         .where(F.col("kw_rank") <= top_n)
         .select("doc_id", "kw_rank", "term", "tfidf6")
     )
+
+
+def cosine_topk_ranks(
+    emb: DataFrame,
+    query_vec_id: int,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank the ``pool`` nearest vectors to ``query_vec_id`` by cosine.
+
+    The dense half of hybrid retrieval: the (1-row) query vector is
+    broadcast against the corpus and the dot product / norms run as
+    JVM higher-order functions — one corpus scan, no Python, top-pool
+    via TakeOrderedAndProject. Cosine is rounded to 6 IN-QUERY before
+    ranking (the same ULP armor as bm25_topk's score6) and ties break
+    on vec_id, so the DuckDB oracle agrees on every rank boundary.
+    Zero-norm vectors yield NULL cosine (excluded by the descending
+    NULLS LAST sort) rather than an ANSI division error.
+
+    Returns ``(vec_id, cos6, r_cos)`` with ``r_cos`` in 1..pool.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    qv = v.where(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("e").alias("qe")
+    )
+    zero = F.lit(0.0).cast("double")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    cos = _dot("e", "qe") / F.nullif(
+        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")), zero
+    )
+    scored = (
+        v.where(F.col("vec_id") != int(query_vec_id))
+        .join(F.broadcast(qv))
+        .select("vec_id", F.round(cos, 6).alias("cos6"))
+        .where(F.col("cos6").isNotNull())
+    )
+    top = scored.orderBy(F.col("cos6").desc(), F.col("vec_id").asc()).limit(
+        pool
+    )
+    w = Window.orderBy(F.col("cos6").desc(), F.col("vec_id").asc())
+    return top.withColumn("r_cos", F.row_number().over(w).cast("long"))
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine.
+
+    The standard two-tower audit query of a curation pipeline ("docs
+    that match these terms AND look like this example"): lexical ranks
+    come from :func:`bm25_topk` (top ``pool``), dense ranks from
+    :func:`cosine_topk_ranks` over the aligned embeddings table, and
+    the lists fuse with Cormack/Clarke/Buettcher reciprocal-rank
+    fusion::
+
+        rrf(d) = sum_systems 1 / (k_rrf + rank_system(d))
+
+    A document absent from one list contributes 0 for that system (the
+    standard convention). Both input ranks are computed over rounded
+    scores, and the fused score is ``round(_, 6)`` with a doc_id
+    tiebreak, so the DuckDB oracle reproduces the ordering exactly —
+    1/(k_rrf+r) on an integer rank is a single correctly-rounded IEEE
+    division, identical across engines.
+
+    Scale shape: each side is one corpus scan ending in a pool-sized
+    TakeOrderedAndProject; the fusion join touches <= 2*pool rows.
+    Returns ``(rank, doc_id, fused6, r_bm25, r_cos)``.
+    """
+    bm = bm25_topk(
+        docs, query_terms, k=pool, text_col=text_col, id_col=id_col
+    ).select("doc_id", F.col("rank").alias("r_bm25"))
+    cs = cosine_topk_ranks(emb, query_vec_id, pool=pool).select(
+        F.col("vec_id").alias("doc_id"), "r_cos"
+    )
+    kr = F.lit(float(k_rrf)).cast("double")
+    one = F.lit(1.0).cast("double")
+    zero = F.lit(0.0).cast("double")
+    fused = F.coalesce(one / (kr + F.col("r_bm25")), zero) + F.coalesce(
+        one / (kr + F.col("r_cos")), zero
+    )
+    scored = bm.join(cs, "doc_id", "full_outer").select(
+        "doc_id", "r_bm25", "r_cos", F.round(fused, 6).alias("fused6")
+    )
+    top = scored.orderBy(F.col("fused6").desc(), F.col("doc_id").asc()).limit(
+        k
+    )
+    w = Window.orderBy(F.col("fused6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "fused6", "r_bm25", "r_cos"
+    )

@@ -9117,3 +9117,76 @@ SELECT doc_id, kw_rank, term, tfidf6 FROM (
 # ad-hoc oracle, even though the Spark side runs build -> delta append
 # -> partition-pruned probe against the materialized postings.
 ENGINE_ORACLES["doc_bm25_index_topk"] = ENGINE_ORACLES["doc_bm25_topk"]
+
+# Hybrid retrieval (search.hybrid_rrf_topk): reciprocal-rank fusion of
+# the BM25 top-50 (same scoring CTEs as doc_bm25_topk) with the cosine
+# top-50 around the doc-0 embedding. Both rank lists order by rounded
+# scores with id tiebreaks, and rrf = 1/(60+rank) on integer ranks is a
+# correctly-rounded IEEE division — bit-identical across engines.
+ENGINE_ORACLES["doc_hybrid_rrf"] = """
+WITH bl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bl),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) t
+  WHERE term IN ('dup', 'spark', 'hash', 'join')
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+bm_scored AS (
+  SELECT t.doc_id,
+         round(sum(
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (t.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+           ), 6) AS score6
+  FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+bm AS (
+  SELECT doc_id, r_bm25 FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score6 DESC, doc_id) AS r_bm25
+    FROM bm_scored
+  ) q WHERE r_bm25 <= 50
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cosed AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(c.e, q.qe)
+               / nullif(sqrt(list_dot_product(c.e, c.e))
+                        * sqrt(list_dot_product(q.qe, q.qe)),
+                        CAST(0.0 AS DOUBLE)), 6) AS cos6
+  FROM v c CROSS JOIN qv q
+  WHERE c.vec_id <> 0
+),
+cs AS (
+  SELECT doc_id, r_cos FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos6 DESC, doc_id) AS r_cos
+    FROM cosed WHERE cos6 IS NOT NULL
+  ) q WHERE r_cos <= 50
+),
+fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.r_bm25, c.r_cos,
+         round(
+           coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + b.r_bm25),
+                    CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + c.r_cos),
+                      CAST(0.0 AS DOUBLE)), 6) AS fused6
+  FROM bm b FULL OUTER JOIN cs c ON b.doc_id = c.doc_id
+)
+SELECT rank, doc_id, fused6, r_bm25, r_cos FROM (
+  SELECT row_number() OVER (ORDER BY fused6 DESC, doc_id) AS rank,
+         doc_id, fused6, r_bm25, r_cos
+  FROM fused
+) q WHERE rank <= 10
+"""

@@ -180,3 +180,82 @@ def test_tfidf_plan_uses_window_group_limit(spark, docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.5, 0.5, 0.0]),
+    (4, [-1.0, 0.0, 0.0]),
+    (5, [0.8, 0.0, 0.6]),
+    (6, [0.0, 0.0, 0.0]),  # zero-norm: NULL cosine, excluded
+]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def _brute_cos_ranks(emb, qid, pool):
+    qe = dict(emb)[qid]
+    qn = math.sqrt(sum(x * x for x in qe))
+    scored = []
+    for vid, e in emb:
+        if vid == qid:
+            continue
+        nrm = math.sqrt(sum(x * x for x in e)) * qn
+        if nrm == 0:
+            continue
+        scored.append(
+            (vid, round(sum(x * y for x, y in zip(e, qe)) / nrm, 6))
+        )
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return {vid: r + 1 for r, (vid, _c) in enumerate(scored[:pool])}
+
+
+def test_hybrid_rrf_matches_brute_force(spark, docs_df, emb_df):
+    """Fused ordering == a pure-python RRF over the brute BM25 and
+    brute cosine rank lists, including docs present in only one list
+    and the zero-norm vector excluded from the dense side."""
+    from pyhctsa_spark.operators.search import hybrid_rrf_topk
+
+    terms = ["spark", "hash", "dup"]
+    pool, k_rrf = 4, 60
+    bm_scores = _brute_bm25(DOCS, terms)
+    bm_order = sorted(bm_scores, key=lambda d: (-bm_scores[d][0], d))
+    bm_ranks = {d: r + 1 for r, d in enumerate(bm_order[:pool])}
+    cos_ranks = _brute_cos_ranks(EMB, 0, pool)
+    fused = {
+        d: round(
+            (1.0 / (k_rrf + bm_ranks[d]) if d in bm_ranks else 0.0)
+            + (1.0 / (k_rrf + cos_ranks[d]) if d in cos_ranks else 0.0),
+            6,
+        )
+        for d in set(bm_ranks) | set(cos_ranks)
+    }
+    want = sorted(fused, key=lambda d: (-fused[d], d))
+    got = hybrid_rrf_topk(
+        docs_df, emb_df, terms, query_vec_id=0, k=10, pool=pool
+    ).collect()
+    assert [r.doc_id for r in got] == want
+    for r in got:
+        assert r.fused6 == pytest.approx(fused[r.doc_id], abs=0)
+        assert r.r_bm25 == bm_ranks.get(r.doc_id)
+        assert r.r_cos == cos_ranks.get(r.doc_id)
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+def test_hybrid_rrf_plan_shape(spark, docs_df, emb_df):
+    """Both towers end in pool-sized TakeOrderedAndProject and the
+    1-row query vector is broadcast — no corpus-sized shuffle feeds
+    the fusion join."""
+    from pyhctsa_spark.operators.search import hybrid_rrf_topk
+
+    plan = (
+        hybrid_rrf_topk(docs_df, emb_df, ["hash", "dup"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row query vec
