@@ -813,7 +813,9 @@ def bench_queries(spark) -> dict:
                     "emb_norm_stats", "doc_sample_per_source",
                     "doc_warc_html_extract",
                     # full-text search (round-5 session 8)
-                    "doc_bm25_topk", "doc_tfidf_keywords")
+                    "doc_bm25_topk", "doc_tfidf_keywords",
+                    # hybrid lexical+dense RRF fusion (session 10)
+                    "doc_hybrid_rrf")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):
