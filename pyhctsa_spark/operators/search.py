@@ -373,3 +373,122 @@ def hybrid_rrf_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "fused6", "r_bm25", "r_cos"
     )
+
+
+def cosine_topk_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched dense retrieval: top-k per query for a (small) query
+    table ``(query_id, qvec: array<numeric>[, exclude_vec_id])`` —
+    hundreds of probe vectors against the corpus in ONE scan.
+
+    The query table is broadcast (BroadcastNestedLoopJoin against the
+    corpus scan); cosine runs as JVM higher-order functions rounded to
+    6 in-query; the per-query top-k is a WindowGroupLimit partial
+    top-k, so shuffle volume is O(queries x k) per task, independent
+    of corpus size. If the optional ``exclude_vec_id`` column is
+    present (nullable), that corpus id is excluded from its query's
+    candidates — how a corpus-row probe skips itself. Zero-norm
+    vectors (either side) yield NULL cosine and are excluded.
+
+    Returns ``(query_id, r_cos, vec_id, cos6)``.
+    """
+    has_excl = "exclude_vec_id" in queries.columns
+    qcols = [
+        F.col("query_id"),
+        F.transform("qvec", lambda x: x.cast("double")).alias("qe"),
+    ]
+    if has_excl:
+        qcols.append(F.col("exclude_vec_id"))
+    q = queries.select(*qcols)
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    zero = F.lit(0.0).cast("double")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    cos = _dot("e", "qe") / F.nullif(
+        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")), zero
+    )
+    joined = v.join(F.broadcast(q))
+    if has_excl:
+        joined = joined.where(
+            ~F.col("vec_id").eqNullSafe(F.col("exclude_vec_id"))
+        )
+    scored = joined.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cos6")
+    ).where(F.col("cos6").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("r_cos", F.row_number().over(w).cast("long"))
+        .where(F.col("r_cos") <= k)
+        .select("query_id", "r_cos", "vec_id", "cos6")
+    )
+
+
+def hybrid_rrf_topk_multi(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batched hybrid retrieval: RRF fusion per query for a query table
+    ``(query_id, terms: array<string>, qvec: array<numeric>
+    [, exclude_vec_id])`` — the audit-job shape: hundreds of hybrid
+    probes cost one corpus scan per tower total, not per query.
+
+    Lexical ranks come from :func:`bm25_topk_multi`, dense ranks from
+    :func:`cosine_topk_multi` (both per-query WindowGroupLimit partial
+    top-pools), fused per query with the same 1/(k_rrf+rank)
+    convention as :func:`hybrid_rrf_topk` — a single-query table
+    reproduces it exactly (pytest-gated multi==single, the same
+    contract bm25_topk_multi has).
+
+    Returns ``(query_id, rank, doc_id, fused6, r_bm25, r_cos)``.
+    """
+    bm = bm25_topk_multi(
+        docs,
+        queries.select("query_id", "terms"),
+        k=pool,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("query_id", "doc_id", F.col("rank").alias("r_bm25"))
+    qvec_cols = ["query_id", "qvec"] + (
+        ["exclude_vec_id"] if "exclude_vec_id" in queries.columns else []
+    )
+    cs = cosine_topk_multi(emb, queries.select(*qvec_cols), k=pool).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "r_cos"
+    )
+    kr = F.lit(float(k_rrf)).cast("double")
+    one = F.lit(1.0).cast("double")
+    zero = F.lit(0.0).cast("double")
+    fused = F.coalesce(one / (kr + F.col("r_bm25")), zero) + F.coalesce(
+        one / (kr + F.col("r_cos")), zero
+    )
+    scored = bm.join(cs, ["query_id", "doc_id"], "full_outer").select(
+        "query_id", "doc_id", "r_bm25", "r_cos",
+        F.round(fused, 6).alias("fused6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "fused6", "r_bm25", "r_cos")
+    )

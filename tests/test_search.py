@@ -259,3 +259,84 @@ def test_hybrid_rrf_plan_shape(spark, docs_df, emb_df):
     )
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row query vec
+
+
+def test_cosine_multi_agrees_with_single(spark, emb_df):
+    """Batched dense tower == the single-query ranker for each query,
+    including the exclude-self id and the zero-norm exclusion."""
+    from pyhctsa_spark.operators.search import (
+        cosine_topk_multi,
+        cosine_topk_ranks,
+    )
+
+    qtab = spark.createDataFrame(
+        [(100, dict(EMB)[0], 0), (101, dict(EMB)[3], 3)],
+        "query_id long, qvec array<float>, exclude_vec_id long",
+    )
+    multi = cosine_topk_multi(emb_df, qtab, k=4).collect()
+    for qid, vid in ((100, 0), (101, 3)):
+        single = cosine_topk_ranks(emb_df, vid, pool=4).collect()
+        got = sorted(
+            [
+                (r.r_cos, r.vec_id, r.cos6)
+                for r in multi
+                if r.query_id == qid
+            ]
+        )
+        want = sorted([(r.r_cos, r.vec_id, r.cos6) for r in single])
+        assert got == want, (qid, got, want)
+
+
+def test_hybrid_multi_agrees_with_single(spark, docs_df, emb_df):
+    from pyhctsa_spark.operators.search import (
+        hybrid_rrf_topk,
+        hybrid_rrf_topk_multi,
+    )
+
+    specs = [
+        (200, ["spark", "hash", "dup"], 0),
+        (201, ["join", "scan"], 4),
+    ]
+    qtab = spark.createDataFrame(
+        [(q, t, dict(EMB)[v], v) for q, t, v in specs],
+        "query_id long, terms array<string>, qvec array<float>, "
+        "exclude_vec_id long",
+    )
+    multi = hybrid_rrf_topk_multi(
+        docs_df, emb_df, qtab, k=10, pool=4
+    ).collect()
+    for qid, terms, vid in specs:
+        single = hybrid_rrf_topk(
+            docs_df, emb_df, terms, query_vec_id=vid, k=10, pool=4
+        ).collect()
+        got = [
+            (r.rank, r.doc_id, r.fused6, r.r_bm25, r.r_cos)
+            for r in sorted(
+                (r for r in multi if r.query_id == qid),
+                key=lambda r: r.rank,
+            )
+        ]
+        want = [
+            (r.rank, r.doc_id, r.fused6, r.r_bm25, r.r_cos)
+            for r in single
+        ]
+        assert got == want, (qid, got, want)
+
+
+def test_hybrid_multi_plan_shape(spark, docs_df, emb_df):
+    """Per-query WindowGroupLimit partial top-k in both towers (and
+    the fusion), query table broadcast — batched probes never turn
+    into a per-query corpus scan."""
+    from pyhctsa_spark.operators.search import hybrid_rrf_topk_multi
+
+    qtab = spark.createDataFrame(
+        [(0, ["hash"], dict(EMB)[0], 0)],
+        "query_id long, terms array<string>, qvec array<float>, "
+        "exclude_vec_id long",
+    )
+    plan = (
+        hybrid_rrf_topk_multi(docs_df, emb_df, qtab, k=5, pool=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final x2+
+    assert "BroadcastNestedLoopJoin" in plan, plan
