@@ -1690,6 +1690,47 @@ def _hybrid_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_rrf_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state hybrid retrieval (search.hybrid_rrf_indexed): BOTH
+    towers served from materialized indexes, each built over 80% of
+    the corpus then delta-appended the rest — the persistent inverted
+    index (partition-pruned term buckets) and the IVF vector index
+    (partition-pruned lists + append heap) — probed at full nprobe and
+    fused with RRF. Must value-match the scan-based doc_hybrid_rrf
+    (same SQL oracle): the indexed BM25 tower is bit-equal by its own
+    gate and the full-probe IVF tower is exact."""
+    import tempfile
+
+    from pyhctsa_spark.operators.search import hybrid_rrf_indexed
+    from pyhctsa_spark.operators.search_index import (
+        append_to_search_index,
+        build_search_index,
+    )
+    from pyhctsa_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_write_index,
+        read_ivf_meta,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sidx = tempfile.mkdtemp(prefix="hybrid_sidx_") + "/idx"
+    build_search_index(docs.where("doc_id % 5 != 0"), sidx, n_buckets=16)
+    append_to_search_index(docs.where("doc_id % 5 = 0"), sidx)
+    vidx = tempfile.mkdtemp(prefix="hybrid_vidx_") + "/idx"
+    ivf_write_index(emb.where("vec_id % 5 != 0"), vidx, num_centroids=16)
+    append_to_ivf_index(emb.where("vec_id % 5 = 0"), vidx)
+    return hybrid_rrf_indexed(
+        spark,
+        sidx,
+        vidx,
+        ["dup", "spark", "hash", "join"],
+        emb.where("vec_id = 0"),
+        k=10,
+        nprobe=read_ivf_meta(vidx)["nlist"],
+    )
+
+
 def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (search.tfidf_keywords):
     tf * ln(N/df), per-doc WindowGroupLimit partial top-k so the window
@@ -1913,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid lexical+dense retrieval (round-5 session 10): RRF fusion
     # of the BM25 and cosine towers — catalog tail
     out["doc_hybrid_rrf"] = _hybrid_rrf_query
+    out["doc_hybrid_rrf_indexed"] = _hybrid_rrf_indexed_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -492,3 +492,62 @@ def hybrid_rrf_topk_multi(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "fused6", "r_bm25", "r_cos")
     )
+
+
+def hybrid_rrf_indexed(
+    spark,
+    search_index_path: str,
+    ivf_index_path: str,
+    query_terms: list[str],
+    query_vecs: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Steady-state hybrid retrieval: both towers served from
+    MATERIALIZED indexes — the persistent inverted index
+    (search_index.query_search_index: scan pruned to the query's term
+    buckets) and the IVF vector index (similarity.knn_ivf_index: scan
+    pruned to the probed inverted lists + append heap). Query cost is
+    independent of corpus size in both towers; fusion is the same
+    1/(k_rrf+rank) convention as :func:`hybrid_rrf_topk`.
+
+    ``query_vecs`` is a 1-row DataFrame carrying the dense query
+    (vec_id, embedding) — its vec_id is excluded from the dense
+    candidates, mirroring the scan tower's self-exclusion. At
+    ``nprobe >= nlist`` (full probe) the dense tower is exact and the
+    result value-matches the scan-based :func:`hybrid_rrf_topk` (the
+    indexed BM25 tower is bit-equal to bm25_topk by its own gate) —
+    the driver oracle doc_hybrid_rrf_indexed replays exactly that.
+
+    Returns ``(rank, doc_id, fused6, r_bm25, r_cos)``.
+    """
+    from pyhctsa_spark.operators.search_index import query_search_index
+    from pyhctsa_spark.operators.similarity import knn_ivf_index
+
+    bm = query_search_index(
+        spark, search_index_path, query_terms, k=pool
+    ).select("doc_id", F.col("rank").alias("r_bm25"))
+    cs = knn_ivf_index(
+        spark, ivf_index_path, query_vecs, k=pool, nprobe=nprobe
+    ).select(
+        F.col("nid").alias("doc_id"),
+        F.col("rank").cast("long").alias("r_cos"),
+    )
+    kr = F.lit(float(k_rrf)).cast("double")
+    one = F.lit(1.0).cast("double")
+    zero = F.lit(0.0).cast("double")
+    fused = F.coalesce(one / (kr + F.col("r_bm25")), zero) + F.coalesce(
+        one / (kr + F.col("r_cos")), zero
+    )
+    scored = bm.join(cs, "doc_id", "full_outer").select(
+        "doc_id", "r_bm25", "r_cos", F.round(fused, 6).alias("fused6")
+    )
+    top = scored.orderBy(F.col("fused6").desc(), F.col("doc_id").asc()).limit(
+        k
+    )
+    w = Window.orderBy(F.col("fused6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "fused6", "r_bm25", "r_cos"
+    )

@@ -9190,3 +9190,9 @@ SELECT rank, doc_id, fused6, r_bm25, r_cos FROM (
   FROM fused
 ) q WHERE rank <= 10
 """
+
+# The index-served hybrid (search.hybrid_rrf_indexed) must value-match
+# the scan-based hybrid at full probe — indexed BM25 is bit-equal to
+# the ad-hoc scorer by its own gate, and full-probe IVF is exact — so
+# its oracle IS the scan hybrid's SQL (appended below its definition).
+ENGINE_ORACLES["doc_hybrid_rrf_indexed"] = ENGINE_ORACLES["doc_hybrid_rrf"]

@@ -340,3 +340,41 @@ def test_hybrid_multi_plan_shape(spark, docs_df, emb_df):
     )
     assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final x2+
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_hybrid_indexed_matches_scan(spark, docs_df, emb_df, tmp_path):
+    """Index-served hybrid (persistent inverted index + IVF index,
+    both built 80/20 with a delta append) == the scan-based hybrid at
+    full probe, column for column."""
+    from pyhctsa_spark.operators.search import (
+        hybrid_rrf_indexed,
+        hybrid_rrf_topk,
+    )
+    from pyhctsa_spark.operators.search_index import (
+        append_to_search_index,
+        build_search_index,
+    )
+    from pyhctsa_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_write_index,
+        read_ivf_meta,
+    )
+
+    sidx = str(tmp_path / "sidx")
+    build_search_index(docs_df.where("doc_id % 3 != 0"), sidx, n_buckets=4)
+    append_to_search_index(docs_df.where("doc_id % 3 = 0"), sidx)
+    vidx = str(tmp_path / "vidx")
+    ivf_write_index(emb_df.where("vec_id % 3 != 0"), vidx, num_centroids=2)
+    append_to_ivf_index(emb_df.where("vec_id % 3 = 0"), vidx)
+    terms = ["spark", "hash", "dup"]
+    got = hybrid_rrf_indexed(
+        spark, sidx, vidx, terms, emb_df.where("vec_id = 0"),
+        k=10, pool=4, nprobe=read_ivf_meta(vidx)["nlist"],
+    ).collect()
+    want = hybrid_rrf_topk(
+        docs_df, emb_df, terms, query_vec_id=0, k=10, pool=4
+    ).collect()
+    as_t = lambda rows: [
+        (r.rank, r.doc_id, r.fused6, r.r_bm25, r.r_cos) for r in rows
+    ]
+    assert as_t(got) == as_t(want)
