@@ -443,6 +443,32 @@ def bench_scale10(spark, seq10_docs: int | None = None) -> dict:
         wall = min(wall, time.perf_counter() - t0)
     out["search_probe10_sec"] = round(wall, 3)
     shutil.rmtree(sidx_root, ignore_errors=True)
+    # steady-state hybrid retrieval: both towers from PREBUILT indexes
+    # over the sf-native aligned documents+embeddings tables — one-time
+    # build, then every fused query is two partition-pruned probes
+    # (term buckets + IVF lists at nprobe=4) and a <= 2*pool-row fusion.
+    from pyhctsa_spark.operators.search import hybrid_rrf_indexed
+    from pyhctsa_spark.operators.similarity import ivf_write_index
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    h_root = tempfile.mkdtemp(prefix="bench_hybrid_")
+    hsidx, hvidx = h_root + "/sidx", h_root + "/vidx"
+    t0 = time.perf_counter()
+    build_search_index(docs1, hsidx, n_buckets=16)
+    ivf_write_index(emb1, hvidx)  # sqrt-N centroids
+    out["hybrid_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    qv = emb1.where("vec_id = 0")
+    wall = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        hybrid_rrf_indexed(
+            spark, hsidx, hvidx, sq, qv, k=10, nprobe=4
+        ).count()
+        wall = min(wall, time.perf_counter() - t0)
+    out["hybrid_probe_sec"] = round(wall, 3)
+    shutil.rmtree(h_root, ignore_errors=True)
     return out
 
 
@@ -814,7 +840,10 @@ def bench_queries(spark) -> dict:
                     "doc_warc_html_extract",
                     # full-text search (round-5 session 8)
                     "doc_bm25_topk", "doc_tfidf_keywords",
-                    # hybrid lexical+dense RRF fusion (session 10)
+                    # hybrid lexical+dense RRF fusion (session 10);
+                    # the index-served steady state is benched in
+                    # bench_dedup_10x's search block (build once,
+                    # probe min-of-3: hybrid_probe_sec)
                     "doc_hybrid_rrf")
     qs = entrymod.queries()
     best: dict = {}
