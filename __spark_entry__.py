@@ -1731,6 +1731,18 @@ def _hybrid_rrf_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_rm3_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion (search.bm25_rm3_topk):
+    BM25 top-10 feedback docs -> normalized (tf/dl)*score expansion
+    weights (top-10 terms) -> interpolated 0.5/0.5 second pass. The
+    expansion set is a bounded 10-row driver collect; both passes keep
+    the scan-side literal array prune."""
+    from pyhctsa_spark.operators.search import bm25_rm3_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_rm3_topk(docs, ["dup", "spark", "hash", "join"], k=10)
+
+
 def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (search.tfidf_keywords):
     tf * ln(N/df), per-doc WindowGroupLimit partial top-k so the window
@@ -1955,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the BM25 and cosine towers — catalog tail
     out["doc_hybrid_rrf"] = _hybrid_rrf_query
     out["doc_hybrid_rrf_indexed"] = _hybrid_rrf_indexed_query
+    out["doc_bm25_rm3"] = _bm25_rm3_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -551,3 +551,155 @@ def hybrid_rrf_indexed(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "fused6", "r_bm25", "r_cos"
     )
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with RM3-style pseudo-relevance-feedback query expansion.
+
+    Two deterministic passes (Lavrenko/Croft relevance-model flavor,
+    adapted to BM25 interpolation as IR toolkits do):
+
+    1. The top ``fb_docs`` documents by plain BM25 (:func:`bm25_topk`,
+       rounded-score ordering) are taken as pseudo-relevant. Every
+       non-query term t in them gets weight
+       ``w(t) = sum_d (tf(t,d)/dl_d) * score6(d)``, normalized to sum
+       to 1 and rounded to 6; the top ``fb_terms`` by (weight DESC,
+       term ASC) become the expansion set E.
+    2. Final score interpolates the original and expansion queries:
+       ``round(a * s0(d) + (1-a) * sum_{t in E} w6(t) * c_t(d), 6)``
+       where s0 is the raw BM25 sum over the original terms and c_t
+       the standard per-term BM25 contribution, all df/avgdl from the
+       full corpus.
+
+    The expansion set (``fb_terms`` rows, weights included) is
+    collected to the driver — a bounded-metadata collect, same class
+    as the cagg touched-chunk reads — so the second pass keeps the
+    scan-side literal array prune of :func:`bm25_topk`. Rounded
+    boundaries everywhere make the DuckDB oracle ordering-exact.
+
+    Returns ``(rank, doc_id, score6, n_exp_hit)`` — n_exp_hit counts
+    matched expansion terms.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_rm3_topk needs at least one query term")
+    fb = bm25_topk(
+        docs, terms, k=fb_docs, k1=k1, b=b, text_col=text_col, id_col=id_col
+    ).select("doc_id", "score6")
+    base = _doc_words(df=docs, text_col=text_col, id_col=id_col)
+    # expansion-term weights from the feedback docs' FULL token lists
+    fbtf = (
+        base.join(F.broadcast(fb), "doc_id")
+        .select(
+            "doc_id", "dl", "score6", F.explode("_w").alias("term")
+        )
+        .groupBy("doc_id", "dl", "score6", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qarr0 = F.array(*[F.lit(t) for t in terms])
+    ew = (
+        fbtf.where(~F.array_contains(qarr0, F.col("term")))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.col("tf").cast("double")
+                / F.col("dl").cast("double")
+                * F.col("score6")
+            ).alias("w")
+        )
+    )
+    total = ew.agg(F.sum("w").alias("wtot"))
+    exp = (
+        ew.join(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                F.col("w") / F.nullif(F.col("wtot"), F.lit(0.0).cast("double")),
+                6,
+            ).alias("w6"),
+        )
+        .where(F.col("w6").isNotNull())
+        .orderBy(F.col("w6").desc(), F.col("term").asc())
+        .limit(fb_terms)
+    )
+    # bounded collect: fb_terms rows of (term, weight) metadata
+    exp_rows = [(r["term"], float(r["w6"])) for r in exp.collect()]
+    all_terms = sorted(set(terms) | {t for t, _ in exp_rows})
+    wmap = F.create_map(
+        *[x for t, wt in exp_rows for x in (F.lit(t), F.lit(wt))]
+    ) if exp_rows else F.create_map()
+    qarr = F.array(*[F.lit(t) for t in all_terms])
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf2 = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("_w", lambda w: F.array_contains(qarr, w))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf2.groupBy("term").agg(F.count("*").alias("df_t"))
+    k1c = F.lit(float(k1)).cast("double")
+    bc = F.lit(float(b)).cast("double")
+    one = F.lit(1.0).cast("double")
+    half = F.lit(0.5).cast("double")
+    zero = F.lit(0.0).cast("double")
+    idf = F.log(
+        one
+        + (F.col("n_docs") - F.col("df_t") + half) / (F.col("df_t") + half)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1c + one)
+        / (
+            F.col("tf")
+            + k1c
+            * (one - bc + bc * F.col("dl") / F.nullif(F.col("avgdl"), F.lit(0.0)))
+        )
+    )
+    is_orig = F.array_contains(qarr0, F.col("term"))
+    aw = F.lit(float(orig_weight)).cast("double")
+    scored = (
+        tf2.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                aw * F.sum(F.when(is_orig, contrib).otherwise(zero))
+                + (one - aw)
+                * F.sum(
+                    F.when(
+                        ~is_orig,
+                        F.coalesce(wmap[F.col("term")], zero) * contrib,
+                    ).otherwise(zero)
+                ),
+                6,
+            ).alias("score6"),
+            F.sum(F.when(~is_orig, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_exp_hit"),
+        )
+        .where(F.col("score6") > 0)
+    )
+    top = scored.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(
+        k
+    )
+    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score6", "n_exp_hit"
+    )

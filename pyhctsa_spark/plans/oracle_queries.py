@@ -9196,3 +9196,107 @@ SELECT rank, doc_id, fused6, r_bm25, r_cos FROM (
 # the ad-hoc scorer by its own gate, and full-probe IVF is exact — so
 # its oracle IS the scan hybrid's SQL (appended below its definition).
 ENGINE_ORACLES["doc_hybrid_rrf_indexed"] = ENGINE_ORACLES["doc_hybrid_rrf"]
+
+# RM3 pseudo-relevance feedback (search.bm25_rm3_topk): pass-1 BM25
+# top-10 feedback docs -> normalized (tf/dl)*score6 expansion weights
+# (round-6, top-10 by weight/term) -> interpolated second pass
+# 0.5*s0 + 0.5*sum(w6*contrib) over the full corpus. Every ordering
+# boundary is on rounded values, so the replay is ordering-exact.
+ENGINE_ORACLES["doc_bm25_rm3"] = """
+WITH bl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bl),
+tf1 AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) t
+  WHERE term IN ('dup', 'spark', 'hash', 'join')
+  GROUP BY doc_id, dl, term
+),
+dft1 AS (SELECT term, count(*) AS df_t FROM tf1 GROUP BY term),
+s1 AS (
+  SELECT t.doc_id,
+         round(sum(
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (t.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+           ), 6) AS score6
+  FROM tf1 t JOIN dft1 d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+fb AS (
+  SELECT doc_id, score6 FROM (
+    SELECT doc_id, score6,
+           row_number() OVER (ORDER BY score6 DESC, doc_id) AS rn
+    FROM s1
+  ) q WHERE rn <= 10
+),
+fbtf AS (
+  SELECT w.doc_id, w.dl, f.score6, w.term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) w
+  JOIN fb f USING (doc_id)
+  GROUP BY w.doc_id, w.dl, f.score6, w.term
+),
+ew AS (
+  SELECT term,
+         sum(tf / CAST(dl AS DOUBLE) * score6) AS w
+  FROM fbtf
+  WHERE term NOT IN ('dup', 'spark', 'hash', 'join')
+  GROUP BY term
+),
+tot AS (SELECT sum(w) AS wtot FROM ew),
+exp AS (
+  SELECT term, w6 FROM (
+    SELECT e.term,
+           round(e.w / nullif(t.wtot, CAST(0.0 AS DOUBLE)), 6) AS w6
+    FROM ew e CROSS JOIN tot t
+  ) q WHERE w6 IS NOT NULL
+  ORDER BY w6 DESC, term ASC LIMIT 10
+),
+tf2 AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) t
+  WHERE term IN ('dup', 'spark', 'hash', 'join')
+     OR term IN (SELECT term FROM exp)
+  GROUP BY doc_id, dl, term
+),
+dft2 AS (SELECT term, count(*) AS df_t FROM tf2 GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(
+           CAST(0.5 AS DOUBLE) * sum(CASE
+             WHEN t.term IN ('dup', 'spark', 'hash', 'join') THEN
+               ln(CAST(1.0 AS DOUBLE)
+                  + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+             ELSE CAST(0.0 AS DOUBLE) END)
+           + CAST(0.5 AS DOUBLE) * sum(CASE
+             WHEN t.term NOT IN ('dup', 'spark', 'hash', 'join') THEN
+               coalesce(e.w6, CAST(0.0 AS DOUBLE))
+               * ln(CAST(1.0 AS DOUBLE)
+                    + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+             ELSE CAST(0.0 AS DOUBLE) END), 6) AS score6,
+         CAST(sum(CASE WHEN t.term NOT IN ('dup', 'spark', 'hash', 'join')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_exp_hit
+  FROM tf2 t JOIN dft2 d USING (term) CROSS JOIN stats s
+  LEFT JOIN exp e ON e.term = t.term
+  GROUP BY t.doc_id
+)
+SELECT rank, doc_id, score6, n_exp_hit FROM (
+  SELECT row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank,
+         doc_id, score6, n_exp_hit
+  FROM scored WHERE score6 > 0
+) q WHERE rank <= 10
+"""

@@ -378,3 +378,64 @@ def test_hybrid_indexed_matches_scan(spark, docs_df, emb_df, tmp_path):
         (r.rank, r.doc_id, r.fused6, r.r_bm25, r.r_cos) for r in rows
     ]
     assert as_t(got) == as_t(want)
+
+
+def _brute_rm3(docs, terms, fb_docs, fb_terms, a=0.5, k1=K1, b=B):
+    toks = {d: t.split(" ") for d, t, _s in docs}
+    bm = _brute_bm25(docs, terms, k1, b)
+    fb = sorted(bm, key=lambda d: (-bm[d][0], d))[:fb_docs]
+    ew = {}
+    for d in fb:
+        w = toks[d]
+        for t in set(w) - set(terms):
+            ew[t] = ew.get(t, 0.0) + w.count(t) / len(w) * bm[d][0]
+    tot = sum(ew.values())
+    exp = {t: round(v / tot, 6) for t, v in ew.items()} if tot else {}
+    E = sorted(exp, key=lambda t: (-exp[t], t))[:fb_terms]
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    allt = set(terms) | set(E)
+    dft = {t: sum(1 for w in toks.values() if t in w) for t in allt}
+    out = {}
+    for d, w in toks.items():
+        s0, se, nexp = 0.0, 0.0, 0
+        for t in allt:
+            tf = w.count(t)
+            if not tf or not dft[t]:
+                continue
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            c = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(w) / avgdl)
+            )
+            if t in terms:
+                s0 += c
+            elif t in E:
+                se += exp[t] * c
+                nexp += 1
+        sc = round(a * s0 + (1 - a) * se, 6)
+        if sc > 0:
+            out[d] = (sc, nexp)
+    return out
+
+
+def test_bm25_rm3_matches_brute_force(spark, docs_df):
+    """Two-pass RM3 == the pure-python replay: feedback selection,
+    weight normalization/rounding/truncation, and the interpolated
+    second pass, including docs reached ONLY via expansion terms."""
+    from pyhctsa_spark.operators.search import bm25_rm3_topk
+
+    terms = ["spark", "dup"]
+    for fb_docs, fb_terms in ((2, 3), (10, 10)):
+        want = _brute_rm3(DOCS, terms, fb_docs, fb_terms)
+        order = sorted(want, key=lambda d: (-want[d][0], d))
+        got = bm25_rm3_topk(
+            docs_df, terms, k=10, fb_docs=fb_docs, fb_terms=fb_terms
+        ).collect()
+        assert [r.doc_id for r in got] == order, (fb_docs, got, order)
+        for r in got:
+            assert r.score6 == pytest.approx(want[r.doc_id][0], abs=1e-9)
+            assert r.n_exp_hit == want[r.doc_id][1]
+        # expansion must actually recall docs with NO original term
+        if fb_terms >= 10:
+            only_exp = [r for r in got if r.n_exp_hit > 0]
+            assert only_exp, got
