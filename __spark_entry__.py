@@ -1743,6 +1743,19 @@ def _bm25_rm3_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rm3_topk(docs, ["dup", "spark", "hash", "join"], k=10)
 
 
+def _mmr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank (search.mmr_topk): greedy k=5 from the
+    BM25 top-20 pool, obj = 0.7*rel - 0.3*max-cos-to-selected. The
+    corpus-sized work is the BM25 pass; the greedy loop is k bounded
+    one-row argmax collects over <= pool-row frames. Oracle unrolls
+    the recurrence to 5 chained argmax stages."""
+    from pyhctsa_spark.operators.search import mmr_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_topk(docs, emb, ["dup", "spark", "hash", "join"], k=5, pool=20)
+
+
 def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (search.tfidf_keywords):
     tf * ln(N/df), per-doc WindowGroupLimit partial top-k so the window
@@ -1968,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_hybrid_rrf"] = _hybrid_rrf_query
     out["doc_hybrid_rrf_indexed"] = _hybrid_rrf_indexed_query
     out["doc_bm25_rm3"] = _bm25_rm3_query
+    out["doc_mmr_rerank"] = _mmr_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -703,3 +703,117 @@ def bm25_rm3_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score6", "n_exp_hit"
     )
+
+
+def mmr_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell/
+    Goldstein): greedily select k of the BM25 top-``pool`` candidates,
+    each step maximizing
+
+        obj(d) = lam * rel(d) - (1-lam) * max_{s in S} sim(d, s)
+
+    where rel is the candidate's BM25 score normalized by the pool
+    max (round-6) and sim is round-6 cosine between the candidates'
+    embeddings (aligned by id). Ties break on doc_id; a candidate with
+    no computable similarity to the selected set (zero-norm embedding)
+    contributes max-sim 0.
+
+    Scale shape: scoring the corpus down to the pool is the one big
+    job (:func:`bm25_topk`); the pairwise-similarity table is
+    pool^2 rows computed distributed and persisted; the greedy loop
+    is k bounded one-row argmax collects over <= pool-row frames —
+    driver work is O(k) row fetches, never corpus-sized. Every
+    objective is computed by Spark SQL `round`, so the DuckDB replay
+    (unrolled to k stages) is ordering-exact.
+
+    Returns ``(rank, doc_id, obj6)`` in selection order.
+    """
+    zero = F.lit(0.0).cast("double")
+    lamc = F.lit(float(lam)).cast("double")
+    lamr = F.lit(1.0 - float(lam)).cast("double")
+    cand = bm25_topk(
+        docs, query_terms, k=pool, text_col=text_col, id_col=id_col
+    ).select("doc_id", "score6")
+    relmax = cand.agg(F.max("score6").alias("relmax"))
+    c = (
+        cand.join(F.broadcast(relmax))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score6") / F.nullif(F.col("relmax"), zero), 6
+            ).alias("rel"),
+        )
+        .where(F.col("rel").isNotNull())
+        .persist()
+    )
+    ve = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    ce = c.select("doc_id").join(ve, "doc_id")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    a = ce.select(F.col("doc_id").alias("da"), F.col("e").alias("ea"))
+    b = ce.select(F.col("doc_id").alias("db"), F.col("e").alias("eb"))
+    cos = _dot("ea", "eb") / F.nullif(
+        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")), zero
+    )
+    sim = (
+        a.join(b, F.col("da") != F.col("db"))
+        .select("da", "db", F.round(cos, 6).alias("cs"))
+        .where(F.col("cs").isNotNull())
+        .persist()
+    )
+    try:
+        picked: list[tuple[int, int, float]] = []
+        for step in range(1, k + 1):
+            sel_ids = [d for _, d, _ in picked]
+            rem = c.where(~F.col("doc_id").isin(sel_ids)) if sel_ids else c
+            if not sel_ids:
+                objdf = rem.select(
+                    "doc_id", F.round(lamc * F.col("rel"), 6).alias("obj6")
+                )
+            else:
+                maxs = (
+                    sim.where(F.col("db").isin(sel_ids))
+                    .groupBy("da")
+                    .agg(F.max("cs").alias("ms"))
+                )
+                objdf = rem.join(
+                    maxs, rem["doc_id"] == maxs["da"], "left"
+                ).select(
+                    "doc_id",
+                    F.round(
+                        lamc * F.col("rel")
+                        - lamr * F.coalesce(F.col("ms"), zero),
+                        6,
+                    ).alias("obj6"),
+                )
+            row = (
+                objdf.orderBy(F.col("obj6").desc(), F.col("doc_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                break
+            picked.append((step, row[0]["doc_id"], float(row[0]["obj6"])))
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            picked, "rank long, doc_id long, obj6 double"
+        )
+    finally:
+        c.unpersist()
+        sim.unpersist()

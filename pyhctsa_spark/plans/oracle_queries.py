@@ -9300,3 +9300,126 @@ SELECT rank, doc_id, score6, n_exp_hit FROM (
   FROM scored WHERE score6 > 0
 ) q WHERE rank <= 10
 """
+
+
+# MMR diversified re-rank (search.mmr_topk): greedy k=5 selection from
+# the BM25 top-20 pool, obj = 0.7*rel - 0.3*max-cos-to-selected, every
+# boundary on round-6 values. The greedy recurrence is unrolled to 5
+# chained argmax stages (aggregates are not allowed in a recursive
+# term, and k is a fixed literal here).
+ENGINE_ORACLES["doc_mmr_rerank"] = """
+WITH bl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bl),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) t
+  WHERE term IN ('dup', 'spark', 'hash', 'join')
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (t.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+           ), 6) AS score6
+  FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+cand AS (
+  SELECT doc_id, score6 FROM (
+    SELECT doc_id, score6,
+           row_number() OVER (ORDER BY score6 DESC, doc_id) AS rn
+    FROM scored
+  ) q WHERE rn <= 20
+),
+mx AS (SELECT max(score6) AS relmax FROM cand),
+c AS (
+  SELECT doc_id,
+         round(score6 / nullif(m.relmax, CAST(0.0 AS DOUBLE)), 6) AS rel
+  FROM cand CROSS JOIN mx m
+  WHERE score6 / nullif(m.relmax, CAST(0.0 AS DOUBLE)) IS NOT NULL
+),
+v AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS e FROM embeddings),
+ce AS (SELECT c.doc_id, v.e FROM c JOIN v USING (doc_id)),
+sim AS (
+  SELECT da, db, cs FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           round(list_dot_product(a.e, b.e)
+                 / nullif(sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e)),
+                          CAST(0.0 AS DOUBLE)), 6) AS cs
+    FROM ce a JOIN ce b ON a.doc_id <> b.doc_id
+  ) q WHERE cs IS NOT NULL
+),
+p1 AS (
+  SELECT doc_id, obj FROM (
+    SELECT doc_id, round(CAST(0.7 AS DOUBLE) * rel, 6) AS obj FROM c
+  ) q ORDER BY obj DESC, doc_id LIMIT 1
+),
+sel2 AS (SELECT doc_id FROM p1),
+o2 AS (
+  SELECT c.doc_id,
+         round(CAST(0.7 AS DOUBLE) * c.rel
+               - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * coalesce(m.ms, CAST(0.0 AS DOUBLE)), 6) AS obj
+  FROM c LEFT JOIN (
+    SELECT da, max(cs) AS ms FROM sim
+    WHERE db IN (SELECT doc_id FROM sel2) GROUP BY da
+  ) m ON m.da = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel2)
+),
+p2 AS (SELECT doc_id, obj FROM o2 ORDER BY obj DESC, doc_id LIMIT 1),
+sel3 AS (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2),
+o3 AS (
+  SELECT c.doc_id,
+         round(CAST(0.7 AS DOUBLE) * c.rel
+               - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * coalesce(m.ms, CAST(0.0 AS DOUBLE)), 6) AS obj
+  FROM c LEFT JOIN (
+    SELECT da, max(cs) AS ms FROM sim
+    WHERE db IN (SELECT doc_id FROM sel3) GROUP BY da
+  ) m ON m.da = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel3)
+),
+p3 AS (SELECT doc_id, obj FROM o3 ORDER BY obj DESC, doc_id LIMIT 1),
+sel4 AS (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2 UNION ALL SELECT doc_id FROM p3),
+o4 AS (
+  SELECT c.doc_id,
+         round(CAST(0.7 AS DOUBLE) * c.rel
+               - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * coalesce(m.ms, CAST(0.0 AS DOUBLE)), 6) AS obj
+  FROM c LEFT JOIN (
+    SELECT da, max(cs) AS ms FROM sim
+    WHERE db IN (SELECT doc_id FROM sel4) GROUP BY da
+  ) m ON m.da = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel4)
+),
+p4 AS (SELECT doc_id, obj FROM o4 ORDER BY obj DESC, doc_id LIMIT 1),
+sel5 AS (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2 UNION ALL SELECT doc_id FROM p3 UNION ALL SELECT doc_id FROM p4),
+o5 AS (
+  SELECT c.doc_id,
+         round(CAST(0.7 AS DOUBLE) * c.rel
+               - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * coalesce(m.ms, CAST(0.0 AS DOUBLE)), 6) AS obj
+  FROM c LEFT JOIN (
+    SELECT da, max(cs) AS ms FROM sim
+    WHERE db IN (SELECT doc_id FROM sel5) GROUP BY da
+  ) m ON m.da = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel5)
+),
+p5 AS (SELECT doc_id, obj FROM o5 ORDER BY obj DESC, doc_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p1
+UNION ALL SELECT CAST(2 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p2
+UNION ALL SELECT CAST(3 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p3
+UNION ALL SELECT CAST(4 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p4
+UNION ALL SELECT CAST(5 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p5
+"""

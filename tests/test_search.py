@@ -439,3 +439,48 @@ def test_bm25_rm3_matches_brute_force(spark, docs_df):
         if fb_terms >= 10:
             only_exp = [r for r in got if r.n_exp_hit > 0]
             assert only_exp, got
+
+
+def test_mmr_matches_brute_force(spark, docs_df, emb_df):
+    """Greedy MMR == a pure-python replay over the brute BM25 pool and
+    pairwise cosines: first pick by relevance, later picks trade
+    relevance against max similarity to the selected set; docs without
+    similarity rows (zero-norm embedding) contribute max-sim 0."""
+    from pyhctsa_spark.operators.search import mmr_topk
+
+    terms = ["spark", "hash", "dup"]
+    lam, k, pool = 0.7, 4, 10
+    bm = _brute_bm25(DOCS, terms)
+    cand = sorted(bm, key=lambda d: (-bm[d][0], d))[:pool]
+    relmax = max(bm[d][0] for d in cand)
+    rel = {d: round(bm[d][0] / relmax, 6) for d in cand}
+    embd = dict(EMB)
+
+    def cos6(a, b):
+        ea, eb = embd[a], embd[b]
+        nrm = math.sqrt(sum(x * x for x in ea)) * math.sqrt(
+            sum(x * x for x in eb)
+        )
+        return round(sum(x * y for x, y in zip(ea, eb)) / nrm, 6) if nrm else None
+
+    picked = []
+    while len(picked) < k and len(picked) < len(rel):
+        best = None
+        for d in rel:
+            if d in picked:
+                continue
+            sims = [
+                c for s in picked
+                if d in embd and s in embd and (c := cos6(d, s)) is not None
+            ]
+            obj = round(lam * rel[d] - (1 - lam) * (max(sims) if sims else 0.0), 6)
+            if best is None or (-obj, d) < (-best[1], best[0]):
+                best = (d, obj)
+        picked.append(best[0])
+    got = mmr_topk(docs_df, emb_df, terms, k=k, pool=pool, lam=lam).collect()
+    assert [r.doc_id for r in got] == picked, (got, picked)
+    assert [r.rank for r in got] == list(range(1, len(picked) + 1))
+    # diversification must actually bite: the pure-relevance order and
+    # the MMR order differ beyond the first pick on this fixture
+    relevance_order = sorted(rel, key=lambda d: (-rel[d], d))[:k]
+    assert [r.doc_id for r in got] != relevance_order
