@@ -1756,6 +1756,28 @@ def _mmr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(docs, emb, ["dup", "spark", "hash", "join"], k=5, pool=20)
 
 
+def _corpus_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (curation.corpus_diff): documents vs a
+    deterministically mutated copy (doc_id%7==0 removed, %5==0 text
+    appended, 20 new ids) — per-doc added/removed/changed/unchanged by
+    md5 fingerprint, one full-outer id join of (id, fp) rows."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.curation import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where("doc_id % 7 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" x"))
+        ).otherwise(F.col("text")),
+    ).select("doc_id", "text")
+    added = docs.where("doc_id < 20").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, new.unionByName(added))
+
+
 def _tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (search.tfidf_keywords):
     tf * ln(N/df), per-doc WindowGroupLimit partial top-k so the window
@@ -1982,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_hybrid_rrf_indexed"] = _hybrid_rrf_indexed_query
     out["doc_bm25_rm3"] = _bm25_rm3_query
     out["doc_mmr_rerank"] = _mmr_query
+    out["doc_corpus_diff"] = _corpus_diff_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

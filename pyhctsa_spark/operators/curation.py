@@ -608,3 +608,42 @@ def exact_substring_dedup(
     if member_rows is not None:
         out = out.unionByName(member_rows)
     return out
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-document status
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, md5(text) differs), ``unchanged`` — the audit a pipeline
+    runs before an incremental refresh (what will the index appends,
+    dedup re-probes and cagg deltas actually see?).
+
+    One full-outer equi-join on the id, comparing md5 fingerprints so
+    text bytes never leave their scan tasks — at 100 TB this is two
+    id-hashed shuffles of (id, 32-byte fp) rows, and bucketing both
+    snapshots by id removes even those. Returns
+    ``(doc_id, status, n_chars_old, n_chars_new)``.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("_fp_o"),
+        F.length(text_col).cast("long").alias("n_chars_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("_fp_n"),
+        F.length(text_col).cast("long").alias("n_chars_new"),
+    )
+    status = (
+        F.when(F.col("_fp_o").isNull(), F.lit("added"))
+        .when(F.col("_fp_n").isNull(), F.lit("removed"))
+        .when(F.col("_fp_o") != F.col("_fp_n"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status"), "n_chars_old", "n_chars_new"
+    )

@@ -9423,3 +9423,33 @@ UNION ALL SELECT CAST(3 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p3
 UNION ALL SELECT CAST(4 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p4
 UNION ALL SELECT CAST(5 AS BIGINT) AS rank, doc_id, obj AS obj6 FROM p5
 """
+
+
+# Corpus snapshot diff (curation.corpus_diff): per-doc status between
+# documents and a deterministically mutated copy, by md5 fingerprint.
+ENGINE_ORACLES["doc_corpus_diff"] = """
+WITH o AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' x' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+n AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM n0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.nc AS n_chars_old, n.nc AS n_chars_new
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

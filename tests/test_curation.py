@@ -428,3 +428,25 @@ def test_corpus_sample_plan_uses_window_group_limit(spark, docs):
         .executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "Partial" in plan.split("Exchange")[-1], plan
+
+
+def test_corpus_diff_statuses(spark):
+    """added/removed/changed/unchanged classification and the length
+    columns, including a doc present with identical text (unchanged)
+    and absent-side NULL lengths."""
+    from pyhctsa_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "bb"), (3, "cc changed"), (4, "dd")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert {d: r.status for d, r in rows.items()} == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+    }
+    assert rows[1].n_chars_new is None and rows[1].n_chars_old == 2
+    assert rows[4].n_chars_old is None and rows[4].n_chars_new == 2
+    assert rows[3].n_chars_old == 2 and rows[3].n_chars_new == 10
