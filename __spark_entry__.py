@@ -527,6 +527,19 @@ def _knn_ivf_index_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hard_negatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query
+    (vec_id < 5), top-3 most-similar vectors with round-6 cosine below
+    the 0.95 near-dup band — broadcast query set, one corpus scan,
+    per-query WindowGroupLimit top-k."""
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode->featurize plumbing on the synthetic media table
     (deterministic seeded fake decoder). The feature vector is flattened
@@ -2005,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_bm25_rm3"] = _bm25_rm3_query
     out["doc_mmr_rerank"] = _mmr_query
     out["doc_corpus_diff"] = _corpus_diff_query
+    out["emb_hard_negatives"] = _hard_negatives_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -676,3 +676,65 @@ def knn_ivf_index(
     finally:
         probes.unpersist()
     return out
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    max_cos: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` most-similar corpus vectors whose round-6 cosine is
+    BELOW ``max_cos`` — similar enough to be hard, not so similar they
+    are near-duplicates (those belong to the dedup family, not the
+    negatives set).
+
+    One corpus scan: the (small) query set is broadcast, cosine runs
+    as JVM higher-order expressions, the near-dup band and NULL
+    (zero-norm) cosines are filtered BEFORE ranking, and the per-query
+    top-k is a WindowGroupLimit partial top-k — shuffle volume
+    O(queries x k), independent of corpus size. All boundaries
+    (the band cut and the rank order) are on round-6 values, so the
+    DuckDB replay is exact.
+
+    Returns ``(qid, neg_rank, nid, cos6)``.
+    """
+    v = emb.select(
+        F.col(id_col).alias("nid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.join(queries.select(F.col(id_col).alias("qid")),
+                 F.col(id_col) == F.col("qid")).select(
+        "qid",
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qe"),
+    )
+    zero = F.lit(0.0).cast("double")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    cos = _dot("e", "qe") / F.nullif(
+        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")), zero
+    )
+    scored = (
+        v.join(F.broadcast(q))
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cos, 6).alias("cos6"))
+        .where(
+            F.col("cos6").isNotNull()
+            & (F.col("cos6") < F.lit(float(max_cos)).cast("double"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos6").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
+        .select("qid", "neg_rank", "nid", "cos6")
+    )

@@ -9453,3 +9453,28 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        o.nc AS n_chars_old, n.nc AS n_chars_new
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+# Hard-negative mining (similarity.hard_negatives): per-query top-3 by
+# round-6 cosine below the 0.95 near-dup band, nid tiebreak.
+ENGINE_ORACLES["emb_hard_negatives"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round(list_dot_product(q.e, c.e)
+               / nullif(sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e)),
+                        CAST(0.0 AS DOUBLE)), 6) AS cos6
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT qid, neg_rank, nid, cos6 FROM (
+  SELECT qid, nid, cos6,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cos6 DESC, nid ASC
+         ) AS neg_rank
+  FROM pairs
+  WHERE cos6 IS NOT NULL AND cos6 < CAST(0.95 AS DOUBLE)
+) t WHERE neg_rank <= 3
+"""

@@ -899,3 +899,31 @@ def test_containment_df_cap_prunes_boilerplate_only_overlap(spark):
     # raising the cap restores them
     out2 = containment_pairs(df, shingle_k=5, threshold=0.3, max_df=32)
     assert out2.count() > 0
+
+
+def test_hard_negatives_vs_numpy(spark, emb):
+    """Band filter + ranking == a numpy replay: near-dup band (round-6
+    cosine >= 0.95) excluded, top-3 of the remainder per query, nid
+    tiebreak."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyhctsa_spark.operators.similarity import hard_negatives
+
+    res = hard_negatives(emb, emb.where(F.col("vec_id") < 3), k=3).toPandas()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    for qid in range(3):
+        cos = np.round(Vn @ Vn[ids == qid][0], 6)
+        cand = [
+            (c, int(n)) for c, n in zip(cos, ids)
+            if n != qid and c < 0.95
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        want = [(n, c) for c, n in cand[:3]]
+        got = res[res.qid == qid].sort_values("neg_rank")
+        assert list(got.nid) == [n for n, _ in want]
+        assert np.allclose(got.cos6, [c for _, c in want], atol=1e-9)
+        assert (got.cos6 < 0.95).all()
