@@ -632,16 +632,21 @@ def corpus_diff(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("_fp_o"),
         F.length(text_col).cast("long").alias("n_chars_old"),
+        F.lit(1).alias("_in_o"),
     )
     n = new.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("_fp_n"),
         F.length(text_col).cast("long").alias("n_chars_new"),
+        F.lit(1).alias("_in_n"),
     )
+    # presence comes from the join side, not the fingerprint — a NULL
+    # text (NULL md5) in a present row must not read as an absent row;
+    # NULL<->value and NULL<->NULL text transitions compare null-safe
     status = (
-        F.when(F.col("_fp_o").isNull(), F.lit("added"))
-        .when(F.col("_fp_n").isNull(), F.lit("removed"))
-        .when(F.col("_fp_o") != F.col("_fp_n"), F.lit("changed"))
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(~F.col("_fp_o").eqNullSafe(F.col("_fp_n")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, "doc_id", "full_outer").select(

@@ -35,6 +35,23 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _cos6_expr(a, b):
+    """Round-6 cosine between two double-array columns, as JVM
+    higher-order expressions: NULL (not an error, not NaN) on a
+    zero-norm side. Shared by every dense tower in this module so the
+    NaN/NULL contract is defined in exactly one place."""
+    zero = F.lit(0.0).cast("double")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v), zero, lambda acc, u: acc + u
+        )
+
+    return F.round(
+        dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), zero), 6
+    )
+
+
 def _doc_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, _w: array<string>, dl: int) — whitespace tokenization,
     the same split the rest of the text family uses (text.py)."""
@@ -295,21 +312,11 @@ def cosine_topk_ranks(
     qv = v.where(F.col("vec_id") == int(query_vec_id)).select(
         F.col("e").alias("qe")
     )
-    zero = F.lit(0.0).cast("double")
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
-        )
-
-    cos = _dot("e", "qe") / F.nullif(
-        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")), zero
-    )
     scored = (
         v.where(F.col("vec_id") != int(query_vec_id))
         .join(F.broadcast(qv))
-        .select("vec_id", F.round(cos, 6).alias("cos6"))
-        .where(F.col("cos6").isNotNull())
+        .select("vec_id", _cos6_expr(F.col("e"), F.col("qe")).alias("cos6"))
+        .where(F.col("cos6").isNotNull() & ~F.isnan("cos6"))
     )
     top = scored.orderBy(F.col("cos6").desc(), F.col("vec_id").asc()).limit(
         pool
@@ -409,24 +416,15 @@ def cosine_topk_multi(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
     )
-    zero = F.lit(0.0).cast("double")
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
-        )
-
-    cos = _dot("e", "qe") / F.nullif(
-        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")), zero
-    )
     joined = v.join(F.broadcast(q))
     if has_excl:
         joined = joined.where(
             ~F.col("vec_id").eqNullSafe(F.col("exclude_vec_id"))
         )
     scored = joined.select(
-        "query_id", "vec_id", F.round(cos, 6).alias("cos6")
-    ).where(F.col("cos6").isNotNull())
+        "query_id", "vec_id",
+        _cos6_expr(F.col("e"), F.col("qe")).alias("cos6"),
+    ).where(F.col("cos6").isNotNull() & ~F.isnan("cos6"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos6").desc(), F.col("vec_id").asc()
     )
@@ -529,11 +527,24 @@ def hybrid_rrf_indexed(
     bm = query_search_index(
         spark, search_index_path, query_terms, k=pool
     ).select("doc_id", F.col("rank").alias("r_bm25"))
-    cs = knn_ivf_index(
-        spark, ivf_index_path, query_vecs, k=pool, nprobe=nprobe
-    ).select(
-        F.col("nid").alias("doc_id"),
-        F.col("rank").cast("long").alias("r_cos"),
+    # The IVF probe ranks by RAW cosine (nid tiebreak) and keeps
+    # NULL-cosine (zero-norm) rows ranked last; the scan tower and the
+    # shared oracle rank by ROUND-6 cosine (id tiebreak) and exclude
+    # NULLs. Re-derive the dense ranks on the probe's candidates under
+    # the round-6 contract, fetching a +16 slack past the pool so a
+    # round-6 tie straddling the raw pool cut cannot change membership
+    # (17+ exact round-6 ties at the boundary would be needed).
+    raw = knn_ivf_index(
+        spark, ivf_index_path, query_vecs, k=pool + 16, nprobe=nprobe
+    ).where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    wc = Window.orderBy(F.col("cos6").desc(), F.col("doc_id").asc())
+    cs = (
+        raw.select(
+            F.col("nid").alias("doc_id"), F.round("cosine", 6).alias("cos6")
+        )
+        .withColumn("r_cos", F.row_number().over(wc).cast("long"))
+        .where(F.col("r_cos") <= pool)
+        .select("doc_id", "r_cos")
     )
     kr = F.lit(float(k_rrf)).cast("double")
     one = F.lit(1.0).cast("double")
@@ -564,6 +575,7 @@ def bm25_rm3_topk(
     b: float = BM25_B,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_base: bool = True,
 ) -> DataFrame:
     """BM25 with RM3-style pseudo-relevance-feedback query expansion.
 
@@ -597,7 +609,16 @@ def bm25_rm3_topk(
     fb = bm25_topk(
         docs, terms, k=fb_docs, k1=k1, b=b, text_col=text_col, id_col=id_col
     ).select("doc_id", "score6")
+    # base feeds three consumers (feedback tf, pass-2 stats, pass-2 tf)
+    # and the fb join derives from the same docs lineage — persist the
+    # tokenized table once instead of re-splitting the corpus per
+    # branch. Batch-scoped: callers reclaim it via clearCache() (the
+    # bench/driver convention); pass persist_base=False when the
+    # tokenized corpus exceeds cluster cache and re-scanning is the
+    # cheaper trade.
     base = _doc_words(df=docs, text_col=text_col, id_col=id_col)
+    if persist_base:
+        base = base.persist()
     # expansion-term weights from the feedback docs' FULL token lists
     fbtf = (
         base.join(F.broadcast(fb), "doc_id")
@@ -759,22 +780,18 @@ def mmr_topk(
         F.col("vec_id").alias("doc_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    ce = c.select("doc_id").join(ve, "doc_id")
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
-        )
+    # ce feeds both sides of the pairwise self-join below — persist it
+    # so the embeddings read + candidate join run once, not twice
+    ce = c.select("doc_id").join(ve, "doc_id").persist()
 
     a = ce.select(F.col("doc_id").alias("da"), F.col("e").alias("ea"))
     b = ce.select(F.col("doc_id").alias("db"), F.col("e").alias("eb"))
-    cos = _dot("ea", "eb") / F.nullif(
-        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")), zero
-    )
     sim = (
         a.join(b, F.col("da") != F.col("db"))
-        .select("da", "db", F.round(cos, 6).alias("cs"))
-        .where(F.col("cs").isNotNull())
+        .select(
+            "da", "db", _cos6_expr(F.col("ea"), F.col("eb")).alias("cs")
+        )
+        .where(F.col("cs").isNotNull() & ~F.isnan("cs"))
         .persist()
     )
     try:
@@ -816,4 +833,5 @@ def mmr_topk(
         )
     finally:
         c.unpersist()
+        ce.unpersist()
         sim.unpersist()

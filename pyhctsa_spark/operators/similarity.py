@@ -703,23 +703,15 @@ def hard_negatives(
     Returns ``(qid, neg_rank, nid, cos6)``.
     """
     v = emb.select(
-        F.col(id_col).alias("nid"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("e"),
+        F.col(id_col).alias("nid"), _as_double(vec_col).alias("e")
     )
     q = emb.join(queries.select(F.col(id_col).alias("qid")),
                  F.col(id_col) == F.col("qid")).select(
-        "qid",
-        F.transform(vec_col, lambda x: x.cast("double")).alias("qe"),
+        "qid", _as_double(vec_col).alias("qe")
     )
     zero = F.lit(0.0).cast("double")
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
-        )
-
-    cos = _dot("e", "qe") / F.nullif(
-        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("qe", "qe")), zero
+    cos = _dot(F.col("e"), F.col("qe")) / F.nullif(
+        _norm(F.col("e")) * _norm(F.col("qe")), zero
     )
     scored = (
         v.join(F.broadcast(q))
@@ -727,6 +719,7 @@ def hard_negatives(
         .select("qid", "nid", F.round(cos, 6).alias("cos6"))
         .where(
             F.col("cos6").isNotNull()
+            & ~F.isnan("cos6")
             & (F.col("cos6") < F.lit(float(max_cos)).cast("double"))
         )
     )

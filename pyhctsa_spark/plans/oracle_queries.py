@@ -9446,9 +9446,9 @@ n AS (
   FROM n0
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.fp IS NULL THEN 'added'
-            WHEN n.fp IS NULL THEN 'removed'
-            WHEN o.fp <> n.fp THEN 'changed'
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
             ELSE 'unchanged' END AS status,
        o.nc AS n_chars_old, n.nc AS n_chars_new
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id

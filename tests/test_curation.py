@@ -450,3 +450,19 @@ def test_corpus_diff_statuses(spark):
     assert rows[1].n_chars_new is None and rows[1].n_chars_old == 2
     assert rows[4].n_chars_old is None and rows[4].n_chars_new == 2
     assert rows[3].n_chars_old == 2 and rows[3].n_chars_new == 10
+
+
+def test_corpus_diff_null_text(spark):
+    """NULL text must not read as an absent row: presence comes from
+    the join side, and NULL<->value / NULL<->NULL text transitions
+    classify as changed / unchanged."""
+    from pyhctsa_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "cc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}
