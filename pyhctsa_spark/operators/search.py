@@ -303,6 +303,12 @@ def cosine_topk_ranks(
     Zero-norm vectors yield NULL cosine (excluded by the descending
     NULLS LAST sort) rather than an ANSI division error.
 
+    Role at scale: this is the ORACLE-EXACT full-scan baseline (the
+    dense sibling of similarity.knn_bruteforce, same interpreted-HOF
+    cosine); the production path at corpus scale is the materialized
+    IVF tower (:func:`hybrid_rrf_indexed` / similarity.knn_ivf_index),
+    whose scoring is Arrow-batched einsum over partition-pruned lists.
+
     Returns ``(vec_id, cos6, r_cos)`` with ``r_cos`` in 1..pool.
     """
     v = emb.select(
