@@ -540,6 +540,20 @@ def _hard_negatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=3)
 
 
+def _tower_rankcorr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tower rank agreement (search.tower_rank_correlation): Spearman
+    rho + Kendall tau between the BM25 and cosine top-50 lists over
+    their shared docs — integer math until the final round-6
+    divisions, so the replay is bit-exact."""
+    from pyhctsa_spark.operators.search import tower_rank_correlation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return tower_rank_correlation(
+        docs, emb, ["dup", "spark", "hash", "join"], query_vec_id=0, pool=50
+    )
+
+
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode->featurize plumbing on the synthetic media table
     (deterministic seeded fake decoder). The feature vector is flattened
@@ -2019,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_mmr_rerank"] = _mmr_query
     out["doc_corpus_diff"] = _corpus_diff_query
     out["emb_hard_negatives"] = _hard_negatives_query
+    out["search_tower_rankcorr"] = _tower_rankcorr_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

@@ -845,7 +845,7 @@ def bench_queries(spark) -> dict:
                     # bench_dedup_10x's search block (build once,
                     # probe min-of-3: hybrid_probe_sec)
                     "doc_hybrid_rrf", "doc_bm25_rm3", "doc_mmr_rerank", "doc_corpus_diff",
-                    "emb_hard_negatives")
+                    "emb_hard_negatives", "search_tower_rankcorr")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

@@ -841,3 +841,88 @@ def mmr_topk(
         c.unpersist()
         ce.unpersist()
         sim.unpersist()
+
+
+def tower_rank_correlation(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    pool: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank agreement between the lexical and dense towers: Spearman's
+    rho and Kendall's tau over the documents BOTH towers rank in their
+    top-``pool`` — the diagnostic a curation team reads before trusting
+    a fused ranking ("do my towers even agree?").
+
+    Both towers' pool ranks are re-ranked densely within the shared
+    subset (row_number, so no tie handling is needed), then
+
+        rho = 1 - 6 * sum(d_i^2) / (n * (n^2 - 1))
+        tau = (concordant - discordant) / (n * (n - 1) / 2)
+
+    with NULL when n < 2. All arithmetic on the shared subset is
+    integer until the final round-6 division, so the DuckDB replay is
+    bit-exact. Scale shape: each tower is one corpus scan ending in a
+    pool-sized top-k; the correlation math runs on <= pool rows (the
+    Kendall pair join is <= pool^2/2 rows).
+
+    Returns one row ``(n_shared, spearman6, kendall6)``.
+    """
+    bm = bm25_topk(
+        docs, query_terms, k=pool, text_col=text_col, id_col=id_col
+    ).select("doc_id", F.col("rank").alias("r_bm25"))
+    cs = cosine_topk_ranks(emb, query_vec_id, pool=pool).select(
+        F.col("vec_id").alias("doc_id"), "r_cos"
+    )
+    shared = bm.join(cs, "doc_id")
+    wa = Window.orderBy(F.col("r_bm25").asc())
+    wb = Window.orderBy(F.col("r_cos").asc())
+    rr = shared.select(
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    ).persist()
+    try:
+        dbl = lambda c: c.cast("double")
+        sp = rr.agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum(
+                (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+            ).alias("sd2"),
+        )
+        a = rr.select(F.col("ra").alias("ra1"), F.col("rb").alias("rb1"))
+        b = rr.select(F.col("ra").alias("ra2"), F.col("rb").alias("rb2"))
+        conc = (
+            a.join(b, F.col("ra1") < F.col("ra2"))
+            .agg(
+                F.sum(
+                    F.when(F.col("rb1") < F.col("rb2"), F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                ).alias("cd")
+            )
+        )
+        n = F.col("n_shared")
+        rho = F.round(
+            F.lit(1.0).cast("double")
+            - F.lit(6.0).cast("double") * dbl(F.col("sd2"))
+            / F.nullif(dbl(n * (n * n - 1)), F.lit(0.0).cast("double")),
+            6,
+        )
+        tau = F.round(
+            dbl(F.coalesce(F.col("cd"), F.lit(0)))
+            / F.nullif(
+                dbl(n * (n - 1)) / F.lit(2.0).cast("double"),
+                F.lit(0.0).cast("double"),
+            ),
+            6,
+        )
+        out = sp.join(conc).select(
+            "n_shared", rho.alias("spearman6"), tau.alias("kendall6")
+        )
+        return out.localCheckpoint()
+    finally:
+        rr.unpersist()

@@ -9478,3 +9478,87 @@ SELECT qid, neg_rank, nid, cos6 FROM (
   WHERE cos6 IS NOT NULL AND cos6 < CAST(0.95 AS DOUBLE)
 ) t WHERE neg_rank <= 3
 """
+
+
+# Tower rank agreement (search.tower_rank_correlation): Spearman rho +
+# Kendall tau over the docs both towers rank in their top-50; integer
+# arithmetic until the final round-6 divisions.
+ENGINE_ORACLES["search_tower_rankcorr"] = """
+WITH bl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bl),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bl) t
+  WHERE term IN ('dup', 'spark', 'hash', 'join')
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+bm_scored AS (
+  SELECT t.doc_id,
+         round(sum(
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (t.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * t.dl / nullif(s.avgdl, 0.0)))
+           ), 6) AS score6
+  FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+bm AS (
+  SELECT doc_id, r_bm25 FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score6 DESC, doc_id) AS r_bm25
+    FROM bm_scored
+  ) q WHERE r_bm25 <= 50
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cosed AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(c.e, q.qe)
+               / nullif(sqrt(list_dot_product(c.e, c.e))
+                        * sqrt(list_dot_product(q.qe, q.qe)),
+                        CAST(0.0 AS DOUBLE)), 6) AS cos6
+  FROM v c CROSS JOIN qv q
+  WHERE c.vec_id <> 0
+),
+cs AS (
+  SELECT doc_id, r_cos FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos6 DESC, doc_id) AS r_cos
+    FROM cosed WHERE cos6 IS NOT NULL
+  ) q WHERE r_cos <= 50
+),
+shared AS (SELECT b.doc_id, b.r_bm25, c.r_cos FROM bm b JOIN cs c USING (doc_id)),
+rr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY r_bm25 ASC) AS ra,
+         row_number() OVER (ORDER BY r_cos ASC) AS rb
+  FROM shared
+),
+sp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_shared,
+         sum((ra - rb) * (ra - rb)) AS sd2
+  FROM rr
+),
+cd AS (
+  SELECT sum(CASE WHEN a.rb < b.rb THEN 1 ELSE -1 END) AS cd
+  FROM rr a JOIN rr b ON a.ra < b.ra
+)
+SELECT n_shared,
+       round(CAST(1.0 AS DOUBLE)
+             - CAST(6.0 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+               / nullif(CAST(n_shared * (n_shared * n_shared - 1) AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)), 6) AS spearman6,
+       round(CAST(coalesce(cd.cd, 0) AS DOUBLE)
+             / nullif(CAST(n_shared * (n_shared - 1) AS DOUBLE)
+                      / CAST(2.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE)), 6) AS kendall6
+FROM sp CROSS JOIN cd
+"""

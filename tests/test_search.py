@@ -484,3 +484,41 @@ def test_mmr_matches_brute_force(spark, docs_df, emb_df):
     # the MMR order differ beyond the first pick on this fixture
     relevance_order = sorted(rel, key=lambda d: (-rel[d], d))[:k]
     assert [r.doc_id for r in got] != relevance_order
+
+
+def test_tower_rank_correlation_brute_force(spark, docs_df, emb_df):
+    """rho/tau == a scipy-free python replay on the shared subset,
+    plus the degenerate n<2 contract (NULL correlations)."""
+    from pyhctsa_spark.operators.search import (
+        bm25_topk,
+        cosine_topk_ranks,
+        tower_rank_correlation,
+    )
+
+    terms = ["spark", "hash", "dup"]
+    pool = 5
+    bmr = {r.doc_id: r.rank for r in bm25_topk(docs_df, terms, k=pool).collect()}
+    csr = {r.vec_id: r.r_cos for r in cosine_topk_ranks(emb_df, 0, pool=pool).collect()}
+    shared = sorted(set(bmr) & set(csr))
+    ra = {d: i + 1 for i, d in enumerate(sorted(shared, key=lambda d: bmr[d]))}
+    rb = {d: i + 1 for i, d in enumerate(sorted(shared, key=lambda d: csr[d]))}
+    n = len(shared)
+    sd2 = sum((ra[d] - rb[d]) ** 2 for d in shared)
+    rho = round(1.0 - 6.0 * sd2 / (n * (n * n - 1)), 6) if n >= 2 else None
+    cd = sum(
+        1 if (rb[a] < rb[b]) == (ra[a] < ra[b]) else -1
+        for a in shared for b in shared if ra[a] < ra[b]
+    )
+    tau = round(cd / (n * (n - 1) / 2.0), 6) if n >= 2 else None
+    row = tower_rank_correlation(
+        docs_df, emb_df, terms, query_vec_id=0, pool=pool
+    ).collect()[0]
+    assert row.n_shared == n and n >= 2, (row, n)
+    assert row.spearman6 == pytest.approx(rho, abs=1e-9)
+    assert row.kendall6 == pytest.approx(tau, abs=1e-9)
+    # degenerate: a pool of 1 shares at most one doc -> NULLs
+    row1 = tower_rank_correlation(
+        docs_df, emb_df, terms, query_vec_id=0, pool=1
+    ).collect()[0]
+    assert row1.n_shared <= 1
+    assert row1.spearman6 is None and row1.kendall6 is None
