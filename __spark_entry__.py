@@ -554,6 +554,18 @@ def _tower_rankcorr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _positive_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-pair mining (similarity.positive_pairs): unordered
+    pairs at round-6 cosine >= 0.4 whose texts differ (md5 anti-filter
+    over broadcast fingerprints) — the anchor/positive complement of
+    emb_hard_negatives."""
+    from pyhctsa_spark.operators.similarity import positive_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return positive_pairs(emb, docs, min_cos=0.4)
+
+
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode->featurize plumbing on the synthetic media table
     (deterministic seeded fake decoder). The feature vector is flattened
@@ -2034,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_corpus_diff"] = _corpus_diff_query
     out["emb_hard_negatives"] = _hard_negatives_query
     out["search_tower_rankcorr"] = _tower_rankcorr_query
+    out["emb_positive_pairs"] = _positive_pairs_query
     for name in OQ.QUERIES:
         if name not in out:
             out[name] = _mk(name)

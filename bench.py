@@ -845,7 +845,8 @@ def bench_queries(spark) -> dict:
                     # bench_dedup_10x's search block (build once,
                     # probe min-of-3: hybrid_probe_sec)
                     "doc_hybrid_rrf", "doc_bm25_rm3", "doc_mmr_rerank", "doc_corpus_diff",
-                    "emb_hard_negatives", "search_tower_rankcorr")
+                    "emb_hard_negatives", "search_tower_rankcorr",
+                    "emb_positive_pairs")
     qs = entrymod.queries()
     best: dict = {}
     for _ in range(3):

@@ -731,3 +731,57 @@ def hard_negatives(
         .where(F.col("neg_rank") <= k)
         .select("qid", "neg_rank", "nid", "cos6")
     )
+
+
+def positive_pairs(
+    emb: DataFrame,
+    docs: DataFrame,
+    min_cos: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Anchor/positive pair mining for contrastive training: unordered
+    pairs with round-6 cosine AT OR ABOVE ``min_cos`` whose texts are
+    NOT byte-identical — semantically-close-but-distinct pairs (exact
+    duplicates are dedup's business, and training on them teaches
+    nothing). The mirror of :func:`hard_negatives`' below-band cut.
+
+    Exact all-pairs formulation (the oracle-exact baseline, like
+    knn_bruteforce): id-ordered self-join, cosine as JVM expressions,
+    then an md5-fingerprint anti-filter via a broadcast join against
+    the docs table. The scale path for the same band is
+    embedding_near_dup_pairs (dedup.py: LSH-bucketed, no all-pairs).
+
+    Returns ``(id_a, id_b, cos6)`` with ``id_a < id_b``.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+    a = v.select(F.col("vid").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vid").alias("id_b"), F.col("e").alias("eb"))
+    zero = F.lit(0.0).cast("double")
+    cos = _dot(F.col("ea"), F.col("eb")) / F.nullif(
+        _norm(F.col("ea")) * _norm(F.col("eb")), zero
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
+        .where(
+            F.col("cos6").isNotNull()
+            & ~F.isnan("cos6")
+            & (F.col("cos6") >= F.lit(float(min_cos)).cast("double"))
+        )
+    )
+    fp = docs.select(
+        F.col(doc_id_col).alias("_fpid"), F.md5(F.col(text_col)).alias("_fp")
+    )
+    fpa = fp.select(F.col("_fpid").alias("id_a"), F.col("_fp").alias("_fp_a"))
+    fpb = fp.select(F.col("_fpid").alias("id_b"), F.col("_fp").alias("_fp_b"))
+    return (
+        pairs.join(F.broadcast(fpa), "id_a")
+        .join(F.broadcast(fpb), "id_b")
+        .where(~F.col("_fp_a").eqNullSafe(F.col("_fp_b")))
+        .select("id_a", "id_b", "cos6")
+    )

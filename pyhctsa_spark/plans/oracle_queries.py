@@ -9562,3 +9562,27 @@ SELECT n_shared,
                       CAST(0.0 AS DOUBLE)), 6) AS kendall6
 FROM sp CROSS JOIN cd
 """
+
+
+# Positive-pair mining (similarity.positive_pairs): unordered pairs at
+# round-6 cosine >= 0.4 whose texts are not byte-identical.
+ENGINE_ORACLES["emb_positive_pairs"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e)
+               / nullif(sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)),
+                        CAST(0.0 AS DOUBLE)), 6) AS cos6
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+fp AS (SELECT doc_id, md5(text) AS fp FROM documents)
+SELECT p.id_a, p.id_b, p.cos6
+FROM pairs p
+JOIN fp fa ON fa.doc_id = p.id_a
+JOIN fp fb ON fb.doc_id = p.id_b
+WHERE p.cos6 IS NOT NULL AND p.cos6 >= CAST(0.4 AS DOUBLE)
+  AND fa.fp IS DISTINCT FROM fb.fp
+"""

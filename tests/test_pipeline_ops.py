@@ -927,3 +927,33 @@ def test_hard_negatives_vs_numpy(spark, emb):
         assert list(got.nid) == [n for n, _ in want]
         assert np.allclose(got.cos6, [c for _, c in want], atol=1e-9)
         assert (got.cos6 < 0.95).all()
+
+
+def test_positive_pairs_band_and_identity_filter(spark):
+    """High-cosine pairs survive, exact-duplicate texts are excluded
+    even at cosine 1.0, and the band cut uses the round-6 value."""
+    from pyhctsa_spark.operators.similarity import positive_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),     # identical vec AND identical text -> excluded
+            (2, [0.999, 0.01]),  # near-identical vec, distinct text -> kept
+            (3, [0.0, 1.0]),     # orthogonal -> below band
+            (4, [0.0, 0.0]),     # zero norm -> NULL cosine, excluded
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "same"), (1, "same"), (2, "different"), (3, "x"), (4, "y")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos6
+        for r in positive_pairs(emb, docs, min_cos=0.95).collect()
+    }
+    assert (0, 1) not in got          # exact text dup excluded
+    assert (0, 2) in got and (1, 2) in got
+    assert got[(0, 2)] > 0.999
+    assert all(a < b for a, b in got)
+    assert not any(4 in p or 3 in p for p in got)
