@@ -805,6 +805,7 @@ def bench_queries(spark) -> dict:
         "user_hour_profile",
         "user_hist_p90",
         "user_corr_pairs",
+        "user_stl_hourly",
     ]
     # min of 3 INTERLEAVED reps per query: the first run pays one-time
     # driver-side whole-stage-codegen compilation (several seconds for

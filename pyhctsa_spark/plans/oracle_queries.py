@@ -9586,3 +9586,45 @@ JOIN fp fb ON fb.doc_id = p.id_b
 WHERE p.cos6 IS NOT NULL AND p.cos6 >= CAST(0.4 AS DOUBLE)
   AND fa.fp IS DISTINCT FROM fb.fp
 """
+
+
+# --- STL-lite seasonal decomposition (hourly) --------------------------------
+# Classic TSDB decomposition over the events stream, per event_type:
+# hourly means -> trend as a centered 25-point moving average (edge
+# frames shrink identically in both engines' ROWS BETWEEN semantics)
+# -> seasonal as the hour-of-day mean of the detrended series ->
+# residual. Intermediates stay unrounded (round-6 on output absorbs
+# summation-order ULPs, the house convention); all keys are integer.
+_STL_BODY = """
+h AS (
+  SELECT event_type, CAST(floor(tus / 3600000000) AS BIGINT) AS hidx,
+         avg(v) AS hv
+  FROM e GROUP BY event_type, CAST(floor(tus / 3600000000) AS BIGINT)
+),
+t AS (
+  SELECT event_type, hidx, hv,
+         avg(hv) OVER (PARTITION BY event_type ORDER BY hidx
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tr
+  FROM h
+),
+s AS (
+  SELECT event_type, hidx % 24 AS hour_of_day,
+         avg(hv - tr) AS seas
+  FROM t GROUP BY event_type, hidx % 24
+)
+SELECT t.event_type, t.hidx,
+       CAST(t.hidx % 24 AS BIGINT) AS hour_of_day,
+       round(t.hv, 6) AS hourly_mean6,
+       round(t.tr, 6) AS trend6,
+       round(s.seas, 6) AS seasonal6,
+       round(t.hv - t.tr - s.seas, 6) AS resid6
+FROM t JOIN s ON s.event_type = t.event_type
+            AND s.hour_of_day = t.hidx % 24
+"""
+QUERIES["user_stl_hourly"] = _q2(
+    "WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+    + _STL_BODY,
+    "WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,"
+    " epoch_us(ts) AS tus FROM events),\n" + _STL_BODY,
+)
