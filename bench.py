@@ -806,6 +806,8 @@ def bench_queries(spark) -> dict:
         "user_hist_p90",
         "user_corr_pairs",
         "user_stl_hourly",
+        "user_stl_strength",
+        "user_stl_anomaly",
     ]
     # min of 3 INTERLEAVED reps per query: the first run pays one-time
     # driver-side whole-stage-codegen compilation (several seconds for

@@ -9628,3 +9628,69 @@ QUERIES["user_stl_hourly"] = _q2(
     "WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,"
     " epoch_us(ts) AS tus FROM events),\n" + _STL_BODY,
 )
+
+
+# Seasonality/trend strength (Hyndman's variance-ratio features) on the
+# STL-lite decomposition: F_seasonal = max(0, 1 - var(resid)/var(hv -
+# trend)), F_trend = max(0, 1 - var(resid)/var(hv - seasonal)), one row
+# per event_type. var_samp has identical semantics in both engines;
+# round-6 absorbs summation-order ULPs.
+_STL_STRENGTH_TAIL = """
+, d AS (
+  SELECT t.event_type, t.hv, t.tr, s.seas,
+         t.hv - t.tr - s.seas AS resid
+  FROM t JOIN s ON s.event_type = t.event_type
+              AND s.hour_of_day = t.hidx % 24
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(greatest(CAST(0.0 AS DOUBLE),
+         CAST(1.0 AS DOUBLE)
+         - var_samp(resid) / nullif(var_samp(hv - tr),
+                                    CAST(0.0 AS DOUBLE))), 6)
+         AS f_seasonal6,
+       round(greatest(CAST(0.0 AS DOUBLE),
+         CAST(1.0 AS DOUBLE)
+         - var_samp(resid) / nullif(var_samp(hv - seas),
+                                    CAST(0.0 AS DOUBLE))), 6)
+         AS f_trend6
+FROM d GROUP BY event_type
+"""
+_STL_PREFIX_SPARK = (
+    "WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,"
+    " unix_micros(CAST(ts AS TIMESTAMP)) AS tus FROM events),\n"
+)
+_STL_PREFIX_DUCK = (
+    "WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,"
+    " epoch_us(ts) AS tus FROM events),\n"
+)
+_STL_CORE = _STL_BODY.split("SELECT t.event_type,")[0].rstrip()
+QUERIES["user_stl_strength"] = _q2(
+    _STL_PREFIX_SPARK + _STL_CORE + _STL_STRENGTH_TAIL,
+    _STL_PREFIX_DUCK + _STL_CORE + _STL_STRENGTH_TAIL,
+)
+
+# Seasonally-adjusted anomaly hours: hours whose STL residual exceeds
+# 3 per-type residual standard deviations (population stddev of the
+# residual series; deterministic given the decomposition).
+_STL_ANOM_TAIL = """
+, d AS (
+  SELECT t.event_type, t.hidx, t.hv, t.tr, s.seas,
+         t.hv - t.tr - s.seas AS resid
+  FROM t JOIN s ON s.event_type = t.event_type
+              AND s.hour_of_day = t.hidx % 24
+),
+st AS (
+  SELECT event_type, stddev_pop(resid) AS sd FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.hidx,
+       round(d.resid, 6) AS resid6,
+       round(d.resid / nullif(st.sd, CAST(0.0 AS DOUBLE)), 6) AS z6
+FROM d JOIN st ON st.event_type = d.event_type
+WHERE abs(d.resid / nullif(st.sd, CAST(0.0 AS DOUBLE)))
+      > CAST(3.0 AS DOUBLE)
+"""
+QUERIES["user_stl_anomaly"] = _q2(
+    _STL_PREFIX_SPARK + _STL_CORE + _STL_ANOM_TAIL,
+    _STL_PREFIX_DUCK + _STL_CORE + _STL_ANOM_TAIL,
+)
