@@ -939,10 +939,16 @@ def _delete_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = rollup_quantile_tiers(seq, window=4, group=4, n_tiers=3)
     d = tempfile.mkdtemp(prefix="delstore_")
     write_tier_chunked(tiers, d, chunk_windows=8)
+    # doomed set = distinct user ids with id % 7 == 3. The old code
+    # re-ran the whole collect_list/array_sort sequence build just to
+    # read doc_id; a column-pruned distinct over the raw events is the
+    # same set (doc_id IS the user_id, one sequence per user) without
+    # recomputing the groupBy (optimization r6, guide §2.3)
     doomed = [
-        str(r["doc_id"])
-        for r in seq.select("doc_id").collect()
-        if int(r["doc_id"]) % 7 == 3
+        str(r["user_id"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().collect()
+        if int(r["user_id"]) % 7 == 3
     ]
     delete_docs(spark, d, doomed)
     left = verify_erased(spark, d, doomed)

@@ -469,7 +469,7 @@ def ivfpq_write_index(
     num_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    write_salt: int = 8,
+    write_salt: int | None = None,
     pq_train_iters: int = 10,
     ivf_train_iters: int = 10,
     train_sample: int | None = None,
@@ -485,9 +485,24 @@ def ivfpq_write_index(
     table (stats-pruned point lookups).
 
     Returns inverted-list skew stats (ivf_list_stats)."""
-    from pyhctsa_spark.operators.similarity import ivf_build, ivf_list_stats
+    from pyhctsa_spark.operators.similarity import (
+        _pick_num_centroids,
+        ivf_build,
+        ivf_list_stats,
+    )
 
     _recover_pq_index(path)
+    if num_centroids is None or write_salt is None:
+        # same salt derivation as ivf_write_index: one salt bucket per
+        # ~100k rows of a list (PQ rows are ~m*2 bytes, so this is
+        # conservative); a small index writes one file per list
+        n_corpus = corpus.count()
+        if num_centroids is None:
+            num_centroids = _pick_num_centroids(n_corpus)
+        if write_salt is None:
+            write_salt = max(
+                1, min(64, -(-n_corpus // (max(1, num_centroids) * 100_000)))
+            )
     cents, assigned = ivf_build(
         corpus, num_centroids, vec_col, id_col,
         train_sample=train_sample, train_iters=ivf_train_iters,

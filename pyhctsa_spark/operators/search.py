@@ -756,11 +756,14 @@ def mmr_topk(
 
     Scale shape: scoring the corpus down to the pool is the one big
     job (:func:`bm25_topk`); the pairwise-similarity table is
-    pool^2 rows computed distributed and persisted; the greedy loop
-    is k bounded one-row argmax collects over <= pool-row frames —
-    driver work is O(k) row fetches, never corpus-sized. Every
-    objective is computed by Spark SQL `round`, so the DuckDB replay
-    (unrolled to k stages) is ordering-exact.
+    pool^2 rows computed distributed and persisted; every objective
+    value the greedy can select is precomputed by Spark SQL `round`
+    in that same pass, collected (<= pool^2 rows, the documented
+    bounded-pool contract), and the greedy runs as driver table
+    lookups — O(k * pool^2) dictionary reads, never corpus-sized and
+    never k sequential Spark jobs. The DuckDB replay (unrolled to k
+    stages) stays ordering-exact because no objective is ever computed
+    outside Spark SQL.
 
     Returns ``(rank, doc_id, obj6)`` in selection order.
     """
@@ -801,38 +804,55 @@ def mmr_topk(
         .persist()
     )
     try:
-        picked: list[tuple[int, int, float]] = []
-        for step in range(1, k + 1):
-            sel_ids = [d for _, d, _ in picked]
-            rem = c.where(~F.col("doc_id").isin(sel_ids)) if sel_ids else c
-            if not sel_ids:
-                objdf = rem.select(
-                    "doc_id", F.round(lamc * F.col("rel"), 6).alias("obj6")
-                )
-            else:
-                maxs = (
-                    sim.where(F.col("db").isin(sel_ids))
-                    .groupBy("da")
-                    .agg(F.max("cs").alias("ms"))
-                )
-                objdf = rem.join(
-                    maxs, rem["doc_id"] == maxs["da"], "left"
-                ).select(
-                    "doc_id",
-                    F.round(
-                        lamc * F.col("rel")
-                        - lamr * F.coalesce(F.col("ms"), zero),
-                        6,
-                    ).alias("obj6"),
-                )
-            row = (
-                objdf.orderBy(F.col("obj6").desc(), F.col("doc_id").asc())
-                .limit(1)
-                .collect()
+        # Optimization round 6: the old loop ran k sequential
+        # orderBy-limit(1) Spark jobs (a ~2.5 s driver constant). Every
+        # objective the greedy can ever see is one of two Spark-rounded
+        # values — round(lam*rel, 6) when the candidate has no computed
+        # similarity to the selected set (the max-sim coalesces to 0,
+        # and x - lamr*0.0 == x bit-exactly), or
+        # round(lam*rel - lamr*cs, 6) for the selected neighbor whose
+        # round-6 cs is the max — so ALL of them are precomputed by
+        # Spark SQL `round` in one pass and the greedy itself is pure
+        # table lookups over <= pool^2 collected rows (the documented
+        # bounded-pool contract). No driver float arithmetic, so the
+        # DuckDB unrolled replay stays ordering-exact.
+        base = c.select(
+            "doc_id", F.round(lamc * F.col("rel"), 6).alias("obj0")
+        ).collect()
+        pair_rows = (
+            sim.join(c, sim["da"] == c["doc_id"])
+            .select(
+                "da", "db", "cs",
+                F.round(
+                    lamc * F.col("rel") - lamr * F.col("cs"), 6
+                ).alias("obj_pair"),
             )
-            if not row:
+            .collect()
+        )
+        obj0 = {r["doc_id"]: r["obj0"] for r in base}
+        by_pair = {(r["da"], r["db"]): (r["cs"], r["obj_pair"])
+                   for r in pair_rows}
+        cand_ids = sorted(obj0)
+        picked: list[tuple[int, int, float]] = []
+        sel: list = []
+        for step in range(1, k + 1):
+            best = None
+            for d in cand_ids:
+                if d in sel:
+                    continue
+                ms = None
+                obj = obj0[d]
+                for s in sel:
+                    v = by_pair.get((d, s))
+                    if v is not None and (ms is None or v[0] > ms):
+                        ms, obj = v[0], v[1]
+                key = (-obj, d)
+                if best is None or key < best[0]:
+                    best = (key, d, obj)
+            if best is None:
                 break
-            picked.append((step, row[0]["doc_id"], float(row[0]["obj6"])))
+            picked.append((step, best[1], float(best[2])))
+            sel.append(best[1])
         spark = docs.sparkSession
         return spark.createDataFrame(
             picked, "rank long, doc_id long, obj6 double"

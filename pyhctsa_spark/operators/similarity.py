@@ -47,7 +47,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+    # native elementwise cast: same values as the old
+    # transform(x -> cast(x as double)) lambda, but codegen'd instead
+    # of interpreted (higher-order-function lambdas never enter
+    # whole-stage codegen — guide §4.1 / CLAUDE.md)
+    return F.col(col).cast("array<double>") if isinstance(col, str) \
+        else col.cast("array<double>")
 
 
 def _dot(a, b):
@@ -58,6 +63,61 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm") -> DataFrame:
+    """Append the L2 norm of ``vec`` as column ``out`` via one Arrow
+    pass. Bit-identical to ``_norm`` for clean vectors: the fold
+    ``acc = acc + x*x`` runs per dimension in the same IEEE-754 order
+    as the JVM ``aggregate`` lambda, just vectorized across the rows
+    of a batch — so index builds and appends write the exact same
+    cnorm bytes as the old interpreted fold, ~100x faster on wide
+    corpora. (Sole divergence: a NULL *element* inside a vector folds
+    to SQL NULL in the JVM but to NaN here; both score as
+    no-cosine downstream.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    names = [f.name for f in df.schema.fields]
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} double"
+    vi = names.index(vec)
+
+    def fn(batches):
+        for rb in batches:
+            col = rb.column(vi)
+            n = len(col)
+            res = np.full(n, np.nan, dtype=np.float64)
+            valid = np.zeros(n, dtype=bool)
+            isnull = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            v = col.values.to_numpy(zero_copy_only=False)
+            v = np.asarray(v, dtype=np.float64)
+            lens = np.diff(offsets)
+            for length in np.unique(lens[~isnull]) if n else []:
+                sel = (~isnull) & (lens == length)
+                idx = np.nonzero(sel)[0]
+                if length == 0:
+                    res[idx] = 0.0
+                    valid[idx] = True
+                    continue
+                gather = (
+                    offsets[idx][:, None] + np.arange(length)[None, :]
+                ).ravel()
+                M = v[gather].reshape(len(idx), length)
+                acc = np.zeros(len(idx), dtype=np.float64)
+                for i in range(length):
+                    acc = acc + M[:, i] * M[:, i]
+                res[idx] = np.sqrt(acc)
+                valid[idx] = True
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)]
+                + [pa.array(res, type=pa.float64(), mask=~valid)],
+                names=names + [out],
+            )
+
+    return df.mapInArrow(fn, schema=ddl)
 
 
 def knn_bruteforce(
@@ -145,20 +205,42 @@ def ivf_build(
     assignment and query routing) see the identical broadcast centroid
     table, and the corpus itself is never collected or shuffled.
     """
-    base = corpus.select(
-        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cnorm", _norm(F.col("cv")))
+    base = _with_cnorm(
+        corpus.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
     if num_centroids is None:
         num_centroids = _pick_num_centroids(corpus.count())
     if train_sample is None:
         train_sample = min(131072, max(4096, 32 * num_centroids))
-    sample = (
-        base.withColumn("_h", F.xxhash64(F.col("nid")))
+    # Two-pass deterministic sample (same smallest-xxhash64 set as the
+    # old TakeOrdered, same hash-sorted order): pass 1 finds the hash
+    # cutoff on a column-pruned scan of ids alone — the old single-pass
+    # orderBy/limit carried every partition's top-train_sample VECTORS
+    # through the TakeOrdered (≈2 GB of arrays at 1M x 64d), pass 2
+    # collects just the ~train_sample sampled vectors (~16 MB).
+    cut_rows = (
+        corpus.select(F.xxhash64(F.col(id_col)).alias("_h"))
         .orderBy("_h")
         .limit(train_sample)
-        .select("cv")
-        .collect()  # bounded index-build sample, never the corpus
+        .agg(F.max("_h").alias("c"))
+        .first()
     )
+    cut = cut_rows["c"] if cut_rows is not None else None
+    if cut is None:
+        sample = []
+    else:
+        sample = (
+            corpus.select(
+                F.xxhash64(F.col(id_col)).alias("_h"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            .where(F.col("_h") <= F.lit(int(cut)))
+            .collect()  # bounded index-build sample, never the corpus
+        )
+        sample.sort(key=lambda r: r["_h"])
+        sample = sample[:train_sample]
     import numpy as np
 
     X = np.asarray([r["cv"] for r in sample], dtype=np.float64)
@@ -375,7 +457,7 @@ def ivf_write_index(
     num_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    write_salt: int = 8,
+    write_salt: int | None = None,
     train_sample: int | None = None,
     train_iters: int = 10,
 ) -> dict:
@@ -385,9 +467,23 @@ def ivf_write_index(
     happens HERE, once, at build time — and it is salted
     (cid, xxhash64(nid) % write_salt) so a skewed list fans out over
     ``write_salt`` write tasks instead of serializing into one
-    straggler. Returns the list-size skew stats (``ivf_list_stats``)
-    so the caller can gate on quantizer health at build time."""
+    straggler. ``write_salt=None`` (default) derives the salt from the
+    corpus/list ratio — one salt bucket per ~100k rows of a list, so a
+    small index writes exactly one file per list instead of fanning
+    every list into 8 near-empty files (~8x the file count, and probes
+    pay the per-file open cost at every query — guide §6); large or
+    skewed lists still fan out. Returns the list-size skew stats
+    (``ivf_list_stats``) so the caller can gate on quantizer health at
+    build time."""
     _recover_ivf_index(path)
+    if num_centroids is None or write_salt is None:
+        n_corpus = corpus.count()
+        if num_centroids is None:
+            num_centroids = _pick_num_centroids(n_corpus)
+        if write_salt is None:
+            write_salt = max(
+                1, min(64, -(-n_corpus // (max(1, num_centroids) * 100_000)))
+            )
     cents, assigned = ivf_build(
         corpus, num_centroids, vec_col, id_col, train_sample, train_iters
     )
@@ -554,9 +650,9 @@ def append_to_ivf_index(
     _recover_ivf_index(path)
     meta = read_ivf_meta(path)
     C = _centroid_matrix(spark, path)
-    base = df.select(
+    base = _with_cnorm(df.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cnorm", _norm(F.col("cv")))
+    ))  # Arrow-fold norm, bit-identical to the build path's
     assigned = base.withColumn(
         "cid", _nearest_cid_udf(C)(F.col("cv"))
     ).persist()  # feeds the file sizing, the write, and the drift agg
@@ -749,39 +845,139 @@ def positive_pairs(
     nothing). The mirror of :func:`hard_negatives`' below-band cut.
 
     Exact all-pairs formulation (the oracle-exact baseline, like
-    knn_bruteforce): id-ordered self-join, cosine as JVM expressions,
-    then an md5-fingerprint anti-filter via a broadcast join against
-    the docs table. The scale path for the same band is
-    embedding_near_dup_pairs (dedup.py: LSH-bucketed, no all-pairs).
+    knn_bruteforce). Execution shape (optimization round 6): the old
+    id-ordered self-join evaluated dot/norm as interpreted
+    higher-order-function lambdas PER PAIR (~400 interpreted steps x
+    N^2/2 pairs — 65 s at 2k vectors); now vectors are dealt into
+    deterministic hash blocks, every unordered BLOCK pair becomes one
+    applyInPandas group, and the group computes its pair-cosine matrix
+    in numpy with a per-dimension fold (``acc = acc + x*y``) that
+    replays the JVM ``aggregate`` fold bit-for-bit — same IEEE-754
+    operations in the same order, so the UNROUNDED cosine is
+    bit-identical and the final ``round(.., 6)`` + band filter stay in
+    Spark SQL exactly as before. The md5 identity anti-filter is
+    attached per vector BEFORE pairing (1:1 inner join — equivalent to
+    the old post-pair inner joins) and applied inside the group. Total
+    work is still the O(N^2) the oracle demands, but vectorized and
+    spread over B(B+1)/2 independent groups; the scale path for the
+    same band is embedding_near_dup_pairs (dedup.py: LSH-bucketed,
+    no all-pairs).
 
     Returns ``(id_a, id_b, cos6)`` with ``id_a < id_b``.
     """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    fp = docs.select(
+        F.col(doc_id_col).alias("vid"), F.md5(F.col(text_col)).alias("_fp")
+    )
     v = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
     )
-    a = v.select(F.col("vid").alias("id_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vid").alias("id_b"), F.col("e").alias("eb"))
-    zero = F.lit(0.0).cast("double")
-    cos = _dot(F.col("ea"), F.col("eb")) / F.nullif(
-        _norm(F.col("ea")) * _norm(F.col("eb")), zero
+    ve = v.join(fp, "vid")
+    n = emb.count()
+    # block count: bound per-block rows (task memory) but keep enough
+    # block pairs to spread over the cluster at small N
+    n_blocks = max(1, math.ceil(n / 8192))
+    n_blocks = max(n_blocks, min(8, math.ceil(n / 256)))
+    rep = ve.select(
+        "vid",
+        "e",
+        "_fp",
+        F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int").alias("b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1))
+        ).alias("j"),
+    ).select(
+        "vid", "e", "_fp", "b",
+        F.least("b", "j").alias("g1"), F.greatest("b", "j").alias("g2"),
     )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos6"))
+    id_type = dict(emb.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    # anything below this can never round(…,6) up into the band
+    min_keep = float(min_cos) - 1e-6
+
+    def _fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """acc = (…((0 + a0*b0) + a1*b1)…) per pair — the exact JVM
+        aggregate fold, vectorized across the pair matrix."""
+        acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+        buf = np.empty_like(acc)
+        for i in range(A.shape[1]):
+            # product rounded first, then added — two roundings per
+            # element per step, identical to the JVM lambda
+            np.multiply(A[:, i, None], B[None, :, i], out=buf)
+            np.add(acc, buf, out=acc)
+        return acc
+
+    def _fold_norm(A: np.ndarray) -> np.ndarray:
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * A[:, i]
+        return np.sqrt(acc)
+
+    def _emit(ida, fa, A, idb, fb, Bm, same_side: bool, out: list) -> None:
+        nb_norm = _fold_norm(Bm)
+        # slice the A side so the pair matrices stay ~<=8M cells
+        step = max(1, (8 << 20) // max(1, Bm.shape[0]))
+        for s in range(0, A.shape[0], step):
+            As, ids_s, fa_s = A[s:s + step], ida[s:s + step], fa[s:s + step]
+            dotm = _fold_dot(As, Bm)
+            denom = _fold_norm(As)[:, None] * nb_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosm = dotm / denom
+            keep = (denom != 0.0) & ~np.isnan(cosm) & (cosm >= min_keep)
+            if same_side:
+                keep &= ids_s[:, None] < idb[None, :]
+            else:
+                keep &= ids_s[:, None] != idb[None, :]
+            # texts byte-identical (eqNullSafe incl. both-NULL) -> drop
+            keep &= ~(fa_s[:, None] == fb[None, :])
+            ii, jj = np.nonzero(keep)
+            if ii.size:
+                a_ids, b_ids = ids_s[ii], idb[jj]
+                out.append(pd.DataFrame({
+                    "id_a": np.minimum(a_ids, b_ids),
+                    "id_b": np.maximum(a_ids, b_ids),
+                    "cos": cosm[ii, jj],
+                }))
+
+    def gen_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if len(pdf) < 2:
+            return empty
+        g1, g2 = int(key[0]), int(key[1])
+        out: list = []
+        # pairs across differing embedding lengths fold to NULL in the
+        # JVM (zip_with pads, aggregate propagates) -> dropped; mirror
+        # that by pairing only within a length class
+        lens = pdf["e"].map(lambda x: -1 if x is None else len(x))
+        for length, sub in pdf.groupby(lens):
+            if length <= 0 or len(sub) < 2:
+                continue
+            ids = sub["vid"].to_numpy()
+            fps = sub["_fp"].to_numpy(dtype=object)
+            E = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in sub["e"]])
+            if g1 == g2:
+                _emit(ids, fps, E, ids, fps, E, True, out)
+            else:
+                mask = (sub["b"].to_numpy() == g1)
+                if not mask.any() or mask.all():
+                    continue
+                _emit(ids[mask], fps[mask], E[mask],
+                      ids[~mask], fps[~mask], E[~mask], False, out)
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    pairs = rep.groupBy("g1", "g2").applyInPandas(gen_pairs, out_schema)
+    return (
+        pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos6"))
         .where(
             F.col("cos6").isNotNull()
             & ~F.isnan("cos6")
             & (F.col("cos6") >= F.lit(float(min_cos)).cast("double"))
         )
-    )
-    fp = docs.select(
-        F.col(doc_id_col).alias("_fpid"), F.md5(F.col(text_col)).alias("_fp")
-    )
-    fpa = fp.select(F.col("_fpid").alias("id_a"), F.col("_fp").alias("_fp_a"))
-    fpb = fp.select(F.col("_fpid").alias("id_b"), F.col("_fp").alias("_fp_b"))
-    return (
-        pairs.join(F.broadcast(fpa), "id_a")
-        .join(F.broadcast(fpb), "id_b")
-        .where(~F.col("_fp_a").eqNullSafe(F.col("_fp_b")))
-        .select("id_a", "id_b", "cos6")
     )

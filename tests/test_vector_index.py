@@ -58,7 +58,9 @@ def test_meta_written_and_roundtrips(spark, emb, tmp_path):
     meta = read_ivf_meta(path)
     assert meta["nlist"] <= 8 and meta["metric"] == "cosine"
     assert meta["dim"] == len(emb.first()["embedding"])
-    assert meta["write_salt"] == 8
+    # round 6: salt is derived from the corpus/list ratio (small index
+    # -> one file per list); explicit override still honored
+    assert meta["write_salt"] == 1
     assert 0.0 < meta["build_assign_cos_mean"] <= 1.0
 
 
