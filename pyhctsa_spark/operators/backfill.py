@@ -59,8 +59,10 @@ def backfill_docs(
     else:
         # large batches: broadcast semi-join (IN-list planning cost cap,
         # same threshold as delete_docs)
-        ids_df = spark.createDataFrame([(i,) for i in ids],
-                                       "_bf_id string")
+        from pyhctsa_spark.operators._local_df import one_slice_df
+
+        ids_df = one_slice_df(spark, [(i,) for i in ids],
+                              "_bf_id string")
         target = corrected_seq.join(
             F.broadcast(ids_df),
             F.col(id_col).cast("string") == F.col("_bf_id"),

@@ -744,7 +744,12 @@ class CaggSnapshotStore:
             else:
                 from pyspark.sql.types import StructField, StructType
 
-                ks_df = spark.createDataFrame(
+                from pyhctsa_spark.operators._local_df import (
+                    one_slice_df,
+                )
+
+                ks_df = one_slice_df(
+                    spark,
                     [(k,) for k in ks],
                     StructType([StructField("_del_key", kdt)]),
                 )

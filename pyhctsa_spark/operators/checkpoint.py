@@ -197,4 +197,6 @@ class RollupJob:
         # the SAME explicit schema either way: the inferred-from-dicts
         # path used to flip bucket to bigint and reorder columns,
         # breaking unions with the empty-manifest shape
-        return spark.createDataFrame(rows, schema)
+        from pyhctsa_spark.operators._local_df import one_slice_df
+
+        return one_slice_df(spark, rows, schema)

@@ -147,7 +147,10 @@ def cms_point_estimates(
     toks = np.asarray(sorted(set(int(t) for t in probe_tokens)),
                       dtype=np.int64)
     cols = cms_cols(toks)
-    probe = spark.createDataFrame(
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    probe = one_slice_df(
+        spark,
         [(int(t), int(i), int(cols[j, i]))
          for j, t in enumerate(toks) for i in range(D)],
         "token long, i int, col int",

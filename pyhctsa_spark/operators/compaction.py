@@ -181,9 +181,10 @@ def compact_chunks_bulk(
             #              chunk action); -1 marks "not recorded"
             "compacted_at": now,
         })
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
     (
-        spark.createDataFrame(rows, schema=_LOG_SCHEMA)
-        .coalesce(1)
+        one_slice_df(spark, rows, _LOG_SCHEMA)
         .write.mode("append")
         .parquet(os.path.join(path, "_compaction_log"))
     )
@@ -235,9 +236,10 @@ def compact_chunks(
             "compacted_at": time.time(),
         })
     if rows:
+        from pyhctsa_spark.operators._local_df import one_slice_df
+
         (
-            spark.createDataFrame(rows, schema=_LOG_SCHEMA)
-            .coalesce(1)
+            one_slice_df(spark, rows, _LOG_SCHEMA)
             .write.mode("append")
             .parquet(os.path.join(path, "_compaction_log"))
         )

@@ -81,7 +81,9 @@ def delete_docs(
     # switch to broadcast joins (same threshold rationale as
     # pq._exact_rerank, where a 100k-id IN cost ~a minute of planning)
     use_isin = len(ids) <= 2048
-    ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    ids_df = one_slice_df(spark, [(i,) for i in ids], f"{id_col} string")
 
     def _doomed(df):
         if use_isin:
@@ -116,10 +118,12 @@ def delete_docs(
          "requested_at": now}
         for r in probe
     ]
-    # AUDIT before any mutation
+    # AUDIT before any mutation (one-slice local DF: a coalesce(1)
+    # here cost ~2.8 s of serial per-slice Python runners — _local_df)
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
     (
-        spark.createDataFrame(log_rows, schema=_LOG_SCHEMA)
-        .coalesce(1)
+        one_slice_df(spark, log_rows, _LOG_SCHEMA)
         .write.mode("append")
         .parquet(os.path.join(path, "_deletion_log"))
     )
@@ -185,7 +189,9 @@ def verify_erased(
     store = spark.read.parquet(path)
     if len(ids) <= 2048:
         return store.where(F.col(id_col).isin(ids)).count()
-    ids_df = spark.createDataFrame([(i,) for i in ids], "_del_id string")
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    ids_df = one_slice_df(spark, [(i,) for i in ids], "_del_id string")
     return store.join(
         F.broadcast(ids_df),
         F.col(id_col).cast("string") == F.col("_del_id"),

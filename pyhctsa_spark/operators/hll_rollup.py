@@ -278,7 +278,10 @@ def hll_estimates(states: DataFrame, by: list[str] | None = None) -> DataFrame:
         (F.lit(HLL.M) - F.count("*")).cast("int").alias("hll_zeros"),
     )
     spark = states.sparkSession
-    lut = spark.createDataFrame(
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    lut = one_slice_df(
+        spark,
         [(v, float(HLL.LC_TABLE[v])) for v in range(1, HLL.M + 1)],
         "hll_zeros int, lc double",
     )
@@ -415,7 +418,10 @@ def hll_distinct_by_source(df: DataFrame) -> DataFrame:
     # the DuckDB oracle) in the last ulp on dozens of the 256 possible
     # inputs — measured, not hypothetical.
     spark = df.sparkSession
-    lut = spark.createDataFrame(
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    lut = one_slice_df(
+        spark,
         [(v, float(HLL.LC_TABLE[v])) for v in range(1, HLL.M + 1)],
         "hll_zeros int, lc double",
     )

@@ -522,11 +522,14 @@ def ivfpq_write_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = corpus.sparkSession
     mm, kk, dsub = books.shape
-    spark.createDataFrame(
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    one_slice_df(
+        spark,
         [(int(s), int(j), [float(x) for x in books[s, j]])
          for s in range(mm) for j in range(kk)],
         "s int, j int, c array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     import json
 
     n_cents = cents.count()

@@ -240,9 +240,10 @@ def apply_retention(
                 "evicted_at": now,
             })
     if evicted:
+        from pyhctsa_spark.operators._local_df import one_slice_df
+
         (
-            spark.createDataFrame(evicted, schema=_LOG_SCHEMA)
-            .coalesce(1)
+            one_slice_df(spark, evicted, _LOG_SCHEMA)
             .write.mode("append")
             .parquet(os.path.join(path, "_retention_log"))
         )

@@ -853,9 +853,11 @@ def mmr_topk(
                 break
             picked.append((step, best[1], float(best[2])))
             sel.append(best[1])
+        from pyhctsa_spark.operators._local_df import one_slice_df
+
         spark = docs.sparkSession
-        return spark.createDataFrame(
-            picked, "rank long, doc_id long, obj6 double"
+        return one_slice_df(
+            spark, picked, "rank long, doc_id long, obj6 double"
         )
     finally:
         c.unpersist()

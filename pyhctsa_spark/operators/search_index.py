@@ -370,7 +370,10 @@ def append_to_search_index(
 
     d_stats_row = _stats_from_base(df, text_col, id_col).head()
     old_stats = spark.read.parquet(os.path.join(path, "stats")).head()
-    merged_stats = spark.createDataFrame(
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    merged_stats = one_slice_df(
+        spark,
         [
             (
                 int(old_stats["n_docs"]) + int(d_stats_row["n_docs"]),
@@ -379,7 +382,7 @@ def append_to_search_index(
             )
         ],
         "n_docs long, n_dl long, sum_dl long",
-    ).coalesce(1)
+    )
     _swap_in(merged_stats, os.path.join(path, "stats"))
     post.unpersist()
 

@@ -246,8 +246,11 @@ def ivf_build(
     X = np.asarray([r["cv"] for r in sample], dtype=np.float64)
     k = min(num_centroids, len(X))
     C = _spherical_kmeans(X, k, train_iters)
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
     spark = corpus.sparkSession
-    cents = spark.createDataFrame(
+    cents = one_slice_df(
+        spark,
         [(j, [float(x) for x in C[j]]) for j in range(k)],
         "cid int, centroid array<double>",
     ).withColumn("centnorm", _norm(F.col("centroid")))

@@ -99,7 +99,10 @@ def token_pagerank(
         np.add.at(contrib, dst, ws * (r[src] / out_w[src]))
         dangling = r[out_w == 0].sum()
         r = (1.0 - damping) / n + damping * (contrib + dangling / n)
-    return spark.createDataFrame(
+    from pyhctsa_spark.operators._local_df import one_slice_df
+
+    return one_slice_df(
+        spark,
         [(int(t), float(r[i])) for i, t in enumerate(nodes)],
         "token long, rank double",
     )
