@@ -183,11 +183,14 @@ def cagg_refresh(
         cagg_partial(delta, on, by, value_col, window_micros), chunk_windows
     )
     dp = dp.persist()
-    touched = [r["chunk"] for r in dp.select("chunk").distinct().collect()]
+    # one probe job for both the touched-chunk set and the delta count
+    # (was a distinct().collect() plus a separate count() — r6)
+    probe = dp.groupBy("chunk").count().collect()
+    touched = [r["chunk"] for r in probe]
     if not touched:
         dp.unpersist()
         return {"touched_chunks": [], "delta_states": 0}
-    n_delta = dp.count()
+    n_delta = sum(int(r["count"]) for r in probe)
     # store absent/empty (first refresh creates it) is decided by an
     # EXPLICIT listing, never by catching AnalysisException — a schema
     # mismatch in the union must surface as an error, not silently

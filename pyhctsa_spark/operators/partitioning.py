@@ -73,3 +73,35 @@ def source_skew_stats(df: DataFrame) -> list[dict]:
         }
         for r in rows
     ]
+
+
+def rebalance_degenerate(df: DataFrame, min_bytes: int = 8 << 20) -> DataFrame:
+    """Round-robin repartition an input whose scan collapsed to fewer
+    partitions than cores — the unsplittable-file / single-row-group
+    case of guide §2.5 ("input skew: one huge unsplittable file …
+    repartition immediately after the read"). A well-partitioned
+    production input (>= defaultParallelism scan partitions, the
+    100 TB shape) is returned UNCHANGED, so the scan-side-only plans
+    keep their shape at scale; only degenerate local layouts pay the
+    one extra pass over the raw bytes, and they buy full-cluster
+    parallelism for every downstream map stage with it (optimization
+    round 6: the sf/bench parquet inputs are single-row-group, so
+    every scan stage otherwise runs ONE task)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        size = sum(
+            os.path.getsize(f[7:] if f.startswith("file:") else f)
+            for f in files
+        )
+    except Exception:
+        return df  # non-file-backed source: leave the plan alone
+    if not files or size < min_bytes:
+        # fixture-scale input: the repartition's fixed cost (~0.3 s of
+        # exchange + plan->RDD conversion) outweighs any parallelism
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

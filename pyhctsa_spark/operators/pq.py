@@ -595,7 +595,7 @@ def append_to_ivfpq_index(
         _DELTA_ROWS_PER_FILE,
         _assign_cos_mean,
         _centroid_matrix,
-        _nearest_cid_udf,
+        _with_cnorm,
     )
 
     spark = df.sparkSession
@@ -604,10 +604,10 @@ def append_to_ivfpq_index(
     books = read_codebooks(spark, path)
     base = df.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cnorm", _norm(F.col("cv")))
-    assigned = base.withColumn(
-        "cid", _nearest_cid_udf(C)(F.col("cv"))
-    ).persist()
+    )
+    # fused Arrow norm + assignment (r6), bit-identical to the old
+    # interpreted _norm + _nearest_cid_udf pair
+    assigned = _with_cnorm(base, centroids=C).persist()
     try:
         codes = pq_encode(df, books, vec_col, id_col)
         delta = codes.join(assigned.select("nid", "cid"), "nid")

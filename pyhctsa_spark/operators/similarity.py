@@ -65,7 +65,8 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm") -> DataFrame:
+def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm",
+                centroids=None) -> DataFrame:
     """Append the L2 norm of ``vec`` as column ``out`` via one Arrow
     pass. Bit-identical to ``_norm`` for clean vectors: the fold
     ``acc = acc + x*x`` runs per dimension in the same IEEE-754 order
@@ -74,7 +75,12 @@ def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm") -> DataFrame
     cnorm bytes as the old interpreted fold, ~100x faster on wide
     corpora. (Sole divergence: a NULL *element* inside a vector folds
     to SQL NULL in the JVM but to NaN here; both score as
-    no-cosine downstream.)"""
+    no-cosine downstream.)
+
+    ``centroids`` (numpy (k, d)) additionally appends the
+    nearest-centroid ``cid`` via the same ``argmax(M @ C.T)`` as
+    ``_nearest_cid_udf``, fusing the index-build assignment into this
+    pass — one Python crossing of the corpus instead of two."""
     import numpy as np
     import pyarrow as pa
 
@@ -82,7 +88,10 @@ def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm") -> DataFrame
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out} double"
+    if centroids is not None:
+        ddl += ", cid int"
     vi = names.index(vec)
+    C = centroids
 
     def fn(batches):
         for rb in batches:
@@ -90,6 +99,7 @@ def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm") -> DataFrame
             n = len(col)
             res = np.full(n, np.nan, dtype=np.float64)
             valid = np.zeros(n, dtype=bool)
+            cid = np.zeros(n, dtype=np.int32)
             isnull = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
             offsets = col.offsets.to_numpy(zero_copy_only=False)
             v = col.values.to_numpy(zero_copy_only=False)
@@ -111,11 +121,18 @@ def _with_cnorm(df: DataFrame, vec: str = "cv", out: str = "cnorm") -> DataFrame
                     acc = acc + M[:, i] * M[:, i]
                 res[idx] = np.sqrt(acc)
                 valid[idx] = True
-            yield pa.RecordBatch.from_arrays(
+                if C is not None:
+                    # identical expression to _nearest_cid_udf
+                    cid[idx] = np.argmax(M @ C.T, axis=1).astype(np.int32)
+            cols = (
                 [rb.column(i) for i in range(rb.num_columns)]
-                + [pa.array(res, type=pa.float64(), mask=~valid)],
-                names=names + [out],
+                + [pa.array(res, type=pa.float64(), mask=~valid)]
             )
+            outn = list(names) + [out]
+            if C is not None:
+                cols.append(pa.array(cid, type=pa.int32()))
+                outn.append("cid")
+            yield pa.RecordBatch.from_arrays(cols, names=outn)
 
     return df.mapInArrow(fn, schema=ddl)
 
@@ -205,10 +222,8 @@ def ivf_build(
     assignment and query routing) see the identical broadcast centroid
     table, and the corpus itself is never collected or shuffled.
     """
-    base = _with_cnorm(
-        corpus.select(
-            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
-        )
+    base = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
     )
     if num_centroids is None:
         num_centroids = _pick_num_centroids(corpus.count())
@@ -257,13 +272,15 @@ def ivf_build(
 
     # Map-side assignment: centroids are unit vectors, so the nearest
     # centroid by cosine is argmax(cv @ C^T) — the per-row norm is a
-    # positive scalar that cannot change the argmax. One Arrow-batched
-    # matmul per batch, ZERO shuffle of the corpus (the previous shape —
-    # crossJoin + row_number() OVER (PARTITION BY nid) — hash-shuffled
-    # corpus x k rows, a non-starter at 10^12 vectors). Ties resolve to
-    # the smallest cid (np.argmax first occurrence), matching the old
+    # positive scalar that cannot change the argmax. FUSED with the
+    # norm computation into ONE Arrow pass (optimization r6: norm +
+    # argmax used to be two separate Python crossings of the corpus),
+    # ZERO shuffle of the corpus (the previous shape — crossJoin +
+    # row_number() OVER (PARTITION BY nid) — hash-shuffled corpus x k
+    # rows, a non-starter at 10^12 vectors). Ties resolve to the
+    # smallest cid (np.argmax first occurrence), matching the old
     # (desc sim, asc cid) ranking.
-    assigned = base.withColumn("cid", _nearest_cid_udf(C)(F.col("cv")))
+    assigned = _with_cnorm(base, centroids=C)
     return cents, assigned
 
 
@@ -653,12 +670,12 @@ def append_to_ivf_index(
     _recover_ivf_index(path)
     meta = read_ivf_meta(path)
     C = _centroid_matrix(spark, path)
-    base = _with_cnorm(df.select(
+    base = df.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
-    ))  # Arrow-fold norm, bit-identical to the build path's
-    assigned = base.withColumn(
-        "cid", _nearest_cid_udf(C)(F.col("cv"))
-    ).persist()  # feeds the file sizing, the write, and the drift agg
+    )
+    # fused Arrow norm + assignment, bit-identical to the build path's
+    assigned = _with_cnorm(base, centroids=C).persist()
+    # persisted: feeds the file sizing, the write, and the drift agg
     try:
         n = assigned.count()
         files = max(1, -(-n // _DELTA_ROWS_PER_FILE))

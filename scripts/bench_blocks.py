@@ -30,7 +30,9 @@ def main() -> None:
     spark.read.parquet(seq_path).limit(10).count()
     out: dict = {}
     for b in blocks:
-        if b == "rollup":
+        if b == "queries":
+            out["queries"] = bench.bench_queries(spark)
+        elif b == "rollup":
             out.update(bench.bench_rollup(spark, seq_path))
         elif b == "qrollup":
             out.update(bench.bench_quantile_rollup(spark, seq_path))

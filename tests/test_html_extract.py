@@ -184,9 +184,21 @@ class TestSparkWiring:
             assert r["n_lines_dropped"] == g["n_lines_dropped"]
 
     def test_plan_is_scan_side_only(self, spark):
-        out = html_extract(spark.read.parquet(FIX))
+        """No Exchange when the input is already well-partitioned (the
+        100 TB shape). r6: rebalance=True additionally repartitions a
+        DEGENERATE input (fewer scan partitions than cores) so
+        extraction isn't single-threaded; rebalance=False always keeps
+        the scan-side-only plan."""
+        src = spark.read.parquet(FIX)
+        out = html_extract(src, rebalance=False)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+        par = spark.sparkContext.defaultParallelism
+        wide = src.repartition(par)
+        out2 = html_extract(wide)  # already >= cores: no extra Exchange
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        # exactly the one repartition we added above, none from the op
+        assert plan2.count("Exchange") == 1
 
     def test_passthrough_columns_preserved(self, spark):
         out = html_extract(spark.read.parquet(FIX))
@@ -214,7 +226,7 @@ class TestSparkWiring:
         docs = read_warc_responses(
             spark, "/root/repo/tests/fixtures/html_warc/*.warc.gz"
         ).select("url", F.col("text").alias("html"))
-        out = html_extract(docs).select(
+        out = html_extract(docs, rebalance=False).select(
             F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
             F.md5(F.col("text").cast("binary")).alias("text_md5"),
             "n_lines_kept", "n_lines_dropped",
