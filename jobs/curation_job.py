@@ -83,8 +83,15 @@ def curate(
 
     stats: dict = {"docs_in": docs.count()}
 
-    kept_q = quality_filter(docs, text_col, id_col).where("keep = 1").select(id_col)
-    docs_q = docs.join(kept_q, id_col).persist()
+    # full_rows: the quality decision is per-document, so filter in
+    # place — the former join(kept_q) shuffled the full text payload by
+    # doc_id just to attach a keep bit (optimization r6, guide §8)
+    docs_q = (
+        quality_filter(docs, text_col, id_col, full_rows=True)
+        .where("keep = 1")
+        .drop("keep", "reason")
+        .persist()
+    )
     stats["after_quality"] = docs_q.count()
 
     if eval_docs is not None:
@@ -123,7 +130,14 @@ def curate(
     # plans reference them (they must — cache eviction recomputes from
     # here) and are released by the ContextCleaner when the caller
     # drops the results.
-    docs_d = docs_q.join(reps.select(id_col), id_col).localCheckpoint()
+    # materialize the representative-id set (ids only) so the planner
+    # sees its REAL size instead of a garbage estimate through the
+    # iterative-CC lineage: when it fits the broadcast threshold the
+    # join becomes a broadcast join and the text payload is never
+    # shuffled (guide §3.1); when the survivor set is genuinely huge it
+    # degrades to a plain shuffle join instead of a broadcast OOM
+    reps_ids = reps.select(id_col).localCheckpoint()
+    docs_d = docs_q.join(reps_ids, id_col).localCheckpoint()
     stats["after_near_dup"] = docs_d.count()
     persisted = [docs_q]
 

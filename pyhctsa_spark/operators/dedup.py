@@ -701,7 +701,8 @@ class _CheckpointHandle:
 
 
 def dedup_components(
-    pairs: DataFrame, max_iterations: int = 50, cleanup: list | None = None
+    pairs: DataFrame, max_iterations: int = 50, cleanup: list | None = None,
+    max_collect_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: returns
     (doc_id, component_id) with component_id = the minimum doc id
@@ -724,10 +725,70 @@ def dedup_components(
     be recomputed (no lineage), so callers must only unpersist the
     cleanup handles after the batch's outputs are fully written —
     exactly the contract the rest of the cleanup machinery already has.
+
+    Small graphs (<= ``max_collect_edges`` distinct undirected edges —
+    the verified near-dup pair set is normally FAR smaller than the
+    corpus) take a DRIVER fast path: collect the edge list, run
+    union-find with min-label roots, return a one-slice local frame.
+    Identical output (component_id = min reachable id for every
+    endpoint node), none of the per-round join/aggregate jobs whose
+    fixed scheduling cost dominates at this size (optimization r6,
+    guide §1.2: the distributed algorithm was right for huge graphs and
+    wrong for bounded ones — same guard pattern as knn_ivf's
+    max_broadcast_queries). Larger graphs use the iterative min-label
+    propagation unchanged; ``max_collect_edges=0`` forces it.
     """
+    undirected = (
+        pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
+    )
+    if undirected.count() <= max_collect_edges:
+        rows = undirected.collect()
+        _release_local_checkpoint(undirected)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        root_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = root_min.get(r)
+            if m is None or x < m:
+                root_min[r] = x
+        from pyspark.sql import types as T
+
+        from ._local_df import one_slice_df
+
+        idt = pairs.schema["id_a"].dataType
+        schema = T.StructType([
+            T.StructField("doc_id", idt),
+            T.StructField("component_id", idt),
+        ])
+        return one_slice_df(
+            pairs.sparkSession,
+            [(x, root_min[find(x)]) for x in parent],
+            schema,
+        )
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        undirected.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            undirected.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
         .distinct()
     )
     # materialize the edge table once: every propagation round joins it,
@@ -735,6 +796,7 @@ def dedup_components(
     # pipeline (measured: the 10x-corpus clustering spent most of its
     # wall re-deriving minhash edges per iteration)
     edges = edges.localCheckpoint(eager=True)
+    _release_local_checkpoint(undirected)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -252,6 +252,112 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
 QF_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for"]
 
 
+def _qf_stats_fn(text_idx: int, stopwords: list[str],
+                 lang_lists: list[list[str]]):
+    """mapInArrow kernel for quality_filter: per-document INTEGER
+    statistics (word count, stopword occurrences, distinct word-trigram
+    count, per-language distinct-stopword votes), appended to the input
+    batch. Counts are exact (pyarrow dictionary_encode groups equal
+    strings; trigram identity via successive integer pairing, never a
+    lossy hash), and every ratio/round stays Spark-side so arithmetic is
+    operand-identical with the oracled SQL. NULL text mirrors the SQL
+    expressions' results: size(NULL) = -1 for n_words / n_stop / votes.
+    pyarrow split_pattern matches Spark split(" ") on empties: '' ->
+    [''], double spaces keep the empty token, trailing empties kept."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stop_set = pa.array(stopwords)
+    lang_sets = [pa.array(sw) for sw in lang_lists]
+
+    def fn(batches):
+        for b in batches:
+            texts = b.column(text_idx)
+            n = b.num_rows
+            words = pc.split_pattern(texts, " ")
+            lens = (
+                pc.fill_null(words.value_lengths(), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            valid = lens >= 0
+            flat = pc.list_flatten(words)
+            nw = len(flat)
+            doc_idx = np.repeat(np.nonzero(valid)[0], lens[valid])
+            # stopword OCCURRENCES (with duplicates): size(filter(isin))
+            n_stop = np.full(n, -1, np.int64)
+            n_stop[valid] = 0
+            if nw:
+                hit = (
+                    pc.is_valid(pc.index_in(flat, value_set=stop_set))
+                    .to_numpy(zero_copy_only=False)
+                )
+                if hit.any():
+                    n_stop[valid] = np.bincount(
+                        doc_idx[hit], minlength=n
+                    ).astype(np.int64)[valid]
+            # distinct word-trigrams per doc (rep3 numerator); exact via
+            # dictionary codes + successive pairing (no 3-way overflow)
+            uniq3 = np.zeros(n, np.int64)
+            if nw >= 3:
+                enc = pc.dictionary_encode(flat)
+                codes = (
+                    enc.indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                V = np.int64(len(enc.dictionary))
+                m = doc_idx[:-2] == doc_idx[2:]
+                if m.any():
+                    p = codes[:-2][m] * V + codes[1:-1][m]
+                    _, pin = np.unique(p, return_inverse=True)
+                    k2 = pin.astype(np.int64) * V + codes[2:][m]
+                    dd = doc_idx[:-2][m]
+                    order = np.lexsort((k2, dd))
+                    ds, ks = dd[order], k2[order]
+                    new = np.ones(len(ds), bool)
+                    new[1:] = (ds[1:] != ds[:-1]) | (ks[1:] != ks[:-1])
+                    uniq3 = np.bincount(
+                        ds[new], minlength=n
+                    ).astype(np.int64)
+            # language votes: DISTINCT lowered words per doc in each
+            # 10-word list (array_intersect semantics)
+            votes = np.full((len(lang_sets), n), -1, np.int64)
+            votes[:, valid] = 0
+            lflat = pc.list_flatten(pc.split_pattern(pc.utf8_lower(texts), " "))
+            if len(lflat):
+                lenc = pc.dictionary_encode(lflat)
+                lcodes = (
+                    lenc.indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                LV = np.int64(len(lenc.dictionary))
+                for li, ls in enumerate(lang_sets):
+                    lh = (
+                        pc.is_valid(pc.index_in(lflat, value_set=ls))
+                        .to_numpy(zero_copy_only=False)
+                    )
+                    if lh.any():
+                        uk = np.unique(doc_idx[lh] * LV + lcodes[lh])
+                        votes[li] += np.bincount(
+                            (uk // LV).astype(np.int64), minlength=n
+                        )
+            arrays = [b.column(i) for i in range(b.num_columns)]
+            arrays += [
+                pa.array(lens, pa.int64()),
+                pa.array(n_stop, pa.int64()),
+                pa.array(uniq3, pa.int64()),
+            ]
+            arrays += [pa.array(votes[li], pa.int64())
+                       for li in range(len(lang_sets))]
+            names = [b.schema.names[i] for i in range(b.num_columns)]
+            names += ["n_words", "_n_stop", "_uniq3"]
+            names += [f"_s{li}" for li in range(len(lang_sets))]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return fn
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -259,38 +365,79 @@ def quality_filter(
     min_words: int = 20,
     min_stopword_ratio: float = 0.05,
     max_rep3: float = 0.05,
+    full_rows: bool = False,
 ) -> DataFrame:
     """Composite keep/drop corpus filter with a reason code — the
     DataFrame-API twin of the driver-oracled doc_quality_filter query.
     Precedence: too_short -> low_stopword -> repetitious -> lang_und ->
     keep. Each component is the same expression the oracled component
     queries use (9-word stopword ratio, 3-gram repetition, stopword-vote
-    language id)."""
-    words = F.split(F.col(text_col), " ")
-    q = df.select(
-        F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        F.round(
-            F.size(F.filter(words, lambda w: w.isin(QF_STOPWORDS)))
-            / F.size(words).cast("double"),
-            6,
-        ).alias("stopword_ratio"),
+    language id).
+
+    Every component is a PER-DOCUMENT statistic, so the whole filter is
+    ONE shuffle-free scan (optimization r6, guide §2.4 + §4.2): a
+    mapInArrow kernel (_qf_stats_fn) computes the exact INTEGER counts
+    (n_words, stopword occurrences, distinct word-trigrams, per-language
+    distinct-stopword votes) vectorized per batch, replacing the former
+    explode -> groupBy(doc, shingle) -> groupBy(doc) -> 3-scan-join
+    pipeline that shuffled every shingle occurrence twice. All ratios,
+    round(,6) calls and the reason CASE stay Spark-side with
+    operand-identical expressions, and rep3 is defined exactly where
+    repetition_score emits a row (>= 5 words: the 3-gram table
+    inner-joined the 5-gram table), so output matches the old
+    formulation row-for-row — pinned by test_quality_filter_matches_sql
+    against the oracled SQL.
+
+    ``full_rows=True`` keeps every input column alongside keep/reason,
+    so a caller that wants the surviving DOCUMENTS (curation funnel)
+    filters in place instead of shuffling the text payload through a
+    join back on doc_id (guide §8: decide with small rows — here the
+    decision never needs to leave the row it belongs to)."""
+    from pyspark.sql import types as T
+
+    passthrough = [c for c in df.columns if c != id_col] if full_rows else []
+    in_cols = [id_col] + (
+        passthrough if full_rows else [text_col]
     )
-    # LEFT joins from the complete doc set: a doc too short to have
-    # 5-grams still gets its 'too_short' row (NULL rep3 never matches
-    # the repetitious branch; any doc over the word floor has 5-grams)
-    r = repetition_score(df, text_col, id_col).select(id_col, "rep3")
-    lang = language_id(df, text_col).select(id_col, "pred_lang")
-    j = q.join(r, id_col, "left").join(lang, id_col, "left")
+    base = df.select(*in_cols)
+    langs = list(STOPWORDS)
+    text_idx = in_cols.index(text_col)
+    out_fields = list(base.schema.fields) + [
+        T.StructField("n_words", T.LongType()),
+        T.StructField("_n_stop", T.LongType()),
+        T.StructField("_uniq3", T.LongType()),
+    ] + [T.StructField(f"_s{i}", T.LongType()) for i in range(len(langs))]
+    stats = base.mapInArrow(
+        _qf_stats_fn(text_idx, QF_STOPWORDS,
+                     [STOPWORDS[lg] for lg in langs]),
+        T.StructType(out_fields),
+    )
+    n = F.col("n_words")
+    rep3 = F.when(
+        n >= 5,
+        F.round(1.0 - F.col("_uniq3") / (n - 2).cast("double"), 6),
+    )
+    stopword_ratio = F.round(F.col("_n_stop") / n.cast("double"), 6)
+    scores = {lg: F.col(f"_s{i}") for i, lg in enumerate(langs)}
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
     reason = (
-        F.when(F.col("n_words") < min_words, F.lit("too_short"))
-        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword"))
-        .when(F.col("rep3") > max_rep3, F.lit("repetitious"))
-        .when(F.col("pred_lang") == "und", F.lit("lang_und"))
+        F.when(n < min_words, F.lit("too_short"))
+        .when(stopword_ratio < min_stopword_ratio, F.lit("low_stopword"))
+        .when(rep3 > max_rep3, F.lit("repetitious"))
+        .when(pred == "und", F.lit("lang_und"))
         .otherwise(F.lit("keep"))
     )
-    return j.select(
+    # projection barrier: the reason CASE evaluates once, then keep is
+    # derived from the materialized column (CollapseProject keeps
+    # multiply-referenced non-cheap aliases apart)
+    return stats.select(
+        id_col, *passthrough, reason.alias("reason")
+    ).select(
         id_col,
-        F.when(reason == "keep", 1).otherwise(0).cast("int").alias("keep"),
-        reason.alias("reason"),
+        *passthrough,
+        F.when(F.col("reason") == "keep", 1).otherwise(0).cast("int").alias("keep"),
+        "reason",
     )

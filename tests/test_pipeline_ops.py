@@ -699,10 +699,40 @@ def test_dedup_components_raises_on_diameter_overflow(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
+    # max_collect_edges=0 forces the distributed propagation loop (the
+    # driver union-find fast path has no round budget to overflow)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(chain, max_iterations=3)
-    ok = dedup_components(chain, max_iterations=30).toPandas()
+        dedup_components(chain, max_iterations=3, max_collect_edges=0)
+    ok = dedup_components(
+        chain, max_iterations=30, max_collect_edges=0
+    ).toPandas()
     assert (ok.component_id == 0).all()
+
+
+def test_dedup_components_driver_path_matches_distributed(spark):
+    """The r6 driver union-find fast path must label exactly like the
+    iterative min-label propagation: same nodes, same min-reachable-id
+    components (chains, cliques, singleton edges, duplicate and
+    reversed pairs)."""
+    from pyhctsa_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> 1
+         (10, 11), (11, 10), (10, 11),    # dup + reversed edges -> 10
+         (20, 21), (21, 22), (20, 22),    # triangle -> 20
+         (30, 31)],                       # lone pair -> 30
+        "id_a long, id_b long",
+    )
+    fast = (
+        dedup_components(pairs).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    slow = (
+        dedup_components(pairs, max_collect_edges=0).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+    assert set(fast.doc_id) == {1, 2, 3, 4, 10, 11, 20, 21, 22, 30, 31}
 
 
 def test_streaming_chunked_rollup_out_of_order_and_duplicates(
