@@ -48,6 +48,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyhctsa_spark.operators.dedup import (
+    _rep_election,
     _shingle_df,
     derive_lsh_banding,
     minhash_signatures,
@@ -94,6 +95,7 @@ def build_minhash_index(
     shingle_k: int = 3,
     threshold: float = 0.3,
     target_recall: float = 0.95,
+    collapse_exact: bool = True,
 ) -> dict:
     """Build the persistent index over ``df``; returns the meta dict.
 
@@ -101,6 +103,18 @@ def build_minhash_index(
     at the threshold, dedup.derive_lsh_banding) unless ``bands`` is
     passed explicitly. One corpus pass: the signature aggregation; the
     band table is a projection of it.
+
+    ``collapse_exact`` (default on, same contract as
+    minhash_verified_pairs): signatures depend only on content, so the
+    shingle+signature aggregation runs over one REPRESENTATIVE per
+    exact-duplicate content group and the per-doc signature rows are
+    recovered by joining the member map back (optimization r6, guide
+    §2.3 — on a crawl-shaped corpus the signature pipeline's explode
+    volume drops by the duplicate multiplicity; the one extra shuffle
+    is the md5-content window every exact-dedup already pays). The
+    index layout is unchanged: one sigs row and band rows per document.
+    Disable for corpora known duplicate-free to skip the collapse
+    window.
     """
     if bands is None:
         bands, rpb = derive_lsh_banding(num_hashes, threshold, target_recall)
@@ -108,20 +122,47 @@ def build_minhash_index(
         if num_hashes % bands:
             raise ValueError(f"{bands} bands do not divide {num_hashes}")
         rpb = num_hashes // bands
-    # persist the shingle table before the signature explode: without
-    # the cache boundary, InferFiltersFromGenerate pushes a size(sh)>0
-    # predicate into the scan and every shingle is BUILT TWICE
-    # (measured 2x the whole build)
-    sh = _shingle_df(df, text_col, id_col, shingle_k).persist()
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, shingles=sh
-    ).persist()
+    if collapse_exact:
+        eligible = df.select(F.col(id_col), F.col(text_col)).where(
+            F.size(F.split(F.col(text_col), " ")) >= shingle_k
+        )
+        with_rep = _rep_election(eligible, text_col, id_col)
+        members = with_rep.select(F.col(id_col), F.col("_rep"))
+        reps = with_rep.where(F.col(id_col) == F.col("_rep")).select(
+            id_col, text_col
+        )
+        sh = _shingle_df(reps, text_col, id_col, shingle_k).persist()
+        rep_sigs = (
+            minhash_signatures(
+                reps, text_col, id_col, num_hashes, shingle_k, shingles=sh
+            )
+            .withColumnRenamed(id_col, "_rep")
+            # materialized so the planner sees the real (distinct-
+            # content-sized) table and broadcasts it into the member
+            # join when it fits — degrades to a shuffle join, never a
+            # broadcast OOM, when the distinct corpus is genuinely huge
+            .localCheckpoint(eager=True)
+        )
+        sigs = members.join(rep_sigs, "_rep").select(
+            id_col, "minhash_sig"
+        ).persist()
+    else:
+        # persist the shingle table before the signature explode:
+        # without the cache boundary, InferFiltersFromGenerate pushes a
+        # size(sh)>0 predicate into the scan and every shingle is BUILT
+        # TWICE (measured 2x the whole build)
+        sh = _shingle_df(df, text_col, id_col, shingle_k).persist()
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_k, shingles=sh
+        ).persist()
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     _band_table(sigs, id_col, bands, rpb).write.mode("overwrite").parquet(
         os.path.join(path, "bands")
     )
     sigs.unpersist()
     sh.unpersist()
+    if collapse_exact:
+        with_rep.unpersist()
     meta = {
         "num_hashes": int(num_hashes),
         "bands": int(bands),
