@@ -38,21 +38,22 @@ def doc_bigrams(
     yields exactly n bigrams (<s>,w_1), (w_1,w_2), ..., (w_{n-1},w_n).
 
     The prepended array is materialized under an alias BEFORE the
-    transform so the (non-cheap) split isn't inlined and re-evaluated
-    per element — the round-2 expression-inlining trap.
+    shingle expressions so the (non-cheap) split isn't inlined and
+    re-evaluated per reference — the round-2 expression-inlining trap.
+
+    Bigram construction is ``explode(arrays_zip(slice, slice))`` —
+    all codegen'd built-ins (optimization r6, guide §4.1: the former
+    ``transform(sequence(...), lambda)`` was interpreted per element,
+    measured ~40% of the scoring scan). arr always has >= 2 elements
+    (BOS + split's >= 1 result), so the slice lengths are never
+    negative; same pairs in the same order as the lambda formulation.
     """
     arr = F.concat(F.array(F.lit(BOS)), F.split(F.col(text_col), " "))
     toks = df.select(F.col(doc_col).alias("doc_id"), arr.alias("arr"))
-    # arr always has >= 2 elements (BOS + split's >= 1 result), so the
-    # F.sequence bounds are always ascending — no descending-range trap.
+    a = F.col("arr")
+    m = F.size(a) - 1
     pairs = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("arr")) - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("arr"), i).alias("w1"),
-                F.element_at(F.col("arr"), i + 1).alias("w2"),
-            ),
-        )
+        F.arrays_zip(F.slice(a, 1, m).alias("w1"), F.slice(a, 2, m).alias("w2"))
     )
     return toks.select("doc_id", pairs.alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")

@@ -96,6 +96,7 @@ def bm25_topk(
     b: float = BM25_B,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 relevance to ``query_terms``.
 
@@ -117,7 +118,12 @@ def bm25_topk(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    base = _doc_words(df, text_col, id_col)
+    if base is None:
+        base = _doc_words(df, text_col, id_col)
+    # ``base``: callers that already hold a (persisted) _doc_words
+    # table pass it so the corpus is tokenized once per pipeline, not
+    # once per pass (bm25_rm3_topk re-ranks against the same corpus —
+    # optimization r6, guide §2.3)
     # corpus constants from the full table (df_t/N/avgdl must see every
     # doc, matched or not)
     stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -612,19 +618,20 @@ def bm25_rm3_topk(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("bm25_rm3_topk needs at least one query term")
-    fb = bm25_topk(
-        docs, terms, k=fb_docs, k1=k1, b=b, text_col=text_col, id_col=id_col
-    ).select("doc_id", "score6")
-    # base feeds three consumers (feedback tf, pass-2 stats, pass-2 tf)
-    # and the fb join derives from the same docs lineage — persist the
-    # tokenized table once instead of re-splitting the corpus per
-    # branch. Batch-scoped: callers reclaim it via clearCache() (the
-    # bench/driver convention); pass persist_base=False when the
-    # tokenized corpus exceeds cluster cache and re-scanning is the
-    # cheaper trade.
+    # base feeds FIVE consumers (pass-1 stats+tf, feedback tf, pass-2
+    # stats+tf) — persist the tokenized table once instead of
+    # re-splitting the corpus per branch (pass 1 now reuses it too:
+    # optimization r6). Batch-scoped: callers reclaim it via
+    # clearCache() (the bench/driver convention); pass
+    # persist_base=False when the tokenized corpus exceeds cluster
+    # cache and re-scanning is the cheaper trade.
     base = _doc_words(df=docs, text_col=text_col, id_col=id_col)
     if persist_base:
         base = base.persist()
+    fb = bm25_topk(
+        docs, terms, k=fb_docs, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, base=base,
+    ).select("doc_id", "score6")
     # expansion-term weights from the feedback docs' FULL token lists
     fbtf = (
         base.join(F.broadcast(fb), "doc_id")
@@ -899,52 +906,61 @@ def tower_rank_correlation(
     cs = cosine_topk_ranks(emb, query_vec_id, pool=pool).select(
         F.col("vec_id").alias("doc_id"), "r_cos"
     )
-    shared = bm.join(cs, "doc_id")
-    wa = Window.orderBy(F.col("r_bm25").asc())
-    wb = Window.orderBy(F.col("r_cos").asc())
-    rr = shared.select(
-        "doc_id",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wb).alias("rb"),
-    ).persist()
-    try:
-        dbl = lambda c: c.cast("double")
-        sp = rr.agg(
-            F.count("*").cast("long").alias("n_shared"),
-            F.sum(
-                (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
-            ).alias("sd2"),
+    # the shared subset is <= pool rows by construction — collect it and
+    # run the INTEGER rank/pair sums on the driver (optimization r6,
+    # guide §1.2: the former persist + two global windows + pool^2 join
+    # + localCheckpoint cost five scheduled jobs for 50 rows). The
+    # final double divisions and round(,6) stay in Spark with the
+    # identical expressions, so the oracle replay is still bit-exact.
+    rows = bm.join(cs, "doc_id").collect()
+    n_shared = len(rows)
+    by_bm = sorted(rows, key=lambda r: r["r_bm25"])
+    rb_of = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: r["r_cos"]))
+    }
+    ranks = [(i + 1, rb_of[r["doc_id"]]) for i, r in enumerate(by_bm)]
+    sd2 = (
+        sum((ra - rb) * (ra - rb) for ra, rb in ranks)
+        if n_shared else None
+    )
+    cd = (
+        sum(
+            1 if rb1 < rb2 else -1
+            for i, (_, rb1) in enumerate(ranks)
+            for _, rb2 in ranks[i + 1:]
         )
-        a = rr.select(F.col("ra").alias("ra1"), F.col("rb").alias("rb1"))
-        b = rr.select(F.col("ra").alias("ra2"), F.col("rb").alias("rb2"))
-        conc = (
-            a.join(b, F.col("ra1") < F.col("ra2"))
-            .agg(
-                F.sum(
-                    F.when(F.col("rb1") < F.col("rb2"), F.lit(1)).otherwise(
-                        F.lit(-1)
-                    )
-                ).alias("cd")
-            )
-        )
-        n = F.col("n_shared")
-        rho = F.round(
-            F.lit(1.0).cast("double")
-            - F.lit(6.0).cast("double") * dbl(F.col("sd2"))
-            / F.nullif(dbl(n * (n * n - 1)), F.lit(0.0).cast("double")),
-            6,
-        )
-        tau = F.round(
-            dbl(F.coalesce(F.col("cd"), F.lit(0)))
-            / F.nullif(
-                dbl(n * (n - 1)) / F.lit(2.0).cast("double"),
-                F.lit(0.0).cast("double"),
-            ),
-            6,
-        )
-        out = sp.join(conc).select(
-            "n_shared", rho.alias("spearman6"), tau.alias("kendall6")
-        )
-        return out.localCheckpoint()
-    finally:
-        rr.unpersist()
+        if n_shared > 1 else None
+    )
+    from pyspark.sql import types as T
+
+    from ._local_df import one_slice_df
+
+    stats = one_slice_df(
+        docs.sparkSession,
+        [(n_shared, sd2, cd)],
+        T.StructType([
+            T.StructField("n_shared", T.LongType(), False),
+            T.StructField("sd2", T.LongType(), True),
+            T.StructField("cd", T.LongType(), True),
+        ]),
+    )
+    dbl = lambda c: c.cast("double")
+    n = F.col("n_shared")
+    rho = F.round(
+        F.lit(1.0).cast("double")
+        - F.lit(6.0).cast("double") * dbl(F.col("sd2"))
+        / F.nullif(dbl(n * (n * n - 1)), F.lit(0.0).cast("double")),
+        6,
+    )
+    tau = F.round(
+        dbl(F.coalesce(F.col("cd"), F.lit(0)))
+        / F.nullif(
+            dbl(n * (n - 1)) / F.lit(2.0).cast("double"),
+            F.lit(0.0).cast("double"),
+        ),
+        6,
+    )
+    return stats.select(
+        "n_shared", rho.alias("spearman6"), tau.alias("kendall6")
+    )
