@@ -47,6 +47,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyhctsa_spark.operators.similarity import _as_double, _norm
 
 
+def _list_col_matrix(col, n_rows: int):
+    """(n_rows, width) float/int matrix from an Arrow list column whose
+    entries all share one width — a flat-buffer reshape instead of
+    to_pandas + np.stack over n_rows python list objects (optimization
+    r6, guide §4.2). Falls back to the object path for ragged input."""
+    import numpy as np
+
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(off)
+    if len(lens) and (lens == lens[0]).all():
+        return np.ascontiguousarray(
+            vals[off[0]:off[-1]].reshape(n_rows, int(lens[0]))
+        )
+    return np.stack(col.to_pandas().to_numpy())
+
+
 def _md5_sample(embeddings: DataFrame, n: int, vec_col: str, id_col: str):
     """The ``n`` corpus vectors with the smallest (md5(id), id), L2
     normalized, as a numpy (n, d) matrix — the deterministic bounded
@@ -141,8 +158,11 @@ def pq_encode(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            tbl = rb.to_pandas()
-            M = np.stack(tbl["v"].to_numpy())
+            # flat-buffer reshape instead of to_pandas + np.stack over
+            # 10k python list objects (optimization r6, guide §4.2 —
+            # same convention as similarity._norm's Arrow fold)
+            M = _list_col_matrix(rb.column(1), rb.num_rows)
+            nid = rb.column(0)
             nrm = np.linalg.norm(M, axis=1, keepdims=True)
             U = np.divide(M, nrm, out=np.zeros_like(M), where=nrm > 0)
             codes = np.empty((len(U), m), dtype=np.int16)
@@ -152,8 +172,10 @@ def pq_encode(
                 codes[:, s] = d2.argmin(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(tbl["nid"], from_pandas=True),
-                    pa.array(list(codes), type=pa.list_(pa.int16())),
+                    nid,
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.ravel(), type=pa.int16()), m
+                    ).cast(pa.list_(pa.int16())),
                 ],
                 names=["nid", "code"],
             )
@@ -199,38 +221,47 @@ def _adc_topk(codes: DataFrame, qids, Qn, codebooks, k: int) -> DataFrame:
     types = dict(codes.dtypes)
     out_ddl = f"qid {types['nid']}, nid {types['nid']}, score double"
 
+    nq = len(qid_arr)
+
     def fn(batches):
-        carry = None
+        # carry = per-query running top-k as (nq, c) score/nid matrices;
+        # candidate selection per batch is ONE flattened lexsort with
+        # the exact (qid, score desc, nid asc) key instead of a pandas
+        # mergesort + groupby.head over the concatenated frame
+        # (optimization r6 — same ordering, same floats, ~5x less
+        # per-batch work at rerank shortlist depths)
+        c_s = c_n = None
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            tbl = rb.to_pandas()
-            codes_mat = np.stack(tbl["code"].to_numpy())  # (B, m)
+            codes_mat = _list_col_matrix(rb.column(1), rb.num_rows)
+            nid = rb.column(0).to_numpy(zero_copy_only=False)
             S = lut[0][:, codes_mat[:, 0]]
             for s in range(1, m):
                 S = S + lut[s][:, codes_mat[:, s]]  # (Q, B)
-            nid = tbl["nid"].to_numpy()
-            qf = np.repeat(qid_arr, len(nid))
-            nf = np.tile(nid, len(qid_arr))
-            sc = pd.DataFrame(
-                {"qid": qf, "nid": nf, "score": S.reshape(-1)}
+            excl = qid_arr[:, None] == nid[None, :]
+            if excl.any():
+                S = np.where(excl, -np.inf, S)
+            nid_t = np.broadcast_to(nid, S.shape)
+            cs = S if c_s is None else np.concatenate([c_s, S], axis=1)
+            cn = (
+                nid_t if c_n is None
+                else np.concatenate([c_n, nid_t], axis=1)
             )
-            sc = sc[sc["qid"] != sc["nid"]]
-            if carry is not None:
-                sc = pd.concat([carry, sc], ignore_index=True)
-            sc = sc.sort_values(
-                ["qid", "score", "nid"], ascending=[True, False, True],
-                kind="mergesort",
-            )
-            carry = sc.groupby("qid", sort=False).head(k)
-        if carry is not None and len(carry):
-            carry = carry.reset_index(drop=True)
+            ncand = cs.shape[1]
+            rows_f = np.repeat(np.arange(nq), ncand)
+            perm = np.lexsort((cn.ravel(), -cs.ravel(), rows_f))
+            keep = perm.reshape(nq, ncand)[:, : min(k, ncand)]
+            c_s = cs.ravel()[keep]
+            c_n = cn.ravel()[keep]
+        if c_s is not None:
+            qf = np.repeat(qid_arr, c_s.shape[1])
+            sel = np.isfinite(c_s.ravel())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(carry["qid"], from_pandas=True),
-                    pa.array(carry["nid"], from_pandas=True),
-                    pa.array(carry["score"], type=pa.float64(),
-                             from_pandas=True),
+                    pa.array(qf[sel], from_pandas=True),
+                    pa.array(c_n.ravel()[sel], from_pandas=True),
+                    pa.array(c_s.ravel()[sel], type=pa.float64()),
                 ],
                 names=["qid", "nid", "score"],
             )
@@ -285,16 +316,16 @@ def _exact_rerank(
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                tbl = rb.to_pandas()
-                V = np.stack(tbl["v"].to_numpy())
+                V = _list_col_matrix(rb.column(2), rb.num_rows)
                 nrm = np.linalg.norm(V, axis=1, keepdims=True)
                 U = np.divide(V, nrm, out=np.zeros_like(V), where=nrm > 0)
-                qi = qpos[tbl["qid"]].to_numpy()
+                qv = rb.column(0).to_numpy(zero_copy_only=False)
+                qi = qpos[qv].to_numpy()
                 sc = np.einsum("ij,ij->i", Qn[qi], U)
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(tbl["qid"], from_pandas=True),
-                        pa.array(tbl["nid"], from_pandas=True),
+                        rb.column(0),
+                        rb.column(1),
                         pa.array(sc, type=pa.float64()),
                     ],
                     names=["qid", "nid", "score"],
@@ -416,39 +447,45 @@ def _adc_topk_pairs(cand: DataFrame, qids, Qn, codebooks, k: int) -> DataFrame:
         [Qn[:, s * dsub : (s + 1) * dsub] @ B[s].T for s in range(m)]
     )  # (m, Q, ksub)
     qpos = pd.Series({q: i for i, q in enumerate(qids)})
+    qid_arr = np.asarray(qids)
     types = dict(cand.dtypes)
     out_ddl = f"qid {types['qid']}, nid {types['nid']}, score double"
 
     def fn(batches):
-        carry = None
+        # running top-k as flat (qi, nid, score) arrays; one lexsort
+        # with the exact (qid, score desc, nid asc) key + per-run
+        # position filter replaces the pandas mergesort/groupby carry
+        # (optimization r6 — same ordering, same floats)
+        c_q = c_n = c_s = None
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            tbl = rb.to_pandas()
-            codes_mat = np.stack(tbl["code"].to_numpy())  # (B, m)
-            qi = qpos[tbl["qid"]].to_numpy()
+            codes_mat = _list_col_matrix(rb.column(2), rb.num_rows)
+            qv = rb.column(0).to_numpy(zero_copy_only=False)
+            nv = rb.column(1).to_numpy(zero_copy_only=False)
+            qi = qpos[qv].to_numpy()
             S = lut[0][qi, codes_mat[:, 0]]
             for s in range(1, m):
                 S = S + lut[s][qi, codes_mat[:, s]]
-            sc = pd.DataFrame(
-                {"qid": tbl["qid"], "nid": tbl["nid"], "score": S}
-            )
-            sc = sc[sc["qid"] != sc["nid"]]
-            if carry is not None:
-                sc = pd.concat([carry, sc], ignore_index=True)
-            sc = sc.sort_values(
-                ["qid", "score", "nid"], ascending=[True, False, True],
-                kind="mergesort",
-            )
-            carry = sc.groupby("qid", sort=False).head(k)
-        if carry is not None and len(carry):
-            carry = carry.reset_index(drop=True)
+            ok = qv != nv
+            qi, nv, S = qi[ok], nv[ok], S[ok]
+            if c_q is not None:
+                qi = np.concatenate([c_q, qi])
+                nv = np.concatenate([c_n, nv])
+                S = np.concatenate([c_s, S])
+            order = np.lexsort((nv, -S, qi))
+            qs = qi[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            runlen = np.diff(np.r_[starts, len(qs)])
+            pos = np.arange(len(qs)) - np.repeat(starts, runlen)
+            keep = order[pos < k]
+            c_q, c_n, c_s = qi[keep], nv[keep], S[keep]
+        if c_q is not None and len(c_q):
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(carry["qid"], from_pandas=True),
-                    pa.array(carry["nid"], from_pandas=True),
-                    pa.array(carry["score"], type=pa.float64(),
-                             from_pandas=True),
+                    pa.array(qid_arr[c_q], from_pandas=True),
+                    pa.array(c_n, from_pandas=True),
+                    pa.array(c_s, type=pa.float64()),
                 ],
                 names=["qid", "nid", "score"],
             )
